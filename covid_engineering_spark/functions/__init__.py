@@ -1,0 +1,9 @@
+from covid_engineering_spark.functions.scalar import (
+    clamp_eps,
+    davg,
+    dsum,
+    missing_count,
+    safe_div,
+)
+
+__all__ = ["clamp_eps", "davg", "dsum", "missing_count", "safe_div"]

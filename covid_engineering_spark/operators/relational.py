@@ -1,0 +1,908 @@
+"""Relational core: scans, projections, filters, joins, aggregations,
+sorts/top-k, set ops, scalar functions (SURVEY.md §2.1-2.3, 2.4, 2.6-2.8).
+
+Each ``q_*`` function is a `(spark, sf_dir) -> DataFrame` callable wired
+into ``__spark_entry__.queries()``; ``ORACLES`` holds the matching ANSI
+SQL the DuckDB oracle runs on the same parquet. Column names are aliased
+identically on both sides (driver hashes values sorted by column name).
+
+Float discipline: per-row expressions are written with the same operator
+tree on both sides (IEEE doubles are then bit-identical); aggregated
+doubles go through ``dsum``/decimal accumulation so results are
+accumulation-order independent (see functions/scalar.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from covid_engineering_spark.functions import dsum, missing_count
+from covid_engineering_spark.sources import read_table
+
+# ---------------------------------------------------------------------------
+# Projections / filters (P1-P5; reference main.py:452-454, 249, 43-45, 241,
+# 477-478)
+# ---------------------------------------------------------------------------
+
+
+def q_p1_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 — narrow projection. The scan must prune to the 5 columns
+    (ReadSchema in the plan); reference parses all 10 cols of
+    complete.csv then selects (main.py:452-454).
+    """
+    return read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate"
+    )
+
+
+def q_p2_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 — equality filter on a string key, pushed to the scan
+    (reference: ``df[df['Country.Region'] == country]``, main.py:249).
+    """
+    return (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    )
+
+
+def q_p3_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 — closed-interval date predicate (main.py:43-45, 256-257)."""
+    return (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").between("1996-01-01", "1996-12-31"))
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+def q_p4_null_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — nullify-then-drop (the reference's ``errors='coerce'`` +
+    ``dropna`` pattern, main.py:240-241): zero discounts become null,
+    then null rows are dropped.
+    """
+    df = read_table(spark, sf_dir, "lineitem").withColumn(
+        "disc_nn",
+        F.when(F.col("l_discount") == 0.0, F.lit(None).cast("double")).otherwise(
+            F.col("l_discount")
+        ),
+    )
+    return df.na.drop(subset=["disc_nn"]).select(
+        "l_orderkey", "l_linenumber", "disc_nn"
+    )
+
+
+def q_p5_masked_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 — conditional masked assignment (main.py:477-478: zero-fill
+    Deaths/Recovered where Confirmed==Active): zero the tax on open
+    'N' lines, keep it elsewhere.
+    """
+    df = read_table(spark, sf_dir, "lineitem")
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(
+            (F.col("l_returnflag") == "N") & (F.col("l_linestatus") == "F"), 0.0
+        )
+        .otherwise(F.col("l_tax"))
+        .alias("tax_fixed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J2; main.py:296-300 scalar-lookup generalized)
+# ---------------------------------------------------------------------------
+
+
+def q_j1_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — fact ⨝ tiny dimension as an explicit broadcast hash join.
+    The reference does this one country at a time with ``.iloc[0]``
+    scalar lookups (main.py:296-300); the engine joins all keys at once
+    and broadcasts the dimension so no shuffle of the fact side occurs.
+    """
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+def q_j2_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers that have at least one order."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def q_j3_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_j4_outer_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join + count, preserving zero-order customers.
+    COUNT(column) skips nulls on both engines, so unmatched customers
+    report 0.
+    """
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+    )
+
+
+def q_j5_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi) join: bucket part prices against an inline
+    interval dimension. The interval table is broadcast, so this plans
+    as BroadcastNestedLoopJoin over a 4-row build side — the right
+    physical shape for banding joins at any fact-side scale.
+    """
+    part = read_table(spark, sf_dir, "part")
+    buckets = spark.createDataFrame(
+        [("low", 900.0, 925.0), ("mid", 925.0, 950.0), ("high", 950.0, 975.0), ("top", 975.0, 1000.0)],
+        "bucket string, lo double, hi double",
+    )
+    return (
+        part.join(
+            F.broadcast(buckets),
+            (part.p_retailprice >= buckets.lo) & (part.p_retailprice < buckets.hi),
+        )
+        .select("p_partkey", "p_retailprice", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1-A10; main.py:457-462, 364, 352, 787-789, 67-72, 774,
+# 778, 95/103, 142-145)
+# ---------------------------------------------------------------------------
+
+
+def q_a1_groupby_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — group-by max ×3: the reference's dedup of duplicate
+    (country,date) province rows (main.py:457-462), re-shaped as
+    per-order maxima. MAX of doubles is exact — no rounding needed.
+    """
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.max("l_quantity").alias("max_qty"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.max("l_discount").alias("max_disc"),
+        )
+    )
+
+
+def q_a2_groupby_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — multi-column group-by sum (main.py:364)."""
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+    )
+
+
+def q_a3_groupby_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — mean per group (death-rate per continent, main.py:352):
+    average account balance per nation, dimension broadcast.
+    """
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+                / F.count("c_acctbal"),
+                4,
+            ).alias("avg_bal")
+        )
+    )
+
+
+def q_a4_global_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — global totals (dashboard metrics, main.py:787-789)."""
+    return read_table(spark, sf_dir, "orders").agg(
+        dsum("o_totalprice").alias("total_sales"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def q_a5_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — global means (parameter estimators μ̂,γ̂, main.py:67-72).
+    Spark ``avg`` and the oracle's AVG both skip nulls — matching the
+    reference's NaN-skipping ``mean()``.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
+            / F.count("l_quantity"),
+            6,
+        ).alias("avg_qty"),
+        F.round(
+            F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double")
+            / F.count("l_discount"),
+            6,
+        ).alias("avg_disc"),
+    )
+
+
+def q_a6_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — min/max bounds (date-picker bounds, main.py:774)."""
+    return read_table(spark, sf_dir, "orders").agg(
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+def q_a7_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — distinct values (dropdown domains, main.py:778,930)."""
+    return read_table(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+def q_a8_lsq_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/M2 — closed-form least squares through the origin as a pure
+    aggregate: β̂ = Σ(x·y)/Σ(x²) (main.py:95,103). The x·y / x·x
+    products are computed per-row in double (bit-identical to the
+    oracle) then decimal-summed for order independence.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    xy = (F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(28,6)")
+    xx = (F.col("l_quantity") * F.col("l_quantity")).cast("decimal(28,6)")
+    return li.agg(
+        F.round(
+            (F.sum(xy).cast("double") / F.sum(xx).cast("double")), 6
+        ).alias("beta_hat")
+    )
+
+
+def q_a9_mse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — mean squared error between two series (simulation vs real,
+    main.py:142-145): unit price vs retail price.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    err = (F.col("l_extendedprice") / F.col("l_quantity")) - F.col("p_retailprice")
+    sq = (err * err).cast("decimal(28,6)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(F.sum(sq).cast("double") / F.count("*"), 4).alias("mse")
+        )
+    )
+
+
+def q_a10_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 (extension) — hierarchical rollup region→nation with counts
+    (exact integers; the grand-total row carries nulls on both engines).
+    """
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    joined = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(F.count("*").alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# Sort / top-k (O1-O2; main.py:243, 365-366)
+# ---------------------------------------------------------------------------
+
+
+def q_o1_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 — ordered scan head. Catalyst plans TakeOrderedAndProject:
+    a per-partition top-N + single merge, never a full global sort.
+    Tie-broken on the primary key for determinism.
+    """
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .limit(100)
+    )
+
+
+def q_o2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 — top-5 groups by aggregate (top-5 counties by deaths,
+    main.py:365-366). Ordering uses the *rounded* deterministic total
+    plus the key as tie-break, so both engines pick the same rows.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(dsum("o_totalprice").alias("total_spend"))
+        .orderBy(F.desc("total_spend"), "o_custkey")
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (§2.7 — extension tier)
+# ---------------------------------------------------------------------------
+
+
+def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = read_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.union(s).distinct()
+
+
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = read_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersect(s)
+
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = read_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.subtract(s)
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (F1-F8; main.py:71, 335, 350, 549-552, 561, 424,
+# 421-433, 790-792)
+# ---------------------------------------------------------------------------
+
+
+def q_f1_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — column arithmetic chain (S = N−A−R−D and friends,
+    main.py:71,298-300): the classic discounted+taxed charge. Same
+    IEEE expression tree as the oracle → bit-identical doubles.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+        (
+            F.col("l_extendedprice")
+            * (F.lit(1.0) - F.col("l_discount"))
+            * (F.lit(1.0) + F.col("l_tax"))
+        ).alias("charge"),
+    )
+
+
+def q_f2_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 — round(x, n) (main.py:335)."""
+    return read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round(F.col("o_totalprice") / 1000.0, 1).alias("price_k")
+    )
+
+
+def q_f3_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 — value replacement (``replace("", "Antartica")`` [sic],
+    main.py:350) as a when/otherwise rewrite.
+    """
+    return read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderpriority") == "1-URGENT", "URGENT")
+        .otherwise(F.col("o_orderpriority"))
+        .alias("priority"),
+    )
+
+
+def q_f4_clamp_div(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — eps clamp guarding division (``np.maximum(x, eps)``,
+    main.py:549-552).
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") / F.greatest(F.col("l_quantity"), F.lit(1e-6))).alias(
+            "unit_price"
+        ),
+    )
+
+
+def q_f5_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 — slash-date string parse with null on failure (main.py:561,
+    ``errors='coerce'``): round-trips o_orderdate through the county
+    table's string format. Four-digit years on purpose: two-digit 'yy'
+    century pivots differ between engines (Spark maps 95→2095, C's %y
+    maps 95→1995) — a real M/d/yy source needs an explicit pivot rule.
+    """
+    return read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "M/d/yyyy").alias("date_str"),
+        F.to_date(F.date_format("o_orderdate", "M/d/yyyy"), "M/d/yyyy").alias("parsed"),
+    )
+
+
+def q_f6_null_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 — row-wise missing-value count (main.py:424) over nullified
+    columns.
+    """
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .withColumn("tax_nn", F.when(F.col("l_tax") == 0.0, None).otherwise(F.col("l_tax")))
+        .withColumn(
+            "disc_nn", F.when(F.col("l_discount") == 0.0, None).otherwise(F.col("l_discount"))
+        )
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        missing_count("tax_nn", "disc_nn").alias("n_missing"),
+    )
+
+
+def q_f7_impute_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 — accounting-invariant imputation (Confirmed = Active +
+    Deaths + Recovered solved for the single missing field,
+    main.py:421-433): a synthetic 3-way decomposition of l_quantity
+    with one part nulled per line number, then recovered.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("total"),
+        F.floor(F.col("l_quantity") * 0.5).cast("double").alias("x0"),
+        F.floor(F.col("l_quantity") * 0.3).cast("double").alias("y0"),
+    )
+    li = li.withColumn("z0", F.col("total") - F.col("x0") - F.col("y0"))
+    # introduce exactly-one-missing holes deterministically
+    li = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "total",
+        F.when(F.col("l_linenumber") == 2, None).otherwise(F.col("x0")).alias("x"),
+        F.when(F.col("l_linenumber") == 3, None).otherwise(F.col("y0")).alias("y"),
+        F.when(F.col("l_linenumber") == 4, None).otherwise(F.col("z0")).alias("z"),
+    )
+    one_missing = missing_count("x", "y", "z") == 1
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "total",
+        F.when(one_missing & F.col("x").isNull(), F.col("total") - F.col("y") - F.col("z"))
+        .otherwise(F.col("x"))
+        .alias("x_f"),
+        F.when(one_missing & F.col("y").isNull(), F.col("total") - F.col("x") - F.col("z"))
+        .otherwise(F.col("y"))
+        .alias("y_f"),
+        F.when(one_missing & F.col("z").isNull(), F.col("total") - F.col("x") - F.col("y"))
+        .otherwise(F.col("z"))
+        .alias("z_f"),
+    )
+
+
+def q_f8_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 — human metric formatting ``f"{x:,}"`` (main.py:790-792).
+    Rounding to 2dp before format_number keeps the second rounding
+    tie-free (a 2-decimal double can't sit on a .5 boundary at 2dp).
+    """
+    return read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.format_number(F.round(F.col("o_totalprice"), 2), 2).alias("price_fmt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON / regex (extension tier; events.props & documents surfaces)
+# ---------------------------------------------------------------------------
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+    )
+
+
+def q_str_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
+        F.length("text").alias("text_len"),
+        F.upper(F.substring("text", 1, 10)).alias("head_upper"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-operator composites (the reference's real query shapes)
+# ---------------------------------------------------------------------------
+
+
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composite: scan → filter → wide aggregate (TPC-H Q1
+    shape). Covers S1+P3+A2/A5+F1 in one plan; partial aggregation
+    makes the shuffle carry 6 rows regardless of input scale.
+    """
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "2000-09-02"
+    )
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.round(F.sum(disc_price.cast("decimal(28,6)")).cast("double"), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.sum(charge.cast("decimal(28,6)")).cast("double"), 2).alias(
+                "sum_charge"
+            ),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
+                / F.count("l_quantity"),
+                6,
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double")
+                / F.count("l_discount"),
+                6,
+            ).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite: selective join + aggregate + top-k (TPC-H Q3 shape).
+    The customer filter is pushed below the join; the final top-10 is
+    TakeOrderedAndProject.
+    """
+    cust = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-03-15"
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(revenue.cast("decimal(28,6)")).cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+def q_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite: 5-way star join + per-group revenue (TPC-H Q5 shape).
+    Dimensions broadcast; only lineitem⨝orders shuffles.
+    """
+    region = read_table(spark, sf_dir, "region")
+    nation = read_table(spark, sf_dir, "nation")
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.round(F.sum(revenue.cast("decimal(28,6)")).cast("double"), 2).alias("revenue"))
+    )
+
+
+QUERIES = {
+    "p1_project": q_p1_project,
+    "p2_filter_eq": q_p2_filter_eq,
+    "p3_date_range": q_p3_date_range,
+    "p4_null_drop": q_p4_null_drop,
+    "p5_masked_assign": q_p5_masked_assign,
+    "j1_broadcast_lookup": q_j1_broadcast_lookup,
+    "j2_semi": q_j2_semi,
+    "j3_anti": q_j3_anti,
+    "j4_outer_count": q_j4_outer_count,
+    "j5_range_join": q_j5_range_join,
+    "a1_groupby_max": q_a1_groupby_max,
+    "a2_groupby_sum": q_a2_groupby_sum,
+    "a3_groupby_avg": q_a3_groupby_avg,
+    "a4_global_sums": q_a4_global_sums,
+    "a5_global_avg": q_a5_global_avg,
+    "a6_minmax": q_a6_minmax,
+    "a7_distinct": q_a7_distinct,
+    "a8_lsq_ratio": q_a8_lsq_ratio,
+    "a9_mse": q_a9_mse,
+    "a10_rollup": q_a10_rollup,
+    "o1_sort_limit": q_o1_sort_limit,
+    "o2_topk": q_o2_topk,
+    "set_union": q_set_union,
+    "set_intersect": q_set_intersect,
+    "set_except": q_set_except,
+    "f1_arithmetic": q_f1_arithmetic,
+    "f2_round": q_f2_round,
+    "f3_replace": q_f3_replace,
+    "f4_clamp_div": q_f4_clamp_div,
+    "f5_date_parse": q_f5_date_parse,
+    "f6_null_count": q_f6_null_count,
+    "f7_impute_invariant": q_f7_impute_invariant,
+    "f8_format": q_f8_format,
+    "json_extract": q_json_extract,
+    "str_regex": q_str_regex,
+    "q1_pricing_summary": q_q1_pricing_summary,
+    "q3_top_orders": q_q3_top_orders,
+    "q5_region_revenue": q_q5_region_revenue,
+}
+
+ORACLES = {
+    "p1_project": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+        FROM lineitem
+    """,
+    "p2_filter_eq": """
+        SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+        FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+    "p3_date_range": """
+        SELECT o_orderkey, o_orderdate, o_totalprice
+        FROM orders
+        WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                              AND TIMESTAMP '1996-12-31 00:00:00'
+    """,
+    "p4_null_drop": """
+        SELECT l_orderkey, l_linenumber, NULLIF(l_discount, 0.0) AS disc_nn
+        FROM lineitem WHERE NULLIF(l_discount, 0.0) IS NOT NULL
+    """,
+    "p5_masked_assign": """
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_returnflag = 'N' AND l_linestatus = 'F'
+                    THEN 0.0 ELSE l_tax END AS tax_fixed
+        FROM lineitem
+    """,
+    "j1_broadcast_lookup": """
+        SELECT c_custkey, c_name, n_name, r_name
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+    """,
+    "j2_semi": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+    "j3_anti": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    "j4_outer_count": """
+        SELECT c_custkey, COUNT(o_orderkey) AS order_cnt
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    """,
+    "j5_range_join": """
+        SELECT p_partkey, p_retailprice, bucket
+        FROM part
+        JOIN (VALUES ('low', 900.0, 925.0), ('mid', 925.0, 950.0),
+                     ('high', 950.0, 975.0), ('top', 975.0, 1000.0))
+             AS v(bucket, lo, hi)
+          ON p_retailprice >= lo AND p_retailprice < hi
+    """,
+    "a1_groupby_max": """
+        SELECT l_orderkey, MAX(l_quantity) AS max_qty,
+               MAX(l_extendedprice) AS max_price, MAX(l_discount) AS max_disc
+        FROM lineitem GROUP BY l_orderkey
+    """,
+    "a2_groupby_sum": """
+        SELECT l_suppkey,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_price
+        FROM lineitem GROUP BY l_suppkey
+    """,
+    "a3_groupby_avg": """
+        SELECT n_name,
+               ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(c_acctbal), 4) AS avg_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "a4_global_sums": """
+        SELECT ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_sales,
+               COUNT(*) AS n_orders
+        FROM orders
+    """,
+    "a5_global_avg": """
+        SELECT ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(l_quantity), 6) AS avg_qty,
+               ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(l_discount), 6) AS avg_disc
+        FROM lineitem
+    """,
+    "a6_minmax": """
+        SELECT MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date,
+               MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+        FROM orders
+    """,
+    "a7_distinct": "SELECT DISTINCT c_mktsegment FROM customer",
+    "a8_lsq_ratio": """
+        SELECT ROUND(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+                     / CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE),
+                     6) AS beta_hat
+        FROM lineitem
+    """,
+    "a9_mse": """
+        SELECT ROUND(CAST(SUM(CAST(((l_extendedprice / l_quantity) - p_retailprice)
+                                   * ((l_extendedprice / l_quantity) - p_retailprice)
+                                   AS DECIMAL(28,6))) AS DOUBLE)
+                     / COUNT(*), 4) AS mse
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+    "a10_rollup": """
+        SELECT r_name, n_name, COUNT(*) AS cnt
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+    "o1_sort_limit": """
+        SELECT l_orderkey, l_linenumber, l_shipdate
+        FROM lineitem
+        ORDER BY l_shipdate, l_orderkey, l_linenumber
+        LIMIT 100
+    """,
+    "o2_topk": """
+        SELECT o_custkey,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_spend
+        FROM orders GROUP BY o_custkey
+        ORDER BY total_spend DESC, o_custkey
+        LIMIT 5
+    """,
+    "set_union": """
+        SELECT c_nationkey AS nk FROM customer
+        UNION
+        SELECT s_nationkey AS nk FROM supplier
+    """,
+    "set_intersect": """
+        SELECT c_nationkey AS nk FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nk FROM supplier
+    """,
+    "set_except": """
+        SELECT c_nationkey AS nk FROM customer
+        EXCEPT
+        SELECT s_nationkey AS nk FROM supplier
+    """,
+    "f1_arithmetic": """
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1.0 - l_discount) AS revenue,
+               l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charge
+        FROM lineitem
+    """,
+    "f2_round": """
+        SELECT o_orderkey, ROUND(o_totalprice / 1000.0, 1) AS price_k FROM orders
+    """,
+    "f3_replace": """
+        SELECT o_orderkey,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 'URGENT'
+                    ELSE o_orderpriority END AS priority
+        FROM orders
+    """,
+    "f4_clamp_div": """
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice / GREATEST(l_quantity, 0.000001) AS unit_price
+        FROM lineitem
+    """,
+    "f5_date_parse": """
+        SELECT o_orderkey,
+               strftime(o_orderdate, '%-m/%-d/%Y') AS date_str,
+               CAST(strptime(strftime(o_orderdate, '%-m/%-d/%Y'), '%m/%d/%Y') AS DATE) AS parsed
+        FROM orders
+    """,
+    "f6_null_count": """
+        SELECT l_orderkey, l_linenumber,
+               CAST((CASE WHEN NULLIF(l_tax, 0.0) IS NULL THEN 1 ELSE 0 END)
+                  + (CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END)
+                  AS INTEGER) AS n_missing
+        FROM lineitem
+    """,
+    "f7_impute_invariant": """
+        WITH base AS (
+            SELECT l_orderkey, l_linenumber, l_quantity AS total,
+                   CAST(FLOOR(l_quantity * 0.5) AS DOUBLE) AS x0,
+                   CAST(FLOOR(l_quantity * 0.3) AS DOUBLE) AS y0
+            FROM lineitem
+        ), holes AS (
+            SELECT l_orderkey, l_linenumber, total,
+                   CASE WHEN l_linenumber = 2 THEN NULL ELSE x0 END AS x,
+                   CASE WHEN l_linenumber = 3 THEN NULL ELSE y0 END AS y,
+                   CASE WHEN l_linenumber = 4 THEN NULL ELSE total - x0 - y0 END AS z
+            FROM base
+        )
+        SELECT l_orderkey, l_linenumber, total,
+               CASE WHEN (CASE WHEN x IS NULL THEN 1 ELSE 0 END
+                        + CASE WHEN y IS NULL THEN 1 ELSE 0 END
+                        + CASE WHEN z IS NULL THEN 1 ELSE 0 END) = 1
+                         AND x IS NULL THEN total - y - z ELSE x END AS x_f,
+               CASE WHEN (CASE WHEN x IS NULL THEN 1 ELSE 0 END
+                        + CASE WHEN y IS NULL THEN 1 ELSE 0 END
+                        + CASE WHEN z IS NULL THEN 1 ELSE 0 END) = 1
+                         AND y IS NULL THEN total - x - z ELSE y END AS y_f,
+               CASE WHEN (CASE WHEN x IS NULL THEN 1 ELSE 0 END
+                        + CASE WHEN y IS NULL THEN 1 ELSE 0 END
+                        + CASE WHEN z IS NULL THEN 1 ELSE 0 END) = 1
+                         AND z IS NULL THEN total - x - y ELSE z END AS z_f
+        FROM holes
+    """,
+    "f8_format": """
+        SELECT o_orderkey,
+               format('{:,}', CAST(ROUND(ROUND(o_totalprice, 2) * 100) AS BIGINT) // 100)
+               || '.' ||
+               lpad(CAST(CAST(ROUND(ROUND(o_totalprice, 2) * 100) AS BIGINT) % 100 AS VARCHAR), 2, '0')
+               AS price_fmt
+        FROM orders
+    """,
+    "json_extract": """
+        SELECT event_id,
+               props->>'$.k' AS k_str,
+               CAST(props->>'$.k' AS BIGINT) AS k_val
+        FROM events
+    """,
+    "str_regex": """
+        SELECT doc_id,
+               regexp_extract(text, '([a-z]+)', 1) AS first_word,
+               CAST(length(text) AS INTEGER) AS text_len,
+               upper(substr(text, 1, 10)) AS head_upper
+        FROM documents
+    """,
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_base_price,
+               ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_disc_price,
+               ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_charge,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_quantity), 6) AS avg_qty,
+               ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount), 6) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_top_orders": """
+        SELECT l_orderkey, o_orderdate,
+               ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "q5_region_revenue": """
+        SELECT r_name,
+               ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+}

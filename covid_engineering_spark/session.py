@@ -1,0 +1,101 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference (main.py:222-243) has no notion of a session: every
+entry point eagerly re-reads CSVs/SQLite into process-local pandas.
+Here one SparkSession owns all table state; configs are chosen for a
+multi-executor cluster and merely *tested* on local[N].
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Configs that are safe (and wanted) on both local[N] and a 1000-executor
+# cluster. Session-level (mutable at runtime) vs builder-only is respected:
+# everything here is fine to pass at build time.
+_DEFAULTS: dict[str, str] = {
+    # Adaptive execution: runtime shuffle-partition coalescing, skew-join
+    # splitting, and dynamic join-strategy switching. At 100 TB this is the
+    # difference between hand-tuning spark.sql.shuffle.partitions per query
+    # and letting the engine right-size each exchange.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every JVM<->Python crossing (pandas UDFs, toPandas).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic timestamp semantics regardless of host timezone —
+    # required for the DuckDB differential oracle to hash-match.
+    "spark.sql.session.timeZone": "UTC",
+    # Spark 4 defaults to ANSI mode (x/0 errors, overflow errors). The
+    # engine keeps permissive Spark-3-style semantics: x/0 -> null matches
+    # the reference's NaN-tolerant pandas pipeline (SURVEY.md §7.4).
+    "spark.sql.ansi.enabled": "false",
+    # The driver-generated events table stores TIMESTAMP(NANOS) parquet,
+    # which vanilla Spark refuses; read as long and convert (sources/io.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Don't let tiny local test files fragment into 32 near-empty tasks,
+    # but keep the default 128m split size for real data.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # Local-mode quality of life; harmless on a cluster.
+    "spark.ui.showConsoleProgress": "false",
+}
+
+
+def get_spark(
+    app_name: str = "covid-engineering-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (32 in the test
+    container); on a real cluster pass ``None`` and submit with
+    ``--master yarn``/``k8s`` so the builder inherits it.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    conf = dict(_DEFAULTS)
+    n_shuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32")
+    )
+    conf["spark.sql.shuffle.partitions"] = str(n_shuffle)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    configure_existing(spark)
+    return spark
+
+
+def configure_existing(spark: SparkSession) -> SparkSession:
+    """Apply the engine's *runtime-mutable* configs to a session we did
+    not create (e.g. the verification driver's). Builder-only settings
+    (master, memory) are left alone; everything the oracle comparison
+    depends on (timezone, ANSI, nanos handling, AQE) is session-scoped
+    and settable here.
+    """
+    for k in (
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.execution.arrow.pyspark.enabled",
+        "spark.sql.session.timeZone",
+        "spark.sql.ansi.enabled",
+        "spark.sql.legacy.parquet.nanosAsLong",
+    ):
+        try:
+            spark.conf.set(k, _DEFAULTS[k])
+        except Exception:
+            # A config may be marked static in some deployments; the
+            # engine degrades gracefully (io.py has a pyarrow fallback
+            # for nanos parquet, queries avoid ANSI-divergent exprs).
+            pass
+    return spark

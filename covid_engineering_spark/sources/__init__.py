@@ -1,0 +1,15 @@
+from covid_engineering_spark.sources.io import (
+    load_star,
+    read_covid_csv,
+    read_table,
+    register_star,
+    sqlite_to_parquet,
+)
+
+__all__ = [
+    "load_star",
+    "read_covid_csv",
+    "read_table",
+    "register_star",
+    "sqlite_to_parquet",
+]

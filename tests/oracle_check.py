@@ -1,0 +1,100 @@
+"""Differential harness: run a registered Spark query and its DuckDB
+oracle on the same parquet directory and compare order-insensitively
+(the same contract the verification driver applies — row count, column
+names, multiset of canonicalized values).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import duckdb
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        if v == int(v) and abs(v) < 1e15:
+            return f"f:{int(v)}"
+        return f"f:{v!r}"
+    if isinstance(v, dt.datetime):
+        return f"ts:{v.isoformat()}"
+    if isinstance(v, dt.date):
+        return f"d:{v.isoformat()}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    try:  # pandas NaT / numpy scalar normalization
+        import numpy as np
+        import pandas as pd
+
+        if v is pd.NaT:
+            return "NULL"
+        if isinstance(v, pd.Timestamp):
+            return f"ts:{v.isoformat()}"
+        if isinstance(v, np.floating):
+            return _canon(float(v))
+        if isinstance(v, np.integer):
+            return str(int(v))
+        if isinstance(v, np.ndarray):
+            return _canon(list(v))
+    except ImportError:
+        pass
+    return str(v)
+
+
+def _rows(df_pandas) -> list[str]:
+    cols = sorted(df_pandas.columns)
+    out = []
+    for rec in df_pandas[cols].itertuples(index=False, name=None):
+        out.append("|".join(_canon(v) for v in rec))
+    return sorted(out)
+
+
+def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
+    sp = spark_df.toPandas()
+    du = con.execute(sql).arrow().to_pandas()  # date32 -> datetime.date, like Spark
+    result: dict = {
+        "spark_rows": len(sp),
+        "duck_rows": len(du),
+        "spark_cols": sorted(sp.columns),
+        "duck_cols": sorted(du.columns),
+    }
+    result["cols_match"] = result["spark_cols"] == result["duck_cols"]
+    result["count_match"] = len(sp) == len(du)
+    if not (result["cols_match"] and result["count_match"]):
+        result["match"] = False
+        return result
+    a, b = _rows(sp), _rows(du)
+    result["match"] = a == b
+    if not result["match"]:
+        diff_a = [x for x, y in zip(a, b) if x != y][:3]
+        diff_b = [y for x, y in zip(a, b) if x != y][:3]
+        result["sample_spark"] = diff_a
+        result["sample_duck"] = diff_b
+    return result
