@@ -1,0 +1,343 @@
+"""Wrangling tier (SURVEY.md §2.5 W6, §2.8 F7, §7.1 step 5): gap-fill
+interpolation, invariant imputation, and the full
+``process_country_complete`` cleaning pipeline — the reference's
+hardest operators, re-expressed as pure window/conditional expressions
+(no Python row loops, no UDFs).
+
+The reference implements interpolation as an O(n²) interpreted pandas
+loop (``manual_interpolate_column``, main.py:392-419) and imputation as
+row-wise ``DataFrame.apply`` (main.py:421-433, 481, 489). Here both are
+whole-stage-codegen column expressions over one window shuffle,
+evaluated for every partition key at once.
+
+Interpolation semantics reproduced exactly (main.py:395-418):
+
+* a null at the first row becomes 0 and then *acts as a real value*
+  for later rows (the pandas loop mutates in place) — so a leading
+  null run becomes a linear ramp from 0 to the first observation,
+  anchored at row 1;
+* interior null runs are linearly interpolated between the nearest
+  non-null neighbors, weighted by *row position* (not by date);
+* trailing null runs carry the last observation forward.
+
+The in-place pandas loop fills a run iteratively (each null sees the
+previously-filled cell as its left neighbor); in exact arithmetic that
+telescopes to direct linear interpolation, which is what the window
+form computes. Golden tests pin the equivalence numerically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from covid_engineering_spark.functions import missing_count
+from covid_engineering_spark.sources import read_table
+
+# ---------------------------------------------------------------------------
+# W6 — gap-fill linear interpolation
+# ---------------------------------------------------------------------------
+
+
+def with_interpolated(
+    df: DataFrame,
+    value_cols: list[str],
+    partition_cols: list[str],
+    order_cols: list[str],
+    suffix: str = "_interp",
+) -> DataFrame:
+    """Attach ``<col><suffix>`` interpolated versions of each value
+    column (the reference's ``df_interp`` reference frame, main.py:486).
+
+    The row position is materialized first (window functions cannot
+    nest), then previous/next non-null value and position come from
+    four frame-bounded windows over the *same* window spec — Catalyst
+    evaluates them in a single sort+window pass per value column, all
+    partitions in parallel.
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    wp = w.rowsBetween(Window.unboundedPreceding, -1)
+    wn = w.rowsBetween(1, Window.unboundedFollowing)
+    df = df.withColumn("_rn", F.row_number().over(w))
+    for c in value_cols:
+        v = F.col(c)
+        prev_val = F.last(v, ignorenulls=True).over(wp)
+        next_val = F.first(v, ignorenulls=True).over(wn)
+        rn_if_valid = F.when(v.isNotNull(), F.col("_rn"))
+        prev_rn = F.last(rn_if_valid, ignorenulls=True).over(wp)
+        next_rn = F.first(rn_if_valid, ignorenulls=True).over(wn)
+        # A fully-null prefix is anchored by the reference's "first
+        # cell becomes 0" rule: virtual neighbor (value 0, row 1).
+        anchor_val = F.coalesce(prev_val, F.lit(0.0))
+        anchor_rn = F.coalesce(prev_rn, F.lit(1))
+        interp = anchor_val + (next_val - anchor_val) * (
+            (F.col("_rn") - anchor_rn) / (next_rn - anchor_rn)
+        )
+        df = df.withColumn(
+            f"{c}{suffix}",
+            F.when(v.isNotNull(), v.cast("double"))
+            .when(next_val.isNull(), anchor_val.cast("double"))  # trailing LOCF
+            .otherwise(interp),
+        )
+    return df.drop("_rn")
+
+
+def q_w6_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 — gap-fill over a deterministic synthetic null pattern:
+    'error' events lose their value, then the series is rebuilt
+    per-user. Exercises leading-run, interior-run and trailing-run
+    rules at once (users whose first/last events are errors exist in
+    the data).
+    """
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "value_g",
+        F.when(F.col("event_type") == "error", None).otherwise(F.col("value")),
+    )
+    out = with_interpolated(
+        ev, ["value_g"], ["user_id"], ["ts", "event_id"], suffix="_filled"
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "value_g",
+        F.col("value_g_filled").alias("value_filled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F7 — accounting-invariant imputation
+# ---------------------------------------------------------------------------
+
+_PARTS = ("active", "deaths", "recovered")
+
+
+def fill_single_missing(df: DataFrame) -> DataFrame:
+    """Reference ``fill_single_missing`` (main.py:421-433): when exactly
+    one of {confirmed, active, deaths, recovered} is null, solve
+    confirmed = active + deaths + recovered for it.
+    """
+    one = missing_count("confirmed", *_PARTS) == 1
+    df = df.withColumn(
+        "active",
+        F.when(
+            one & F.col("active").isNull(),
+            F.col("confirmed") - F.col("deaths") - F.col("recovered"),
+        ).otherwise(F.col("active")),
+    )
+    df = df.withColumn(
+        "deaths",
+        F.when(
+            one & F.col("deaths").isNull(),
+            F.col("confirmed") - F.col("active") - F.col("recovered"),
+        ).otherwise(F.col("deaths")),
+    )
+    df = df.withColumn(
+        "recovered",
+        F.when(
+            one & F.col("recovered").isNull(),
+            F.col("confirmed") - F.col("active") - F.col("deaths"),
+        ).otherwise(F.col("recovered")),
+    )
+    return df.withColumn(
+        "confirmed",
+        F.when(
+            one & F.col("confirmed").isNull(),
+            F.col("active") + F.col("deaths") + F.col("recovered"),
+        ).otherwise(F.col("confirmed")),
+    )
+
+
+# ---------------------------------------------------------------------------
+# clean_complete — the whole process_country_complete pipeline
+# (main.py:449-498), generalized from one country to all partitions
+# ---------------------------------------------------------------------------
+
+
+def clean_complete(
+    complete: DataFrame, country: str | None = None
+) -> DataFrame:
+    """Spark re-expression of ``process_country_complete``
+    (main.py:449-498), for every country in one pass (pass ``country``
+    to mirror the reference's single-country call exactly).
+
+    Stages (each cites the reference line it reproduces):
+      1. optional equality filter (main.py:452)
+      2. per-(country,date) max-dedup of province rows (main.py:457-462)
+      3. drop rows before the first date with any observation
+         (main.py:465-472)
+      4. zero-fill deaths/recovered where confirmed==active and both
+         null (main.py:477-478)
+      5. single-missing invariant imputation (main.py:481)
+      6. interpolated reference frame for confirmed/deaths/recovered
+         (main.py:484-487)
+      7. rows with ≥2 of {c,d,r} missing take interpolated values,
+         then a last invariant pass fills a lone remaining hole
+         (main.py:489)
+      8. remaining missing active from the invariant (main.py:491-493)
+      9. drop rows still incomplete (main.py:496)
+    """
+    df = complete
+    if country is not None:
+        df = df.filter(F.col("country_region") == country)
+    df = df.groupBy("country_region", "date").agg(
+        F.max("confirmed").alias("confirmed"),
+        F.max("active").alias("active"),
+        F.max("deaths").alias("deaths"),
+        F.max("recovered").alias("recovered"),
+    )
+
+    # 3: per-country first valid date (min date having any non-null).
+    w_c = Window.partitionBy("country_region")
+    any_valid = (
+        F.col("confirmed").isNotNull()
+        | F.col("active").isNotNull()
+        | F.col("deaths").isNotNull()
+        | F.col("recovered").isNotNull()
+    )
+    df = df.withColumn(
+        "_first_valid", F.min(F.when(any_valid, F.col("date"))).over(w_c)
+    )
+    df = df.filter(
+        F.col("_first_valid").isNotNull() & (F.col("date") >= F.col("_first_valid"))
+    ).drop("_first_valid")
+
+    # 4: special-case zero fill.
+    special = (
+        (F.col("confirmed") == F.col("active"))
+        & F.col("deaths").isNull()
+        & F.col("recovered").isNull()
+    )
+    df = df.withColumn(
+        "deaths", F.when(special, F.lit(0)).otherwise(F.col("deaths"))
+    ).withColumn(
+        "recovered", F.when(special, F.lit(0)).otherwise(F.col("recovered"))
+    )
+
+    # 5: exactly-one-missing invariant fill.
+    df = fill_single_missing(df)
+
+    # 6: interpolation reference for the cumulative columns.
+    df = with_interpolated(
+        df, ["confirmed", "deaths", "recovered"], ["country_region"], ["date"]
+    )
+
+    # 7: ≥2-missing rows take interpolated values. The flag must be
+    # materialized *before* the fills: column expressions resolve by
+    # name lazily, so reusing the raw predicate after the first fill
+    # would see the already-repaired column and stop matching.
+    df = df.withColumn(
+        "_two_plus", missing_count("confirmed", "deaths", "recovered") >= 2
+    )
+    for c in ("confirmed", "deaths", "recovered"):
+        df = df.withColumn(
+            c,
+            F.when(
+                F.col("_two_plus") & F.col(c).isNull(), F.col(f"{c}_interp")
+            ).otherwise(F.col(c)),
+        )
+    df = df.drop("_two_plus", "confirmed_interp", "deaths_interp", "recovered_interp")
+    # ...then one more single-missing pass (fills active when it is the
+    # lone remaining hole; main.py:446-447 inside fill_row_manual).
+    df = fill_single_missing(df)
+
+    # 8: remaining missing active from the invariant.
+    df = df.withColumn(
+        "active",
+        F.when(
+            F.col("active").isNull(),
+            F.col("confirmed") - F.col("deaths") - F.col("recovered"),
+        ).otherwise(F.col("active")),
+    )
+
+    # 9: final completeness filter.
+    return df.na.drop(subset=["confirmed", "active", "deaths", "recovered"]).select(
+        "country_region", "date", "confirmed", "active", "deaths", "recovered"
+    )
+
+
+def _synthetic_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic COVID-shaped dirty frame built from the events
+    table: country := user bucket, date := event day, counts := value
+    aggregates, with null pathologies injected by rule. Gives the
+    cleaning pipeline a reproducible surface inside the driver's star
+    schema world (the real fixture tests live in tests/).
+    """
+    ev = read_table(spark, sf_dir, "events")
+    day = ev.groupBy(
+        (F.col("user_id") % 7).alias("country_id"),
+        F.to_date("ts").alias("date"),
+    ).agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2).alias(
+            "base"
+        ),
+        F.count("*").alias("n"),
+    )
+    c = F.round(F.col("base"), 0) + F.col("n")
+    d = F.round(F.col("base") / 10.0, 0)
+    r = F.round(F.col("base") / 3.0, 0)
+    df = day.select(
+        F.concat(F.lit("C"), F.col("country_id")).alias("country_region"),
+        "date",
+        c.alias("confirmed_raw"),
+        d.alias("deaths_raw"),
+        r.alias("recovered_raw"),
+    )
+    dom = F.dayofmonth("date")
+    return df.select(
+        "country_region",
+        "date",
+        F.when(dom % 11 == 3, None).otherwise(F.col("confirmed_raw")).alias("confirmed"),
+        F.when((dom % 5 == 2) | (dom % 11 == 3), None)
+        .otherwise(F.col("confirmed_raw") - F.col("deaths_raw") - F.col("recovered_raw"))
+        .alias("active"),
+        F.when((dom % 3 == 1) | (dom <= 2), None).otherwise(F.col("deaths_raw")).alias("deaths"),
+        F.when((dom % 4 == 1) | (dom <= 2), None).otherwise(F.col("recovered_raw")).alias("recovered"),
+    )
+
+
+def q_wrangle_clean_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full cleaning pipeline (dedup → trim → special-case → impute
+    → interpolate → re-impute → final drop) over the synthetic dirty
+    frame — the reference's process_country_complete for all countries
+    at once.
+    """
+    return clean_complete(_synthetic_complete(spark, sf_dir))
+
+
+QUERIES = {
+    "w6_interpolate": q_w6_interpolate,
+    "wrangle_clean_complete": q_wrangle_clean_complete,
+}
+
+_W = "PARTITION BY user_id ORDER BY ts, event_id"
+
+ORACLES = {
+    "w6_interpolate": f"""
+        WITH g AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value_g,
+                   ROW_NUMBER() OVER ({_W}) AS rn
+            FROM events
+        ), x AS (
+            SELECT user_id, event_id, value_g, rn,
+                   LAST_VALUE(value_g IGNORE NULLS) OVER ({_W}
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_val,
+                   FIRST_VALUE(value_g IGNORE NULLS) OVER ({_W}
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_val,
+                   LAST_VALUE(CASE WHEN value_g IS NOT NULL THEN rn END IGNORE NULLS)
+                       OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_rn,
+                   FIRST_VALUE(CASE WHEN value_g IS NOT NULL THEN rn END IGNORE NULLS)
+                       OVER ({_W} ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_rn
+            FROM g
+        )
+        SELECT user_id, event_id, value_g,
+               CASE WHEN value_g IS NOT NULL THEN value_g
+                    WHEN next_val IS NULL THEN COALESCE(prev_val, 0.0)
+                    ELSE COALESCE(prev_val, 0.0)
+                         + (next_val - COALESCE(prev_val, 0.0))
+                           * ((rn - COALESCE(prev_rn, 1))
+                              / (next_rn - COALESCE(prev_rn, 1)))
+               END AS value_filled
+        FROM x
+    """,
+}

@@ -14,9 +14,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from covid_engineering_spark.operators import relational
+from covid_engineering_spark.operators import relational, windows, wrangling
 
-_MODULES = [relational]
+_MODULES = [relational, windows, wrangling]
 
 
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
