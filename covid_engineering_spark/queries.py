@@ -14,9 +14,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from covid_engineering_spark.operators import relational, windows, wrangling
+from covid_engineering_spark.operators import (
+    relational,
+    simulation,
+    windows,
+    wrangling,
+)
 
-_MODULES = [relational, windows, wrangling]
+_MODULES = [relational, windows, wrangling, simulation]
 
 
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
