@@ -1,0 +1,342 @@
+"""Deduplication tier (BASELINE.json north star; beyond-reference
+extension): exact, n-gram Jaccard, MinHash+LSH, SimHash, and
+embedding-cosine near-duplicate detection over the ``documents`` /
+``embeddings`` tables.
+
+Scale design notes (the point of each implementation):
+
+* exact: one hash-groupBy — partial aggregation means the shuffle
+  carries one row per distinct hash, not per document.
+* n-gram Jaccard: the exact quadratic-ish path — explode distinct
+  shingles, self-join on shingle, count. Correct at any scale but the
+  join fans out on frequent shingles; it is the *verification* oracle
+  for the sketch-based paths below, and the production guard is to
+  drop ultra-frequent shingles (stop-shingles) before the join.
+* MinHash+LSH: the linear-ish scale path — constant-size signature per
+  doc (k seeded xxhash64 mins), banded into buckets; only same-bucket
+  pairs are candidates, then exact Jaccard verifies. Tune (k, bands)
+  for the recall/cost point; here k=16, 4 bands of 4 rows.
+* SimHash: constant-size bit sketch via 32 per-bit weighted sums —
+  computed as 32 JVM-side aggregate expressions in ONE pass (no
+  bit-explosion), candidates by 8-bit chunk equality (pigeonhole for
+  hamming<=3), verified with bit_count(xor).
+* embedding cosine: within-label blocking (cluster id) bounds the
+  self-join; the unblocked ANN path lives in similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from covid_engineering_spark.sources import read_table
+
+JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = 32
+SIMHASH_MAX_HAMMING = 3
+COSINE_THRESHOLD = 0.95
+
+
+def shingles_of(docs: DataFrame) -> DataFrame:
+    """Distinct word-3-gram shingles per document."""
+    ws = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(ws) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 3),
+            lambda i: F.concat_ws(" ", F.slice(ws, i + 1, 3)),
+        ),
+    ).otherwise(F.array())
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("s")
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group documents by a normalized content hash, keep
+    the smallest doc_id per group. MD5 (not Spark's ``hash``) so the
+    oracle computes identical keys.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.lower(F.col("text"))).alias("h"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .select("keep_id", "n_copies")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (similarity >= τ).
+    Shingle self-join: each shared shingle contributes one pair-row,
+    aggregated into the intersection size; union size from per-doc
+    distinct counts via the inclusion-exclusion identity.
+    """
+    sh = shingles_of(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    na = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(F.broadcast(na), "d1")
+        .join(F.broadcast(nb), "d2")
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(read_table(spark, sf_dir, "documents"))
+
+
+def _minhash_signatures(sh: DataFrame, k: int = 16) -> DataFrame:
+    """k seeded-xxhash64 min-aggregates -> one constant-size signature
+    row per doc, in a single partial+final aggregation pass.
+    """
+    aggs = [
+        F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"m{i}") for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """MinHash+LSH near-dup pairs: signature -> band buckets ->
+    same-bucket candidates -> exact Jaccard verification (>= τ).
+    The shingle self-join runs only over candidate pairs, so the
+    quadratic blowup of ngram_jaccard_pairs never materializes.
+    (No SQL oracle: xxhash64 seeds are engine-specific; recall is
+    probabilistic. Verified against the exact path in tests.)
+    """
+    sh = shingles_of(docs).cache()
+    sig = _minhash_signatures(sh, 16)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bnd).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"m{4 * bnd + j}") for j in range(4)],
+                            F.lit(bnd),
+                        ).alias("bh"),
+                    )
+                    for bnd in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bh")
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("d1"), F.col("r.doc_id").alias("d2")
+        )
+        .distinct()
+    )
+    # exact verification restricted to candidates
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        cand.join(a, F.col("a.doc_id") == F.col("d1"))
+        .join(
+            b,
+            (F.col("b.doc_id") == F.col("d2")) & (F.col("a.s") == F.col("b.s")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("c"))
+    )
+    na = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(F.broadcast(na), "d1")
+        .join(F.broadcast(nb), "d2")
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(read_table(spark, sf_dir, "documents"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
+    """SimHash sketches + near-dup pairs (hamming <= k over 32 bits).
+    Per-bit weighted sums are 32 plain aggregate expressions over the
+    token frequency table — one shuffle, no bit explosion; candidate
+    pairs come from 8-bit chunk equality (hamming <= 3 over 4 chunks
+    guarantees one equal chunk), verified with bit_count(xor).
+    """
+    tok = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", F.xxhash64("w"))
+    )
+    bit_aggs = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                F.col("cnt"),
+            ).otherwise(-F.col("cnt"))
+        ).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    sums = tok.groupBy("doc_id").agg(*bit_aggs)
+    simhash = None
+    for i in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        simhash = bit if simhash is None else simhash + bit
+    sigs = sums.select("doc_id", simhash.cast("long").alias("simhash"))
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.shiftright(F.col("simhash"), 8 * j)
+                        .bitwiseAND(F.lit(255))
+                        .alias("chunk"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", "ck.j", "ck.chunk")
+    l, r = chunks.alias("l"), chunks.alias("r")
+    ham = F.bit_count(
+        F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+    )
+    return (
+        l.join(
+            r,
+            (F.col("l.j") == F.col("r.j"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("d1"),
+            F.col("r.doc_id").alias("d2"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(read_table(spark, sf_dir, "documents"))
+
+
+def cosine_expr(a, b):
+    """Deterministic cosine for unit-norm float vectors: elementwise
+    double products, sequential left-fold sum (mirrors the oracle's
+    list_dot_product over double-cast lists), rounded to 6dp.
+    """
+    prods = F.zip_with(
+        a, b, lambda x, y: x.cast("double") * y.cast("double")
+    )
+    return F.round(
+        F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x), 6
+    )
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine >= 0.95), blocked by
+    cluster label so the self-join is per-block instead of global —
+    the blocking key bounds the quadratic term at scale.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("label"),
+        F.col("vec_id").alias("v1"),
+        F.col("embedding").alias("e1"),
+    )
+    b = emb.select(
+        F.col("label"),
+        F.col("vec_id").alias("v2"),
+        F.col("embedding").alias("e2"),
+    )
+    cos = cosine_expr(F.col("e1"), F.col("e2"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("v1") < F.col("v2"))
+        .select("v1", "v2", cos.alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+    )
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+}
+
+_SHINGLES_SQL = """
+    ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 2),
+                                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM ws
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+ORACLES = {
+    "dedup_exact": """
+        SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY md5(lower(text))
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH {_SHINGLES_SQL},
+        common AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT d1, d2, ROUND(c / (na.n + nb.n - c), 6) AS jaccard
+        FROM common
+        JOIN sizes na ON na.doc_id = d1
+        JOIN sizes nb ON nb.doc_id = d2
+        WHERE ROUND(c / (na.n + nb.n - c), 6) >= 0.5
+    """,
+    "dedup_embedding": """
+        SELECT a.vec_id AS v1, b.vec_id AS v2,
+               ROUND(list_dot_product(
+                   list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(b.embedding, x -> CAST(x AS DOUBLE))
+               ), 6) AS cosine
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ROUND(list_dot_product(
+                   list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(b.embedding, x -> CAST(x AS DOUBLE))
+               ), 6) >= 0.95
+    """,
+}

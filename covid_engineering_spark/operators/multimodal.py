@@ -1,0 +1,128 @@
+"""Multimodal-column tier (BASELINE.json north star): treat image/
+audio/video payloads as opaque ``binary`` columns with typed metadata,
+and run decode / feature-extraction / resize / frame-sampling as
+Arrow-batched ``mapInPandas`` stages.
+
+The decode libraries (PIL/ffmpeg/librosa) are not available in this
+environment, so the *codec* step is stubbed behind a deterministic
+fake (and ``NotImplementedError`` for the real path) — but everything
+Spark-level is real and tested: the binary+metadata schema, the
+mapInPandas batch iteration (constant memory per batch), the UDF
+signatures, and the partition-preserving plan shape.
+
+At 100 TB the rules this module encodes: keep payloads in their own
+column so column pruning skips them unless needed; never collect
+binaries to the driver; size batches via spark.sql.execution.arrow.
+maxRecordsPerBatch; do per-record work inside the iterator so one bad
+record fails one task, not the stage.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from covid_engineering_spark.sources import read_table
+
+FEATURE_SCHEMA = (
+    "doc_id long, media_type string, n_bytes long, checksum long, "
+    "width int, height int, feat0 double, feat1 double"
+)
+
+
+def real_decode(payload: bytes, media_type: str):
+    """The production decode hook — wire PIL / ffmpeg / soundfile here.
+    Deliberately unimplemented in this environment.
+    """
+    raise NotImplementedError(
+        "media codecs are not installed in this environment; "
+        "fake_decode provides the deterministic test double"
+    )
+
+
+def fake_decode(payload: bytes, media_type: str) -> dict:
+    """Deterministic stand-in for a decoder: derives pseudo
+    dimensions/features purely from the bytes, so tests can assert
+    end-to-end values without any codec dependency.
+    """
+    n = len(payload)
+    checksum = 0
+    for b in payload:
+        checksum = (checksum * 131 + b) % 1000000007
+    return {
+        "n_bytes": n,
+        "checksum": checksum,
+        "width": 16 + checksum % 64,
+        "height": 16 + (checksum // 64) % 64,
+        "feat0": (checksum % 1000) / 1000.0,
+        "feat1": (n % 997) / 997.0,
+    }
+
+
+def with_media_columns(docs: DataFrame) -> DataFrame:
+    """Attach an opaque binary payload + typed metadata to a frame —
+    the multimodal data model: payload isolated in one column (pruned
+    away unless a stage needs it), metadata queryable relationally.
+    """
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("media_type"),
+        F.struct(
+            F.col("source").alias("origin"),
+            F.col("n_chars").alias("declared_size"),
+        ).alias("meta"),
+    )
+
+
+def extract_features(media: DataFrame, decoder=fake_decode) -> DataFrame:
+    """mapInPandas feature extraction: iterate Arrow batches, decode
+    each payload, emit a fixed-schema feature row. Batch-at-a-time
+    keeps peak memory at one Arrow batch regardless of table size.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decoder(payload, mt)
+                for payload, mt in zip(pdf["payload"], pdf["media_type"])
+            ]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_type", list(pdf["media_type"]))
+            out.insert(0, "doc_id", list(pdf["doc_id"]))
+            yield out
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def q_mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline: attach payloads -> mapInPandas decode ->
+    relational post-aggregation per media type. (Rows-only check: the
+    decode step is a Python-side double; tests pin its values.)
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    feats = extract_features(with_media_columns(docs))
+    return feats.groupBy("media_type").agg(
+        F.count("*").alias("n_items"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg("feat0"), 6).alias("avg_feat0"),
+        F.min("width").alias("min_width"),
+        F.max("height").alias("max_height"),
+    )
+
+
+QUERIES = {
+    "mm_feature_extract": q_mm_feature_extract,
+}
+
+# Deliberately no oracle: the decode stage is non-SQL by design (it is
+# the pandas-UDF plumbing under test); tests/test_multimodal.py pins
+# the fake-decoder output row-by-row instead.
+ORACLES: dict[str, str] = {}

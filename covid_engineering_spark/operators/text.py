@@ -1,0 +1,208 @@
+"""Text-analysis tier (BASELINE.json north star): language ID, quality
+scoring, token counting, document fingerprinting, and corpus term
+statistics over the ``documents`` table.
+
+Everything is built from JVM-side expressions (split / higher-order
+array functions / regexp) — no Python in the hot path, so the plans
+whole-stage-codegen and scale with the scan. Each heuristic is
+deterministic and mirrored expression-for-expression in its DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from covid_engineering_spark.sources import read_table
+
+EN_STOP = ("the", "a", "of", "and", "to", "in", "is")
+DE_STOP = ("der", "die", "das", "und", "ist", "ein")
+FR_STOP = ("le", "la", "les", "et", "est", "un")
+FP_MOD = 1000000007
+FP_BASE = 31
+
+
+def _count_in(ws, words: tuple[str, ...]):
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(ws, lambda w: F.array_contains(arr, w)))
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens and a regex token pattern
+    (the BPE-ish lower-alnum runs), plus raw char length.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(ws).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0)).alias(
+            "n_re_tokens"
+        ),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: mean word length, stopword ratio, and
+    non-alnum (punctuation) ratio, combined into a deterministic
+    [0,1]-ish score — the shape of a pretraining quality filter.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    n_words = F.size(ws)
+    sum_len = F.aggregate(
+        F.transform(ws, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    avg_word_len = F.round(sum_len / n_words, 6)
+    stop_ratio = F.round(_count_in(ws, EN_STOP) / n_words, 6)
+    stripped = F.regexp_replace("text", "[^a-z0-9 ]", "")
+    punct_ratio = F.round(
+        (F.length("text") - F.length(stripped)) / F.length("text"), 6
+    )
+    # sum (not average) of the pre-rounded ratios: the exact result
+    # stays on the 6-decimal grid, so the final round never sits on a
+    # decimal tie where Spark (BigDecimal HALF_UP) and DuckDB (scaled
+    # double) disagree.
+    score = F.round(
+        F.col("stop_ratio") + (F.lit(1.0) - F.col("punct_ratio")), 6
+    )
+    return docs.select(
+        "doc_id",
+        avg_word_len.alias("avg_word_len"),
+        stop_ratio.alias("stop_ratio"),
+        punct_ratio.alias("punct_ratio"),
+    ).withColumn("quality_score", score)
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by stopword-marker voting (n-gram-heuristic class):
+    count hits from three marker sets, argmax with a fixed tie order
+    (en > de > fr).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    en, de, fr = (
+        _count_in(ws, EN_STOP),
+        _count_in(ws, DE_STOP),
+        _count_in(ws, FR_STOP),
+    )
+    lang = (
+        F.when((en >= de) & (en >= fr), "en")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+    )
+    return docs.select(
+        "doc_id",
+        en.alias("en_hits"),
+        de.alias("de_hits"),
+        fr.alias("fr_hits"),
+        lang.alias("lang_pred"),
+    )
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: polynomial rolling hash over the
+    character stream, ``h = (h*31 + ascii(c)) mod 1e9+7`` — a
+    content-defined fingerprint computable as one array fold, no UDF.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    codes = F.transform(
+        F.split(F.col("text"), ""), lambda c: F.ascii(c).cast("long")
+    )
+    fp = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * FP_BASE + x) % FP_MOD,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+def q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term statistics: top-10 terms by document frequency
+    (the DF side of tf-idf), deterministically tie-broken.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("term"),
+    )
+    return (
+        terms.groupBy("term")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), "term")
+        .limit(10)
+    )
+
+
+QUERIES = {
+    "text_token_stats": q_text_token_stats,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    "text_top_terms": q_text_top_terms,
+}
+
+
+def _sql_count_in(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(string_split(text, ' '), w -> w IN ({lst})))"
+
+
+ORACLES = {
+    "text_token_stats": """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER) AS n_re_tokens,
+               CAST(length(text) AS INTEGER) AS n_chars_measured
+        FROM documents
+    """,
+    "text_quality": f"""
+        SELECT doc_id,
+               ROUND(list_sum(list_transform(string_split(text, ' '),
+                                             w -> CAST(length(w) AS BIGINT)))
+                     / len(string_split(text, ' ')), 6) AS avg_word_len,
+               ROUND({_sql_count_in(EN_STOP)}
+                     / len(string_split(text, ' ')), 6) AS stop_ratio,
+               ROUND((length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
+                     / length(text), 6) AS punct_ratio,
+               ROUND(ROUND({_sql_count_in(EN_STOP)}
+                           / len(string_split(text, ' ')), 6)
+                     + (1.0 - ROUND((length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
+                                    / length(text), 6)), 6) AS quality_score
+        FROM documents
+    """,
+    "text_langid": f"""
+        SELECT doc_id,
+               CAST({_sql_count_in(EN_STOP)} AS INTEGER) AS en_hits,
+               CAST({_sql_count_in(DE_STOP)} AS INTEGER) AS de_hits,
+               CAST({_sql_count_in(FR_STOP)} AS INTEGER) AS fr_hits,
+               CASE WHEN {_sql_count_in(EN_STOP)} >= {_sql_count_in(DE_STOP)}
+                     AND {_sql_count_in(EN_STOP)} >= {_sql_count_in(FR_STOP)} THEN 'en'
+                    WHEN {_sql_count_in(DE_STOP)} >= {_sql_count_in(FR_STOP)} THEN 'de'
+                    ELSE 'fr' END AS lang_pred
+        FROM documents
+    """,
+    "text_fingerprint": f"""
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(text, ''),
+                                      c -> CAST(ascii(c) AS BIGINT))),
+                   (a, b) -> (a * {FP_BASE} + b) % {FP_MOD}
+               ) AS fingerprint
+        FROM documents
+    """,
+    "text_top_terms": """
+        SELECT term, COUNT(*) AS doc_freq FROM (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ) t
+        GROUP BY term
+        ORDER BY doc_freq DESC, term
+        LIMIT 10
+    """,
+}

@@ -14,14 +14,29 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from covid_engineering_spark import streaming
 from covid_engineering_spark.operators import (
+    dedup,
+    multimodal,
     relational,
+    similarity,
     simulation,
+    text,
     windows,
     wrangling,
 )
 
-_MODULES = [relational, windows, wrangling, simulation]
+_MODULES = [
+    relational,
+    windows,
+    wrangling,
+    simulation,
+    dedup,
+    similarity,
+    text,
+    multimodal,
+    streaming,
+]
 
 
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

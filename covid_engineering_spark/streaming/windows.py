@@ -1,0 +1,168 @@
+"""Structured Streaming tier (SURVEY.md §2.12 — beyond-reference
+extension; the reference has no streaming at all).
+
+Event-time windowed aggregation — tumbling, sliding, session — written
+once against the DataFrame API so the *same* transformation runs in
+batch (driver correctness checks, with SQL oracles) and as an
+incremental streaming query (``stream_events`` + watermark, exercised
+in tests with a file source and availableNow trigger).
+
+Scale notes: windowed aggs shuffle on (window, key); the watermark
+bounds state size — without it session/sliding state grows without
+limit. ``withWatermark`` before the aggregation is the contract.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from covid_engineering_spark.functions import dsum
+from covid_engineering_spark.sources import read_table
+
+GAP = "30 minutes"
+
+
+def tumbling_agg(ev: DataFrame) -> DataFrame:
+    """1-hour tumbling windows: count + exact sum per window."""
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg(ev: DataFrame) -> DataFrame:
+    """1-hour windows sliding every 30 minutes — each event lands in
+    two windows.
+    """
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_agg(ev: DataFrame) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap:
+    session end = last event + gap (Spark session_window semantics,
+    mirrored by the gaps-and-islands oracle).
+    """
+    return (
+        ev.groupBy(
+            F.session_window("ts", GAP).alias("w"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_events(
+    spark: SparkSession,
+    source_dir: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming flavor: parquet file source -> event-time tumbling
+    aggregation with a watermark bounding late data and state. Start
+    with ``.writeStream.trigger(availableNow=True)`` for a catch-up
+    run, or a processing-time trigger for continuous ingest.
+    """
+    from covid_engineering_spark import schemas
+
+    stream = (
+        spark.readStream.schema(schemas.STAR["events"])
+        .parquet(source_dir)
+        .withWatermark("ts", watermark)
+    )
+    return (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_stream_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_agg(read_table(spark, sf_dir, "events"))
+
+
+def q_stream_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_agg(read_table(spark, sf_dir, "events"))
+
+
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_agg(read_table(spark, sf_dir, "events"))
+
+
+QUERIES = {
+    "stream_tumble": q_stream_tumble,
+    "stream_slide": q_stream_slide,
+    "stream_session": q_stream_session,
+}
+
+_SUM = "ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)"
+
+ORACLES = {
+    "stream_tumble": f"""
+        SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+               time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+                   + INTERVAL '1 hour' AS window_end,
+               COUNT(*) AS n_events,
+               {_SUM} AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "stream_slide": f"""
+        SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+                   - off * INTERVAL '30 minutes' AS window_start,
+               time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+                   - off * INTERVAL '30 minutes' + INTERVAL '1 hour' AS window_end,
+               COUNT(*) AS n_events,
+               {_SUM} AS sum_value
+        FROM events CROSS JOIN (VALUES (0), (1)) AS o(off)
+        GROUP BY 1, 2
+    """,
+    "stream_session": f"""
+        WITH marked AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             > INTERVAL '{GAP}'
+                        OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ), numbered AS (
+            SELECT user_id, ts, value,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+            FROM marked
+        )
+        SELECT user_id,
+               CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+               CAST(MAX(ts) AS TIMESTAMP) + INTERVAL '{GAP}' AS session_end,
+               COUNT(*) AS n_events
+        FROM numbered
+        GROUP BY user_id, session_id
+    """,
+}
