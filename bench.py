@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries from ``covid_engineering_spark`` at
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+``local[$SPARK_GRAFT_CPUS]`` (default 32) and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with the ``noop`` sink so the full plan
+executes (scan → shuffle → agg) without driver-side collect cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+HEADLINE = [
+    # Relational spine: scan → join → agg → top-k.
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    # Window tier.
+    "w1_cumsum",
+    "w6_interpolate",
+    # Wrangling + simulation (pandas-kernel paths).
+    "wrangle_clean_complete",
+    "x1_sird_sim",
+    # Joins.
+    "j1_broadcast_lookup",
+    # LLM-data extension tier.
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_token_stats",
+]
+
+
+def _materialize(df) -> int:
+    """Execute the full plan; return row count cheaply via noop write +
+    a count on the already-warm plan would double-execute, so we use
+    write(noop) alone (rows are irrelevant to timing)."""
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Parse sf out of the dir name, e.g. .../sf0.1 -> 0.1
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(base[2:]) if base.startswith("sf") else None
+    except ValueError:
+        sf = None
+
+    from covid_engineering_spark.session import get_spark
+    from covid_engineering_spark.queries import registry
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+    reg = registry()
+
+    # Warm-up: JVM/codegen warm on a small full pass.
+    try:
+        _materialize(reg["q1_pricing_summary"](spark, sf_dir))
+    except Exception:
+        pass
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = reg.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        try:
+            _materialize(fn(spark, sf_dir))
+            dt = time.perf_counter() - t0
+        except Exception as exc:  # keep the bench line parseable on failure
+            dt = time.perf_counter() - t0
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+        timings[name] = round(dt, 3)
+        total += dt
+
+    out = {
+        "metric": "headline_query_wall_time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
