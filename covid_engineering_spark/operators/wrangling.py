@@ -115,35 +115,31 @@ def fill_single_missing(df: DataFrame) -> DataFrame:
     """Reference ``fill_single_missing`` (main.py:421-433): when exactly
     one of {confirmed, active, deaths, recovered} is null, solve
     confirmed = active + deaths + recovered for it.
+
+    The reference applies the four rewrites sequentially, each seeing
+    the previous fill; because the guard requires *exactly one* null,
+    at most one branch fires per row and every other column keeps its
+    original value — so computing all four from the input columns in
+    one projection is semantically identical. Doing it in one
+    ``withColumns`` keeps the expression trees flat: sequential
+    ``withColumn`` chains here made Catalyst's project-collapse
+    substitute each growing ``when`` tree into the next, blowing up
+    codegen size multiplicatively across later window stages.
     """
     one = missing_count("confirmed", *_PARTS) == 1
-    df = df.withColumn(
-        "active",
-        F.when(
-            one & F.col("active").isNull(),
-            F.col("confirmed") - F.col("deaths") - F.col("recovered"),
-        ).otherwise(F.col("active")),
+    c, a, d, r = (
+        F.col("confirmed"),
+        F.col("active"),
+        F.col("deaths"),
+        F.col("recovered"),
     )
-    df = df.withColumn(
-        "deaths",
-        F.when(
-            one & F.col("deaths").isNull(),
-            F.col("confirmed") - F.col("active") - F.col("recovered"),
-        ).otherwise(F.col("deaths")),
-    )
-    df = df.withColumn(
-        "recovered",
-        F.when(
-            one & F.col("recovered").isNull(),
-            F.col("confirmed") - F.col("active") - F.col("deaths"),
-        ).otherwise(F.col("recovered")),
-    )
-    return df.withColumn(
-        "confirmed",
-        F.when(
-            one & F.col("confirmed").isNull(),
-            F.col("active") + F.col("deaths") + F.col("recovered"),
-        ).otherwise(F.col("confirmed")),
+    return df.withColumns(
+        {
+            "active": F.when(one & a.isNull(), c - d - r).otherwise(a),
+            "deaths": F.when(one & d.isNull(), c - a - r).otherwise(d),
+            "recovered": F.when(one & r.isNull(), c - a - d).otherwise(r),
+            "confirmed": F.when(one & c.isNull(), a + d + r).otherwise(c),
+        }
     )
 
 
@@ -228,13 +224,14 @@ def clean_complete(
     df = df.withColumn(
         "_two_plus", missing_count("confirmed", "deaths", "recovered") >= 2
     )
-    for c in ("confirmed", "deaths", "recovered"):
-        df = df.withColumn(
-            c,
-            F.when(
+    df = df.withColumns(
+        {
+            c: F.when(
                 F.col("_two_plus") & F.col(c).isNull(), F.col(f"{c}_interp")
-            ).otherwise(F.col(c)),
-        )
+            ).otherwise(F.col(c))
+            for c in ("confirmed", "deaths", "recovered")
+        }
+    )
     df = df.drop("_two_plus", "confirmed_interp", "deaths_interp", "recovered_interp")
     # ...then one more single-missing pass (fills active when it is the
     # lone remaining hole; main.py:446-447 inside fill_row_manual).
