@@ -1,0 +1,127 @@
+"""Physical-plan property tests: the 100 TB contract, enforced.
+
+Each assertion here is a scale property the small-SF correctness runs
+cannot see — pushdown, pruning, join strategy, shuffle count, codegen.
+If a refactor silently turns a broadcast join into a shuffle or grows
+an expression tree past what janino compiles, these fail before any
+benchmark regresses.
+"""
+
+import pytest
+
+from covid_engineering_spark.plans import (
+    audit,
+    broadcast_join_count,
+    codegen_stage_count,
+    has_cartesian,
+    pushed_filters,
+    read_schemas,
+    shuffle_count,
+    sort_merge_join_count,
+)
+from covid_engineering_spark.queries import registry
+
+from tests.conftest import SF_SMOKE
+
+REG = registry()
+
+
+def q(spark, name):
+    return REG[name](spark, SF_SMOKE)
+
+
+def test_projection_prunes_scan(spark):
+    schemas = read_schemas(q(spark, "p1_project"))
+    assert len(schemas) == 1
+    # 5 of lineitem's 16 columns — the scan must not decode the rest.
+    assert schemas[0].count(":") == 5
+    assert "l_comment" not in schemas[0]
+
+
+def test_filter_pushed_to_parquet(spark):
+    pf = pushed_filters(q(spark, "p2_filter_eq"))
+    assert any("EqualTo(c_mktsegment,BUILDING)" in p for p in pf)
+
+
+def test_date_range_pushed(spark):
+    pf = pushed_filters(q(spark, "p3_date_range"))
+    assert any("GreaterThanOrEqual(o_orderdate" in p for p in pf)
+    assert any("LessThanOrEqual(o_orderdate" in p for p in pf)
+
+
+def test_broadcast_join_no_fact_shuffle(spark):
+    df = q(spark, "j1_broadcast_lookup")
+    assert broadcast_join_count(df) == 2
+    assert sort_merge_join_count(df) == 0
+    assert shuffle_count(df) == 0  # fact side never shuffles
+
+
+def test_q5_star_join_single_shuffle(spark):
+    # lineitem ⨝ orders shuffles once; all four dimensions broadcast.
+    df = q(spark, "q5_region_revenue")
+    assert broadcast_join_count(df) == 4
+    assert shuffle_count(df) == 1
+
+
+def test_topk_no_global_sort(spark):
+    # orderBy+limit must plan TakeOrderedAndProject, not a full sort.
+    from covid_engineering_spark.plans import simple_plan
+
+    df = q(spark, "o2_topk")
+    assert "TakeOrderedAndProject" in simple_plan(df)
+
+
+def test_no_cartesian_anywhere(spark):
+    for name in (
+        "q1_pricing_summary",
+        "q3_top_orders",
+        "q5_region_revenue",
+        "j1_broadcast_lookup",
+        "j5_range_join",
+        "dedup_ngram_jaccard",
+        "dedup_embedding",
+        "ann_cosine_topk",
+    ):
+        assert not has_cartesian(q(spark, name)), name
+
+
+def test_range_join_is_broadcast_nested_loop(spark):
+    # Non-equi banding join: tiny interval dim must be the broadcast
+    # build side of a nested-loop join, never a shuffled cross product.
+    from covid_engineering_spark.plans import has_broadcast_nested_loop
+
+    df = q(spark, "j5_range_join")
+    assert has_broadcast_nested_loop(df)
+    assert shuffle_count(df) == 0
+
+
+def test_agg_is_partial_then_final(spark):
+    from covid_engineering_spark.plans import simple_plan
+
+    plan = simple_plan(q(spark, "a2_groupby_sum"))
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
+def test_codegen_survives_wrangling_pipeline(spark):
+    # The regression this guards: sequential withColumn imputation
+    # chains exploded the expression tree until janino gave up and the
+    # whole pipeline ran interpreted (~5x slower).
+    df = q(spark, "wrangle_clean_complete")
+    assert codegen_stage_count(df) >= 1
+
+
+def test_codegen_on_relational_spine(spark):
+    for name in ("q1_pricing_summary", "q5_region_revenue", "w6_interpolate"):
+        assert codegen_stage_count(q(spark, name)) >= 1, name
+
+
+def test_window_single_shuffle(spark):
+    # One window spec -> exactly one hash-partitioning exchange.
+    assert shuffle_count(q(spark, "w1_cumsum")) == 1
+
+
+@pytest.mark.parametrize("name", ["q1_pricing_summary", "q5_region_revenue"])
+def test_audit_bundle_smoke(spark, name):
+    a = audit(q(spark, name))
+    assert a["read_schemas"], a
+    assert not a["cartesian"]
