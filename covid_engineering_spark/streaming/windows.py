@@ -86,17 +86,22 @@ def stream_events(
     """
     from covid_engineering_spark import schemas
 
+    # Watermarks are defined on TIMESTAMP only; the table schema is
+    # timestamp_ntz, so cast for event-time tracking (UTC session makes
+    # the cast deterministic) and cast the window bounds back so the
+    # streaming schema equals the batch tumbling_agg schema.
     stream = (
         spark.readStream.schema(schemas.STAR["events"])
         .parquet(source_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", watermark)
     )
     return (
         stream.groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
         .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
             "n_events",
             "sum_value",
         )
