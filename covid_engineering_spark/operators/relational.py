@@ -14,7 +14,7 @@ accumulation-order independent (see functions/scalar.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from covid_engineering_spark.functions import dsum, missing_count
@@ -302,6 +302,109 @@ def q_a10_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
     return joined.rollup("r_name", "n_name").agg(F.count("*").alias("cnt"))
+
+
+def q_a11_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 (extension) — exact interpolated percentiles per group.
+    Exact `percentile` needs the group's values together (a sort within
+    the aggregation buffer); for 100 TB dashboards swap in
+    `approx_percentile` (t-digest, mergeable, one pass) — kept exact
+    here so the DuckDB `quantile_cont` oracle can hash-match.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+    )
+
+
+def q_a12_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 (extension) — CUBE over (region, market segment): all four
+    grouping combinations in one shuffle via the expand operator.
+    """
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    joined = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.cube("r_name", "c_mktsegment").agg(
+        F.count("*").alias("cnt"),
+        dsum("c_acctbal").alias("sum_bal"),
+    )
+
+
+def q_a13_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 (extension) — skew-proof two-stage aggregation. l_returnflag
+    has ~3 distinct values, so a direct groupBy at 100 TB lands each
+    key's entire volume on one reducer. Stage 1 aggregates on
+    (key, salt) spreading each hot key over 16 reducers; stage 2
+    combines the 48 partials. Decimal accumulation keeps the result
+    bit-equal to the unsalted plan, so the oracle is the plain GROUP BY.
+    (AQE's skewJoin handles skewed *joins*; skewed *aggregation* needs
+    this explicit salt.)
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    partial = (
+        li.withColumn("_salt", (F.col("l_orderkey") % 16).cast("int"))
+        .groupBy("l_returnflag", "_salt")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("_qty"),
+            F.count("*").alias("_n"),
+        )
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.round(F.sum("_qty").cast("double"), 2).alias("sum_qty"),
+        F.sum("_n").alias("n_rows"),
+    )
+
+
+def q_j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 (extension) — as-of join: each 'click' event picks up the
+    most recent prior-or-equal 'purchase' value for the same user.
+
+    Implemented as union + last(ignorenulls) over a (user, time)
+    window: one shuffle, no range-join fanout, linear in input — the
+    scale-correct shape (a range join here would fan out per pair).
+    Right side is deduped to one row per (user, ts) with max_by so tie
+    handling matches DuckDB's ASOF JOIN oracle exactly.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("p_value"))
+    )
+    tagged = clicks.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("_side"),
+        "event_id",
+        "value",
+        F.lit(None).cast("double").alias("p_value"),
+    ).unionByName(
+        purchases.select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("_side"),  # purchases sort before same-ts clicks
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("value"),
+            "p_value",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("asof_value", F.last("p_value", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+        .select("event_id", "user_id", "ts", "value", "asof_value")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -649,9 +752,47 @@ QUERIES = {
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_top_orders": q_q3_top_orders,
     "q5_region_revenue": q_q5_region_revenue,
+    "a11_percentile": q_a11_percentile,
+    "a12_cube": q_a12_cube,
+    "a13_salted_agg": q_a13_salted_agg,
+    "j6_asof_join": q_j6_asof_join,
 }
 
 ORACLES = {
+    "a11_percentile": """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+               ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "a12_cube": """
+        SELECT r_name, c_mktsegment, COUNT(*) AS cnt,
+               ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY CUBE (r_name, c_mktsegment)
+    """,
+    "a13_salted_agg": """
+        SELECT l_returnflag,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "j6_asof_join": """
+        WITH clicks AS (
+            SELECT user_id, ts, event_id, value
+            FROM events WHERE event_type = 'click'
+        ), purchases AS (
+            SELECT user_id, ts, arg_max(value, event_id) AS p_value
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id, ts
+        )
+        SELECT c.event_id, c.user_id, c.ts, c.value, p.p_value AS asof_value
+        FROM clicks c
+        ASOF LEFT JOIN purchases p
+            ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
     "p1_project": """
         SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
         FROM lineitem

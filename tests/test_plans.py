@@ -120,6 +120,23 @@ def test_window_single_shuffle(spark):
     assert shuffle_count(q(spark, "w1_cumsum")) == 1
 
 
+def test_asof_join_linear_no_range_fanout(spark):
+    # The union+window as-of join: one shuffle for the right-side
+    # (user, ts) dedup aggregation, one on the user key for the window
+    # — and no join operator at all (hence no range-join row fanout).
+    df = q(spark, "j6_asof_join")
+    assert shuffle_count(df) == 2
+    assert broadcast_join_count(df) == 0
+    assert sort_merge_join_count(df) == 0
+    assert not has_cartesian(df)
+
+
+def test_salted_agg_two_stages(spark):
+    # Salting must add exactly one extra exchange over a plain groupBy:
+    # (key, salt) then key.
+    assert shuffle_count(q(spark, "a13_salted_agg")) == 2
+
+
 @pytest.mark.parametrize("name", ["q1_pricing_summary", "q5_region_revenue"])
 def test_audit_bundle_smoke(spark, name):
     a = audit(q(spark, name))
