@@ -102,6 +102,61 @@ def extract_features(media: DataFrame, decoder=fake_decode) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = "doc_id long, payload binary, width int, height int"
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_payload binary"
+
+
+def resize_images(media: DataFrame, width: int = 32, height: int = 32, decoder=fake_decode) -> DataFrame:
+    """Resize stage: payload -> decoded dims -> re-encoded payload at
+    the target size. The real path re-encodes via the codec hook; the
+    fake path emits a deterministic byte slice so the Spark plumbing
+    (binary in, binary out, constant-memory batches) is fully tested.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                meta = decoder(payload, "image/png")
+                # fake 'resample': proportional byte subsample, bounded
+                # by the target pixel budget — stands in for a real
+                # encoder's output buffer.
+                n_out = max(1, min(len(payload), (width * height) // 8))
+                rows.append((doc_id, bytes(payload[:n_out]), width, height))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "payload", "width", "height"]
+            )
+
+    return media.filter(F.col("media_type") == "image/png").mapInPandas(
+        run, RESIZE_SCHEMA
+    )
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 4) -> DataFrame:
+    """Frame-sampling stage: one input video row fans out to N frame
+    rows (mapInPandas as a flat-map). The fake 'frame' is a byte window
+    at a deterministic stride; a real decoder would seek keyframes.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                for i in range(min(max_frames, max(1, n // every_n_bytes))):
+                    start = i * every_n_bytes
+                    rows.append(
+                        (doc_id, i, bytes(payload[start : start + every_n_bytes]))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_payload"]
+            )
+
+    return media.filter(F.col("media_type") == "video/mp4").mapInPandas(
+        run, FRAME_SCHEMA
+    )
+
+
 def q_mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline: attach payloads -> mapInPandas decode ->
     relational post-aggregation per media type. (Rows-only check: the
