@@ -32,6 +32,12 @@ HEADLINE = [
     "x1_sird_sim",
     # Joins.
     "j1_broadcast_lookup",
+    "j6_asof_join",
+    # Grouping-set + skew-salted aggregation.
+    "a12_cube",
+    "a13_salted_agg",
+    # Streaming-shape (batch flavor of the session-window agg).
+    "stream_session",
     # LLM-data extension tier.
     "dedup_exact",
     "dedup_minhash_lsh",

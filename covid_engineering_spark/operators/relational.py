@@ -359,14 +359,55 @@ def q_a13_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+    out_col: str = "asof_value",
+) -> DataFrame:
+    """As-of join: attach to each left row the ``value_col`` of the
+    latest right row with the same ``key`` and right.ts <= left.ts.
+
+    Implemented as union + last(ignorenulls) over a (key, time) window:
+    one shuffle, no range-join fanout, linear in input — the
+    scale-correct shape (a range join here would fan out per pair).
+    ``right`` must be unique per (key, ts); callers dedup first so tie
+    handling is explicit.
+    """
+    l_tag = left.withColumns(
+        {"_side": F.lit(1), out_col: F.lit(None).cast(right.schema[value_col].dataType)}
+    )
+    r_tag = right.select(
+        key, ts, F.lit(0).alias("_side"), F.col(value_col).alias(out_col)
+    )
+    # right rows with _side=0 sort before same-ts left rows, making the
+    # match inclusive (right.ts <= left.ts).
+    cols = [c for c in l_tag.columns]
+    r_full = r_tag.select(
+        *[
+            F.col(c) if c in r_tag.columns else F.lit(None).cast(l_tag.schema[c].dataType).alias(c)
+            for c in cols
+        ]
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        l_tag.unionByName(r_full)
+        .withColumn(out_col, F.last(out_col, ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+        .drop("_side")
+    )
+
+
 def q_j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6 (extension) — as-of join: each 'click' event picks up the
     most recent prior-or-equal 'purchase' value for the same user.
-
-    Implemented as union + last(ignorenulls) over a (user, time)
-    window: one shuffle, no range-join fanout, linear in input — the
-    scale-correct shape (a range join here would fan out per pair).
-    Right side is deduped to one row per (user, ts) with max_by so tie
+    Right side deduped to one row per (user, ts) with max_by so tie
     handling matches DuckDB's ASOF JOIN oracle exactly.
     """
     ev = read_table(spark, sf_dir, "events")
@@ -378,33 +419,9 @@ def q_j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "ts")
         .agg(F.max_by("value", "event_id").alias("p_value"))
     )
-    tagged = clicks.select(
-        "user_id",
-        "ts",
-        F.lit(1).alias("_side"),
-        "event_id",
-        "value",
-        F.lit(None).cast("double").alias("p_value"),
-    ).unionByName(
-        purchases.select(
-            "user_id",
-            "ts",
-            F.lit(0).alias("_side"),  # purchases sort before same-ts clicks
-            F.lit(None).cast("long").alias("event_id"),
-            F.lit(None).cast("double").alias("value"),
-            "p_value",
-        )
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        tagged.withColumn("asof_value", F.last("p_value", ignorenulls=True).over(w))
-        .filter(F.col("_side") == 1)
-        .select("event_id", "user_id", "ts", "value", "asof_value")
-    )
+    return asof_join(
+        clicks, purchases, key="user_id", ts="ts", value_col="p_value"
+    ).select("event_id", "user_id", "ts", "value", "asof_value")
 
 
 # ---------------------------------------------------------------------------

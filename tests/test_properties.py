@@ -1,0 +1,110 @@
+"""Property tests (SURVEY.md §5.3): structural invariants that hold
+for ANY data — top-k is a sort prefix, running totals are monotone for
+non-negative inputs — plus a hypothesis differential for the as-of
+join against a brute-force model on adversarial generated inputs.
+"""
+
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from covid_engineering_spark.operators.relational import asof_join
+from covid_engineering_spark.queries import registry
+from covid_engineering_spark.sources import read_table
+
+from tests.conftest import SF_SMOKE
+
+REG = registry()
+
+
+def test_topk_is_sorted_prefix(spark):
+    # O2 top-k must equal the first k rows of the full sort under the
+    # query's own (deterministic, tie-broken) ordering.
+    got = [tuple(r) for r in REG["o2_topk"](spark, SF_SMOKE).collect()]
+    from covid_engineering_spark.functions import dsum
+
+    full = (
+        read_table(spark, SF_SMOKE, "orders")
+        .groupBy("o_custkey")
+        .agg(dsum("o_totalprice").alias("total_spend"))
+        .orderBy(F.desc("total_spend"), "o_custkey")
+    )
+    want = [tuple(r) for r in full.limit(len(got)).collect()]
+    assert len(got) == 5
+    assert got == want
+
+
+def test_cumsum_monotone_for_nonneg_inputs(spark):
+    # W1 running totals over non-negative order totals must be
+    # non-decreasing within every partition key.
+    out = REG["w1_cumsum"](spark, SF_SMOKE)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    bad = (
+        out.withColumn("_prev", F.lag("running_spend").over(w))
+        .filter(F.col("_prev").isNotNull() & (F.col("running_spend") < F.col("_prev")))
+        .count()
+    )
+    # note: w1 orders by (o_orderdate, o_orderkey); o_orderkey alone is
+    # a refinement only if keys follow dates — so re-derive the exact
+    # window instead of assuming:
+    w_exact = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    joined = (
+        out.join(
+            read_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_orderdate"),
+            "o_orderkey",
+        )
+        .withColumn("_prev", F.lag("running_spend").over(w_exact))
+        .filter(F.col("_prev").isNotNull() & (F.col("running_spend") < F.col("_prev")))
+    )
+    assert joined.count() == 0
+    del bad
+
+
+@st.composite
+def asof_case(draw):
+    ls = draw(
+        st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 50)),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    rs = draw(
+        st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 999)),
+            min_size=0,
+            max_size=8,
+            unique_by=lambda t: (t[0], t[1]),  # unique (key, ts): dedup contract
+        )
+    )
+    return ls, rs
+
+
+@settings(max_examples=12, deadline=None)
+@given(asof_case())
+def test_asof_join_matches_bruteforce(spark, case):
+    ls, rs = case
+    t0 = datetime(2021, 1, 1)
+    left = spark.createDataFrame(
+        [(k, t0 + timedelta(minutes=m), i) for i, (k, m) in enumerate(ls)],
+        "k long, ts timestamp_ntz, lid long",
+    )
+    right = spark.createDataFrame(
+        [(k, t0 + timedelta(minutes=m), float(v)) for (k, m, v) in rs],
+        "k long, ts timestamp_ntz, v double",
+    )
+
+    got = {
+        r.lid: r.asof_value
+        for r in asof_join(left, right, key="k", ts="ts", value_col="v").collect()
+    }
+    assert set(got) == set(range(len(ls)))
+    # brute force: the right row with max ts <= left ts for the key
+    for i, (k, m) in enumerate(ls):
+        cands = [(rm, v) for (rk, rm, v) in rs if rk == k and rm <= m]
+        want = float(max(cands)[1]) if cands else None
+        assert got[i] == want, (i, k, m, got[i], want)
