@@ -1,3 +1,4 @@
+from covid_engineering_spark.streaming.stateful import running_user_totals
 from covid_engineering_spark.streaming.windows import (
     QUERIES,
     ORACLES,
@@ -10,6 +11,7 @@ from covid_engineering_spark.streaming.windows import (
 __all__ = [
     "QUERIES",
     "ORACLES",
+    "running_user_totals",
     "session_agg",
     "sliding_agg",
     "stream_events",
