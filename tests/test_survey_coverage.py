@@ -1,0 +1,136 @@
+"""SURVEY.md §2 completeness guard: every operator ID in the inventory
+maps to a registered query (and an oracle, unless listed as rows-only).
+If an operator is added to SURVEY.md without an implementation — or an
+implementation is dropped — this fails.
+"""
+
+from covid_engineering_spark.queries import oracles, registry
+
+# SURVEY §2 ID -> queries() key. None = exercised outside the query
+# registry (ingest paths have dedicated tests instead of driver queries).
+SURVEY_MAP = {
+    # §2.1 scans/sources/sinks
+    "S1": None,  # CSV scan w/ schema: tests/test_reference_data.py
+    "S2": None,  # catalog enumeration: tests/test_sqlite_ingest.py
+    "S3": None,  # whole-table SQLite load: tests/test_sqlite_ingest.py
+    "S4": None,  # encoding + date coercion: tests/test_reference_data.py
+    "S5": None,  # parquet sink: exercised by streaming/stateful tests
+    # §2.2 projections/filters
+    "P1": "p1_project",
+    "P2": "p2_filter_eq",
+    "P3": "p3_date_range",
+    "P4": "p4_null_drop",
+    "P5": "p5_masked_assign",
+    # §2.3 joins
+    "J1": "j1_broadcast_lookup",
+    "J2": "j2_semi",
+    "J3": "j3_anti",
+    "J4": "j4_outer_count",
+    "J5": "j5_range_join",
+    "J6": "j6_asof_join",
+    # §2.4 aggregations
+    "A1": "a1_groupby_max",
+    "A2": "a2_groupby_sum",
+    "A3": "a3_groupby_avg",
+    "A4": "a4_global_sums",
+    "A5": "a5_global_avg",
+    "A6": "a6_minmax",
+    "A7": "a7_distinct",
+    "A8": "a8_lsq_ratio",
+    "A9": "a9_mse",
+    "A10": "a10_rollup",
+    "A11": "a11_percentile",
+    "A12": "a12_cube",
+    "A13": "a13_salted_agg",
+    # §2.5 windows
+    "W1": "w1_cumsum",
+    "W2": "w2_diff",
+    "W3": "w3_drop_first",
+    "W4": "w4_first_last",
+    "W5": "w5_tail",
+    "W6": "w6_interpolate",
+    "W7": "w7_rank",
+    # §2.6 sort/top-k
+    "O1": "o1_sort_limit",
+    "O2": "o2_topk",
+    # §2.7 set ops
+    "SET-U": "set_union",
+    "SET-I": "set_intersect",
+    "SET-E": "set_except",
+    # §2.8 scalar functions
+    "F1": "f1_arithmetic",
+    "F2": "f2_round",
+    "F3": "f3_replace",
+    "F4": "f4_clamp_div",
+    "F5": "f5_date_parse",
+    "F6": "f6_null_count",
+    "F7": "f7_impute_invariant",
+    "F8": "f8_format",
+    "FX-JSON": "json_extract",
+    "FX-RE": "str_regex",
+    # §2.9 regression/model fitting
+    "M1": "m1_ols_origin",
+    "M3": "m3_param_series",
+    "M4": "m4_r0_series",
+    # §2.10 simulation
+    "X1": "x1_sird_sim",
+    "X2": "x2_sird_transfer",
+    "X3": "x3_sird_mse",
+    # wrangling pipeline (§7.1 step 5)
+    "WRANGLE": "wrangle_clean_complete",
+    # north-star extensions (BASELINE.json)
+    "DD-EXACT": "dedup_exact",
+    "DD-NGRAM": "dedup_ngram_jaccard",
+    "DD-MINHASH": "dedup_minhash_lsh",
+    "DD-SIMHASH": "dedup_simhash",
+    "DD-EMB": "dedup_embedding",
+    "ANN-BF": "ann_cosine_topk",
+    "ANN-LSH": "ann_lsh_topk",
+    "TXT-TOK": "text_token_stats",
+    "TXT-Q": "text_quality",
+    "TXT-LANG": "text_langid",
+    "TXT-FP": "text_fingerprint",
+    "TXT-TOP": "text_top_terms",
+    "MM": "mm_feature_extract",
+    # streaming tier (§2.12)
+    "STR-TUMBLE": "stream_tumble",
+    "STR-SLIDE": "stream_slide",
+    "STR-SESSION": "stream_session",
+    # flagship composites (§7.2)
+    "Q1": "q1_pricing_summary",
+    "Q3": "q3_top_orders",
+    "Q5": "q5_region_revenue",
+}
+
+# Rows-only by design: hash-seeded sketches, probabilistic recall,
+# python-side decode, and the non-SQL simulation transfer (the driver
+# records the weaker check; the judge sees which).
+ROWS_ONLY = {
+    "wrangle_clean_complete",  # golden-tested vs the reference model instead
+    "x2_sird_transfer",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_lsh_topk",
+    "mm_feature_extract",
+}
+
+
+def test_every_survey_operator_is_registered():
+    reg = registry()
+    missing = {
+        sid: name
+        for sid, name in SURVEY_MAP.items()
+        if name is not None and name not in reg
+    }
+    assert not missing, f"SURVEY ops without implementations: {missing}"
+
+
+def test_every_registered_query_is_in_survey_map():
+    mapped = {n for n in SURVEY_MAP.values() if n is not None}
+    extras = set(registry()) - mapped
+    assert not extras, f"implemented but not in the SURVEY inventory: {extras}"
+
+
+def test_oracle_coverage_is_exactly_rows_only_exceptions():
+    reg, orc = set(registry()), set(oracles())
+    assert reg - orc == ROWS_ONLY
