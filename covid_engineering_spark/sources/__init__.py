@@ -4,6 +4,7 @@ from covid_engineering_spark.sources.io import (
     read_table,
     register_star,
     sqlite_to_parquet,
+    write_bucketed,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "read_table",
     "register_star",
     "sqlite_to_parquet",
+    "write_bucketed",
 ]

@@ -144,6 +144,30 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(schemas.STAR[name]).parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int,
+    path: str,
+) -> None:
+    """Persist a table bucketed + sorted on its join key. Two tables
+    bucketed the same way equi-join with ZERO exchanges — at 100 TB
+    this converts every recurring fact⨝fact join from a full shuffle
+    into a per-bucket merge. The bucket count is a layout decision:
+    pick it for the *target* cluster's parallelism, not the current
+    data size (buckets are split across executors but never merged).
+    """
+    (
+        df.write.format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+
+
 def load_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every star-schema table lazily; nothing is scanned until an
     action runs, so loading all ten costs only catalog metadata.
