@@ -1,0 +1,81 @@
+"""COVID-domain composite pipelines on the reference's own tables
+(SURVEY.md §2.9 M3/M4): time-varying SIRD parameter estimation and the
+R₀ trajectory, generalized from the reference's one-country-at-a-time
+loop to every country in a single window pass.
+
+Reference semantics reproduced exactly (estimates_country_complete,
+main.py:536-556): population is a scalar per country (worldometer
+lookup main.py:539 — here a broadcast equi-join, J1); Δ-series are
+row-position diffs over the *cleaned* per-country frame; γ = 1/4.5;
+eps = 1e-5 division guards via np.maximum ≡ GREATEST:
+
+    S_t = N − (Active + Recovered + Deaths)
+    μ_t = ΔD / max(Active, eps)
+    α_t = (γ·Active − ΔR) / max(ΔR, eps)
+    β_t = (ΔActive / max(Active, 1) + μ_t + γ) / max(S_t, eps)
+    R0_t = β_t / γ
+
+The first row per country (null diffs) is dropped, mirroring
+``.iloc[1:]`` (main.py:550-552).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+GAMMA = 1 / 4.5  # main.py:546
+EPS = 0.00001  # main.py:549
+
+
+def estimate_params(
+    cleaned: DataFrame, population: DataFrame, gamma: float = GAMMA, eps: float = EPS
+) -> DataFrame:
+    """Per-(country, date) μₜ/αₜ/βₜ/R₀ₜ series for every country at
+    once. ``cleaned`` is clean_complete() output; ``population`` is a
+    (country_region, population) dimension — tiny, so it broadcasts
+    and the fact side never shuffles for the join (the only exchange
+    is the per-country window sort).
+    """
+    w = Window.partitionBy("country_region").orderBy("date")
+    df = cleaned.join(F.broadcast(population), "country_region")
+    diffs = {
+        c: (F.col(c) - F.lag(c).over(w)).alias(f"{c}_change")
+        for c in ("confirmed", "active", "deaths", "recovered")
+    }
+    df = df.select("*", *diffs.values())
+    s_t = F.col("population") - (
+        F.col("active") + F.col("recovered") + F.col("deaths")
+    )
+    mu_t = F.col("deaths_change") / F.greatest(F.col("active"), F.lit(eps))
+    alpha_t = (gamma * F.col("active") - F.col("recovered_change")) / F.greatest(
+        F.col("recovered_change"), F.lit(eps)
+    )
+    beta_t = (
+        F.col("active_change") / F.greatest(F.col("active"), F.lit(1.0))
+        + mu_t
+        + F.lit(gamma)
+    ) / F.greatest(s_t, F.lit(eps))
+    return (
+        df.select(
+            "country_region",
+            "date",
+            s_t.alias("s_t"),
+            mu_t.alias("mu_t"),
+            alpha_t.alias("alpha_t"),
+            beta_t.alias("beta_t"),
+            (beta_t / F.lit(gamma)).alias("r0_t"),
+        )
+        # mirror iloc[1:]: the diff of each country's first row is null
+        .filter(F.col("mu_t").isNotNull())
+    )
+
+
+def r0_trajectory(
+    cleaned: DataFrame, population: DataFrame, gamma: float = GAMMA
+) -> DataFrame:
+    """M4 (main.py:319-331 / the R₀ dashboard page): the per-country
+    (date, R₀ₜ) series alone."""
+    return estimate_params(cleaned, population, gamma).select(
+        "country_region", "date", "r0_t"
+    )
