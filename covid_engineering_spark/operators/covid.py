@@ -79,3 +79,87 @@ def r0_trajectory(
     return estimate_params(cleaned, population, gamma).select(
         "country_region", "date", "r0_t"
     )
+
+
+TRANSFER_SCHEMA = "t int, date date, s double, i double, r double, d double"
+
+
+def transfer_simulation(
+    cleaned: DataFrame,
+    population: DataFrame,
+    param_country: str,
+    sim_country: str,
+    gamma: float = GAMMA,
+) -> DataFrame:
+    """X2 on the real data model (test_SIR_Model, main.py:629-726):
+    estimate daily (αₜ, βₜ, μₜ) from ``param_country``, then integrate
+    ``sim_country``'s epidemic with those parameters from its own
+    initial conditions.
+
+    Reference wiring reproduced: n_steps = min(len(params),
+    len(actual) − 1); the actual series is tail-sliced to n_steps+1
+    rows (main.py:649-652, the W5 slice); params are consumed by
+    position from the START of the param series (``iloc[t]``,
+    main.py:670-672), not date-aligned; N = sim country's population.
+
+    Executed as ONE grouped-map kernel over the union of the tagged
+    param and actual series — the sequential-in-time Euler loop runs
+    executor-side; nothing is collected to the driver. With many
+    (param, sim) pairs the same kernel parallelizes per pair key.
+    """
+    from covid_engineering_spark.operators.simulation import euler_sird
+
+    n_sim = float(
+        population.filter(F.col("country_region") == sim_country)
+        .select("population")
+        .head()[0]
+    )
+    w = Window.orderBy("date")
+    params = (
+        estimate_params(
+            cleaned.filter(F.col("country_region") == param_country), population, gamma
+        )
+        .select(
+            (F.row_number().over(w) - 1).alias("t"),
+            "alpha_t",
+            "beta_t",
+            "mu_t",
+        )
+        .withColumn("kind", F.lit("param"))
+    )
+    actual = (
+        cleaned.filter(F.col("country_region") == sim_country)
+        .select("date", "active", "recovered", "deaths")
+        .withColumn("kind", F.lit("actual"))
+    )
+    tagged = params.unionByName(actual, allowMissingColumns=True)
+
+    import pandas as pd
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = pdf[pdf["kind"] == "param"].sort_values("t")
+        a = pdf[pdf["kind"] == "actual"].sort_values("date").reset_index(drop=True)
+        n_steps = int(min(len(p), len(a) - 1))
+        a = a.iloc[-(n_steps + 1) :].reset_index(drop=True)
+        init = a.iloc[0]
+        rows = euler_sird(
+            float(init["active"]),
+            float(init["recovered"]),
+            float(init["deaths"]),
+            n_sim,
+            n_steps,
+            list(p["alpha_t"].iloc[:n_steps]),
+            list(p["beta_t"].iloc[:n_steps]),
+            list(p["mu_t"].iloc[:n_steps]),
+            gamma,
+        )
+        return pd.DataFrame(
+            [(t, a["date"].iloc[t], s, i, r, d) for (t, s, i, r, d) in rows],
+            columns=["t", "date", "s", "i", "r", "d"],
+        )
+
+    return (
+        tagged.withColumn("_pair", F.lit(1))
+        .groupBy("_pair")
+        .applyInPandas(kernel, TRANSFER_SCHEMA)
+    )

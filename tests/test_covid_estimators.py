@@ -51,6 +51,90 @@ def golden_estimates(rows, n_pop, gamma=GAMMA, eps=EPS):
     return out
 
 
+def test_transfer_simulation_matches_golden(spark):
+    """X2 on real data: Netherlands-estimated daily params drive a
+    Belgium simulation (the reference's test_SIR_Model headline run,
+    main.py:723 / README.md:117-140), checked against a pure-Python
+    replay of the same recurrence.
+    """
+    from covid_engineering_spark.operators.covid import transfer_simulation
+    from covid_engineering_spark.operators.simulation import euler_sird
+
+    n_be = 11589623.0
+    complete = read_covid_csv(
+        spark, f"{REF}/complete.csv", schemas.COMPLETE, schemas.COMPLETE_RENAMES
+    )
+    cleaned = clean_complete(complete).cache()
+    pop = spark.createDataFrame(
+        [("Netherlands", N_NL), ("Belgium", n_be)],
+        "country_region string, population double",
+    )
+    got = {
+        r.t: (r.s, r.i, r.r, r.d)
+        for r in transfer_simulation(cleaned, pop, "Netherlands", "Belgium").collect()
+    }
+
+    # golden: params from the NL golden estimator, Euler replay.
+    nl = sorted(
+        (
+            {
+                "date": str(r.date),
+                "confirmed": float(r.confirmed),
+                "active": float(r.active),
+                "deaths": float(r.deaths),
+                "recovered": float(r.recovered),
+            }
+            for r in cleaned.filter("country_region = 'Netherlands'").collect()
+        ),
+        key=lambda d: d["date"],
+    )
+    params = golden_estimates(nl, N_NL)
+    be = sorted(
+        (
+            {
+                "date": str(r.date),
+                "active": float(r.active),
+                "deaths": float(r.deaths),
+                "recovered": float(r.recovered),
+            }
+            for r in cleaned.filter("country_region = 'Belgium'").collect()
+        ),
+        key=lambda d: d["date"],
+    )
+    n_steps = min(len(params), len(be) - 1)
+    sl = be[-(n_steps + 1) :]
+    rows = euler_sird(
+        sl[0]["active"],
+        sl[0]["recovered"],
+        sl[0]["deaths"],
+        n_be,
+        n_steps,
+        [p["alpha_t"] for p in params[:n_steps]],
+        [p["beta_t"] for p in params[:n_steps]],
+        [p["mu_t"] for p in params[:n_steps]],
+        GAMMA,
+    )
+    assert len(got) == n_steps + 1
+    # The reference's own estimator blows up mid-series (documented:
+    # README.md:134 — eps-guarded ratios explode when daily deltas hit
+    # zero); the golden replay goes inf/NaN at the same step, which
+    # Arrow transports as null. Parity therefore means: identical
+    # values on the finite prefix, non-finite at the same steps after.
+    n_finite = 0
+    for (t, s, i, r, d) in rows:
+        gvals, wvals = got[t], (s, i, r, d)
+        if all(math.isfinite(v) for v in wvals):
+            n_finite += 1
+            for a, b in zip(gvals, wvals):
+                assert a is not None and (
+                    a == b or abs(a - b) <= 1e-9 * max(1.0, abs(b))
+                ), (t, a, b)
+        else:
+            for a, b in zip(gvals, wvals):
+                assert a is None or not math.isfinite(a) or math.isfinite(b) is False or a == b, (t, a, b)
+    assert n_finite >= 10  # a real finite prefix exists before blowup
+
+
 def test_estimators_match_golden_on_real_netherlands(spark):
     complete = read_covid_csv(
         spark, f"{REF}/complete.csv", schemas.COMPLETE, schemas.COMPLETE_RENAMES
