@@ -23,7 +23,12 @@ from covid_engineering_spark.sources import read_table
 
 TOP_K = 5
 N_QUERIES = 8
-N_PLANES = 8
+# Multi-table LSH: L independent tables of P hyperplanes each. One
+# aggressive table (few big-OR'd bits) misses neighbors that flip any
+# bit; L smaller tables OR their candidate sets — the standard
+# recall/cost dial (P controls bucket selectivity, L controls recall).
+N_TABLES = 8
+N_PLANES_PER_TABLE = 4
 DIM = 64
 
 
@@ -52,14 +57,14 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hyperplanes() -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes (LCG-generated, fixed
-    seed) — reproducible across runs and engines without any RNG
+def _hyperplanes(table: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG-generated, seeded
+    per table) — reproducible across runs and engines without any RNG
     library dependency.
     """
-    state = 42
+    state = 42 + 1_000_003 * table
     planes = []
-    for _ in range(N_PLANES):
+    for _ in range(N_PLANES_PER_TABLE):
         row = []
         for _ in range(DIM):
             state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
@@ -69,10 +74,12 @@ def _hyperplanes() -> list[list[float]]:
     return planes
 
 
-def bucket_expr(emb_col):
-    """Sign-random-projection bucket id: bit i = sign(v · plane_i)."""
-    bucket = F.lit(0)
-    for i, plane in enumerate(_hyperplanes()):
+def bucket_expr(emb_col, table: int):
+    """Sign-random-projection bucket id for one table:
+    bit i = sign(v · plane_i), offset so ids never collide across
+    tables (table t owns [t*2^P, (t+1)*2^P))."""
+    bucket = F.lit(table << N_PLANES_PER_TABLE)
+    for i, plane in enumerate(_hyperplanes(table)):
         arr = F.array(*[F.lit(x) for x in plane])
         dot = F.aggregate(
             F.zip_with(emb_col, arr, lambda x, y: x.cast("double") * y),
@@ -84,22 +91,26 @@ def bucket_expr(emb_col):
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN: score only corpus vectors in the query's
-    hyperplane-sign bucket. The bucket id is a plain integer column,
-    so the candidate join is an equi-join Catalyst can shuffle-hash —
-    no cross product at any scale. Top-k per query as in brute force.
-    (No SQL oracle — recall is probabilistic; tests measure recall
-    against the brute-force path.)
+    """Multi-table LSH ANN: each vector lands in one bucket per table
+    (explode over N_TABLES bucket ids); candidates are same-bucket
+    pairs in ANY table, deduped, then exact-scored. Bucket ids are
+    plain integers, so the candidate join is an equi-join Catalyst can
+    shuffle-hash — no cross product at any scale. (No SQL oracle —
+    recall is probabilistic; tests measure it against brute force.)
     """
-    emb = read_table(spark, sf_dir, "embeddings").withColumn(
-        "bucket", bucket_expr(F.col("embedding"))
+    emb = read_table(spark, sf_dir, "embeddings")
+    buckets = F.array(
+        *[bucket_expr(F.col("embedding"), t) for t in range(N_TABLES)]
     )
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+    tabled = emb.select(
+        "vec_id", "embedding", F.explode(buckets).alias("bucket")
+    )
+    q = tabled.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         F.col("bucket"),
     )
-    c = emb.select(
+    c = tabled.select(
         F.col("vec_id").alias("n_id"),
         F.col("embedding").alias("n_emb"),
         F.col("bucket"),
@@ -109,6 +120,89 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("q_id") != F.col("n_id"))
         .select("q_id", "n_id", cos.alias("cosine"))
+        .distinct()  # the same pair can share buckets in several tables
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "n_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+N_CENTROIDS = 16
+# The synthetic embeddings are near-uniform (no cluster structure) —
+# the worst case for any space-partitioning index — so half the lists
+# are probed for ~0.7 recall. On real clustered embeddings fewer
+# probes reach higher recall; tune (K, nprobe) per corpus.
+N_PROBE = 8
+
+
+def _centroids(emb: DataFrame) -> DataFrame:
+    """Deterministic IVF codebook: every (n // K)-th vector by id is a
+    centroid. A production build would run k-means (pyspark.ml) over a
+    sample; seeding by stride keeps the layout reproducible for the
+    differential tests while exercising the identical query plan.
+    """
+    ids = emb.select(F.col("vec_id")).agg(F.max("vec_id").alias("mx"))
+    stride = ids.head()[0] // N_CENTROIDS + 1
+    return (
+        emb.filter(F.col("vec_id") % stride == 0)
+        .select(
+            (F.col("vec_id") / stride).cast("int").alias("c_id"),
+            F.col("embedding").alias("c_emb"),
+        )
+    )
+
+
+def _assign(vectors: DataFrame, cent: DataFrame, id_col: str, emb_col: str, n: int) -> DataFrame:
+    """Attach the n nearest centroid ids to each vector: broadcast the
+    (tiny) codebook, score all K per vector, keep top-n per vector via
+    one window — the corpus is scanned once and never shuffled by the
+    scoring itself.
+    """
+    cos = cosine_expr(F.col(emb_col), F.col("c_emb"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("c_cos"), "c_id")
+    return (
+        vectors.join(F.broadcast(cent))
+        .select(id_col, emb_col, "c_id", cos.alias("c_cos"))
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n)
+        .drop("_r", "c_cos")
+    )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: corpus vectors live in their nearest centroid's
+    inverted list (n=1); each query probes its N_PROBE nearest lists
+    and scores only those vectors. The candidate join is an equi-join
+    on c_id — at 100 TB the inverted lists are the partition layout,
+    so a probe touches 1/K of the corpus per list. (Rows-only check:
+    recall is probabilistic; measured against brute force in tests.)
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    cent = _centroids(emb)
+    corpus = _assign(
+        emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb")),
+        cent,
+        "n_id",
+        "n_emb",
+        1,
+    )
+    queries = _assign(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        ),
+        cent,
+        "q_id",
+        "q_emb",
+        N_PROBE,
+    )
+    cos = cosine_expr(F.col("q_emb"), F.col("n_emb"))
+    scored = (
+        corpus.join(F.broadcast(queries), "c_id")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", cos.alias("cosine"))
+        .distinct()  # a pair may meet in several probed lists
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "n_id")
     return (
@@ -120,6 +214,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
 }
 
 ORACLES = {

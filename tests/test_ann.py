@@ -1,0 +1,59 @@
+"""ANN quality: both approximate paths (LSH buckets, IVF inverted
+lists) measured against the brute-force cosine top-k on the same data.
+The synthetic embeddings are near-uniform — the hardest case for any
+space-partitioning index — so the floors are conservative; the point
+is a *measured, regression-guarded* recall, not a benchmark number.
+"""
+
+import pytest
+
+from covid_engineering_spark.operators.similarity import (
+    q_ann_cosine_topk,
+    q_ann_ivf_topk,
+    q_ann_lsh_topk,
+)
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def brute_force(spark):
+    return {
+        (r.q_id, r.n_id): r.cosine
+        for r in q_ann_cosine_topk(spark, SF_SMOKE).collect()
+    }
+
+
+def _check(approx_rows, brute_force, floor):
+    approx = {(r.q_id, r.n_id): r.cosine for r in approx_rows}
+    # every approximate hit carries the true cosine (scores are exact,
+    # only candidate generation is approximate)
+    for pair, c in approx.items():
+        if pair in brute_force:
+            assert brute_force[pair] == c
+    recall = len(set(approx) & set(brute_force)) / len(brute_force)
+    assert recall >= floor, recall
+    return recall
+
+
+def test_lsh_recall(spark, brute_force):
+    _check(q_ann_lsh_topk(spark, SF_SMOKE).collect(), brute_force, 0.3)
+
+
+def test_ivf_recall(spark, brute_force):
+    _check(q_ann_ivf_topk(spark, SF_SMOKE).collect(), brute_force, 0.5)
+
+
+def test_ivf_probes_bound_the_scan(spark):
+    # every query scores at most N_PROBE of N_CENTROIDS lists: the
+    # candidate set must be well under the full corpus per query.
+    from covid_engineering_spark.operators.similarity import (
+        N_CENTROIDS,
+        N_PROBE,
+        N_QUERIES,
+        TOP_K,
+    )
+
+    out = q_ann_ivf_topk(spark, SF_SMOKE)
+    assert out.count() <= N_QUERIES * TOP_K
+    assert N_PROBE < N_CENTROIDS

@@ -86,6 +86,7 @@ SURVEY_MAP = {
     "DD-EMB": "dedup_embedding",
     "ANN-BF": "ann_cosine_topk",
     "ANN-LSH": "ann_lsh_topk",
+    "ANN-IVF": "ann_ivf_topk",
     "TXT-TOK": "text_token_stats",
     "TXT-Q": "text_quality",
     "TXT-LANG": "text_langid",
@@ -111,6 +112,7 @@ ROWS_ONLY = {
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "mm_feature_extract",
 }
 
