@@ -8,6 +8,7 @@ from covid_engineering_spark.plans.audit import (  # noqa: F401
     has_broadcast_join,
     has_broadcast_nested_loop,
     has_cartesian,
+    partition_filters,
     pushed_filters,
     read_schemas,
     shuffle_count,

@@ -52,6 +52,16 @@ def pushed_filters(df: DataFrame) -> list[str]:
     ]
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """Non-empty PartitionFilters bodies — predicates resolved against
+    the directory layout, i.e. files never opened at all."""
+    return [
+        m.group(1).strip()
+        for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", formatted_plan(df))
+        if m.group(1).strip()
+    ]
+
+
 def read_schemas(df: DataFrame) -> list[str]:
     """ReadSchema struct bodies for each scan — the pruning audit."""
     return [

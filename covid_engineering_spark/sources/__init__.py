@@ -5,6 +5,7 @@ from covid_engineering_spark.sources.io import (
     register_star,
     sqlite_to_parquet,
     write_bucketed,
+    write_partitioned,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "register_star",
     "sqlite_to_parquet",
     "write_bucketed",
+    "write_partitioned",
 ]

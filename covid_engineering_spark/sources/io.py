@@ -144,6 +144,18 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(schemas.STAR[name]).parquet(path)
 
 
+def write_partitioned(df: DataFrame, path: str, *keys: str) -> None:
+    """Persist hive-partitioned parquet (one directory per key value).
+    The analytics layout for the COVID model (SURVEY.md §4): cleaned
+    data partitioned by country_region turns every per-country filter
+    (P2 — the reference's hottest access path) into partition pruning:
+    the files of other countries are never opened. Keep partition keys
+    low-cardinality (countries: ~200 dirs); high-cardinality keys
+    belong in bucketing instead.
+    """
+    df.write.mode("overwrite").partitionBy(*keys).parquet(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
