@@ -404,6 +404,49 @@ def asof_join(
     )
 
 
+def q_a14_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 (extension) — approx_count_distinct (HLL++) made
+    oracle-checkable: the sketch value itself is engine-specific, so
+    the query emits the exact distinct count plus a computed
+    within-relative-error flag; the oracle expects the flag TRUE. A
+    broken sketch (or a silently changed rsd) fails the hash-match.
+    At 100 TB the approx path is one pass and mergeable — the exact
+    countDistinct here exists to judge it.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_nd"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("_approx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_nd",
+            (
+                F.abs(F.col("_approx") - F.col("exact_nd"))
+                / F.col("exact_nd")
+                <= 0.05
+            ).alias("within_bound"),
+        )
+    )
+
+
+def q_a15_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 (extension) — explicit GROUPING SETS: exactly the two
+    groupings (priority) and (status), one expand + one shuffle, no
+    cube over the full cross space.
+    """
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        """
+    )
+
+
 def q_j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6 (extension) — as-of join: each 'click' event picks up the
     most recent prior-or-equal 'purchase' value for the same user.
@@ -772,10 +815,23 @@ QUERIES = {
     "a11_percentile": q_a11_percentile,
     "a12_cube": q_a12_cube,
     "a13_salted_agg": q_a13_salted_agg,
+    "a14_approx_distinct": q_a14_approx_distinct,
+    "a15_grouping_sets": q_a15_grouping_sets,
     "j6_asof_join": q_j6_asof_join,
 }
 
 ORACLES = {
+    "a14_approx_distinct": """
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS exact_nd,
+               TRUE AS within_bound
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "a15_grouping_sets": """
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+    """,
     "a11_percentile": """
         SELECT l_returnflag,
                ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,

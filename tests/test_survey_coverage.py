@@ -42,6 +42,8 @@ SURVEY_MAP = {
     "A11": "a11_percentile",
     "A12": "a12_cube",
     "A13": "a13_salted_agg",
+    "A14": "a14_approx_distinct",
+    "A15": "a15_grouping_sets",
     # §2.5 windows
     "W1": "w1_cumsum",
     "W2": "w2_diff",
