@@ -90,7 +90,12 @@ def q_x1_sird_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     steps = n_days − 1. Grouped-map pandas kernel, one group per
     country; oracle = recursive CTE running the identical recurrence.
     """
-    daily = _daily_series(spark, sf_dir)
+    return _x1_from_daily(_daily_series(spark, sf_dir))
+
+
+def _x1_from_daily(daily: DataFrame) -> DataFrame:
+    """X1 kernel over an already-built daily series — lets composites
+    (x3) reuse one aggregation instead of re-scanning events."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("day")
@@ -197,14 +202,14 @@ def q_x3_sird_mse(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual daily series (sir_model_MSE_values, main.py:108-147):
     simulate, join back on (country, step), aggregate squared error.
     """
-    daily = _daily_series(spark, sf_dir)
+    daily = _daily_series(spark, sf_dir).cache()
     from pyspark.sql import Window
 
     actual = daily.withColumn(
         "t",
         F.row_number().over(Window.partitionBy("country").orderBy("day")) - 1,
     )
-    sim = q_x1_sird_sim(spark, sf_dir)
+    sim = _x1_from_daily(daily)  # one events scan+agg shared by both arms
     err = F.col("i") - F.col("val")
     return (
         sim.join(actual, ["country", "t"])
