@@ -78,6 +78,7 @@ def stream_events(
     spark: SparkSession,
     source_dir: str,
     watermark: str = "2 hours",
+    reader_options: dict[str, str] | None = None,
 ) -> DataFrame:
     """Streaming flavor: parquet file source -> event-time tumbling
     aggregation with a watermark bounding late data and state. Start
@@ -90,9 +91,11 @@ def stream_events(
     # timestamp_ntz, so cast for event-time tracking (UTC session makes
     # the cast deterministic) and cast the window bounds back so the
     # streaming schema equals the batch tumbling_agg schema.
+    reader = spark.readStream.schema(schemas.STAR["events"])
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)
     stream = (
-        spark.readStream.schema(schemas.STAR["events"])
-        .parquet(source_dir)
+        reader.parquet(source_dir)
         .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", watermark)
     )

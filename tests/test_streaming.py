@@ -49,6 +49,63 @@ def test_streaming_equals_batch(spark, source_dir):
     assert len(got) > 0
 
 
+def test_watermark_drops_late_data_across_restart(spark, tmp_path):
+    """Concrete late-data semantics, production-shaped: run 1 advances
+    the watermark to 11:00 (max 13:00 − 2h) and checkpoints it; run 2
+    restarts from the checkpoint and receives a 09:15 straggler whose
+    window closed strictly below the restored watermark — the row must
+    be dropped (numRowsDroppedByWatermark) and its window must never
+    reach the append-mode sink. (Within a single fresh run Spark
+    applies batch N's watermark to data filtering only from the next
+    restart's offset log — which is why the checkpoint matters.)
+    """
+    import datetime as dt
+
+    d = str(tmp_path / "late_events")
+    cp = str(tmp_path / "cp")
+    out = str(tmp_path / "out")
+
+    def mk(rows, part):
+        spark.createDataFrame(
+            [
+                (i, dt.datetime(2021, 3, 1, h, m), 1, "click", 1.0, "{}")
+                for i, (h, m) in enumerate(rows, start=part * 100)
+            ],
+            "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+        ).coalesce(1).write.mode("append").parquet(d)
+
+    def run():
+        q = (
+            stream_events(spark, d, watermark="2 hours")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return q
+
+    mk([(10, 0), (13, 0)], part=0)
+    run()  # watermark 11:00 lands in the checkpoint
+    mk([(9, 15)], part=1)  # straggler: window end 10:00 < 11:00
+    q2 = run()
+
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q2.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1
+    rows = {
+        str(r.window_start): r.n_events
+        for r in spark.read.parquet(out).collect()
+    }
+    assert rows.get("2021-03-01 10:00:00") == 1, rows
+    assert "2021-03-01 09:00:00" not in rows, rows
+
+
 def test_streaming_plan_is_stateful(spark, source_dir):
     # The streaming frame must carry the event-time watermark that
     # bounds state at scale — no watermark means unbounded state.
