@@ -24,6 +24,7 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_region_revenue",
+    "q6_forecast_revenue",
     # Window tier.
     "w1_cumsum",
     "w6_interpolate",

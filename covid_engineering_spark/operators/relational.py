@@ -753,6 +753,33 @@ def q_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite: TPC-H Q6 shape — the pushdown showcase. All three
+    predicates (date range, discount band, quantity cap) reach the
+    parquet reader as PushedFilters; the scan prunes to 4 columns; the
+    aggregation is a single global decimal sum. At 100 TB this query
+    is I/O-bound by exactly the bytes the pushed filters let through.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.col("l_shipdate").between("1995-01-01", "1995-12-31")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                        "decimal(28,6)"
+                    )
+                ).cast("double"),
+                2,
+            ).alias("revenue_effect")
+        )
+    )
+
+
 def q_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite: 5-way star join + per-group revenue (TPC-H Q5 shape).
     Dimensions broadcast; only lineitem⨝orders shuffles.
@@ -812,6 +839,7 @@ QUERIES = {
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_top_orders": q_q3_top_orders,
     "q5_region_revenue": q_q5_region_revenue,
+    "q6_forecast_revenue": q_q6_forecast_revenue,
     "a11_percentile": q_a11_percentile,
     "a12_cube": q_a12_cube,
     "a13_salted_agg": q_a13_salted_agg,
@@ -821,6 +849,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q6_forecast_revenue": """
+        SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE), 2)
+               AS revenue_effect
+        FROM lineitem
+        WHERE l_shipdate BETWEEN '1995-01-01' AND '1995-12-31'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
     "a14_approx_distinct": """
         SELECT l_returnflag,
                COUNT(DISTINCT l_partkey) AS exact_nd,

@@ -103,6 +103,7 @@ SURVEY_MAP = {
     "Q1": "q1_pricing_summary",
     "Q3": "q3_top_orders",
     "Q5": "q5_region_revenue",
+    "Q6": "q6_forecast_revenue",
 }
 
 # Rows-only by design: hash-seeded sketches, probabilistic recall,
