@@ -112,6 +112,30 @@ def q_w5_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_w8_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 (extension) — RANGE frame: per-customer rolling 7-day spend.
+    The frame is value-based (previous 6 days + today by *date*, not
+    row count), so gaps in order history shrink the window — rows
+    cannot express that. One shuffle on the partition key, like every
+    other window here.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    day = F.unix_date(F.col("o_orderdate").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-6, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double"),
+            2,
+        ).alias("spend_7d"),
+    )
+
+
 def q_w7_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W7 (extension) — rank/dense_rank/ntile per group: customer
     balance ranking within nation, fully tie-broken.
@@ -190,6 +214,7 @@ QUERIES = {
     "w4_first_last": q_w4_first_last,
     "w5_tail": q_w5_tail,
     "w7_rank": q_w7_rank,
+    "w8_range_frame": q_w8_range_frame,
     "m1_ols_origin": q_m1_ols_origin,
     "m3_param_series": q_m3_param_series,
     "m4_r0_series": q_m4_r0_series,
@@ -198,6 +223,14 @@ QUERIES = {
 _W = "PARTITION BY user_id ORDER BY ts, event_id"
 
 ORACLES = {
+    "w8_range_frame": """
+        SELECT o_custkey, o_orderkey,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+                   PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+                   RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+               ) AS DOUBLE), 2) AS spend_7d
+        FROM orders
+    """,
     "w1_cumsum": """
         SELECT o_custkey, o_orderkey,
                ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (

@@ -52,6 +52,7 @@ SURVEY_MAP = {
     "W5": "w5_tail",
     "W6": "w6_interpolate",
     "W7": "w7_rank",
+    "W8": "w8_range_frame",
     # §2.6 sort/top-k
     "O1": "o1_sort_limit",
     "O2": "o2_topk",
