@@ -13,7 +13,7 @@ SURVEY_MAP = {
     "S1": None,  # CSV scan w/ schema: tests/test_reference_data.py
     "S2": None,  # catalog enumeration: tests/test_sqlite_ingest.py
     "S3": None,  # whole-table SQLite load: tests/test_sqlite_ingest.py
-    "S4": None,  # encoding + date coercion: tests/test_reference_data.py
+    "S4": None,  # encoding + date coercion: tests/test_csv_coercion.py
     "S5": None,  # parquet sink: exercised by streaming/stateful tests
     # §2.2 projections/filters
     "P1": "p1_project",
@@ -73,6 +73,7 @@ SURVEY_MAP = {
     "FX-RE": "str_regex",
     # §2.9 regression/model fitting
     "M1": "m1_ols_origin",
+    "M2": "a8_lsq_ratio",  # normal-equation LSQ == the A8 aggregate
     "M3": "m3_param_series",
     "M4": "m4_r0_series",
     # §2.10 simulation
