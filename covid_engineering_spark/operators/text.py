@@ -138,8 +138,42 @@ def q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf, end to end: term frequency per (doc, term), document
+    frequency per term (one aggregation each), idf = ln(N/df), top-3
+    terms per doc by score. Join on term is the only wide join; df is
+    tiny after aggregation so it broadcasts. ln() is rounded to 8dp
+    before the multiply so a last-ulp libm divergence between engines
+    cannot move the 6dp final rounding.
+    """
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = terms.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    n_docs = docs.count()  # scalar: one tiny job, constant-folded into idf
+    idf = F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 8)
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * idf, 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", "rnk")
+    )
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
+    "text_tfidf": q_text_tfidf,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
@@ -153,6 +187,26 @@ def _sql_count_in(words: tuple[str, ...]) -> str:
 
 
 ORACLES = {
+    "text_tfidf": """
+        WITH terms AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        ),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+        df AS (
+            SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1
+        ),
+        n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   ROUND(tf.tf * ROUND(ln(n.n_docs / df.df), 8), 6) AS tfidf
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tfidf, CAST(rnk AS INTEGER) AS rnk FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY tfidf DESC, term) AS rnk
+            FROM scored
+        ) WHERE rnk <= 3
+    """,
     "text_token_stats": """
         SELECT doc_id,
                CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,

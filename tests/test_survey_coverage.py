@@ -96,6 +96,7 @@ SURVEY_MAP = {
     "TXT-LANG": "text_langid",
     "TXT-FP": "text_fingerprint",
     "TXT-TOP": "text_top_terms",
+    "TXT-TFIDF": "text_tfidf",
     "MM": "mm_feature_extract",
     # streaming tier (§2.12)
     "STR-TUMBLE": "stream_tumble",
