@@ -156,12 +156,19 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = terms.select("doc_id", "term").distinct().groupBy("term").agg(
         F.count("*").alias("df")
     )
-    n_docs = docs.count()  # scalar: one tiny job, constant-folded into idf
-    idf = F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 8)
-    scored = tf.join(F.broadcast(df_), "term").select(
-        "doc_id",
-        "term",
-        F.round(F.col("tf") * idf, 6).alias("tfidf"),
+    # N as a broadcast 1-row frame, not a driver-side count(): building
+    # the query stays scan-free, and the corpus count executes inside
+    # the same job as everything else.
+    n = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    idf = F.round(F.log(F.col("n_docs") / F.col("df")), 8)
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
     return (
