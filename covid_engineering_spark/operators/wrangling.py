@@ -175,6 +175,12 @@ def clean_complete(
     df = complete
     if country is not None:
         df = df.filter(F.col("country_region") == country)
+    # One hash partitioning on country serves the whole pipeline:
+    # HashPartitioning(country) satisfies the clustered distribution of
+    # both the (country, date) dedup aggregation and every
+    # country-partitioned window below, so Catalyst plans no further
+    # exchange — one shuffle for a 9-stage pipeline.
+    df = df.repartition("country_region")
     df = df.groupBy("country_region", "date").agg(
         F.max("confirmed").alias("confirmed"),
         F.max("active").alias("active"),
