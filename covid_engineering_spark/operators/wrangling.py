@@ -314,7 +314,158 @@ QUERIES = {
 
 _W = "PARTITION BY user_id ORDER BY ts, event_id"
 
+_WC = "PARTITION BY country_region ORDER BY date"
+
+
+def _interp_sql(c: str) -> str:
+    """The W6 window expansion for one column (mirrors
+    with_interpolated expression for expression)."""
+    return f"""
+           LAST_VALUE({c} IGNORE NULLS) OVER ({_WC}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS {c}_pv,
+           FIRST_VALUE({c} IGNORE NULLS) OVER ({_WC}
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS {c}_nv,
+           LAST_VALUE(CASE WHEN {c} IS NOT NULL THEN _rn END IGNORE NULLS)
+               OVER ({_WC} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS {c}_pr,
+           FIRST_VALUE(CASE WHEN {c} IS NOT NULL THEN _rn END IGNORE NULLS)
+               OVER ({_WC} ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS {c}_nr"""
+
+
+def _filled_sql(c: str) -> str:
+    return f"""
+           CASE WHEN {c} IS NOT NULL THEN CAST({c} AS DOUBLE)
+                WHEN {c}_nv IS NULL THEN CAST(COALESCE({c}_pv, 0.0) AS DOUBLE)
+                ELSE COALESCE({c}_pv, 0.0)
+                     + ({c}_nv - COALESCE({c}_pv, 0.0))
+                       * ((_rn - COALESCE({c}_pr, 1))
+                          / ({c}_nr - COALESCE({c}_pr, 1)))
+           END AS {c}_interp"""
+
+
+_MISS4 = """(CASE WHEN confirmed IS NULL THEN 1 ELSE 0 END
+           + CASE WHEN active IS NULL THEN 1 ELSE 0 END
+           + CASE WHEN deaths IS NULL THEN 1 ELSE 0 END
+           + CASE WHEN recovered IS NULL THEN 1 ELSE 0 END)"""
+
+_IMP1 = """
+    SELECT country_region, date,
+           CASE WHEN miss = 1 AND confirmed IS NULL
+                THEN active + deaths + recovered ELSE confirmed END AS confirmed,
+           CASE WHEN miss = 1 AND active IS NULL
+                THEN confirmed - deaths - recovered ELSE active END AS active,
+           CASE WHEN miss = 1 AND deaths IS NULL
+                THEN confirmed - active - recovered ELSE deaths END AS deaths,
+           CASE WHEN miss = 1 AND recovered IS NULL
+                THEN confirmed - active - deaths ELSE recovered END AS recovered
+"""
+
+#: Full 9-stage process_country_complete twin over the same synthetic
+#: dirty frame — every stage mirrors clean_complete() expression for
+#: expression, so the driver's hash compare covers the reference's
+#: hardest pipeline end to end (not just rows).
+_WRANGLE_SQL = f"""
+WITH day AS (
+    SELECT user_id % 7 AS country_id, CAST(ts AS DATE) AS date,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS base,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+),
+raw AS (
+    SELECT 'C' || country_id AS country_region, date,
+           ROUND(base, 0) + n AS c_raw,
+           ROUND(base / 10.0, 0) AS d_raw,
+           ROUND(base / 3.0, 0) AS r_raw,
+           EXTRACT(DAY FROM date) AS dom
+    FROM day
+),
+dirty AS (
+    SELECT country_region, date,
+           CASE WHEN dom % 11 = 3 THEN NULL ELSE c_raw END AS confirmed,
+           CASE WHEN dom % 5 = 2 OR dom % 11 = 3 THEN NULL
+                ELSE c_raw - d_raw - r_raw END AS active,
+           CASE WHEN dom % 3 = 1 OR dom <= 2 THEN NULL ELSE d_raw END AS deaths,
+           CASE WHEN dom % 4 = 1 OR dom <= 2 THEN NULL ELSE r_raw END AS recovered
+    FROM raw
+),
+dedup AS (
+    SELECT country_region, date,
+           MAX(confirmed) AS confirmed, MAX(active) AS active,
+           MAX(deaths) AS deaths, MAX(recovered) AS recovered
+    FROM dirty GROUP BY 1, 2
+),
+trimmed AS (
+    SELECT country_region, date, confirmed, active, deaths, recovered FROM (
+        SELECT d.*,
+               MIN(CASE WHEN confirmed IS NOT NULL OR active IS NOT NULL
+                         OR deaths IS NOT NULL OR recovered IS NOT NULL
+                        THEN date END)
+                   OVER (PARTITION BY country_region) AS first_valid
+        FROM dedup d
+    ) WHERE first_valid IS NOT NULL AND date >= first_valid
+),
+special AS (
+    SELECT country_region, date, confirmed, active,
+           CASE WHEN confirmed = active AND deaths IS NULL AND recovered IS NULL
+                THEN 0 ELSE deaths END AS deaths,
+           CASE WHEN confirmed = active AND deaths IS NULL AND recovered IS NULL
+                THEN 0 ELSE recovered END AS recovered
+    FROM trimmed
+),
+imp1 AS (
+    {_IMP1}
+    FROM (SELECT *, {_MISS4} AS miss FROM special)
+),
+rn AS (
+    SELECT *, ROW_NUMBER() OVER ({_WC}) AS _rn FROM imp1
+),
+neighbors AS (
+    SELECT *,
+           {_interp_sql('confirmed')},
+           {_interp_sql('deaths')},
+           {_interp_sql('recovered')}
+    FROM rn
+),
+interp AS (
+    SELECT country_region, date, confirmed, active, deaths, recovered,
+           {_filled_sql('confirmed')},
+           {_filled_sql('deaths')},
+           {_filled_sql('recovered')}
+    FROM neighbors
+),
+two_plus AS (
+    SELECT country_region, date, active,
+           CASE WHEN tp AND confirmed IS NULL THEN confirmed_interp ELSE confirmed END AS confirmed,
+           CASE WHEN tp AND deaths IS NULL THEN deaths_interp ELSE deaths END AS deaths,
+           CASE WHEN tp AND recovered IS NULL THEN recovered_interp ELSE recovered END AS recovered
+    FROM (SELECT *,
+                 (CASE WHEN confirmed IS NULL THEN 1 ELSE 0 END
+                + CASE WHEN deaths IS NULL THEN 1 ELSE 0 END
+                + CASE WHEN recovered IS NULL THEN 1 ELSE 0 END) >= 2 AS tp
+          FROM interp)
+),
+imp2 AS (
+    {_IMP1}
+    FROM (SELECT *, {_MISS4} AS miss FROM two_plus)
+),
+act AS (
+    SELECT country_region, date, confirmed,
+           CASE WHEN active IS NULL THEN confirmed - deaths - recovered
+                ELSE active END AS active,
+           deaths, recovered
+    FROM imp2
+)
+SELECT country_region, date,
+       CAST(confirmed AS DOUBLE) AS confirmed,
+       CAST(active AS DOUBLE) AS active,
+       CAST(deaths AS DOUBLE) AS deaths,
+       CAST(recovered AS DOUBLE) AS recovered
+FROM act
+WHERE confirmed IS NOT NULL AND active IS NOT NULL
+  AND deaths IS NOT NULL AND recovered IS NOT NULL
+"""
+
 ORACLES = {
+    "wrangle_clean_complete": _WRANGLE_SQL,
     "w6_interpolate": f"""
         WITH g AS (
             SELECT user_id, event_id, ts,

@@ -113,7 +113,6 @@ SURVEY_MAP = {
 # python-side decode, and the non-SQL simulation transfer (the driver
 # records the weaker check; the judge sees which).
 ROWS_ONLY = {
-    "wrangle_clean_complete",  # golden-tested vs the reference model instead
     "x2_sird_transfer",
     "dedup_minhash_lsh",
     "dedup_simhash",
