@@ -268,7 +268,64 @@ _DAILY_SQL = """
     )
 """
 
+#: X2 twin: the same param-estimation expressions as the Spark side
+#: (cumulative decimal window, lag diffs, eps-guarded ratios), then the
+#: Euler recursion consuming params positionally via a join on step t.
+_X2_SQL = f"""
+    WITH RECURSIVE daily AS (
+        SELECT user_id % 7 AS country, CAST(ts AS DATE) AS day,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS val
+        FROM events GROUP BY 1, 2
+    ),
+    a0 AS (
+        SELECT day,
+               CAST(SUM(CAST(val AS DECIMAL(18,6))) OVER (
+                   ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS i
+        FROM daily WHERE country = 0
+    ),
+    a1 AS (
+        SELECT day, i,
+               (i / 10.0) - LAG(i / 10.0) OVER (ORDER BY day) AS dd,
+               (i / 3.0) - LAG(i / 3.0) OVER (ORDER BY day) AS dr,
+               i - LAG(i) OVER (ORDER BY day) AS di
+        FROM a0
+    ),
+    param AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY day) - 1 AS t,
+               dd / GREATEST(i, 0.00001) AS mu_t,
+               (0.1 * i - dr) / GREATEST(dr, 0.00001) AS alpha_t,
+               (di / GREATEST(i, 1.0) + (dd / GREATEST(i, 0.00001)) + 0.1)
+                   / GREATEST(10000000.0 - i, 0.00001) AS beta_t
+        FROM a1 WHERE dd IS NOT NULL
+    ),
+    spine AS (
+        SELECT val, ROW_NUMBER() OVER (ORDER BY day) - 1 AS t
+        FROM daily WHERE country = 1
+    ),
+    lims AS (
+        SELECT CAST(LEAST((SELECT COUNT(*) FROM param),
+                          (SELECT COUNT(*) FROM spine) - 1) AS INTEGER) AS n_steps
+    ),
+    rec AS (
+        SELECT 0 AS t,
+               10000000.0 - (SELECT val FROM spine WHERE t = 0) AS s,
+               (SELECT val FROM spine WHERE t = 0) AS i,
+               CAST(0.0 AS DOUBLE) AS r, CAST(0.0 AS DOUBLE) AS d
+        UNION ALL
+        SELECT rec.t + 1,
+               s + (p.alpha_t * r - p.beta_t * s * i / 10000000.0),
+               i + (p.beta_t * s * i / 10000000.0 - (p.mu_t + 0.1) * i),
+               r + (0.1 * i - p.alpha_t * r),
+               d + (p.mu_t * i)
+        FROM rec JOIN param p ON p.t = rec.t CROSS JOIN lims
+        WHERE rec.t < lims.n_steps
+    )
+    SELECT CAST(1 AS BIGINT) AS country, t, s, i, r, d FROM rec
+"""
+
 ORACLES = {
+    "x2_sird_transfer": _X2_SQL,
     "x1_sird_sim": f"""
         WITH RECURSIVE {_DAILY_SQL}
         SELECT country, t, s, i, r, d FROM rec
