@@ -49,6 +49,25 @@ def test_date_range_pushed(spark):
     assert any("LessThanOrEqual(o_orderdate" in p for p in pf)
 
 
+def test_q6_all_three_predicates_pushed(spark):
+    (pf,) = pushed_filters(q(spark, "q6_forecast_revenue"))
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pf, (frag, pf)
+    (schema,) = read_schemas(q(spark, "q6_forecast_revenue"))
+    assert schema.count(":") == 4  # scan decodes only the 4 needed cols
+
+
+def test_session_scale_configs(spark):
+    # The engine contract configs (regression guard): AQE + its skew
+    # and coalesce features on, non-ANSI nulls, UTC determinism.
+    conf = spark.conf
+    assert conf.get("spark.sql.adaptive.enabled") == "true"
+    assert conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
+    assert conf.get("spark.sql.ansi.enabled") == "false"
+    assert conf.get("spark.sql.session.timeZone") == "UTC"
+
+
 def test_broadcast_join_no_fact_shuffle(spark):
     df = q(spark, "j1_broadcast_lookup")
     assert broadcast_join_count(df) == 2
