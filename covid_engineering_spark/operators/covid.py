@@ -82,6 +82,103 @@ def r0_trajectory(
 
 
 TRANSFER_SCHEMA = "t int, date date, s double, i double, r double, d double"
+PAIRS_SCHEMA = (
+    "param_country string, sim_country string, "
+    "t int, date date, s double, i double, r double, d double"
+)
+
+
+def transfer_simulation_pairs(
+    cleaned: DataFrame,
+    population: DataFrame,
+    pairs: DataFrame,
+    gamma: float = GAMMA,
+) -> DataFrame:
+    """All (param_country → sim_country) transfer simulations in ONE
+    job: ``pairs`` is a (param_country, sim_country) frame — up to the
+    full countries×countries cross — and each pair becomes one group
+    of a single grouped-map kernel, so a 1000-executor cluster
+    integrates every pair concurrently. Semantics per pair are
+    identical to :func:`transfer_simulation` (verified in tests).
+
+    Shape: per-country params are estimated once (one window pass),
+    joined to the pairs dimension on the param side; actual series
+    join on the sim side with the sim population attached; the union
+    shuffles once on the pair key.
+    """
+    import pandas as pd
+
+    from covid_engineering_spark.operators.simulation import euler_sird
+
+    w = Window.partitionBy("country_region").orderBy("date")
+    params = (
+        estimate_params(cleaned, population, gamma)
+        .select(
+            F.col("country_region").alias("param_country"),
+            (F.row_number().over(w) - 1).alias("t"),
+            "alpha_t",
+            "beta_t",
+            "mu_t",
+        )
+        .join(F.broadcast(pairs), "param_country")
+        .withColumn("kind", F.lit("param"))
+    )
+    actual = (
+        cleaned.select(
+            F.col("country_region").alias("sim_country"),
+            "date",
+            "active",
+            "recovered",
+            "deaths",
+        )
+        .join(F.broadcast(pairs), "sim_country")
+        .join(
+            F.broadcast(
+                population.select(
+                    F.col("country_region").alias("sim_country"),
+                    F.col("population").alias("n_pop"),
+                )
+            ),
+            "sim_country",
+        )
+        .withColumn("kind", F.lit("actual"))
+    )
+    tagged = params.unionByName(actual, allowMissingColumns=True)
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        param_c, sim_c = key
+        p = pdf[pdf["kind"] == "param"].sort_values("t")
+        a = pdf[pdf["kind"] == "actual"].sort_values("date").reset_index(drop=True)
+        if not len(a) or not len(p):
+            return pd.DataFrame(
+                columns=["param_country", "sim_country", "t", "date", "s", "i", "r", "d"]
+            )
+        n_pop = float(a["n_pop"].iloc[0])
+        n_steps = int(min(len(p), len(a) - 1))
+        a = a.iloc[-(n_steps + 1) :].reset_index(drop=True)
+        init = a.iloc[0]
+        rows = euler_sird(
+            float(init["active"]),
+            float(init["recovered"]),
+            float(init["deaths"]),
+            n_pop,
+            n_steps,
+            list(p["alpha_t"].iloc[:n_steps]),
+            list(p["beta_t"].iloc[:n_steps]),
+            list(p["mu_t"].iloc[:n_steps]),
+            gamma,
+        )
+        return pd.DataFrame(
+            [
+                (param_c, sim_c, t, a["date"].iloc[t], s, i, r, d)
+                for (t, s, i, r, d) in rows
+            ],
+            columns=["param_country", "sim_country", "t", "date", "s", "i", "r", "d"],
+        )
+
+    return tagged.groupBy("param_country", "sim_country").applyInPandas(
+        kernel, PAIRS_SCHEMA
+    )
 
 
 def transfer_simulation(
