@@ -81,6 +81,41 @@ def r0_trajectory(
     )
 
 
+def country_fractions(
+    day_wise: DataFrame,
+    population: DataFrame,
+    start_date: str,
+    end_date: str,
+) -> DataFrame:
+    """plot_totals_for_country's data pipeline (main.py:248-267),
+    generalized: date-range filter on the daily global series, running
+    totals of active/deaths/recovered *within the filtered window*
+    (the reference cumsums after slicing — semantics preserved), and
+    per-country fractions via a broadcast population join instead of a
+    scalar lookup. One row per (country, date); the reference's
+    one-country figure is a filter away.
+    """
+    filtered = day_wise.filter(F.col("date").between(start_date, end_date))
+    w = Window.orderBy("date").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    totals = filtered.select(
+        "date",
+        *[
+            F.sum(F.col(c).cast("decimal(18,6)")).over(w).cast("double").alias(f"{c}_total")
+            for c in ("active", "deaths", "recovered")
+        ],
+    )
+    return totals.crossJoin(
+        F.broadcast(population.select("country_region", "population"))
+    ).select(
+        "country_region",
+        "date",
+        *[
+            (F.col(f"{c}_total") / F.col("population")).alias(f"{c}_fraction")
+            for c in ("active", "deaths", "recovered")
+        ],
+    )
+
+
 TRANSFER_SCHEMA = "t int, date date, s double, i double, r double, d double"
 PAIRS_SCHEMA = (
     "param_country string, sim_country string, "

@@ -9,6 +9,8 @@ import os
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from covid_engineering_spark import schemas
 from covid_engineering_spark.operators.covid import EPS, GAMMA, estimate_params
 from covid_engineering_spark.operators.wrangling import clean_complete
@@ -133,6 +135,37 @@ def test_transfer_simulation_matches_golden(spark):
             for a, b in zip(gvals, wvals):
                 assert a is None or not math.isfinite(a) or math.isfinite(b) is False or a == b, (t, a, b)
     assert n_finite >= 10  # a real finite prefix exists before blowup
+
+
+def test_country_fractions_on_real_day_wise(spark):
+    """plot_totals_for_country data pipeline on the real day_wise.csv:
+    fractions equal the hand-computed cumulative / population, cumsum
+    anchored INSIDE the date window exactly like the reference.
+    """
+    from covid_engineering_spark.operators.covid import country_fractions
+
+    dw = read_covid_csv(
+        spark, f"{REF}/day_wise.csv", schemas.DAY_WISE, schemas.DAY_WISE_RENAMES
+    )
+    pop = spark.createDataFrame(
+        [("Netherlands", N_NL)], "country_region string, population double"
+    )
+    out = {
+        str(r.date): (r.active_fraction, r.deaths_fraction, r.recovered_fraction)
+        for r in country_fractions(dw, pop, "2020-03-01", "2020-03-31").collect()
+    }
+    rows = sorted(
+        (str(r.date), r.active, r.deaths, r.recovered)
+        for r in dw.filter(F.col("date").between("2020-03-01", "2020-03-31")).collect()
+    )
+    assert len(out) == len(rows) == 31
+    ca = cd = cr = 0
+    for d, a, dth, rec in rows:
+        ca, cd, cr = ca + a, cd + dth, cr + rec
+        fa, fd, fr = out[d]
+        assert abs(fa - ca / N_NL) < 1e-12
+        assert abs(fd - cd / N_NL) < 1e-12
+        assert abs(fr - cr / N_NL) < 1e-12
 
 
 def test_pairs_kernel_matches_single_pair(spark):
