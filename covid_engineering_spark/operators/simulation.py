@@ -21,8 +21,6 @@ both engines execute the identical IEEE expression tree step by step.
 
 from __future__ import annotations
 
-from typing import Iterable
-
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession

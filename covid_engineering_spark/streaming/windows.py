@@ -14,8 +14,6 @@ limit. ``withWatermark`` before the aggregation is the contract.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
