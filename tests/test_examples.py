@@ -1,0 +1,27 @@
+"""The quickstart example must keep running end to end — examples rot
+unless executed."""
+
+import os
+import runpy
+import sys
+
+import pytest
+
+REF = "/root/reference/complete.csv"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REF), reason="reference snapshot not mounted"
+)
+
+
+def test_quickstart_runs(spark, tmp_path, capsys):
+    sys.modules.pop("examples.quickstart", None)
+    mod = runpy.run_path(
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "examples", "quickstart.py"),
+        run_name="quickstart",
+    )
+    mod["main"](REF, str(tmp_path / "out"))
+    out = capsys.readouterr().out
+    assert "cleaned rows: 26373 across 187 countries" in out
+    assert "partition-pruned Netherlands read: 152 rows" in out
+    assert "transfer simulation" in out
