@@ -21,7 +21,7 @@ The first row per country (null diffs) is dropped, mirroring
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 GAMMA = 1 / 4.5  # main.py:546
@@ -295,3 +295,259 @@ def transfer_simulation(
         .groupBy("_pair")
         .applyInPandas(kernel, TRANSFER_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-checkable registry entries. The real-data forms of these
+# composites run in pytest against the reference CSVs
+# (tests/test_covid_estimators.py); the entries below run the SAME
+# engine code paths over the synthetic dirty frame built from the
+# driver's star schema, so the verification driver can hash-compare
+# them against full SQL twins (M3/M4 estimator: main.py:536-556; the
+# transfer simulation: main.py:629-726).
+# ---------------------------------------------------------------------------
+
+
+def synthetic_population(spark: SparkSession) -> DataFrame:
+    """Deterministic population dimension for the 7 synthetic countries
+    of wrangling._synthetic_complete (C0..C6): 1M, 2M, ... 7M."""
+    rows = [(f"C{i}", 1000000.0 * (i + 1)) for i in range(7)]
+    return spark.createDataFrame(
+        rows, "country_region string, population double"
+    )
+
+
+def q_covid_param_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3+M4 on the cleaned synthetic frame: the full cleaning pipeline
+    feeds estimate_params, so the driver's hash covers wrangle →
+    broadcast population join → per-country window diffs → eps-guarded
+    estimator expressions end to end.
+    """
+    from covid_engineering_spark.operators.wrangling import (
+        _synthetic_complete,
+        clean_complete,
+    )
+
+    cleaned = clean_complete(_synthetic_complete(spark, sf_dir))
+    return estimate_params(cleaned, synthetic_population(spark))
+
+
+#: Transfer-sim window: first K dates per country. The synthetic daily
+#: series is not cumulative, so over a long horizon the eps-guarded
+#: estimators hit ΔR <= 0 days and Euler overflows to ±inf (the
+#: reference documents exactly this blow-up mode, README.md:134); a
+#: cumulative rebase + short horizon keeps every step finite in BOTH
+#: engines so the driver's value hash is meaningful.
+TRANSFER_WINDOW = 10
+
+
+def _cumulative_series(cleaned: DataFrame, k: int = TRANSFER_WINDOW) -> DataFrame:
+    """First-k-dates cumulative rebase of a cleaned frame: per-country
+    decimal running sums of each compartment (order-independent, exact)
+    — the monotone shape of the reference's real cumulative counts.
+    """
+    w = Window.partitionBy("country_region").orderBy("date")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lim = (
+        cleaned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    return lim.select(
+        "country_region",
+        "date",
+        *[
+            F.sum(F.col(c).cast("decimal(28,6)")).over(wc).cast("double").alias(c)
+            for c in ("confirmed", "active", "deaths", "recovered")
+        ],
+    )
+
+
+def q_covid_transfer_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 on the real data model (transfer_simulation_pairs): two
+    (param → sim) country pairs integrated in one grouped-map job over
+    the cleaned-then-cumulated synthetic frame. The oracle replays the
+    identical param estimation and Euler recurrence as a recursive CTE.
+    """
+    from covid_engineering_spark.operators.wrangling import (
+        _synthetic_complete,
+        clean_complete,
+    )
+
+    series = _cumulative_series(
+        clean_complete(_synthetic_complete(spark, sf_dir))
+    )
+    pairs = spark.createDataFrame(
+        [("C0", "C1"), ("C2", "C3")],
+        "param_country string, sim_country string",
+    )
+    return transfer_simulation_pairs(
+        series, synthetic_population(spark), pairs
+    )
+
+
+def _oracle_sql() -> dict[str, str]:
+    """SQL twins, built lazily so the wrangling module's cleaned-frame
+    CTE is reused verbatim (any drift in the cleaning oracle would
+    desynchronize these too — single source of truth)."""
+    from covid_engineering_spark.operators.wrangling import _WRANGLE_SQL
+
+    # estimate_params mirrored expression for expression. GAMMA is the
+    # Python double 1/4.5 == SQL (1.0/4.5); EPS 1e-5 == 0.00001.
+    head_cte = f"""
+    cleaned AS ({_WRANGLE_SQL}),
+    pop AS (
+        SELECT 'C' || i AS country_region, 1000000.0 * (i + 1) AS population
+        FROM range(7) t(i)
+    )"""
+
+    def est_cte(src: str) -> str:
+        return f"""
+    jp AS (
+        SELECT c.country_region, c.date, c.confirmed, c.active,
+               c.deaths, c.recovered, p.population
+        FROM {src} c JOIN pop p USING (country_region)
+    ),
+    dif AS (
+        SELECT *,
+               confirmed - LAG(confirmed) OVER w AS confirmed_change,
+               active - LAG(active) OVER w AS active_change,
+               deaths - LAG(deaths) OVER w AS deaths_change,
+               recovered - LAG(recovered) OVER w AS recovered_change
+        FROM jp WINDOW w AS (PARTITION BY country_region ORDER BY date)
+    ),
+    est AS (
+        SELECT country_region, date,
+               population - (active + recovered + deaths) AS s_t,
+               deaths_change / GREATEST(active, 0.00001) AS mu_t,
+               ((1.0/4.5) * active - recovered_change)
+                   / GREATEST(recovered_change, 0.00001) AS alpha_t,
+               (active_change / GREATEST(active, 1.0)
+                + deaths_change / GREATEST(active, 0.00001)
+                + (1.0/4.5))
+               / GREATEST(population - (active + recovered + deaths), 0.00001)
+                   AS beta_t
+        FROM dif WHERE deaths_change IS NOT NULL
+    )"""
+
+    param_series = f"""
+        WITH {head_cte},
+        {est_cte('cleaned')}
+        SELECT country_region, date, s_t, mu_t, alpha_t, beta_t,
+               beta_t / (1.0/4.5) AS r0_t
+        FROM est
+    """
+
+    # The transfer sim reads the cumulative rebase (_cumulative_series):
+    # first TRANSFER_WINDOW dates per country, decimal running sums.
+    cum_cte = f"""
+        lim AS (
+            SELECT country_region, date, confirmed, active, deaths, recovered
+            FROM (
+                SELECT c.*, ROW_NUMBER() OVER (PARTITION BY country_region
+                                               ORDER BY date) AS _rn
+                FROM cleaned c
+            ) WHERE _rn <= {TRANSFER_WINDOW}
+        ),
+        cum AS (
+            SELECT country_region, date,
+                   CAST(SUM(CAST(confirmed AS DECIMAL(28,6))) OVER wcum AS DOUBLE) AS confirmed,
+                   CAST(SUM(CAST(active AS DECIMAL(28,6))) OVER wcum AS DOUBLE) AS active,
+                   CAST(SUM(CAST(deaths AS DECIMAL(28,6))) OVER wcum AS DOUBLE) AS deaths,
+                   CAST(SUM(CAST(recovered AS DECIMAL(28,6))) OVER wcum AS DOUBLE) AS recovered
+            FROM lim
+            WINDOW wcum AS (PARTITION BY country_region ORDER BY date
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )"""
+
+    # transfer_simulation_pairs: params consumed positionally from the
+    # start of the param series; actual series tail-sliced to
+    # n_steps+1 rows (the W5 slice, main.py:649-652); Euler update
+    # term-for-term identical to euler_sird.
+    transfer = f"""
+        WITH RECURSIVE {head_cte},
+        {cum_cte},
+        {est_cte('cum')},
+        pairs AS (
+            SELECT 'C0' AS param_country, 'C1' AS sim_country
+            UNION ALL
+            SELECT 'C2', 'C3'
+        ),
+        params AS (
+            SELECT country_region AS param_country,
+                   ROW_NUMBER() OVER (PARTITION BY country_region
+                                      ORDER BY date) - 1 AS t,
+                   alpha_t, beta_t, mu_t
+            FROM est
+        ),
+        pparams AS (
+            SELECT pr.param_country, pr.sim_country,
+                   p.t, p.alpha_t, p.beta_t, p.mu_t
+            FROM pairs pr JOIN params p USING (param_country)
+        ),
+        actual AS (
+            SELECT pr.param_country, pr.sim_country, c.date,
+                   c.active, c.recovered, c.deaths, pp.population AS n_pop,
+                   ROW_NUMBER() OVER (PARTITION BY pr.param_country, pr.sim_country
+                                      ORDER BY c.date) - 1 AS rn,
+                   COUNT(*) OVER (PARTITION BY pr.param_country, pr.sim_country)
+                       AS n_a
+            FROM pairs pr
+            JOIN cum c ON c.country_region = pr.sim_country
+            JOIN pop pp ON pp.country_region = pr.sim_country
+        ),
+        pcount AS (
+            SELECT param_country, COUNT(*) AS n_p FROM params GROUP BY 1
+        ),
+        lims AS (
+            SELECT a.param_country, a.sim_country, a.n_a,
+                   CAST(LEAST(pc.n_p, a.n_a - 1) AS INTEGER) AS n_steps
+            FROM (SELECT DISTINCT param_country, sim_country, n_a FROM actual) a
+            JOIN pcount pc USING (param_country)
+        ),
+        init AS (
+            SELECT a.param_country, a.sim_country,
+                   a.active AS i0, a.recovered AS r0, a.deaths AS d0,
+                   a.n_pop, l.n_steps,
+                   l.n_a - (l.n_steps + 1) AS off
+            FROM actual a
+            JOIN lims l USING (param_country, sim_country)
+            WHERE a.rn = l.n_a - (l.n_steps + 1)
+        ),
+        rec AS (
+            SELECT param_country, sim_country, 0 AS t,
+                   n_pop - i0 - r0 - d0 AS s, i0 AS i, r0 AS r, d0 AS d,
+                   n_pop, n_steps, off
+            FROM init
+            UNION ALL
+            SELECT rec.param_country, rec.sim_country, rec.t + 1,
+                   s + (p.alpha_t * r - p.beta_t * s * i / n_pop),
+                   i + (p.beta_t * s * i / n_pop - (p.mu_t + (1.0/4.5)) * i),
+                   r + ((1.0/4.5) * i - p.alpha_t * r),
+                   d + (p.mu_t * i),
+                   n_pop, n_steps, off
+            FROM rec
+            JOIN pparams p ON p.param_country = rec.param_country
+                          AND p.sim_country = rec.sim_country
+                          AND p.t = rec.t
+            WHERE rec.t < rec.n_steps
+        )
+        SELECT r.param_country, r.sim_country, CAST(r.t AS INTEGER) AS t,
+               a.date, r.s, r.i, r.r, r.d
+        FROM rec r
+        JOIN actual a ON a.param_country = r.param_country
+                     AND a.sim_country = r.sim_country
+                     AND a.rn = r.off + r.t
+    """
+    return {
+        "covid_param_series": param_series,
+        "covid_transfer_sim": transfer,
+    }
+
+
+QUERIES = {
+    "covid_param_series": q_covid_param_series,
+    "covid_transfer_sim": q_covid_transfer_sim,
+}
+
+ORACLES = _oracle_sql()

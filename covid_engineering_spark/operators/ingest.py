@@ -1,0 +1,140 @@
+"""Driver-checkable ingest queries (SURVEY.md §2.1 S1–S5): each runs a
+real source/sink path end to end *inside* the star-schema world so the
+verification driver can hash-compare it against a plain DuckDB select.
+
+The reference's ingest surface is eager pandas — ``pd.read_csv`` with
+inference (main.py:18,239,450) and whole-DB SQLite slurps
+(main.py:223-235). Here each path round-trips driver parquet through
+the engine's actual readers/writers:
+
+* S1/S4 — parquet → CSV sink (header, ``NA`` nulls) → schema-declared
+  CSV scan with ``to_date`` (coerce-to-null) semantics;
+* S2/S3 — parquet → SQLite tables → catalog enumeration →
+  whole-table ingest back to parquet → Spark scan;
+* S5 — partitioned parquet sink → partition-discovering scan.
+
+Values survive every hop bit-for-bit (dates as ISO days, doubles via
+Java's shortest-roundtrip formatting), so the oracle is just the
+identity select on the source table — any coercion bug breaks the
+driver's value hash.
+
+The staging directory is a fresh ``tempfile.mkdtemp`` per call: these
+are ingest operators, so the write half is executed eagerly by design
+(one-shot migration semantics, like ``sqlite_to_parquet``).
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from covid_engineering_spark import schemas
+from covid_engineering_spark.sources import (
+    read_covid_csv,
+    read_table,
+    sqlite_to_parquet,
+    write_partitioned,
+)
+
+_S1_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType(), True),
+        T.StructField("o_custkey", T.LongType(), True),
+        T.StructField("o_orderstatus", T.StringType(), True),
+        T.StructField("o_totalprice", T.DoubleType(), True),
+        T.StructField("o_orderdate", T.DateType(), True),
+    ]
+)
+
+
+def q_s1_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S4 — schema-declared CSV scan with the reference's null/date
+    semantics (main.py:18,239-241): orders is staged as CSV with
+    ``nullValue='NA'`` and an ISO date column, then re-read through
+    ``read_covid_csv`` (declared StructType, ``to_date`` coercion — no
+    inference pass, the 100 TB-safe contract).
+    """
+    out = os.path.join(tempfile.mkdtemp(prefix="ces_s1_"), "orders_csv")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.to_date("o_orderdate").alias("o_orderdate"),
+    )
+    (
+        orders.write.mode("overwrite")
+        .option("header", True)
+        .option("nullValue", "NA")
+        .csv(out)
+    )
+    return read_covid_csv(spark, out, _S1_SCHEMA)
+
+
+def q_s2_sqlite_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S3 — SQLite catalog enumeration + whole-table ingest
+    (main.py:223-235): nation and region are loaded into a scratch
+    SQLite DB, ``sqlite_to_parquet`` enumerates ``sqlite_master`` and
+    converts every table, and the resulting parquet is scanned with the
+    declared schema. The driver hash checks that SQLite's type-affinity
+    round trip loses nothing.
+    """
+    import pandas as pd
+
+    tmp = tempfile.mkdtemp(prefix="ces_s2_")
+    db = os.path.join(tmp, "star.db")
+    with sqlite3.connect(db) as conn:
+        for name in ("nation", "region"):
+            pdf = pd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"))
+            pdf.to_sql(name, conn, index=False)
+    paths = sqlite_to_parquet(db, os.path.join(tmp, "pq"))
+    fields = schemas.STAR["nation"].fields
+    return spark.read.parquet(paths["nation"]).select(
+        [F.col(f.name).cast(f.dataType).alias(f.name) for f in fields]
+    )
+
+
+def q_s5_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 — partitioned parquet sink + partition-discovering scan:
+    customer written hive-partitioned by market segment (the layout
+    that turns the reference's hottest filter, P2 per-key equality,
+    into partition pruning at 100 TB), then read back whole. Partition
+    values live in directory names, so the cast back to string is
+    explicit.
+    """
+    out = os.path.join(tempfile.mkdtemp(prefix="ces_s5_"), "customer_pq")
+    cust = read_table(spark, sf_dir, "customer")
+    write_partitioned(cust, out, "c_mktsegment")
+    back = spark.read.parquet(out)
+    return back.select(
+        "c_custkey",
+        "c_name",
+        F.col("c_nationkey").cast("int").alias("c_nationkey"),
+        "c_acctbal",
+        F.col("c_mktsegment").cast("string").alias("c_mktsegment"),
+    )
+
+
+QUERIES = {
+    "s1_csv_scan": q_s1_csv_scan,
+    "s2_sqlite_ingest": q_s2_sqlite_ingest,
+    "s5_sink_partitioned": q_s5_sink_partitioned,
+}
+
+ORACLES = {
+    "s1_csv_scan": """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               CAST(o_orderdate AS DATE) AS o_orderdate
+        FROM orders
+    """,
+    "s2_sqlite_ingest": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "s5_sink_partitioned": """
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        FROM customer
+    """,
+}

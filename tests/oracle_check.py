@@ -40,6 +40,8 @@ def _canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
+        if math.isinf(v):
+            return f"f:{v!r}"
         if v == int(v) and abs(v) < 1e15:
             return f"f:{int(v)}"
         return f"f:{v!r}"

@@ -9,12 +9,14 @@ from covid_engineering_spark.queries import oracles, registry
 # SURVEY §2 ID -> queries() key. None = exercised outside the query
 # registry (ingest paths have dedicated tests instead of driver queries).
 SURVEY_MAP = {
-    # §2.1 scans/sources/sinks
-    "S1": None,  # CSV scan w/ schema: tests/test_reference_data.py
-    "S2": None,  # catalog enumeration: tests/test_sqlite_ingest.py
-    "S3": None,  # whole-table SQLite load: tests/test_sqlite_ingest.py
-    "S4": None,  # encoding + date coercion: tests/test_csv_coercion.py
-    "S5": None,  # parquet sink: exercised by streaming/stateful tests
+    # §2.1 scans/sources/sinks — driver-checkable round-trips (the
+    # reference-CSV/SQLite forms also run in tests/test_reference_data,
+    # test_sqlite_ingest, test_csv_coercion).
+    "S1": "s1_csv_scan",
+    "S2": "s2_sqlite_ingest",
+    "S3": "s2_sqlite_ingest",  # catalog enumeration + whole-table load
+    "S4": "s1_csv_scan",  # NA-null + date coercion in the same scan
+    "S5": "s5_sink_partitioned",
     # §2.2 projections/filters
     "P1": "p1_project",
     "P2": "p2_filter_eq",
@@ -102,6 +104,9 @@ SURVEY_MAP = {
     "STR-TUMBLE": "stream_tumble",
     "STR-SLIDE": "stream_slide",
     "STR-SESSION": "stream_session",
+    # real-data covid composites, fixture-backed registry forms
+    "COVID-PARAMS": "covid_param_series",
+    "COVID-TRANSFER": "covid_transfer_sim",
     # flagship composites (§7.2)
     "Q1": "q1_pricing_summary",
     "Q3": "q3_top_orders",
