@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -78,9 +79,14 @@ def main() -> None:
         pass
 
     # Methodology: one untimed warmup execution per query (JVM codegen,
-    # classloading, Python-worker launch), then one timed execution —
-    # steady-state throughput is what a resident cluster delivers.
-    timings: dict[str, float] = {}
+    # classloading, Python-worker launch), then the MEDIAN of n timed
+    # executions (default 3, $SPARK_GRAFT_BENCH_RUNS) — steady-state
+    # throughput with single-run jitter squeezed out; min/max spread is
+    # reported per query so an unstable timing is visible, not hidden.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    timings: dict[str, float | None] = {}
+    spread: dict[str, list[float]] = {}
+    failed: list[str] = []
     total = 0.0
     for name in HEADLINE:
         fn = reg.get(name)
@@ -88,22 +94,36 @@ def main() -> None:
             continue
         try:
             _materialize(fn(spark, sf_dir))  # warmup
-            t0 = time.perf_counter()
-            _materialize(fn(spark, sf_dir))
-            dt = time.perf_counter() - t0
-        except Exception as exc:  # keep the bench line parseable on failure
-            dt = float("nan")
+            samples = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                _materialize(fn(spark, sf_dir))
+                samples.append(time.perf_counter() - t0)
+            med = statistics.median(samples)
+            timings[name] = round(med, 3)
+            spread[name] = [round(min(samples), 3), round(max(samples), 3)]
+            total += med
+        except Exception as exc:
+            # Failed queries record null and stay OUT of the total so
+            # the emitted line remains strict JSON (json.dumps would
+            # happily print a bare NaN, which is not JSON).
+            timings[name] = None
+            failed.append(name)
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
-        timings[name] = round(dt, 3)
-        total += dt
 
     out = {
         "metric": "headline_query_wall_time",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
+        "failed": failed,
+        "runs": runs,
         "sf": sf,
-        "methodology": "steady-state: 1 warmup + 1 timed run per query, noop sink",
+        "methodology": (
+            "steady-state: 1 warmup + median of "
+            f"{runs} timed runs per query, noop sink; failures excluded from total"
+        ),
     }
     print(json.dumps(out))
     spark.stop()

@@ -86,6 +86,7 @@ def country_fractions(
     population: DataFrame,
     start_date: str,
     end_date: str,
+    series_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """plot_totals_for_country's data pipeline (main.py:248-267),
     generalized: date-range filter on the daily global series, running
@@ -94,19 +95,39 @@ def country_fractions(
     per-country fractions via a broadcast population join instead of a
     scalar lookup. One row per (country, date); the reference's
     one-country figure is a filter away.
+
+    ``series_cols`` is the cumsum partition key. The reference's
+    day_wise is ONE global series, so the default (empty) runs a
+    single-partition window — semantically forced there, but a scale
+    trap for any multi-series caller: pass the series key (e.g.
+    ``("country_region",)`` for a per-country frame) and every series
+    cumsums in parallel instead of funnelling through one task
+    (asserted in tests/test_plans.py).
     """
     filtered = day_wise.filter(F.col("date").between(start_date, end_date))
-    w = Window.orderBy("date").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = (
+        Window.partitionBy(*series_cols).orderBy("date")
+        if series_cols
+        else Window.orderBy("date")
+    )
+    w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     totals = filtered.select(
+        *series_cols,
         "date",
         *[
             F.sum(F.col(c).cast("decimal(18,6)")).over(w).cast("double").alias(f"{c}_total")
             for c in ("active", "deaths", "recovered")
         ],
     )
-    return totals.crossJoin(
-        F.broadcast(population.select("country_region", "population"))
-    ).select(
+    pop = F.broadcast(population.select("country_region", "population"))
+    # Global series → every country's fraction of the same totals
+    # (cross with the tiny dim); per-country series → equi-join.
+    joined = (
+        totals.join(pop, "country_region")
+        if "country_region" in series_cols
+        else totals.crossJoin(pop)
+    )
+    return joined.select(
         "country_region",
         "date",
         *[
@@ -236,17 +257,24 @@ def transfer_simulation(
 
     Executed as ONE grouped-map kernel over the union of the tagged
     param and actual series — the sequential-in-time Euler loop runs
-    executor-side; nothing is collected to the driver. With many
-    (param, sim) pairs the same kernel parallelizes per pair key.
+    executor-side; nothing is collected to the driver (the sim
+    population rides along as a broadcast-joined column instead of an
+    eager scalar lookup, so building the query plans no job). With
+    many (param, sim) pairs the same kernel parallelizes per pair key.
+
+    A missing or empty country on either side yields an EMPTY result
+    frame (mirroring transfer_simulation_pairs' guard) rather than an
+    executor-side IndexError.
     """
+    import pandas as pd
+
     from covid_engineering_spark.operators.simulation import euler_sird
 
-    n_sim = float(
-        population.filter(F.col("country_region") == sim_country)
-        .select("population")
-        .head()[0]
-    )
-    w = Window.orderBy("date")
+    # Partitioned by country even though one country is selected: the
+    # generalized path must not plan a single-partition exchange
+    # (tests/test_plans.py); with the equality filter the partition
+    # key is constant and the plan stays hash-partitioned.
+    w = Window.partitionBy("country_region").orderBy("date")
     params = (
         estimate_params(
             cleaned.filter(F.col("country_region") == param_country), population, gamma
@@ -262,15 +290,23 @@ def transfer_simulation(
     actual = (
         cleaned.filter(F.col("country_region") == sim_country)
         .select("date", "active", "recovered", "deaths")
+        .join(
+            F.broadcast(
+                population.filter(F.col("country_region") == sim_country).select(
+                    F.col("population").alias("n_pop")
+                )
+            )
+        )
         .withColumn("kind", F.lit("actual"))
     )
     tagged = params.unionByName(actual, allowMissingColumns=True)
 
-    import pandas as pd
-
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         p = pdf[pdf["kind"] == "param"].sort_values("t")
         a = pdf[pdf["kind"] == "actual"].sort_values("date").reset_index(drop=True)
+        if not len(a) or not len(p):
+            return pd.DataFrame(columns=["t", "date", "s", "i", "r", "d"])
+        n_pop = float(a["n_pop"].iloc[0])
         n_steps = int(min(len(p), len(a) - 1))
         a = a.iloc[-(n_steps + 1) :].reset_index(drop=True)
         init = a.iloc[0]
@@ -278,7 +314,7 @@ def transfer_simulation(
             float(init["active"]),
             float(init["recovered"]),
             float(init["deaths"]),
-            n_sim,
+            n_pop,
             n_steps,
             list(p["alpha_t"].iloc[:n_steps]),
             list(p["beta_t"].iloc[:n_steps]),

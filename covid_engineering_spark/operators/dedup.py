@@ -8,10 +8,12 @@ Scale design notes (the point of each implementation):
 * exact: one hash-groupBy — partial aggregation means the shuffle
   carries one row per distinct hash, not per document.
 * n-gram Jaccard: the exact quadratic-ish path — explode distinct
-  shingles, self-join on shingle, count. Correct at any scale but the
-  join fans out on frequent shingles; it is the *verification* oracle
-  for the sketch-based paths below, and the production guard is to
-  drop ultra-frequent shingles (stop-shingles) before the join.
+  shingles, self-join on shingle, count. The stop-shingle guard
+  (``max_df``) drops shingles shared by more than τ documents before
+  the self-join, bounding every shingle's fan-out to τ² pair rows —
+  without it one boilerplate shingle shared by k docs emits k² join
+  rows and the job dies at scale. The unguarded form (max_df=None)
+  remains available as the verification oracle for the sketch paths.
 * MinHash+LSH: the linear-ish scale path — constant-size signature per
   doc (k seeded xxhash64 mins), banded into buckets; only same-bucket
   pairs are candidates, then exact Jaccard verifies. Tune (k, bands)
@@ -32,6 +34,10 @@ from pyspark.sql import functions as F
 from covid_engineering_spark.sources import read_table
 
 JACCARD_THRESHOLD = 0.5
+#: Stop-shingle doc-frequency cap for the exact n-gram path: a shingle
+#: in more than this many documents is boilerplate, not signal, and
+#: would fan the self-join out quadratically.
+NGRAM_MAX_DF = 50
 SIMHASH_BITS = 32
 SIMHASH_MAX_HAMMING = 3
 COSINE_THRESHOLD = 0.95
@@ -68,13 +74,34 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    max_df: int | None = NGRAM_MAX_DF,
+) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs (similarity >= τ).
     Shingle self-join: each shared shingle contributes one pair-row,
     aggregated into the intersection size; union size from per-doc
     distinct counts via the inclusion-exclusion identity.
+
+    ``max_df`` is the stop-shingle guard: shingles with document
+    frequency above it are removed from the shingle universe (both the
+    intersection AND the per-doc sizes, so Jaccard stays a true ratio
+    over the kept set). Each surviving shingle then contributes at most
+    max_df² pair rows — the worst-case join output is bounded by
+    |distinct shingles|·τ², linear-ish in corpus size, instead of the
+    unguarded Σ df² which one viral shingle turns quadratic.
+    ``max_df=None`` disables the guard (sketch-verification use only).
     """
     sh = shingles_of(docs)
+    if max_df is not None:
+        keep = (
+            sh.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("s")
+        )
+        sh = sh.join(keep, "s")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -297,14 +324,19 @@ QUERIES = {
     "dedup_embedding": q_dedup_embedding,
 }
 
-_SHINGLES_SQL = """
+_SHINGLES_SQL = f"""
     ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    sh AS (
+    sh_all AS (
         SELECT DISTINCT doc_id,
                unnest(list_transform(generate_series(1, len(w) - 2),
                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
         FROM ws
     ),
+    keep AS (
+        SELECT s FROM (SELECT s, COUNT(*) AS df FROM sh_all GROUP BY s)
+        WHERE df <= {NGRAM_MAX_DF}
+    ),
+    sh AS (SELECT sh_all.doc_id, sh_all.s FROM sh_all JOIN keep USING (s)),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
 """
 

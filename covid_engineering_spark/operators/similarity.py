@@ -137,21 +137,37 @@ N_CENTROIDS = 16
 N_PROBE = 8
 
 
+#: Deterministic hash-sample modulus for codebook training: 1/4 of the
+#: corpus trains the codebook — plenty for K=16 centroids, and at
+#: 100 TB the same filter is how you'd bound the training set (k-means
+#:  needs a representative sample, not the corpus).
+_TRAIN_SAMPLE_MOD = 4
+
+
 def _centroids(emb: DataFrame) -> DataFrame:
-    """Deterministic IVF codebook: every (n // K)-th vector by id is a
-    centroid. A production build would run k-means (pyspark.ml) over a
-    sample; seeding by stride keeps the layout reproducible for the
-    differential tests while exercising the identical query plan.
+    """Learned IVF codebook: k-means (pyspark.ml, k-means|| init,
+    fixed seed) over a deterministic hash-sample of the corpus.
+
+    Training is the one legitimately eager step of an IVF index — the
+    codebook IS a fitted model; the query plan built on top of it
+    stays lazy. The sample filter is a pure column predicate
+    (xxhash64 % mod), so the training scan prunes to the embedding
+    column and needs no prior count or max (the round-1 stride
+    codebook pulled max(vec_id) eagerly AND never learned the space).
     """
-    ids = emb.select(F.col("vec_id")).agg(F.max("vec_id").alias("mx"))
-    stride = ids.head()[0] // N_CENTROIDS + 1
-    return (
-        emb.filter(F.col("vec_id") % stride == 0)
-        .select(
-            (F.col("vec_id") / stride).cast("int").alias("c_id"),
-            F.col("embedding").alias("c_emb"),
-        )
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sample = emb.filter(
+        F.xxhash64("vec_id") % _TRAIN_SAMPLE_MOD == 0
+    ).select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
     )
+    model = KMeans(k=N_CENTROIDS, seed=42, maxIter=10).fit(sample)
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return emb.sparkSession.createDataFrame(rows, "c_id int, c_emb array<double>")
 
 
 def _assign(vectors: DataFrame, cent: DataFrame, id_col: str, emb_col: str, n: int) -> DataFrame:
@@ -180,7 +196,13 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall is probabilistic; measured against brute force in tests.)
     """
     emb = read_table(spark, sf_dir, "embeddings")
-    cent = _centroids(emb)
+    return ivf_topk(emb, _centroids(emb))
+
+
+def ivf_topk(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """The IVF probe/score pipeline over an explicit codebook — split
+    out so tests can measure recall of alternative codebooks (learned
+    k-means vs naive stride) through the identical query plan."""
     corpus = _assign(
         emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb")),
         cent,

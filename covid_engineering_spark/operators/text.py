@@ -19,6 +19,15 @@ from covid_engineering_spark.sources import read_table
 EN_STOP = ("the", "a", "of", "and", "to", "in", "is")
 DE_STOP = ("der", "die", "das", "und", "ist", "ein")
 FR_STOP = ("le", "la", "les", "et", "est", "un")
+#: Character-n-gram frequency markers per language: stopword voting
+#: alone is trivially fooled by stopword-free text (or text quoting
+#: another language's function words); characteristic character
+#: sequences still fire. Weights: one stopword hit counts as
+#: LANGID_STOP_WEIGHT marker occurrences.
+EN_MARKERS = ("th", "ing", "tion")
+DE_MARKERS = ("sch", "ich", "ein")
+FR_MARKERS = ("eau", "aux", "oux")
+LANGID_STOP_WEIGHT = 3
 FP_MOD = 1000000007
 FP_BASE = 31
 
@@ -78,18 +87,40 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("quality_score", score)
 
 
+def _occurrences(col, sub: str):
+    """Occurrences of ``sub`` in ``col`` as a pure JVM expression:
+    (len(text) - len(text with sub removed)) / len(sub). Exact integer
+    result carried as double (both engines divide to double)."""
+    return (
+        F.length(col) - F.length(F.replace(col, F.lit(sub), F.lit("")))
+    ) / F.lit(len(sub))
+
+
+def _lang_score(ws, text_col, stop: tuple[str, ...], markers: tuple[str, ...]):
+    score = _count_in(ws, stop).cast("double") * F.lit(
+        float(LANGID_STOP_WEIGHT)
+    )
+    for m in markers:
+        score = score + _occurrences(text_col, m)
+    return score
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language ID by stopword-marker voting (n-gram-heuristic class):
-    count hits from three marker sets, argmax with a fixed tie order
-    (en > de > fr).
+    """Language ID by combined stopword + character-n-gram profile
+    scoring, argmax with a fixed tie order (en > de > fr).
+
+    Two signal families per language: whole-token stopword hits
+    (strong, weight 3) and characteristic character-sequence
+    occurrence counts (weight 1) — the latter keep classifying text
+    that contains no function words at all, where pure stopword voting
+    degenerates to the tie order.
     """
     docs = read_table(spark, sf_dir, "documents")
     ws = F.split(F.col("text"), " ")
-    en, de, fr = (
-        _count_in(ws, EN_STOP),
-        _count_in(ws, DE_STOP),
-        _count_in(ws, FR_STOP),
-    )
+    t = F.col("text")
+    en = _lang_score(ws, t, EN_STOP, EN_MARKERS)
+    de = _lang_score(ws, t, DE_STOP, DE_MARKERS)
+    fr = _lang_score(ws, t, FR_STOP, FR_MARKERS)
     lang = (
         F.when((en >= de) & (en >= fr), "en")
         .when(de >= fr, "de")
@@ -97,9 +128,9 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id",
-        en.alias("en_hits"),
-        de.alias("de_hits"),
-        fr.alias("fr_hits"),
+        en.alias("en_score"),
+        de.alias("de_score"),
+        fr.alias("fr_score"),
         lang.alias("lang_pred"),
     )
 
@@ -193,6 +224,18 @@ def _sql_count_in(words: tuple[str, ...]) -> str:
     return f"len(list_filter(string_split(text, ' '), w -> w IN ({lst})))"
 
 
+def _sql_occ(sub: str) -> str:
+    return f"(length(text) - length(replace(text, '{sub}', ''))) / {len(sub)}"
+
+
+def _sql_score(stop: tuple[str, ...], markers: tuple[str, ...]) -> str:
+    occ = " + ".join(_sql_occ(m) for m in markers)
+    return (
+        f"(CAST({_sql_count_in(stop)} AS DOUBLE)"
+        f" * {float(LANGID_STOP_WEIGHT)} + {occ})"
+    )
+
+
 ORACLES = {
     "text_tfidf": """
         WITH terms AS (
@@ -238,12 +281,12 @@ ORACLES = {
     """,
     "text_langid": f"""
         SELECT doc_id,
-               CAST({_sql_count_in(EN_STOP)} AS INTEGER) AS en_hits,
-               CAST({_sql_count_in(DE_STOP)} AS INTEGER) AS de_hits,
-               CAST({_sql_count_in(FR_STOP)} AS INTEGER) AS fr_hits,
-               CASE WHEN {_sql_count_in(EN_STOP)} >= {_sql_count_in(DE_STOP)}
-                     AND {_sql_count_in(EN_STOP)} >= {_sql_count_in(FR_STOP)} THEN 'en'
-                    WHEN {_sql_count_in(DE_STOP)} >= {_sql_count_in(FR_STOP)} THEN 'de'
+               {_sql_score(EN_STOP, EN_MARKERS)} AS en_score,
+               {_sql_score(DE_STOP, DE_MARKERS)} AS de_score,
+               {_sql_score(FR_STOP, FR_MARKERS)} AS fr_score,
+               CASE WHEN {_sql_score(EN_STOP, EN_MARKERS)} >= {_sql_score(DE_STOP, DE_MARKERS)}
+                     AND {_sql_score(EN_STOP, EN_MARKERS)} >= {_sql_score(FR_STOP, FR_MARKERS)} THEN 'en'
+                    WHEN {_sql_score(DE_STOP, DE_MARKERS)} >= {_sql_score(FR_STOP, FR_MARKERS)} THEN 'de'
                     ELSE 'fr' END AS lang_pred
         FROM documents
     """,

@@ -203,16 +203,21 @@ def clean_complete(
         F.col("_first_valid").isNotNull() & (F.col("date") >= F.col("_first_valid"))
     ).drop("_first_valid")
 
-    # 4: special-case zero fill.
+    # 4: special-case zero fill. One withColumns so both rewrites see
+    # the INPUT columns: a chained withColumn would re-resolve
+    # ``special`` lazily after deaths is filled (deaths.isNull() then
+    # false) and silently skip the recovered fill — the same
+    # lazily-resolved-predicate trap stage 7 guards against.
     special = (
         (F.col("confirmed") == F.col("active"))
         & F.col("deaths").isNull()
         & F.col("recovered").isNull()
     )
-    df = df.withColumn(
-        "deaths", F.when(special, F.lit(0)).otherwise(F.col("deaths"))
-    ).withColumn(
-        "recovered", F.when(special, F.lit(0)).otherwise(F.col("recovered"))
+    df = df.withColumns(
+        {
+            "deaths": F.when(special, F.lit(0)).otherwise(F.col("deaths")),
+            "recovered": F.when(special, F.lit(0)).otherwise(F.col("recovered")),
+        }
     )
 
     # 5: exactly-one-missing invariant fill.

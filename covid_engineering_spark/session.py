@@ -38,6 +38,17 @@ _DEFAULTS: dict[str, str] = {
     # Don't let tiny local test files fragment into 32 near-empty tasks,
     # but keep the default 128m split size for real data.
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # RocksDB state store for stateful streaming: state spills to local
+    # disk instead of living on the executor heap, so watermark-bounded
+    # session/window state survives key cardinalities the default
+    # HDFS-backed in-memory provider OOMs on. With a watermark, state
+    # size is bounded by (keys active inside the watermark horizon) ×
+    # (row size) — RocksDB makes the bound a disk number, not a heap
+    # number. Applied only to engine-owned sessions (a foreign
+    # driver's session keeps its own provider; semantics identical).
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
     # Local-mode quality of life; harmless on a cluster.
     "spark.ui.showConsoleProgress": "false",
 }

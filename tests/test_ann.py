@@ -57,3 +57,26 @@ def test_ivf_probes_bound_the_scan(spark):
     out = q_ann_ivf_topk(spark, SF_SMOKE)
     assert out.count() <= N_QUERIES * TOP_K
     assert N_PROBE < N_CENTROIDS
+
+
+def test_kmeans_codebook_beats_or_matches_stride(spark, brute_force):
+    # The learned codebook must not lose to the round-1 naive baseline
+    # (every (n//K)-th vector) at the SAME probe budget.
+    from pyspark.sql import functions as F
+
+    from covid_engineering_spark.operators.similarity import (
+        N_CENTROIDS,
+        _centroids,
+        ivf_topk,
+    )
+    from covid_engineering_spark.sources import read_table
+
+    emb = read_table(spark, SF_SMOKE, "embeddings").cache()
+    stride = emb.agg(F.max("vec_id")).head()[0] // N_CENTROIDS + 1
+    stride_cent = emb.filter(F.col("vec_id") % stride == 0).select(
+        (F.col("vec_id") / stride).cast("int").alias("c_id"),
+        F.col("embedding").cast("array<double>").alias("c_emb"),
+    )
+    learned = _check(ivf_topk(emb, _centroids(emb)).collect(), brute_force, 0.0)
+    baseline = _check(ivf_topk(emb, stride_cent).collect(), brute_force, 0.0)
+    assert learned >= baseline, (learned, baseline)

@@ -239,3 +239,22 @@ def test_estimators_match_golden_on_real_netherlands(spark):
         for i, k in enumerate(("mu_t", "alpha_t", "beta_t", "r0_t")):
             assert math.isfinite(m[i])
             assert abs(m[i] - g[k]) <= 1e-9 * max(1.0, abs(g[k])), (g["date"], k)
+
+
+def test_transfer_simulation_missing_country_returns_empty(spark):
+    # ADVICE guard: an absent country must yield an empty frame, not a
+    # driver TypeError (head() on nothing) or an executor IndexError.
+    from covid_engineering_spark.operators.covid import (
+        synthetic_population,
+        transfer_simulation,
+    )
+    from covid_engineering_spark.operators.wrangling import (
+        _synthetic_complete,
+        clean_complete,
+    )
+    from tests.conftest import SF_SMOKE
+
+    cleaned = clean_complete(_synthetic_complete(spark, SF_SMOKE))
+    pop = synthetic_population(spark)
+    assert transfer_simulation(cleaned, pop, "Nowhere", "C1").count() == 0
+    assert transfer_simulation(cleaned, pop, "C0", "Nowhere").count() == 0

@@ -32,7 +32,13 @@ def docs(spark):
 
 
 def test_minhash_lsh_precision_and_recall(spark, docs):
-    exact = {(r.d1, r.d2): r.jaccard for r in ngram_jaccard_pairs(docs).collect()}
+    # max_df=None: the sketch is verified against the UNGUARDED exact
+    # path (the stop-shingle guard is a production fan-out bound, not
+    # part of the similarity definition).
+    exact = {
+        (r.d1, r.d2): r.jaccard
+        for r in ngram_jaccard_pairs(docs, max_df=None).collect()
+    }
     lsh = {(r.d1, r.d2): r.jaccard for r in minhash_lsh_pairs(docs).collect()}
     assert exact, "fixture data must contain near-duplicates"
     # precision 1.0: every emitted pair is exact-verified >= tau, with
@@ -86,3 +92,61 @@ def test_simhash_equals_bruteforce_hamming(spark, docs):
             if ham <= SIMHASH_MAX_HAMMING:
                 want[(d1, d2)] = ham
     assert out == want
+
+
+def _candidate_pairs(sh):
+    """Distinct (d1, d2) pairs sharing >= 1 shingle — the join fan-out
+    the stop-shingle guard exists to bound."""
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+
+
+def test_stop_shingle_guard_bounds_candidates_and_keeps_real_dups(spark):
+    """A pathological corpus: one boilerplate shingle shared by ALL
+    docs (think license headers) plus two genuine near-dup pairs. The
+    guard must collapse the quadratic candidate set while the real
+    dups — whose overlap is their own content, df=2 — survive with
+    jaccard >= tau.
+    """
+    from covid_engineering_spark.operators.dedup import shingles_of
+
+    boiler = "all rights reserved worldwide"  # 2 shingles, df = n_docs
+    n = 40
+    rows = [(i, f"{boiler} unique{i} alpha{i} beta{i} gamma{i} delta{i}") for i in range(n)]
+    # two true near-dup pairs: long shared tail, tiny difference
+    shared1 = "red orange yellow green blue indigo violet ultraviolet"
+    shared2 = "one two three four five six seven eight nine ten"
+    rows += [(100, f"{shared1} x"), (101, f"{shared1} y")]
+    rows += [(200, f"{shared2} p"), (201, f"{shared2} q")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh_all = shingles_of(docs)
+    guarded_sh = sh_all.join(
+        sh_all.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= 10).select("s"),
+        "s",
+    )
+    unguarded = _candidate_pairs(sh_all).count()
+    guarded = _candidate_pairs(guarded_sh).count()
+    # boilerplate alone creates ~n^2/2 candidates; the guard removes them
+    assert unguarded >= (n * (n - 1)) // 2
+    assert guarded < 3 * n  # linear-ish: only genuine-overlap pairs remain
+
+    out = {
+        (r.d1, r.d2): r.jaccard
+        for r in ngram_jaccard_pairs(docs, max_df=10).collect()
+    }
+    assert (100, 101) in out and (200, 201) in out
+    # pair recall vs the unguarded path on the NON-boilerplate dups
+    full = {
+        (r.d1, r.d2)
+        for r in ngram_jaccard_pairs(docs, max_df=None).collect()
+    }
+    assert {(100, 101), (200, 201)} <= full

@@ -161,3 +161,46 @@ def test_audit_bundle_smoke(spark, name):
     a = audit(q(spark, name))
     assert a["read_schemas"], a
     assert not a["cartesian"]
+
+
+def test_country_fractions_generalized_path_is_partition_parallel(spark):
+    # The generalized entry points must not funnel a multi-series
+    # frame through one task: with series_cols set, the cumsum window
+    # plans hashpartitioning, never an Exchange SinglePartition.
+    from covid_engineering_spark.operators.covid import (
+        country_fractions,
+        synthetic_population,
+    )
+    from covid_engineering_spark.operators.wrangling import _synthetic_complete
+    from covid_engineering_spark.plans import simple_plan
+
+    df = _synthetic_complete(spark, SF_SMOKE)
+    pop = synthetic_population(spark)
+    plan = simple_plan(
+        country_fractions(
+            df, pop, "2024-01-01", "2024-12-31", series_cols=("country_region",)
+        )
+    )
+    assert "SinglePartition" not in plan, plan
+    # The reference's global day_wise IS one series — the default path
+    # keeps the (semantically forced) single-partition window.
+    global_plan = simple_plan(
+        country_fractions(df.drop("country_region"), pop, "2024-01-01", "2024-12-31")
+    )
+    assert "SinglePartition" in global_plan
+
+
+def test_transfer_simulation_plans_no_single_partition_window(spark):
+    from covid_engineering_spark.operators.covid import (
+        synthetic_population,
+        transfer_simulation,
+    )
+    from covid_engineering_spark.operators.wrangling import (
+        _synthetic_complete,
+        clean_complete,
+    )
+    from covid_engineering_spark.plans import simple_plan
+
+    cleaned = clean_complete(_synthetic_complete(spark, SF_SMOKE))
+    df = transfer_simulation(cleaned, synthetic_population(spark), "C0", "C1")
+    assert "SinglePartition" not in simple_plan(df)

@@ -68,3 +68,30 @@ def test_stateful_totals_accumulate_across_batches(spark, source_dir):
         gn, gtv = got[uid]
         assert gn == n, (uid, gn, n)
         assert abs(gtv - tv) < 0.05, (uid, gtv, tv)  # float fold-order slack
+
+
+def test_state_store_is_rocksdb(spark, source_dir):
+    # The engine session defaults to the RocksDB provider (session.py):
+    # watermark-bounded state becomes a disk bound, not a heap bound.
+    # Confirm the provider is really in effect by its progress metrics.
+    assert "RocksDBStateStoreProvider" in spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass"
+    )
+    stream = (
+        spark.readStream.schema(schemas.STAR["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("user_totals_rocksdb")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    ops = [p for p in q.recentProgress if p.get("stateOperators")]
+    assert ops, "no stateful operator progress recorded"
+    metrics = ops[-1]["stateOperators"][0].get("customMetrics", {})
+    assert any(k.startswith("rocksdb") for k in metrics), metrics
