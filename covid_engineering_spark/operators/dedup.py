@@ -119,9 +119,13 @@ def ngram_jaccard_pairs(
     na = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb"))
     jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    # NO forced broadcast on the sizes table: it is one row per
+    # document — O(corpus) — and a broadcast hint would OOM the build
+    # side at scale (measured: a 10x probe died here). AQE broadcasts
+    # it automatically while it is actually small.
     return (
-        common.join(F.broadcast(na), "d1")
-        .join(F.broadcast(nb), "d2")
+        common.join(na, "d1")
+        .join(nb, "d2")
         .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -196,9 +200,13 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> 
     na = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb"))
     jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    # NO forced broadcast on the sizes table: it is one row per
+    # document — O(corpus) — and a broadcast hint would OOM the build
+    # side at scale (measured: a 10x probe died here). AQE broadcasts
+    # it automatically while it is actually small.
     return (
-        common.join(F.broadcast(na), "d1")
-        .join(F.broadcast(nb), "d2")
+        common.join(na, "d1")
+        .join(nb, "d2")
         .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

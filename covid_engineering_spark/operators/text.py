@@ -193,7 +193,11 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = docs.agg(F.count("*").cast("double").alias("n_docs"))
     idf = F.round(F.log(F.col("n_docs") / F.col("df")), 8)
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        # df_ is one row per distinct TERM — vocabulary-sized, which at
+        # corpus scale is far past broadcast range; no forced hint, AQE
+        # broadcasts it while it is actually small. The 1-row n frame
+        # stays an explicit broadcast.
+        tf.join(df_, "term")
         .join(F.broadcast(n))
         .select(
             "doc_id",

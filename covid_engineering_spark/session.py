@@ -51,6 +51,12 @@ _DEFAULTS: dict[str, str] = {
     ),
     # Local-mode quality of life; harmless on a cluster.
     "spark.ui.showConsoleProgress": "false",
+    # Builder-only (static) config: local-mode driver hosts every
+    # executor thread plus all broadcast builds, so the 1g default is
+    # the first thing to fall over in a scale probe. Ignored when a
+    # cluster submit sets its own; configure_existing skips it
+    # (runtime-immutable).
+    "spark.driver.memory": "8g",
 }
 
 

@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Scale probe: measure the two heaviest pipelines at 1x and 10x of
+sf0.1 (~6M events / ~100k documents at 10x — the sf1-equivalent the
+driver does not generate) and report the scaling exponent.
+
+The 10x corpus is a key-shifted blowup, NOT a verbatim copy:
+
+* events: each replica offsets user_id (new countries/users) and
+  event_id — 10x the KEYS, the realistic 100 TB shape, so per-key
+  window partitions stay bounded and parallelism grows with data.
+* documents: each replica offsets doc_id and glues a replica suffix
+  onto every word — token count, word order, and frequency
+  distribution are preserved exactly, in-replica near-dup structure
+  is untouched, and across replicas the shingle sets are disjoint.
+  (A verbatim copy — or a doc-level suffix tweak, measured exponent
+  1.49 — keeps cross-replica docs near-dups, so every dup cluster
+  grows 10x and the probe measures duplication growth ~quadratic in
+  cluster size, not the engine. An interleaved separator token was
+  no better: it creates one-content-word shingles whose document
+  frequency tracks common words, inflating cross-doc similarity.)
+  The 1x baseline gets the SAME transformation (one replica), so the
+  transform cost cancels out of the ratio.
+
+Prints one JSON line: per-pipeline seconds at 1x and 10x plus the
+log10 scaling exponent (1.0 = perfectly linear).
+
+Run: python scripts/scale_probe.py   (writes scratch data under /tmp)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPLICAS = int(os.environ.get("SPARK_GRAFT_PROBE_X", "10"))
+
+
+def _blowup(spark, out_dir: str, replicas: int) -> None:
+    from covid_engineering_spark.sources import read_table
+
+    ev = read_table(spark, BASE, "events")  # normalizes the nanos ts
+    docs = read_table(spark, BASE, "documents")
+    ev_n = None
+    doc_n = None
+    for i in range(replicas):
+        e = ev.select(
+            (F.col("event_id") + F.lit(i * 10**12)).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.lit(i * 10**7)).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        # 'w' -> 'wr{i}': every word (hence every shingle) becomes
+        # replica-unique without changing token count or distribution.
+        d = docs.select(
+            (F.col("doc_id") + F.lit(i * 10**9)).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda w: F.concat(w, F.lit(f"r{i}")),
+                ),
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        ev_n = e if ev_n is None else ev_n.unionByName(e)
+        doc_n = d if doc_n is None else doc_n.unionByName(d)
+    ev_n.write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
+    doc_n.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+
+
+def _time(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    from covid_engineering_spark.operators.dedup import minhash_lsh_pairs
+    from covid_engineering_spark.operators.wrangling import (
+        _synthetic_complete,
+        clean_complete,
+    )
+    from covid_engineering_spark.session import get_spark
+    from covid_engineering_spark.sources import read_table
+
+    # 256 initial shuffle partitions: sized for the 10x run (AQE
+    # coalesces them back down at 1x) — exactly the knob a real
+    # cluster scales with data volume.
+    spark = get_spark(app_name="scale-probe", shuffle_partitions=256)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    small = tempfile.mkdtemp(prefix="ces_probe1_")
+    big = tempfile.mkdtemp(prefix="ces_probeN_")
+    _blowup(spark, small, 1)
+    _blowup(spark, big, REPLICAS)
+
+    def wrangle(sf_dir):
+        clean_complete(_synthetic_complete(spark, sf_dir)).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+    def minhash(sf_dir):
+        minhash_lsh_pairs(read_table(spark, sf_dir, "documents")).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+    out: dict = {"metric": "scale_probe", "x": REPLICAS, "base": BASE}
+    for name, fn in (("wrangle_clean_complete", wrangle), ("dedup_minhash_lsh", minhash)):
+        fn(small)  # warmup at 1x
+        t1 = _time(lambda: fn(small))
+        fn(big)  # warmup at 10x
+        t10 = _time(lambda: fn(big))
+        out[name] = {
+            "t_1x_sec": round(t1, 2),
+            f"t_{REPLICAS}x_sec": round(t10, 2),
+            "exponent": round(math.log(t10 / t1) / math.log(REPLICAS), 3),
+        }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
