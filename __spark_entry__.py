@@ -33,7 +33,9 @@ def entry(spark: SparkSession) -> DataFrame:
     revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer scales with SF: broadcast is the size-based
+        # planner's decision, not a pinned hint.
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
             F.round(F.sum(revenue.cast("decimal(28,6)")).cast("double"), 2).alias(

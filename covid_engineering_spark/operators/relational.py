@@ -282,8 +282,10 @@ def q_a9_mse(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = read_table(spark, sf_dir, "part")
     err = (F.col("l_extendedprice") / F.col("l_quantity")) - F.col("p_retailprice")
     sq = (err * err).cast("decimal(28,6)")
+    # part scales with SF (unlike nation/region) — no forced broadcast;
+    # the size-based planner/AQE broadcasts it while it actually fits.
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(F.sum(sq).cast("double") / F.count("*"), 4).alias("mse")
         )
@@ -748,9 +750,11 @@ def q_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
     revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    # The filtered customer side is still O(SF) rows — broadcast is the
+    # planner's call (size-based / AQE), not a pinned hint.
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.round(F.sum(revenue.cast("decimal(28,6)")).cast("double"), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), "l_orderkey")
@@ -795,9 +799,11 @@ def q_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
     li = read_table(spark, sf_dir, "lineitem")
     revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    # nation/region are fixed-cardinality (25/5 rows at every SF) —
+    # always broadcast. customer scales with SF — planner's call.
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")

@@ -112,3 +112,36 @@ def test_streaming_plan_is_stateful(spark, source_dir):
     sdf = stream_events(spark, source_dir)
     assert sdf.isStreaming
     assert "watermark" in sdf.explain.__self__._jdf.queryExecution().analyzed().toString().lower()
+
+
+def test_stream_dedup_drops_redelivered_rows(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: the same file landed twice (an
+    at-least-once redelivery) must come out once per event_id, and the
+    second micro-batch's duplicates must be dropped against the FIRST
+    batch's state — cross-batch dedup, not per-batch distinct."""
+    import pyspark.sql.functions as F
+
+    from covid_engineering_spark.sources import read_table
+    from covid_engineering_spark.streaming.dedup import stream_dedup
+    from tests.conftest import SF_SMOKE
+
+    src = str(tmp_path / "dup_events")
+    ev = read_table(spark, SF_SMOKE, "events").filter(F.col("event_id") < 500)
+    ev.coalesce(1).write.mode("append").parquet(src)
+    ev.coalesce(1).write.mode("append").parquet(src)  # redelivery
+
+    q = (
+        stream_dedup(spark, src, reader_options={"maxFilesPerTrigger": "1"})
+        .writeStream.format("memory")
+        .queryName("deduped_events")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 2
+
+    got = spark.sql("SELECT event_id FROM deduped_events").collect()
+    want = ev.select("event_id").distinct().count()
+    assert len(got) == want
+    assert len({r.event_id for r in got}) == want
