@@ -43,14 +43,14 @@ SIMHASH_MAX_HAMMING = 3
 COSINE_THRESHOLD = 0.95
 
 
-def shingles_of(docs: DataFrame) -> DataFrame:
-    """Distinct word-3-gram shingles per document."""
+def shingles_of(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word-n-gram shingles per document (default 3)."""
     ws = F.split(F.col("text"), " ")
     grams = F.when(
-        F.size(ws) >= 3,
+        F.size(ws) >= n,
         F.transform(
-            F.sequence(F.lit(0), F.size(ws) - 3),
-            lambda i: F.concat_ws(" ", F.slice(ws, i + 1, 3)),
+            F.sequence(F.lit(0), F.size(ws) - n),
+            lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
         ),
     ).otherwise(F.array())
     return docs.select(

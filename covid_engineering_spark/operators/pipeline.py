@@ -1,0 +1,281 @@
+"""Training-data pipeline tier (beyond-reference extension): the
+corpus-management operations a 100 TB pretraining pipeline runs after
+dedup/quality — deterministic splits, per-source quotas, benchmark
+decontamination, and duplicate-cluster resolution.
+
+Scale design notes:
+
+* split: bucket on the LEXICOGRAPHIC prefix of md5(doc_id). No RNG, no
+  state — the same document lands in the same split on every engine,
+  every rerun, any partitioning, which is the property a train/eval
+  firewall actually needs (``sample()``/``randomSplit`` are
+  partition-order dependent and silently reshuffle membership on a
+  repartition). Pure codegen expressions; the scan is the only cost.
+* quota: per-source cap is one ranked window — the shuffle is on
+  ``source``, and a skewed mega-source bounds at O(its rows log rows)
+  locally. For top-k << group size, Spark's WindowGroupLimit pushes
+  the rank filter below the sort at scale.
+* decontamination: the eval-suite side of the join is tiny and fixed
+  in a real pipeline (a benchmark corpus does not grow with the
+  crawl), so the n-gram join is effectively map-side; here the eval
+  set is carved from ``documents`` (so the oracle can see it) and the
+  hint is left to AQE per the no-O(corpus)-broadcast-hints rule.
+* clusters: connected components by iterative min-label propagation
+  (the Pregel/GraphX formulation): each round is one join + one
+  partial-aggregated groupBy, and the round count is the component
+  DIAMETER — near-dup clusters are dense and shallow (a cluster of k
+  rewrites of one page has diameter ~2), so this converges in a
+  handful of rounds where a driver-side union-find would need the
+  whole edge list on one machine. ``localCheckpoint`` truncates the
+  lineage each round so the plan does not grow with iterations.
+
+Reference parity: the reference app has no corpus tier — these extend
+it per SURVEY.md §2 (LLM-data-pipeline mandate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from covid_engineering_spark.operators.dedup import (
+    JACCARD_THRESHOLD,
+    NGRAM_MAX_DF,
+    ngram_jaccard_pairs,
+    shingles_of,
+)
+from covid_engineering_spark.sources import read_table
+
+#: Split boundaries on the first two hex chars of md5(doc_id):
+#: 0x00-0xcb train (204/256 ~ 79.7%), 0xcc-0xe5 val (26/256 ~ 10.2%),
+#: 0xe6-0xff test (26/256 ~ 10.2%). String comparison on lowercase hex
+#: is byte-identical across Spark and the SQL oracle.
+SPLIT_TRAIN_UPPER = "cc"
+SPLIT_VAL_UPPER = "e6"
+QUOTA_PER_SOURCE = 10
+#: Word-n-gram size for benchmark decontamination. 4 is small enough
+#: to catch paraphrased leakage on short synthetic docs; real
+#: pipelines use 8-13 on full pages.
+DECON_NGRAM = 4
+#: Synthetic "benchmark suite": every 13th document stands in for the
+#: eval corpus so the check is self-contained and oracle-visible.
+DECON_EVAL_MOD = 13
+CC_MAX_ROUNDS = 20
+
+
+def split_assign(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Assign each row a deterministic train/val/test split from the
+    md5 of its key — content-stable, partition-independent.
+    """
+    h2 = F.substring(F.md5(F.col(key).cast("string")), 1, 2)
+    return docs.withColumn(
+        "split",
+        F.when(h2 < SPLIT_TRAIN_UPPER, F.lit("train"))
+        .when(h2 < SPLIT_VAL_UPPER, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def q_pipe_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return split_assign(read_table(spark, sf_dir, "documents")).select(
+        "doc_id", "split"
+    )
+
+
+def quota_per_group(
+    df: DataFrame,
+    group: str,
+    order,
+    n: int = QUOTA_PER_SOURCE,
+) -> DataFrame:
+    """Keep at most ``n`` rows per ``group``, best-first by ``order``
+    (a list of Column sort keys; make the last a unique tiebreak so
+    the kept set is deterministic).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group).orderBy(*order)
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= n)
+    )
+
+
+def q_pipe_quota_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source balancing: keep the 10 longest documents per source
+    (tie-broken by doc_id so the kept set is reproducible).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    return quota_per_group(
+        docs,
+        "source",
+        [F.col("n_chars").desc(), F.col("doc_id")],
+    ).select("doc_id", "source", "n_chars", "rk")
+
+
+def decontaminate(
+    corpus_shingles: DataFrame, eval_shingles: DataFrame
+) -> DataFrame:
+    """Count per-document n-gram overlap with an eval suite. Input
+    frames are (doc_id, s) shingle tables; output is one row per
+    contaminated corpus document with its shared-n-gram count.
+    """
+    ev = eval_shingles.select("s").distinct()
+    return (
+        corpus_shingles.join(ev, "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+def q_pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    sh = shingles_of(docs, DECON_NGRAM)
+    is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
+    return decontaminate(sh.filter(~is_eval), sh.filter(is_eval))
+
+
+def connected_components(
+    pairs: DataFrame, max_rounds: int = CC_MAX_ROUNDS
+) -> DataFrame:
+    """Resolve near-dup pairs (d1, d2) into clusters: every document
+    that appears in a pair gets ``cluster_id`` = the minimum doc_id
+    reachable through the pair graph (the canonical survivor).
+
+    Iterative min-label propagation; see the module docstring for why
+    the round count is the component diameter. The driver-side loop
+    holds only a convergence COUNTER per round — never the data.
+    """
+    edges = pairs.select(
+        F.col("d1").alias("src"), F.col("d2").alias("dst")
+    ).union(pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.v)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        updated = (
+            labels.join(nbr_min, labels.v == nbr_min.src, "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))
+                ).alias("lbl"),
+                (F.coalesce("nbr_lbl", F.col("lbl")) < F.col("lbl")).alias(
+                    "_chg"
+                ),
+            )
+        ).localCheckpoint(eager=True)
+        changed = updated.filter("_chg").count()
+        labels = updated.drop("_chg")
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end duplicate resolution: guarded exact n-gram Jaccard
+    pairs -> connected components -> (doc_id, cluster_id).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    return connected_components(ngram_jaccard_pairs(docs))
+
+
+QUERIES = {
+    "pipe_split_hash": q_pipe_split_hash,
+    "pipe_quota_source": q_pipe_quota_source,
+    "pipe_decontaminate": q_pipe_decontaminate,
+    "dedup_clusters": q_dedup_clusters,
+}
+
+# 4-gram shingle CTE shared by the decontamination oracle.
+_SH4_SQL = f"""
+    ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - {DECON_NGRAM - 1}),
+                      i -> array_to_string(w[i:i+{DECON_NGRAM - 1}], ' '))) AS s
+        FROM ws WHERE len(w) >= {DECON_NGRAM}
+    )
+"""
+
+# The cluster oracle recomputes the guarded 3-gram pair set (same CTE
+# stack as the dedup_ngram_jaccard oracle) and closes it transitively
+# with a recursive CTE — min reachable id == the engine's propagated
+# label.
+_CLUSTERS_SQL = """
+WITH RECURSIVE
+    ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh_all AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 2),
+                                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM ws
+    ),
+    keep AS (
+        SELECT s FROM (SELECT s, COUNT(*) AS df FROM sh_all GROUP BY s)
+        WHERE df <= {max_df}
+    ),
+    sh AS (SELECT sh_all.doc_id, sh_all.s FROM sh_all JOIN keep USING (s)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT d1, d2 FROM common
+        JOIN sizes na ON na.doc_id = d1
+        JOIN sizes nb ON nb.doc_id = d2
+        WHERE ROUND(c / (na.n + nb.n - c), 6) >= {threshold}
+    ),
+    edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    closure AS (SELECT * FROM reach UNION SELECT DISTINCT a, a FROM edges)
+SELECT a AS doc_id, MIN(b) AS cluster_id FROM closure GROUP BY a
+"""
+
+ORACLES = {
+    "pipe_split_hash": f"""
+        SELECT doc_id,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{SPLIT_TRAIN_UPPER}'
+                    THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{SPLIT_VAL_UPPER}'
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+    "pipe_quota_source": f"""
+        SELECT doc_id, source, n_chars, rk FROM (
+            SELECT doc_id, source, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY n_chars DESC, doc_id) AS rk
+            FROM documents
+        ) WHERE rk <= {QUOTA_PER_SOURCE}
+    """,
+    "pipe_decontaminate": f"""
+        WITH {_SH4_SQL},
+        eval_sh AS (SELECT DISTINCT s FROM sh WHERE doc_id % {DECON_EVAL_MOD} = 0)
+        SELECT doc_id, COUNT(*) AS n_shared
+        FROM sh JOIN eval_sh USING (s)
+        WHERE doc_id % {DECON_EVAL_MOD} <> 0
+        GROUP BY doc_id
+    """,
+    "dedup_clusters": _CLUSTERS_SQL.format(
+        max_df=NGRAM_MAX_DF, threshold=JACCARD_THRESHOLD
+    ),
+}

@@ -29,6 +29,7 @@ from covid_engineering_spark.operators import (
     dedup,
     ingest,
     multimodal,
+    pipeline,
     relational,
     similarity,
     simulation,
@@ -45,6 +46,7 @@ _MODULES = [
     covid,
     ingest,
     dedup,
+    pipeline,
     similarity,
     text,
     multimodal,
@@ -88,6 +90,11 @@ PRIORITY = [
     "s5_sink_partitioned",
     "covid_param_series",
     "covid_transfer_sim",
+    # New this round: training-data pipeline tier.
+    "pipe_split_hash",
+    "pipe_quota_source",
+    "pipe_decontaminate",
+    "dedup_clusters",
     # Relational representatives (every family keeps a fresh row).
     "q1_pricing_summary",
     "q3_top_orders",
@@ -102,10 +109,6 @@ PRIORITY = [
     "a13_salted_agg",
     "a14_approx_distinct",
     "a15_grouping_sets",
-    "p5_masked_assign",
-    "f7_impute_invariant",
-    "w1_cumsum",
-    "o2_topk",
 ]
 
 

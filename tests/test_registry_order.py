@@ -57,6 +57,10 @@ def test_new_round2_entries_sit_inside_the_driver_window():
         "s5_sink_partitioned",
         "covid_param_series",
         "covid_transfer_sim",
+        "pipe_split_hash",
+        "pipe_quota_source",
+        "pipe_decontaminate",
+        "dedup_clusters",
     } <= set(PRIORITY)
 
 

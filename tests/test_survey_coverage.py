@@ -104,6 +104,11 @@ SURVEY_MAP = {
     "STR-TUMBLE": "stream_tumble",
     "STR-SLIDE": "stream_slide",
     "STR-SESSION": "stream_session",
+    # training-data pipeline tier (corpus management)
+    "PIPE-SPLIT": "pipe_split_hash",
+    "PIPE-QUOTA": "pipe_quota_source",
+    "PIPE-DECON": "pipe_decontaminate",
+    "PIPE-CC": "dedup_clusters",
     # real-data covid composites, fixture-backed registry forms
     "COVID-PARAMS": "covid_param_series",
     "COVID-TRANSFER": "covid_transfer_sim",
