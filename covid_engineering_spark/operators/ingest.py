@@ -120,10 +120,60 @@ def q_s5_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s6_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family extension — JSON-lines round-trip: documents (the LLM
+    corpus table — JSONL is the interchange format crawl pipelines
+    actually ship) written as newline-delimited JSON, then re-read
+    with the DECLARED schema. No inference pass: schema-on-read
+    inference is a second full scan at 100 TB and silently widens
+    types; the declared StructType is the contract. Text passes
+    through JSON string escaping bit-for-bit or the driver hash fails.
+    """
+    out = os.path.join(tempfile.mkdtemp(prefix="ces_s6_"), "docs_jsonl")
+    docs = read_table(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").json(out)
+    return spark.read.schema(schemas.STAR["documents"]).json(out)
+
+
+def q_s7_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family extension — ORC sink + scan: supplier written as ORC
+    (the other columnar interchange format; same predicate-pushdown /
+    column-pruning contract as parquet) and re-read with the declared
+    schema.
+    """
+    out = os.path.join(tempfile.mkdtemp(prefix="ces_s7_"), "supplier_orc")
+    read_table(spark, sf_dir, "supplier").write.mode("overwrite").orc(out)
+    return spark.read.schema(schemas.STAR["supplier"]).orc(out)
+
+
+def q_s8_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family extension — small-file compaction: part is first
+    written as 32 deliberately tiny files (the shape a streaming or
+    over-parallel upstream leaves behind — the classic 100 TB
+    operational problem: a 1000-executor job writing per-task files
+    turns the NEXT scan into open()-bound metadata work), then
+    compacted with ``compact_parquet`` to a bounded file count and
+    re-scanned. Values must survive both rewrites bit-for-bit.
+    """
+    from covid_engineering_spark.sources import compact_parquet
+
+    tmp = tempfile.mkdtemp(prefix="ces_s8_")
+    small = os.path.join(tmp, "part_small")
+    compacted = os.path.join(tmp, "part_compact")
+    read_table(spark, sf_dir, "part").repartition(32).write.mode(
+        "overwrite"
+    ).parquet(small)
+    compact_parquet(spark, small, compacted, schemas.STAR["part"], target_files=4)
+    return spark.read.schema(schemas.STAR["part"]).parquet(compacted)
+
+
 QUERIES = {
     "s1_csv_scan": q_s1_csv_scan,
     "s2_sqlite_ingest": q_s2_sqlite_ingest,
     "s5_sink_partitioned": q_s5_sink_partitioned,
+    "s6_jsonl_scan": q_s6_jsonl_scan,
+    "s7_orc_roundtrip": q_s7_orc_roundtrip,
+    "s8_sink_compact": q_s8_sink_compact,
 }
 
 ORACLES = {
@@ -136,5 +186,11 @@ ORACLES = {
     "s5_sink_partitioned": """
         SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         FROM customer
+    """,
+    "s6_jsonl_scan": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "s7_orc_roundtrip": "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    "s8_sink_compact": """
+        SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+        FROM part
     """,
 }

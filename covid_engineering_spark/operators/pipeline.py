@@ -135,6 +135,71 @@ def q_pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(sh.filter(~is_eval), sh.filter(is_eval))
 
 
+#: Token budget per packed training chunk.
+PACK_BUDGET = 512
+#: Per-source keep thresholds on the first two hex chars of a salted
+#: md5 — i.e. keep-rates of 64/256, 128/256, 192/256, and ~100% by
+#: source number mod 4. 'g0' compares above every hex string, so the
+#: fourth class keeps everything.
+MIX_THRESHOLDS = ["40", "80", "c0", "g0"]
+
+
+def pack_chunks(
+    docs: DataFrame,
+    group: str = "source",
+    order: str = "doc_id",
+    budget: int = PACK_BUDGET,
+) -> DataFrame:
+    """Deterministic greedy sequence packing: within each ``group``
+    (ordered by ``order``), assign documents to fixed-token-budget
+    chunks by exclusive-prefix token count — the streaming analogue of
+    packing docs into training sequences. One window shuffle on the
+    group key; packing is inherently order-defined, so the sequential
+    dependency lives inside each group partition and groups pack in
+    parallel. For an unbounded source, add a coarse time bucket to the
+    group key to bound partition size.
+    """
+    from pyspark.sql import Window
+
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    w = (
+        Window.partitionBy(group)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        docs.withColumn("n_tokens", n_tokens.cast("long"))
+        .withColumn("chunk_id", F.floor(prefix / budget))
+    )
+
+
+def q_pipe_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return pack_chunks(docs).select("doc_id", "source", "n_tokens", "chunk_id")
+
+
+def q_pipe_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing: each source keeps a deterministic
+    fraction of its documents (rates 25/50/75/100% by source number),
+    decided by a salted md5 bucket per document — the reproducible
+    form of mixture-weight sampling (upsampling high-quality sources /
+    downsampling crawl). Pure scan-side filter expressions: no
+    shuffle, no RNG state, membership survives any repartition. The
+    salt decorrelates the decision from the train/val/test split,
+    which hashes the same key.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    h2 = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))), 1, 2
+    )
+    src_num = F.regexp_extract(F.col("source"), r"src(\d+)", 1).cast("int")
+    thr = F.element_at(
+        F.array(*[F.lit(t) for t in MIX_THRESHOLDS]), src_num % 4 + 1
+    )
+    return docs.filter(h2 < thr).select("doc_id", "source")
+
+
 def connected_components(
     pairs: DataFrame, max_rounds: int = CC_MAX_ROUNDS
 ) -> DataFrame:
@@ -195,6 +260,8 @@ QUERIES = {
     "pipe_split_hash": q_pipe_split_hash,
     "pipe_quota_source": q_pipe_quota_source,
     "pipe_decontaminate": q_pipe_decontaminate,
+    "pipe_pack_chunks": q_pipe_pack_chunks,
+    "pipe_mixture_sample": q_pipe_mixture_sample,
     "dedup_clusters": q_dedup_clusters,
 }
 
@@ -274,6 +341,22 @@ ORACLES = {
         FROM sh JOIN eval_sh USING (s)
         WHERE doc_id % {DECON_EVAL_MOD} <> 0
         GROUP BY doc_id
+    """,
+    "pipe_pack_chunks": f"""
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS n_tokens,
+               CAST(FLOOR(COALESCE(SUM(len(string_split(text, ' ')))
+                        OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) / {PACK_BUDGET}) AS BIGINT) AS chunk_id
+        FROM documents
+    """,
+    "pipe_mixture_sample": f"""
+        SELECT doc_id, source FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 2) <
+              CASE CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) % 4
+                   WHEN 0 THEN '{MIX_THRESHOLDS[0]}' WHEN 1 THEN '{MIX_THRESHOLDS[1]}'
+                   WHEN 2 THEN '{MIX_THRESHOLDS[2]}' ELSE '{MIX_THRESHOLDS[3]}' END
     """,
     "dedup_clusters": _CLUSTERS_SQL.format(
         max_df=NGRAM_MAX_DF, threshold=JACCARD_THRESHOLD

@@ -90,25 +90,25 @@ PRIORITY = [
     "s5_sink_partitioned",
     "covid_param_series",
     "covid_transfer_sim",
-    # New this round: training-data pipeline tier.
+    # New this round: training-data pipeline tier + ingest extensions.
     "pipe_split_hash",
     "pipe_quota_source",
     "pipe_decontaminate",
+    "pipe_pack_chunks",
+    "pipe_mixture_sample",
     "dedup_clusters",
+    "s6_jsonl_scan",
+    "s7_orc_roundtrip",
+    "s8_sink_compact",
     # Relational representatives (every family keeps a fresh row).
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_region_revenue",
-    "q6_forecast_revenue",
     "j1_broadcast_lookup",
     "j6_asof_join",
-    "j5_range_join",
-    "a1_groupby_max",
-    "a8_lsq_ratio",
     "a10_rollup",
     "a13_salted_agg",
     "a14_approx_distinct",
-    "a15_grouping_sets",
 ]
 
 

@@ -1,4 +1,5 @@
 from covid_engineering_spark.sources.io import (
+    compact_parquet,
     load_star,
     read_covid_csv,
     read_table,
@@ -9,6 +10,7 @@ from covid_engineering_spark.sources.io import (
 )
 
 __all__ = [
+    "compact_parquet",
     "load_star",
     "read_covid_csv",
     "read_table",

@@ -180,6 +180,26 @@ def write_bucketed(
     )
 
 
+def compact_parquet(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    schema,
+    target_files: int,
+) -> None:
+    """Rewrite a small-file parquet directory into ``target_files``
+    files. Small files are the dominant operational failure of long
+    running ingest at scale: a scan's task count (and the namenode /
+    object-store request load) is driven by FILE COUNT, not bytes.
+    Compaction is a single narrow-read + round-robin repartition +
+    write; run it per partition directory so each rewrite is bounded.
+    On a cluster, pick ``target_files`` as bytes / 128 MB, never 1
+    (one file serializes the next scan).
+    """
+    df = spark.read.schema(schema).parquet(in_path)
+    df.repartition(target_files).write.mode("overwrite").parquet(out_path)
+
+
 def load_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every star-schema table lazily; nothing is scanned until an
     action runs, so loading all ten costs only catalog metadata.

@@ -5,6 +5,8 @@ comparison cannot see (partition independence, convergence, planted
 adversarial fixtures).
 """
 
+import os
+
 from pyspark.sql import functions as F
 
 from covid_engineering_spark.operators.dedup import ngram_jaccard_pairs
@@ -129,6 +131,84 @@ def test_connected_components_closes_a_long_chain(spark):
     got = connected_components(pairs).collect()
     assert {r["cluster_id"] for r in got} == {0}
     assert {r["doc_id"] for r in got} == set(range(10))
+
+
+def test_pack_chunks_respects_the_token_budget(spark):
+    from covid_engineering_spark.operators.pipeline import (
+        PACK_BUDGET,
+        pack_chunks,
+    )
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    packed = pack_chunks(docs).select("source", "n_tokens", "chunk_id")
+    totals = (
+        packed.groupBy("source", "chunk_id")
+        .agg(F.sum("n_tokens").alias("tot"), F.count("*").alias("n_docs"))
+        .collect()
+    )
+    assert totals
+    for r in totals:
+        # a chunk may overflow only by its LAST document (greedy
+        # boundary): total minus any one member stays under budget,
+        # which the exclusive-prefix formula guarantees.
+        assert r["tot"] < 2 * PACK_BUDGET or r["n_docs"] == 1
+    # chunk ids start at 0 in every group
+    firsts = packed.groupBy("source").agg(F.min("chunk_id").alias("m")).collect()
+    assert all(r["m"] == 0 for r in firsts)
+
+
+def test_pack_chunks_is_deterministic_across_partitionings(spark):
+    from covid_engineering_spark.operators.pipeline import pack_chunks
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    a = {
+        (r["doc_id"]): r["chunk_id"]
+        for r in pack_chunks(docs).select("doc_id", "chunk_id").collect()
+    }
+    b = {
+        (r["doc_id"]): r["chunk_id"]
+        for r in pack_chunks(docs.repartition(5))
+        .select("doc_id", "chunk_id")
+        .collect()
+    }
+    assert a == b
+
+
+def test_mixture_sample_keeps_full_rate_sources_whole(spark):
+    from covid_engineering_spark.operators.pipeline import (
+        q_pipe_mixture_sample,
+    )
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    kept = q_pipe_mixture_sample(spark, SF_SMOKE)
+    src_num = F.regexp_extract(F.col("source"), r"src(\d+)", 1).cast("int")
+    full_rate = docs.filter(src_num % 4 == 3)
+    # threshold 'g0' sorts above every hex pair -> nothing dropped
+    assert kept.filter(src_num % 4 == 3).count() == full_rate.count()
+    # the 25% class must actually drop documents
+    quarter_all = docs.filter(src_num % 4 == 0).count()
+    quarter_kept = kept.filter(src_num % 4 == 0).count()
+    assert 0 < quarter_kept < quarter_all
+
+
+def test_compact_parquet_bounds_file_count(spark, tmp_path):
+    import glob
+
+    from covid_engineering_spark import schemas
+    from covid_engineering_spark.sources import compact_parquet
+
+    small = str(tmp_path / "small")
+    out = str(tmp_path / "compact")
+    part = read_table(spark, SF_SMOKE, "part")
+    part.repartition(32).write.parquet(small)
+    assert len(glob.glob(os.path.join(small, "*.parquet"))) == 32
+    compact_parquet(spark, small, out, schemas.STAR["part"], target_files=4)
+    assert len(glob.glob(os.path.join(out, "*.parquet"))) <= 4
+    back = spark.read.schema(schemas.STAR["part"]).parquet(out)
+    assert back.count() == part.count()
+    assert sorted(r["p_partkey"] for r in back.select("p_partkey").collect()) == sorted(
+        r["p_partkey"] for r in part.select("p_partkey").collect()
+    )
 
 
 def test_quota_default_matches_constant(spark):

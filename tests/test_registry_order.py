@@ -60,7 +60,12 @@ def test_new_round2_entries_sit_inside_the_driver_window():
         "pipe_split_hash",
         "pipe_quota_source",
         "pipe_decontaminate",
+        "pipe_pack_chunks",
+        "pipe_mixture_sample",
         "dedup_clusters",
+        "s6_jsonl_scan",
+        "s7_orc_roundtrip",
+        "s8_sink_compact",
     } <= set(PRIORITY)
 
 

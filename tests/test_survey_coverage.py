@@ -108,7 +108,13 @@ SURVEY_MAP = {
     "PIPE-SPLIT": "pipe_split_hash",
     "PIPE-QUOTA": "pipe_quota_source",
     "PIPE-DECON": "pipe_decontaminate",
+    "PIPE-PACK": "pipe_pack_chunks",
+    "PIPE-MIX": "pipe_mixture_sample",
     "PIPE-CC": "dedup_clusters",
+    # ingest extensions (JSONL / ORC / compaction round-trips)
+    "ING-JSONL": "s6_jsonl_scan",
+    "ING-ORC": "s7_orc_roundtrip",
+    "ING-COMPACT": "s8_sink_compact",
     # real-data covid composites, fixture-backed registry forms
     "COVID-PARAMS": "covid_param_series",
     "COVID-TRANSFER": "covid_transfer_sim",
