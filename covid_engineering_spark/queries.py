@@ -83,6 +83,7 @@ PRIORITY = [
     "stream_tumble",
     "stream_slide",
     "stream_session",
+    "stream_dedup",
     "mm_feature_extract",
     # New this round: ingest round-trips + covid composites.
     "s1_csv_scan",
@@ -108,7 +109,6 @@ PRIORITY = [
     "j6_asof_join",
     "a10_rollup",
     "a13_salted_agg",
-    "a14_approx_distinct",
 ]
 
 

@@ -40,3 +40,35 @@ def stream_dedup(
         .withWatermark("ts", watermark)
     )
     return stream.dropDuplicatesWithinWatermark(list(keys))
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable batch face of the streaming dedup: events with
+    a simulated at-least-once redelivery (every 7th event arrives
+    twice, byte-identical — the failure-retry shape) collapsed back to
+    one row per key. Batch ``dropDuplicates`` is the bounded-time
+    equivalence of ``dropDuplicatesWithinWatermark`` (the incremental
+    face is exercised with a real checkpointed stream in
+    tests/test_streaming.py); duplicates are exact copies, so the
+    surviving row is value-deterministic.
+    """
+    from covid_engineering_spark.sources import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "value",
+    )
+    redelivered = ev.unionAll(ev.filter(F.col("event_id") % 7 == 0))
+    return redelivered.dropDuplicates(["event_id"])
+
+
+QUERIES = {"stream_dedup": q_stream_dedup}
+
+ORACLES = {
+    "stream_dedup": """
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value
+        FROM events
+    """,
+}

@@ -104,6 +104,7 @@ SURVEY_MAP = {
     "STR-TUMBLE": "stream_tumble",
     "STR-SLIDE": "stream_slide",
     "STR-SESSION": "stream_session",
+    "STR-DEDUP": "stream_dedup",
     # training-data pipeline tier (corpus management)
     "PIPE-SPLIT": "pipe_split_hash",
     "PIPE-QUOTA": "pipe_quota_source",
