@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""End-to-end training-corpus curation: the LLM-data-pipeline tier as
+one engine script.
+
+    python examples/corpus_curation.py [sf_dir] [out_dir]
+
+Starting from the raw ``documents`` table, this runs the full curation
+funnel a pretraining pipeline applies before tokenization:
+
+1. exact dedup        — collapse byte-identical copies;
+2. near-dup clusters  — guarded n-gram Jaccard pairs resolved to
+                        connected components, keep one doc per cluster;
+3. decontamination    — drop documents sharing word-4-grams with the
+                        eval suite;
+4. source quota       — cap each source at its N longest survivors;
+5. mixture sampling   — per-source keep-rates via salted md5 buckets;
+6. split + packing    — deterministic train/val/test assignment, then
+                        token-budget chunk ids for sequence packing;
+7. sink               — hive-partitioned by split, so training readers
+                        scan only their split's files.
+
+Every stage is lazy DataFrame composition except the cluster
+resolution (iterative, materialized per round) — the funnel from raw
+to written corpus is a handful of Spark jobs regardless of scale.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from covid_engineering_spark.operators.dedup import ngram_jaccard_pairs, shingles_of
+from covid_engineering_spark.operators.pipeline import (
+    DECON_NGRAM,
+    connected_components,
+    pack_chunks,
+    quota_per_group,
+    split_assign,
+)
+from covid_engineering_spark.session import get_spark
+from covid_engineering_spark.sources import read_table, write_partitioned
+
+
+def main(
+    sf_dir: str = "/root/testdata/sf0.001",
+    out_dir: str = "/tmp/covid_engine_corpus",
+    quota: int = 15,
+) -> None:
+    spark = get_spark(app_name="corpus-curation")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = read_table(spark, sf_dir, "documents")
+    n_raw = docs.count()
+
+    # 1. exact dedup: keep the smallest doc_id per normalized hash
+    keep_exact = (
+        docs.groupBy(F.md5(F.lower(F.col("text"))).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    docs = docs.join(keep_exact, "doc_id")
+
+    # 2. near-dup cluster resolution: keep the canonical (min) member
+    clusters = connected_components(ngram_jaccard_pairs(docs))
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    docs = docs.join(losers, "doc_id", "left_anti")
+
+    # 3. decontamination against a held-out eval suite (here: every
+    # 13th doc stands in for the benchmark corpus)
+    sh = shingles_of(docs, DECON_NGRAM)
+    is_eval = F.col("doc_id") % 13 == 0
+    tainted = (
+        sh.filter(~is_eval)
+        .join(sh.filter(is_eval).select("s").distinct(), "s")
+        .select("doc_id")
+        .distinct()
+    )
+    docs = docs.filter(~is_eval).join(tainted, "doc_id", "left_anti")
+
+    # 4. per-source quota: longest survivors first, deterministic tiebreak
+    docs = quota_per_group(
+        docs, "source", [F.col("n_chars").desc(), F.col("doc_id")], n=quota
+    ).drop("rk")
+
+    # 5. + 6. split assignment and token-budget packing
+    curated = pack_chunks(split_assign(docs))
+
+    # 7. hive-partitioned sink: a training reader scans only its split
+    write_partitioned(
+        curated.select(
+            "doc_id", "text", "lang", "source", "n_tokens", "chunk_id", "split"
+        ),
+        f"{out_dir}/curated",
+        "split",
+    )
+    back = spark.read.parquet(f"{out_dir}/curated")
+    n_out = back.count()
+    by_split = {
+        r["split"]: r["n"]
+        for r in back.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    n_chunks = back.select("source", "chunk_id").distinct().count()
+    print(f"curated {n_raw} raw documents -> {n_out} kept")
+    print(f"split sizes: {dict(sorted(by_split.items()))}")
+    print(f"packed into {n_chunks} chunks")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:3])

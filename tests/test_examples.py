@@ -14,6 +14,22 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+def test_corpus_curation_runs(spark, tmp_path, capsys):
+    mod = runpy.run_path(
+        os.path.join(
+            os.path.dirname(os.path.dirname(__file__)),
+            "examples",
+            "corpus_curation.py",
+        ),
+        run_name="corpus_curation",
+    )
+    mod["main"]("/root/testdata/sf0.001", str(tmp_path / "out"))
+    out = capsys.readouterr().out
+    assert "curated 500 raw documents -> 300 kept" in out
+    assert "split sizes: {'test': 32, 'train': 240, 'val': 28}" in out
+    assert "packed into 42 chunks" in out
+
+
 def test_quickstart_runs(spark, tmp_path, capsys):
     sys.modules.pop("examples.quickstart", None)
     mod = runpy.run_path(

@@ -84,6 +84,72 @@ def asof_case(draw):
     return ls, rs
 
 
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_connected_components_matches_union_find_on_random_graphs(spark, raw):
+    from covid_engineering_spark.operators.pipeline import connected_components
+
+    edges = [(min(a, b), max(a, b)) for a, b in raw]
+    pairs = spark.createDataFrame(edges, "d1 long, d2 long")
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()
+    }
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in parent}
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(1, 700), min_size=1, max_size=25),
+    st.integers(100, 600),
+)
+def test_pack_chunks_prefix_formula_on_random_token_counts(spark, tokens, budget):
+    # pack_chunks on synthetic one-source docs: chunk boundaries must
+    # follow the exclusive-prefix formula exactly, chunk ids must be
+    # contiguous from 0, and no chunk may exceed budget + its last
+    # document's tokens.
+    from covid_engineering_spark.operators.pipeline import pack_chunks
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n), "s0") for i, n in enumerate(tokens)],
+        "doc_id long, text string, source string",
+    )
+    rows = sorted(
+        pack_chunks(docs, budget=budget)
+        .select("doc_id", "n_tokens", "chunk_id")
+        .collect(),
+        key=lambda r: r["doc_id"],
+    )
+    prefix = 0
+    seen = []
+    for r in rows:
+        assert r["chunk_id"] == prefix // budget, (prefix, budget, r)
+        prefix += r["n_tokens"]
+        seen.append(r["chunk_id"])
+    assert seen == sorted(seen)
+    assert seen[0] == 0
+
+
 @settings(max_examples=12, deadline=None)
 @given(asof_case())
 def test_asof_join_matches_bruteforce(spark, case):
