@@ -167,6 +167,22 @@ def q_s8_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(schemas.STAR["part"]).parquet(compacted)
 
 
+def q_s9_sink_range_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family extension — range-clustered sink + scan: orders
+    written range-partitioned and sorted on o_orderdate (every file
+    owns a disjoint date interval — the layout that turns time-slice
+    predicates into file skipping on footer stats; the disjointness
+    property itself is pinned by tests/test_partitioned_layout.py
+    reading the footers), then re-read whole for the identity check.
+    """
+    out = os.path.join(tempfile.mkdtemp(prefix="ces_s9_"), "orders_range")
+    from covid_engineering_spark.sources import write_range_sorted
+
+    orders = read_table(spark, sf_dir, "orders")
+    write_range_sorted(orders, out, "o_orderdate", n_files=8)
+    return spark.read.schema(schemas.STAR["orders"]).parquet(out)
+
+
 QUERIES = {
     "s1_csv_scan": q_s1_csv_scan,
     "s2_sqlite_ingest": q_s2_sqlite_ingest,
@@ -174,6 +190,7 @@ QUERIES = {
     "s6_jsonl_scan": q_s6_jsonl_scan,
     "s7_orc_roundtrip": q_s7_orc_roundtrip,
     "s8_sink_compact": q_s8_sink_compact,
+    "s9_sink_range_sorted": q_s9_sink_range_sorted,
 }
 
 ORACLES = {
@@ -192,5 +209,10 @@ ORACLES = {
     "s8_sink_compact": """
         SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
         FROM part
+    """,
+    "s9_sink_range_sorted": """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders
     """,
 }

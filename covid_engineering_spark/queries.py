@@ -101,13 +101,13 @@ PRIORITY = [
     "s6_jsonl_scan",
     "s7_orc_roundtrip",
     "s8_sink_compact",
+    "s9_sink_range_sorted",
     # Relational representatives (every family keeps a fresh row).
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_region_revenue",
     "j1_broadcast_lookup",
     "j6_asof_join",
-    "a10_rollup",
     "a13_salted_agg",
 ]
 

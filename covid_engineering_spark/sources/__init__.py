@@ -7,6 +7,7 @@ from covid_engineering_spark.sources.io import (
     sqlite_to_parquet,
     write_bucketed,
     write_partitioned,
+    write_range_sorted,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "sqlite_to_parquet",
     "write_bucketed",
     "write_partitioned",
+    "write_range_sorted",
 ]

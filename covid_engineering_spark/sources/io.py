@@ -180,6 +180,26 @@ def write_bucketed(
     )
 
 
+def write_range_sorted(
+    df: DataFrame, path: str, key: str, n_files: int
+) -> None:
+    """Persist parquet range-clustered on ``key``: rows are range
+    partitioned into ``n_files`` files and sorted within each, so
+    every file owns a disjoint key interval. At 100 TB this is the
+    layout that makes range predicates (time slices, id ranges) skip
+    whole files on footer min/max stats instead of scanning and
+    discarding — the poor man's clustering index, no table format
+    required. Use for the dominant range-filter column; combine with
+    ``partitionBy`` on a coarser key for two-level pruning.
+    """
+    (
+        df.repartitionByRange(n_files, key)
+        .sortWithinPartitions(key)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def compact_parquet(
     spark: SparkSession,
     in_path: str,

@@ -88,7 +88,11 @@ def _time(fn) -> float:
 
 
 def main() -> None:
-    from covid_engineering_spark.operators.dedup import minhash_lsh_pairs
+    from covid_engineering_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+    from covid_engineering_spark.operators.pipeline import connected_components
     from covid_engineering_spark.operators.wrangling import (
         _synthetic_complete,
         clean_complete,
@@ -117,8 +121,20 @@ def main() -> None:
             "overwrite"
         ).format("noop").save()
 
+    def clusters(sf_dir):
+        # the full resolution path: guarded pair generation + CC loop
+        # (the loop itself materializes per round, so the noop sink
+        # only adds the final projection)
+        connected_components(
+            ngram_jaccard_pairs(read_table(spark, sf_dir, "documents"))
+        ).write.mode("overwrite").format("noop").save()
+
     out: dict = {"metric": "scale_probe", "x": REPLICAS, "base": BASE}
-    for name, fn in (("wrangle_clean_complete", wrangle), ("dedup_minhash_lsh", minhash)):
+    for name, fn in (
+        ("wrangle_clean_complete", wrangle),
+        ("dedup_minhash_lsh", minhash),
+        ("dedup_clusters", clusters),
+    ):
         fn(small)  # warmup at 1x
         t1 = _time(lambda: fn(small))
         fn(big)  # warmup at 10x

@@ -4,6 +4,8 @@ hive-partitioned by country must turn the per-country equality filter
 i.e. other countries' files are never opened.
 """
 
+import os
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -50,3 +52,41 @@ def test_partitioned_roundtrip_is_lossless(spark, partitioned_dir):
         for r in orig.select("c_custkey", "c_mktsegment").collect()
     }
     assert got == want
+
+
+def test_range_sorted_files_own_disjoint_key_intervals(spark, tmp_path):
+    """write_range_sorted's contract: every parquet file covers a
+    disjoint o_orderdate interval (checked straight off the footers),
+    which is what lets a range predicate skip whole files at scale."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from covid_engineering_spark.sources import write_range_sorted
+
+    out = str(tmp_path / "orders_range")
+    orders = read_table(spark, SF_SMOKE, "orders")
+    write_range_sorted(orders, out, "o_orderdate", n_files=8)
+
+    spans = []
+    for f in glob.glob(os.path.join(out, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == "o_orderdate" and col.statistics:
+                    s = col.statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+        assert lo is not None, f
+        spans.append((lo, hi))
+    assert len(spans) >= 2
+    spans.sort()
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        # range partition boundaries may share the boundary value
+        assert lo_next >= hi_prev, spans
+
+    # values survive the rewrite
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()

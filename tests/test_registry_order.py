@@ -66,6 +66,7 @@ def test_new_round2_entries_sit_inside_the_driver_window():
         "s6_jsonl_scan",
         "s7_orc_roundtrip",
         "s8_sink_compact",
+        "s9_sink_range_sorted",
         "stream_dedup",
     } <= set(PRIORITY)
 

@@ -116,6 +116,7 @@ SURVEY_MAP = {
     "ING-JSONL": "s6_jsonl_scan",
     "ING-ORC": "s7_orc_roundtrip",
     "ING-COMPACT": "s8_sink_compact",
+    "ING-RANGE": "s9_sink_range_sorted",
     # real-data covid composites, fixture-backed registry forms
     "COVID-PARAMS": "covid_param_series",
     "COVID-TRANSFER": "covid_transfer_sim",
