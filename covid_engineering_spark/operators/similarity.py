@@ -57,6 +57,34 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def centroids_by_label(emb: DataFrame) -> DataFrame:
+    """Mean-pool embeddings per label — the primitive behind class
+    prototypes, IVF codebook seeding, and mean-of-cluster rerank.
+    Emitted in exploded form (label, pos, centroid_val, n_vecs): one
+    posexplode (×DIM rows) then a partial-then-final aggregation, so
+    the shuffle carries labels × DIM rows regardless of corpus size.
+    Per-dimension sums accumulate in DECIMAL(18,9) — accumulation-order
+    independent, so the result is identical under any partitioning
+    (floats summed in shuffle order are not).
+    """
+    x = emb.select("label", F.posexplode("embedding").alias("pos0", "x"))
+    return (
+        x.groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(18,9)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("centroid_val"),
+            F.count("*").alias("n_vecs"),
+        )
+    )
+
+
+def q_emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return centroids_by_label(read_table(spark, sf_dir, "embeddings"))
+
+
 def _hyperplanes(table: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (LCG-generated, seeded
     per table) — reproducible across runs and engines without any RNG
@@ -237,9 +265,18 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "emb_centroid": q_emb_centroid,
 }
 
 ORACLES = {
+    "emb_centroid": f"""
+        SELECT label, i AS pos,
+               ROUND(CAST(SUM(CAST(embedding[i] AS DECIMAL(18,9))) AS DOUBLE)
+                     / COUNT(*), 6) AS centroid_val,
+               COUNT(*) AS n_vecs
+        FROM embeddings, generate_series(1, {DIM}) AS t(i)
+        GROUP BY 1, 2
+    """,
     "ann_cosine_topk": f"""
         WITH q AS (
             SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings

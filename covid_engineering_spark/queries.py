@@ -74,6 +74,7 @@ PRIORITY = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "emb_centroid",
     "text_token_stats",
     "text_tfidf",
     "text_quality",
@@ -106,7 +107,6 @@ PRIORITY = [
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_region_revenue",
-    "j1_broadcast_lookup",
     "j6_asof_join",
     "a13_salted_agg",
 ]

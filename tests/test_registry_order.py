@@ -68,6 +68,7 @@ def test_new_round2_entries_sit_inside_the_driver_window():
         "s8_sink_compact",
         "s9_sink_range_sorted",
         "stream_dedup",
+        "emb_centroid",
     } <= set(PRIORITY)
 
 

@@ -93,6 +93,7 @@ SURVEY_MAP = {
     "ANN-BF": "ann_cosine_topk",
     "ANN-LSH": "ann_lsh_topk",
     "ANN-IVF": "ann_ivf_topk",
+    "ANN-POOL": "emb_centroid",
     "TXT-TOK": "text_token_stats",
     "TXT-Q": "text_quality",
     "TXT-LANG": "text_langid",
