@@ -1,3 +1,4 @@
+from covid_engineering_spark.functions.diagnostics import key_skew_stats
 from covid_engineering_spark.functions.scalar import (
     clamp_eps,
     davg,
@@ -6,4 +7,11 @@ from covid_engineering_spark.functions.scalar import (
     safe_div,
 )
 
-__all__ = ["clamp_eps", "davg", "dsum", "missing_count", "safe_div"]
+__all__ = [
+    "clamp_eps",
+    "davg",
+    "dsum",
+    "key_skew_stats",
+    "missing_count",
+    "safe_div",
+]
