@@ -361,6 +361,38 @@ def q_a13_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-proof equi-join: spread each hot ``key`` on the (large)
+    left side over ``n_salts`` reducers by joining on (key, salt),
+    with the right side replicated once per salt value.
+
+    AQE's skew-join split handles most cases at runtime; the explicit
+    salt is for the planned-for-skew case — a key you KNOW is hot
+    (null-bucket, default id, celebrity user) on a join AQE cannot
+    split (e.g. followed by a same-key aggregation that would re-skew).
+    Cost model: right side is duplicated n_salts×, so use it when
+    |right| × n_salts ≪ the hot key's row count. Row-for-row equal to
+    the plain join (asserted in tests) — salting changes the shuffle
+    layout, never the result.
+    """
+    # the salt must vary WITHIN a key (that is what spreads a hot key
+    # across reducers); the join result is salt-invariant because the
+    # right side carries every salt value for every key.
+    salted_l = left.withColumn(
+        "_salt", (F.monotonically_increasing_id() % n_salts).cast("int")
+    )
+    salts = F.explode(
+        F.array(*[F.lit(i) for i in range(n_salts)])
+    ).alias("_salt")
+    salted_r = right.select("*", salts)
+    return salted_l.join(salted_r, [key, "_salt"]).drop("_salt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

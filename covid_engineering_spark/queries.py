@@ -34,6 +34,7 @@ from covid_engineering_spark.operators import (
     similarity,
     simulation,
     text,
+    timeseries,
     windows,
     wrangling,
 )
@@ -49,6 +50,7 @@ _MODULES = [
     pipeline,
     similarity,
     text,
+    timeseries,
     multimodal,
     streaming,
 ]
@@ -85,6 +87,7 @@ PRIORITY = [
     "stream_slide",
     "stream_session",
     "stream_dedup",
+    "ts_resample",
     "mm_feature_extract",
     # New this round: ingest round-trips + covid composites.
     "s1_csv_scan",
@@ -105,7 +108,6 @@ PRIORITY = [
     "s9_sink_range_sorted",
     # Relational representatives (every family keeps a fresh row).
     "q1_pricing_summary",
-    "q3_top_orders",
     "q5_region_revenue",
     "j6_asof_join",
     "a13_salted_agg",

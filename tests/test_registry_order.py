@@ -69,6 +69,7 @@ def test_new_round2_entries_sit_inside_the_driver_window():
         "s9_sink_range_sorted",
         "stream_dedup",
         "emb_centroid",
+        "ts_resample",
     } <= set(PRIORITY)
 
 

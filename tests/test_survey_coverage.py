@@ -106,6 +106,8 @@ SURVEY_MAP = {
     "STR-SLIDE": "stream_slide",
     "STR-SESSION": "stream_session",
     "STR-DEDUP": "stream_dedup",
+    # time-series rollup
+    "TS-RESAMPLE": "ts_resample",
     # training-data pipeline tier (corpus management)
     "PIPE-SPLIT": "pipe_split_hash",
     "PIPE-QUOTA": "pipe_quota_source",
