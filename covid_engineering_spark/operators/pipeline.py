@@ -221,28 +221,48 @@ def connected_components(
         .select("v", F.col("v").alias("lbl"))
         .localCheckpoint(eager=True)
     )
+    changed = -1
     for _ in range(max_rounds):
         nbr_min = (
             edges.join(labels, edges.dst == labels.v)
             .groupBy("src")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
-        updated = (
-            labels.join(nbr_min, labels.v == nbr_min.src, "left")
-            .select(
-                "v",
-                F.least(
-                    F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))
-                ).alias("lbl"),
-                (F.coalesce("nbr_lbl", F.col("lbl")) < F.col("lbl")).alias(
-                    "_chg"
-                ),
-            )
-        ).localCheckpoint(eager=True)
-        changed = updated.filter("_chg").count()
-        labels = updated.drop("_chg")
+        stepped = labels.join(
+            nbr_min, labels.v == nbr_min.src, "left"
+        ).select(
+            "v",
+            F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias(
+                "lbl"
+            ),
+        )
+        # pointer jumping (path halving): also adopt the label OF the
+        # label — every label is itself a vertex, so this is an inner
+        # self-join that never drops rows. Neighbor-min alone needs
+        # DIAMETER rounds (a k-node chain takes k); with the jump the
+        # label horizon doubles per round, so rounds ~ log2(diameter)
+        # and max_rounds=20 covers any component a real corpus holds.
+        a, b = stepped.alias("a"), stepped.alias("b")
+        jumped = a.join(b, F.col("a.lbl") == F.col("b.v")).select(
+            F.col("a.v").alias("v"),
+            F.least(F.col("a.lbl"), F.col("b.lbl")).alias("lbl"),
+        )
+        new = jumped.localCheckpoint(eager=True)
+        changed = (
+            new.withColumnRenamed("lbl", "new_lbl")
+            .join(labels, "v")
+            .filter(F.col("new_lbl") != F.col("lbl"))
+            .count()
+        )
+        labels = new
         if changed == 0:
             break
+    if changed != 0:
+        # Returning partially-propagated labels would silently split
+        # clusters; fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
     return labels.select(
         F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )

@@ -241,3 +241,24 @@ def test_salted_join_equals_plain_join_with_planted_skew(spark):
         (r["k"], r["lid"], r["rv"]) for r in left.join(right, "k").collect()
     )
     assert got == want and len(got) == 2000
+
+
+def test_connected_components_closes_a_very_long_chain_in_log_rounds(spark):
+    # 79 edges -> diameter 79; neighbor-min alone would need 79 rounds,
+    # pointer jumping must close it inside the default budget.
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(79)], "d1 long, d2 long"
+    )
+    got = connected_components(pairs).collect()
+    assert {r["cluster_id"] for r in got} == {0}
+    assert len(got) == 80
+
+
+def test_connected_components_raises_instead_of_returning_partial_labels(spark):
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "d1 long, d2 long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_rounds=2)
