@@ -145,3 +145,45 @@ def test_stream_dedup_drops_redelivered_rows(spark, tmp_path):
     want = ev.select("event_id").distinct().count()
     assert len(got) == want
     assert len({r.event_id for r in got}) == want
+
+
+def test_stream_static_join_enriches_like_batch(spark, source_dir):
+    """Stream-static join: a streaming fact enriched against a static
+    dimension (re-broadcast per micro-batch — the standard enrichment
+    topology) must aggregate to exactly the batch answer."""
+    from covid_engineering_spark.functions import dsum
+
+    batch = spark.read.parquet(source_dir)
+    dim = (
+        batch.select("user_id")
+        .distinct()
+        .withColumn("tier", F.concat(F.lit("t"), (F.col("user_id") % 3)))
+    )
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(source_dir)
+        .join(dim, "user_id")
+        .groupBy("tier")
+        .agg(F.count("*").alias("n"), dsum("value").alias("sv"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("enriched_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.tier: (r.n, r.sv)
+        for r in spark.sql("SELECT * FROM enriched_stream").collect()
+    }
+    want = {
+        r.tier: (r.n, r.sv)
+        for r in batch.join(dim, "user_id")
+        .groupBy("tier")
+        .agg(F.count("*").alias("n"), dsum("value").alias("sv"))
+        .collect()
+    }
+    assert got == want
+    assert len(got) == 3
