@@ -22,11 +22,17 @@ def key_skew_stats(df: DataFrame, key: str) -> DataFrame:
     per distinct key, the second is a tiny global agg.
     """
     per_key = df.groupBy(key).agg(F.count("*").alias("n"))
+    # approx_percentile, not exact percentile: the exact form buffers
+    # a value->count map that all merges into the single global-agg
+    # task — O(distinct per-key counts) memory on exactly the huge-key
+    # job this tool is the pre-flight check for. The sketch is
+    # mergeable and bounded; accuracy 10000 is exact below 10k
+    # distinct counts anyway.
     return per_key.agg(
         F.count("*").alias("n_keys"),
         F.sum("n").alias("n_rows"),
         F.max("n").alias("max_per_key"),
-        F.expr("percentile(n, 0.5)").alias("p50_per_key"),
-        F.expr("percentile(n, 0.99)").alias("p99_per_key"),
+        F.expr("approx_percentile(n, 0.5, 10000)").alias("p50_per_key"),
+        F.expr("approx_percentile(n, 0.99, 10000)").alias("p99_per_key"),
         F.round(F.max("n") / F.avg("n"), 4).alias("skew_ratio"),
     )

@@ -130,7 +130,10 @@ def decontaminate(
 
 def q_pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    sh = shingles_of(docs, DECON_NGRAM)
+    # both join sides derive from the same shingle frame: cache it so
+    # the scan + explode runs once, not once per branch (same reason
+    # minhash_lsh_pairs caches its shingles)
+    sh = shingles_of(docs, DECON_NGRAM).cache()
     is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
     return decontaminate(sh.filter(~is_eval), sh.filter(is_eval))
 
@@ -146,24 +149,28 @@ MIX_THRESHOLDS = ["40", "80", "c0", "g0"]
 
 def pack_chunks(
     docs: DataFrame,
-    group: str = "source",
+    group: str | list[str] = "source",
     order: str = "doc_id",
     budget: int = PACK_BUDGET,
 ) -> DataFrame:
     """Deterministic greedy sequence packing: within each ``group``
-    (ordered by ``order``), assign documents to fixed-token-budget
-    chunks by exclusive-prefix token count — the streaming analogue of
-    packing docs into training sequences. One window shuffle on the
-    group key; packing is inherently order-defined, so the sequential
-    dependency lives inside each group partition and groups pack in
-    parallel. For an unbounded source, add a coarse time bucket to the
-    group key to bound partition size.
+    (one column or several, ordered by ``order``), assign documents to
+    fixed-token-budget chunks by exclusive-prefix token count — the
+    streaming analogue of packing docs into training sequences. One
+    window shuffle on the group key; packing is inherently
+    order-defined, so the sequential dependency lives inside each
+    group partition and groups pack in parallel. For an unbounded
+    source, add a coarse time bucket to the group key to bound
+    partition size. When packing a split corpus, include the split
+    column in ``group`` — a chunk must never straddle the train/eval
+    firewall.
     """
     from pyspark.sql import Window
 
+    group_cols = [group] if isinstance(group, str) else list(group)
     n_tokens = F.size(F.split(F.col("text"), " "))
     w = (
-        Window.partitionBy(group)
+        Window.partitionBy(*group_cols)
         .orderBy(order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )

@@ -380,6 +380,8 @@ def salted_join(
     the plain join (asserted in tests) — salting changes the shuffle
     layout, never the result.
     """
+    if "_salt" in left.columns or "_salt" in right.columns:
+        raise ValueError("salted_join reserves the column name '_salt'")
     # the salt must vary WITHIN a key (that is what spreads a hot key
     # across reducers); the join result is salt-invariant because the
     # right side carries every salt value for every key.

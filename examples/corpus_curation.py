@@ -37,6 +37,7 @@ from covid_engineering_spark.operators.dedup import ngram_jaccard_pairs, shingle
 from covid_engineering_spark.operators.pipeline import (
     DECON_NGRAM,
     connected_components,
+    decontaminate,
     pack_chunks,
     quota_per_group,
     split_assign,
@@ -70,14 +71,12 @@ def main(
     docs = docs.join(losers, "doc_id", "left_anti")
 
     # 3. decontamination against a held-out eval suite (here: every
-    # 13th doc stands in for the benchmark corpus)
-    sh = shingles_of(docs, DECON_NGRAM)
+    # 13th doc stands in for the benchmark corpus); shingles cached —
+    # both join sides derive from the same frame
+    sh = shingles_of(docs, DECON_NGRAM).cache()
     is_eval = F.col("doc_id") % 13 == 0
-    tainted = (
-        sh.filter(~is_eval)
-        .join(sh.filter(is_eval).select("s").distinct(), "s")
-        .select("doc_id")
-        .distinct()
+    tainted = decontaminate(sh.filter(~is_eval), sh.filter(is_eval)).select(
+        "doc_id"
     )
     docs = docs.filter(~is_eval).join(tainted, "doc_id", "left_anti")
 
@@ -86,8 +85,10 @@ def main(
         docs, "source", [F.col("n_chars").desc(), F.col("doc_id")], n=quota
     ).drop("rk")
 
-    # 5. + 6. split assignment and token-budget packing
-    curated = pack_chunks(split_assign(docs))
+    # 5. + 6. split assignment, then token-budget packing WITHIN
+    # (split, source): a chunk must never straddle the train/eval
+    # firewall the split just drew
+    curated = pack_chunks(split_assign(docs), group=["split", "source"])
 
     # 7. hive-partitioned sink: a training reader scans only its split
     write_partitioned(
@@ -103,7 +104,7 @@ def main(
         r["split"]: r["n"]
         for r in back.groupBy("split").agg(F.count("*").alias("n")).collect()
     }
-    n_chunks = back.select("source", "chunk_id").distinct().count()
+    n_chunks = back.select("split", "source", "chunk_id").distinct().count()
     print(f"curated {n_raw} raw documents -> {n_out} kept")
     print(f"split sizes: {dict(sorted(by_split.items()))}")
     print(f"packed into {n_chunks} chunks")

@@ -27,7 +27,7 @@ def test_corpus_curation_runs(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "curated 500 raw documents -> 300 kept" in out
     assert "split sizes: {'test': 32, 'train': 240, 'val': 28}" in out
-    assert "packed into 42 chunks" in out
+    assert "packed into 70 chunks" in out
 
 
 def test_quickstart_runs(spark, tmp_path, capsys):

@@ -140,18 +140,23 @@ def test_pack_chunks_respects_the_token_budget(spark):
     )
 
     docs = read_table(spark, SF_SMOKE, "documents")
-    packed = pack_chunks(docs).select("source", "n_tokens", "chunk_id")
+    packed = pack_chunks(docs).select(
+        "source", "doc_id", "n_tokens", "chunk_id"
+    )
     totals = (
         packed.groupBy("source", "chunk_id")
-        .agg(F.sum("n_tokens").alias("tot"), F.count("*").alias("n_docs"))
+        .agg(
+            F.sum("n_tokens").alias("tot"),
+            # the exclusive-prefix formula guarantees the chunk was
+            # under budget BEFORE its final (greedy-boundary) doc —
+            # that last doc is the only permitted overflow
+            F.max_by("n_tokens", "doc_id").alias("last_tokens"),
+        )
         .collect()
     )
     assert totals
     for r in totals:
-        # a chunk may overflow only by its LAST document (greedy
-        # boundary): total minus any one member stays under budget,
-        # which the exclusive-prefix formula guarantees.
-        assert r["tot"] < 2 * PACK_BUDGET or r["n_docs"] == 1
+        assert r["tot"] - r["last_tokens"] < PACK_BUDGET, r
     # chunk ids start at 0 in every group
     firsts = packed.groupBy("source").agg(F.min("chunk_id").alias("m")).collect()
     assert all(r["m"] == 0 for r in firsts)
