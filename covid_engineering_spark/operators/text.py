@@ -213,8 +213,41 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition scoring (the Gopher-style quality rule): per
+    document, the fraction of tokens held by the single most frequent
+    word and the fraction of 3-grams held by the most frequent 3-gram
+    — high ratios flag boilerplate/looping text. Two explode +
+    partial-aggregate branches joined on doc_id; each shuffle carries
+    one row per (doc, distinct term), never per token.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    words = docs.select("doc_id", F.explode(ws).alias("t"))
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(ws) - 3),
+                lambda i: F.concat_ws(" ", F.slice(ws, i + 1, 3)),
+            )
+        ).alias("t"),
+    )
+
+    def top_ratio(tok: DataFrame, out: str) -> DataFrame:
+        per = tok.groupBy("doc_id", "t").agg(F.count("*").alias("c"))
+        return per.groupBy("doc_id").agg(
+            F.round(F.max("c") / F.sum("c"), 6).alias(out)
+        )
+
+    return top_ratio(words, "top_word_ratio").join(
+        top_ratio(grams, "top_trigram_ratio"), "doc_id"
+    )
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
+    "text_repetition": q_text_repetition,
     "text_tfidf": q_text_tfidf,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -241,6 +274,28 @@ def _sql_score(stop: tuple[str, ...], markers: tuple[str, ...]) -> str:
 
 
 ORACLES = {
+    "text_repetition": """
+        WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        words AS (SELECT doc_id, unnest(w) AS t FROM ws),
+        grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(w) - 2),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS t
+            FROM ws
+        ),
+        wr AS (
+            SELECT doc_id, ROUND(MAX(c) / SUM(c), 6) AS top_word_ratio
+            FROM (SELECT doc_id, t, COUNT(*) AS c FROM words GROUP BY 1, 2)
+            GROUP BY doc_id
+        ),
+        gr AS (
+            SELECT doc_id, ROUND(MAX(c) / SUM(c), 6) AS top_trigram_ratio
+            FROM (SELECT doc_id, t, COUNT(*) AS c FROM grams GROUP BY 1, 2)
+            GROUP BY doc_id
+        )
+        SELECT doc_id, top_word_ratio, top_trigram_ratio
+        FROM wr JOIN gr USING (doc_id)
+    """,
     "text_tfidf": """
         WITH terms AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents

@@ -83,6 +83,7 @@ PRIORITY = [
     "text_langid",
     "text_fingerprint",
     "text_top_terms",
+    "text_repetition",
     "stream_tumble",
     "stream_slide",
     "stream_session",
@@ -110,7 +111,6 @@ PRIORITY = [
     "q1_pricing_summary",
     "q5_region_revenue",
     "j6_asof_join",
-    "a13_salted_agg",
 ]
 
 

@@ -70,6 +70,7 @@ def test_new_round2_entries_sit_inside_the_driver_window():
         "stream_dedup",
         "emb_centroid",
         "ts_resample",
+        "text_repetition",
     } <= set(PRIORITY)
 
 

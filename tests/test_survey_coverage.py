@@ -100,6 +100,7 @@ SURVEY_MAP = {
     "TXT-FP": "text_fingerprint",
     "TXT-TOP": "text_top_terms",
     "TXT-TFIDF": "text_tfidf",
+    "TXT-REP": "text_repetition",
     "MM": "mm_feature_extract",
     # streaming tier (§2.12)
     "STR-TUMBLE": "stream_tumble",
