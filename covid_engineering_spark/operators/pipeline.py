@@ -44,6 +44,9 @@ from covid_engineering_spark.operators.dedup import (
     ngram_jaccard_pairs,
     shingles_of,
 )
+from covid_engineering_spark.operators.text import (
+    sql_quality_score as _sql_quality_score,
+)
 from covid_engineering_spark.sources import read_table
 
 #: Split boundaries on the first two hex chars of md5(doc_id):
@@ -283,6 +286,86 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(ngram_jaccard_pairs(docs))
 
 
+def keep_best(docs: DataFrame, clusters: DataFrame, quality: DataFrame) -> DataFrame:
+    """The retention step a dedup pipeline actually ships: one
+    survivor per near-dup cluster, best-first by quality score
+    (doc_id tiebreak). ``clusters`` holds (doc_id, cluster_id) for
+    docs that appear in a dup pair; everything else is its own
+    singleton cluster (cluster_id = doc_id via the left-join
+    coalesce), so the output is a FULL keep-list, not just the
+    contested docs.
+
+    Scale shape: ``clusters`` is tiny relative to the corpus (only
+    docs in dup pairs — AQE broadcasts it), the quality join is
+    doc_id-aligned, and the survivor pick is one ranked window plus a
+    same-partition count — a single shuffle on cluster_id whose
+    partitions are cluster-sized, never corpus-sized.
+    """
+    from pyspark.sql import Window
+
+    labeled = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+        .join(quality.select("doc_id", "quality_score"), "doc_id")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    size_w = Window.partitionBy("cluster_id")
+    return (
+        labeled.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_docs", F.count("*").over(size_w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            "n_docs",
+            "quality_score",
+        )
+    )
+
+
+def q_pipe_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from covid_engineering_spark.operators.text import quality_frame
+
+    docs = read_table(spark, sf_dir, "documents")
+    clusters = connected_components(ngram_jaccard_pairs(docs))
+    return keep_best(docs, clusters, quality_frame(docs))
+
+
+#: Character-length histogram bucket width for corpus profiling.
+HIST_BUCKET_CHARS = 25
+
+
+def q_pipe_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling in one scan: fixed-width document-length
+    histogram with per-bucket exact totals (docs, chars, whitespace
+    tokens, min/max length). All-integer outputs — no float rounding
+    to drift against the oracle. Scale shape: pure partial aggregation;
+    the shuffle carries one row per bucket (~hundreds), so profiling
+    100 TB costs exactly one pass over the scan plus a broadcast-sized
+    exchange. The floor-divide bucket is the portable form of
+    ``width_bucket`` (identical integer arithmetic in both engines).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = F.floor(F.col("n_chars") / HIST_BUCKET_CHARS)
+    return (
+        docs.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias(
+                "sum_ws_tokens"
+            ),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .withColumn("lo_chars", F.col("bucket") * HIST_BUCKET_CHARS)
+    )
+
+
 QUERIES = {
     "pipe_split_hash": q_pipe_split_hash,
     "pipe_quota_source": q_pipe_quota_source,
@@ -290,6 +373,8 @@ QUERIES = {
     "pipe_pack_chunks": q_pipe_pack_chunks,
     "pipe_mixture_sample": q_pipe_mixture_sample,
     "dedup_clusters": q_dedup_clusters,
+    "pipe_keep_best": q_pipe_keep_best,
+    "pipe_length_hist": q_pipe_length_hist,
 }
 
 # 4-gram shingle CTE shared by the decontamination oracle.
@@ -306,8 +391,8 @@ _SH4_SQL = f"""
 # The cluster oracle recomputes the guarded 3-gram pair set (same CTE
 # stack as the dedup_ngram_jaccard oracle) and closes it transitively
 # with a recursive CTE — min reachable id == the engine's propagated
-# label.
-_CLUSTERS_SQL = """
+# label. The CTE stack is shared with the keep_best oracle.
+_CLUSTER_CTES = """
 WITH RECURSIVE
     ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     sh_all AS (
@@ -339,8 +424,27 @@ WITH RECURSIVE
         UNION
         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
     ),
-    closure AS (SELECT * FROM reach UNION SELECT DISTINCT a, a FROM edges)
-SELECT a AS doc_id, MIN(b) AS cluster_id FROM closure GROUP BY a
+    closure AS (SELECT * FROM reach UNION SELECT DISTINCT a, a FROM edges),
+    labels AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM closure GROUP BY a)
+"""
+
+_CLUSTERS_SQL = _CLUSTER_CTES + "SELECT doc_id, cluster_id FROM labels"
+
+_KEEP_BEST_SQL = _CLUSTER_CTES + """,
+    lab AS (
+        SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+               {quality} AS quality_score
+        FROM documents d LEFT JOIN labels l USING (doc_id)
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY quality_score DESC, doc_id) AS rk,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS n_docs
+        FROM lab
+    )
+SELECT cluster_id, doc_id AS kept_doc_id, n_docs, quality_score
+FROM ranked WHERE rk = 1
 """
 
 ORACLES = {
@@ -388,4 +492,24 @@ ORACLES = {
     "dedup_clusters": _CLUSTERS_SQL.format(
         max_df=NGRAM_MAX_DF, threshold=JACCARD_THRESHOLD
     ),
+    "pipe_keep_best": _KEEP_BEST_SQL.format(
+        max_df=NGRAM_MAX_DF,
+        threshold=JACCARD_THRESHOLD,
+        quality=_sql_quality_score("d.text"),
+    ),
+    "pipe_length_hist": f"""
+        SELECT bucket, n_docs, sum_chars, sum_ws_tokens, min_chars,
+               max_chars, bucket * {HIST_BUCKET_CHARS} AS lo_chars
+        FROM (
+            SELECT CAST(FLOOR(n_chars / {HIST_BUCKET_CHARS}) AS BIGINT) AS bucket,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                       AS sum_ws_tokens,
+                   MIN(n_chars) AS min_chars,
+                   MAX(n_chars) AS max_chars
+            FROM documents
+            GROUP BY 1
+        )
+    """,
 }

@@ -53,12 +53,12 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quality_frame(docs: DataFrame) -> DataFrame:
     """Quality scoring: mean word length, stopword ratio, and
     non-alnum (punctuation) ratio, combined into a deterministic
     [0,1]-ish score — the shape of a pretraining quality filter.
+    Reused by ``pipe_keep_best`` as the per-document survivor rank.
     """
-    docs = read_table(spark, sf_dir, "documents")
     ws = F.split(F.col("text"), " ")
     n_words = F.size(ws)
     sum_len = F.aggregate(
@@ -85,6 +85,10 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         stop_ratio.alias("stop_ratio"),
         punct_ratio.alias("punct_ratio"),
     ).withColumn("quality_score", score)
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_frame(read_table(spark, sf_dir, "documents"))
 
 
 def _occurrences(col, sub: str):
@@ -261,6 +265,20 @@ def _sql_count_in(words: tuple[str, ...]) -> str:
     return f"len(list_filter(string_split(text, ' '), w -> w IN ({lst})))"
 
 
+def sql_quality_score(text_col: str = "text") -> str:
+    """The DuckDB twin of ``quality_frame``'s ``quality_score`` column
+    (same pre-rounded 6-decimal grid), as an expression over
+    ``text_col`` — shared with the ``pipe_keep_best`` oracle.
+    """
+    stop = _sql_count_in(EN_STOP).replace("text", text_col)
+    return (
+        f"ROUND(ROUND({stop} / len(string_split({text_col}, ' ')), 6)"
+        f" + (1.0 - ROUND((length({text_col}) -"
+        f" length(regexp_replace({text_col}, '[^a-z0-9 ]', '', 'g')))"
+        f" / length({text_col}), 6)), 6)"
+    )
+
+
 def _sql_occ(sub: str) -> str:
     return f"(length(text) - length(replace(text, '{sub}', ''))) / {len(sub)}"
 
@@ -332,10 +350,7 @@ ORACLES = {
                      / len(string_split(text, ' ')), 6) AS stop_ratio,
                ROUND((length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
                      / length(text), 6) AS punct_ratio,
-               ROUND(ROUND({_sql_count_in(EN_STOP)}
-                           / len(string_split(text, ' ')), 6)
-                     + (1.0 - ROUND((length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
-                                    / length(text), 6)), 6) AS quality_score
+               {sql_quality_score()} AS quality_score
         FROM documents
     """,
     "text_langid": f"""

@@ -19,13 +19,18 @@ express).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from covid_engineering_spark.functions import dsum
 from covid_engineering_spark.sources import read_table
 
 EVERY = "hour"
+#: Inactivity gap that closes a session. The synthetic feed's per-user
+#: inter-arrival median is ~7.7 h, so 8 h yields a real mix of multi-
+#: event and singleton sessions (~2 events/session at sf0.01) instead
+#: of degenerating to one-event sessions.
+SESSION_GAP = "INTERVAL 8 HOURS"
 
 
 def resample(ev: DataFrame, every: str = EVERY) -> DataFrame:
@@ -53,7 +58,42 @@ def q_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample(read_table(spark, sf_dir, "events"))
 
 
-QUERIES = {"ts_resample": q_ts_resample}
+def sessionize(ev: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
+    """Assign every event a per-user ``session_id``: a new session
+    starts when the gap to the previous event of the SAME user exceeds
+    ``gap`` (a SQL interval literal). The batch complement of the
+    ``stream_session`` windowed aggregate — this one labels the raw
+    rows, which is what downstream per-session feature extraction
+    joins against.
+
+    Scale shape: two window passes over ONE shuffle on ``user_id``
+    (lag, then the running flag sum reuse the same partitioning —
+    Catalyst plans a single Exchange). The gap test is pure interval
+    arithmetic on the event-time column: no epoch casts, so the exact
+    same µs comparison runs in the SQL oracle. Per-user state never
+    leaves its partition, so a 100 TB feed sessionizes with shuffle
+    bounded by the raw rows of the largest single user.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev = F.lag("ts").over(w)
+    new_s = (
+        prev.isNull() | (F.col("ts") > prev + F.expr(gap))
+    ).cast("long")
+    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        ev.withColumn("new_s", new_s)
+        .withColumn("session_id", F.sum("new_s").over(run))
+        .select("event_id", "user_id", "ts", "session_id")
+    )
+
+
+def q_ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(read_table(spark, sf_dir, "events"))
+
+
+QUERIES = {"ts_resample": q_ts_resample, "ts_sessionize": q_ts_sessionize}
 
 ORACLES = {
     "ts_resample": """
@@ -68,5 +108,23 @@ ORACLES = {
                MAX(value) AS high
         FROM events
         GROUP BY 1, 2
+    """,
+    "ts_sessionize": """
+        WITH flagged AS (
+            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                   CASE WHEN lag(CAST(ts AS TIMESTAMP))
+                             OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        OR CAST(ts AS TIMESTAMP) >
+                           lag(CAST(ts AS TIMESTAMP))
+                             OVER (PARTITION BY user_id ORDER BY ts)
+                           + INTERVAL 8 HOUR
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+        )
+        SELECT event_id, user_id, ts,
+               CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_id
+        FROM flagged
     """,
 }

@@ -11,8 +11,8 @@ Registration ORDER is part of the driver contract: the round-1 driver
 hashed exactly the first 50 registry entries, so ``PRIORITY`` pins the
 verification window explicitly — the hardest tier (wrangling, both
 Euler simulations, the estimator composites, dedup/ANN/text/streaming/
-multimodal, the ingest round-trips) registers first, then one
-representative per relational family. Everything after slot 50 was
+multimodal, the ingest round-trips) registers first, then every
+operator added after round 1. Everything after slot 50 was
 driver-verified green in CORRECTNESS_r01.json and keeps its local
 DuckDB-differential coverage (tests/test_oracle.py).
 """
@@ -107,10 +107,14 @@ PRIORITY = [
     "s7_orc_roundtrip",
     "s8_sink_compact",
     "s9_sink_range_sorted",
-    # Relational representatives (every family keeps a fresh row).
-    "q1_pricing_summary",
-    "q5_region_revenue",
-    "j6_asof_join",
+    # New this session: session-3 pipeline/time-series additions. These
+    # displace the relational representatives (q1/q5/j6) past slot 50 —
+    # those were driver-green in round 1, so their verification history
+    # is already on record, while a brand-new op with no driver row
+    # ever is the strictly worse gap.
+    "ts_sessionize",
+    "pipe_keep_best",
+    "pipe_length_hist",
 ]
 
 

@@ -267,3 +267,53 @@ def test_connected_components_raises_instead_of_returning_partial_labels(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_rounds=2)
+
+
+def test_keep_best_picks_highest_quality_and_keeps_singletons(spark):
+    from covid_engineering_spark.operators.pipeline import keep_best
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(6)], "doc_id long"
+    )
+    # {0,1,2} one cluster, {3,4} another, 5 a singleton
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 3), (4, 3)],
+        "doc_id long, cluster_id long",
+    )
+    quality = spark.createDataFrame(
+        # doc 1 beats doc 0 in its cluster; docs 3 and 4 tie -> lower id
+        [(0, 0.5), (1, 0.9), (2, 0.1), (3, 0.7), (4, 0.7), (5, 0.2)],
+        "doc_id long, quality_score double",
+    )
+    got = {
+        r["cluster_id"]: (r["kept_doc_id"], r["n_docs"], r["quality_score"])
+        for r in keep_best(docs, clusters, quality).collect()
+    }
+    assert got == {0: (1, 3, 0.9), 3: (3, 2, 0.7), 5: (5, 1, 0.2)}
+
+
+def test_keep_best_output_is_one_row_per_cluster_on_the_corpus(spark):
+    from covid_engineering_spark.queries import registry
+
+    rows = registry()["pipe_keep_best"](spark, SF_SMOKE).collect()
+    n_docs_total = read_table(spark, SF_SMOKE, "documents").count()
+    # every document lands in exactly one cluster; the keep-list is one
+    # survivor per cluster and cluster sizes sum back to the corpus
+    assert len({r["cluster_id"] for r in rows}) == len(rows)
+    assert sum(r["n_docs"] for r in rows) == n_docs_total
+    assert any(r["n_docs"] > 1 for r in rows)  # real dup clusters exist
+
+
+def test_length_hist_partitions_the_corpus(spark):
+    from covid_engineering_spark.operators.pipeline import HIST_BUCKET_CHARS
+    from covid_engineering_spark.queries import registry
+
+    rows = registry()["pipe_length_hist"](spark, SF_SMOKE).collect()
+    docs = read_table(spark, SF_SMOKE, "documents")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    agg = docs.agg(F.sum("n_chars").alias("s")).collect()[0]["s"]
+    assert sum(r["sum_chars"] for r in rows) == agg
+    for r in rows:
+        assert r["lo_chars"] == r["bucket"] * HIST_BUCKET_CHARS
+        assert r["lo_chars"] <= r["min_chars"] <= r["max_chars"]
+        assert r["max_chars"] < r["lo_chars"] + HIST_BUCKET_CHARS

@@ -71,6 +71,9 @@ def test_new_round2_entries_sit_inside_the_driver_window():
         "emb_centroid",
         "ts_resample",
         "text_repetition",
+        "ts_sessionize",
+        "pipe_keep_best",
+        "pipe_length_hist",
     } <= set(PRIORITY)
 
 

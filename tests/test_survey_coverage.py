@@ -109,6 +109,7 @@ SURVEY_MAP = {
     "STR-DEDUP": "stream_dedup",
     # time-series rollup
     "TS-RESAMPLE": "ts_resample",
+    "TS-SESSIONIZE": "ts_sessionize",
     # training-data pipeline tier (corpus management)
     "PIPE-SPLIT": "pipe_split_hash",
     "PIPE-QUOTA": "pipe_quota_source",
@@ -116,6 +117,8 @@ SURVEY_MAP = {
     "PIPE-PACK": "pipe_pack_chunks",
     "PIPE-MIX": "pipe_mixture_sample",
     "PIPE-CC": "dedup_clusters",
+    "PIPE-KEEP": "pipe_keep_best",
+    "PIPE-HIST": "pipe_length_hist",
     # ingest extensions (JSONL / ORC / compaction round-trips)
     "ING-JSONL": "s6_jsonl_scan",
     "ING-ORC": "s7_orc_roundtrip",
