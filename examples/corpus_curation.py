@@ -9,7 +9,8 @@ funnel a pretraining pipeline applies before tokenization:
 
 1. exact dedup        — collapse byte-identical copies;
 2. near-dup clusters  — guarded n-gram Jaccard pairs resolved to
-                        connected components, keep one doc per cluster;
+                        connected components, keep the highest-quality
+                        doc per cluster (``keep_best``);
 3. decontamination    — drop documents sharing word-4-grams with the
                         eval suite;
 4. source quota       — cap each source at its N longest survivors;
@@ -38,10 +39,12 @@ from covid_engineering_spark.operators.pipeline import (
     DECON_NGRAM,
     connected_components,
     decontaminate,
+    keep_best,
     pack_chunks,
     quota_per_group,
     split_assign,
 )
+from covid_engineering_spark.operators.text import quality_frame
 from covid_engineering_spark.session import get_spark
 from covid_engineering_spark.sources import read_table, write_partitioned
 
@@ -65,10 +68,14 @@ def main(
     )
     docs = docs.join(keep_exact, "doc_id")
 
-    # 2. near-dup cluster resolution: keep the canonical (min) member
+    # 2. near-dup cluster resolution: keep the highest-quality member
+    # of every cluster (singletons keep themselves), not just the
+    # lowest id — the retention policy a production pipeline ships
     clusters = connected_components(ngram_jaccard_pairs(docs))
-    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
-    docs = docs.join(losers, "doc_id", "left_anti")
+    kept = keep_best(docs, clusters, quality_frame(docs)).select(
+        F.col("kept_doc_id").alias("doc_id")
+    )
+    docs = docs.join(kept, "doc_id")
 
     # 3. decontamination against a held-out eval suite (here: every
     # 13th doc stands in for the benchmark corpus); shingles cached —

@@ -129,11 +129,35 @@ def main() -> None:
             ngram_jaccard_pairs(read_table(spark, sf_dir, "documents"))
         ).write.mode("overwrite").format("noop").save()
 
+    def keep(sf_dir):
+        # retention on top of cluster resolution: + quality scoring and
+        # the per-cluster survivor window
+        from covid_engineering_spark.operators.pipeline import keep_best
+        from covid_engineering_spark.operators.text import quality_frame
+
+        docs = read_table(spark, sf_dir, "documents")
+        keep_best(
+            docs,
+            connected_components(ngram_jaccard_pairs(docs)),
+            quality_frame(docs),
+        ).write.mode("overwrite").format("noop").save()
+
+    def sess(sf_dir):
+        # window-heavy events path: user keys grow with the data, so
+        # per-partition state must stay bounded
+        from covid_engineering_spark.operators.timeseries import sessionize
+
+        sessionize(read_table(spark, sf_dir, "events")).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
     out: dict = {"metric": "scale_probe", "x": REPLICAS, "base": BASE}
     for name, fn in (
         ("wrangle_clean_complete", wrangle),
         ("dedup_minhash_lsh", minhash),
         ("dedup_clusters", clusters),
+        ("pipe_keep_best", keep),
+        ("ts_sessionize", sess),
     ):
         fn(small)  # warmup at 1x
         t1 = _time(lambda: fn(small))

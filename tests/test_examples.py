@@ -26,8 +26,8 @@ def test_corpus_curation_runs(spark, tmp_path, capsys):
     mod["main"]("/root/testdata/sf0.001", str(tmp_path / "out"))
     out = capsys.readouterr().out
     assert "curated 500 raw documents -> 300 kept" in out
-    assert "split sizes: {'test': 32, 'train': 240, 'val': 28}" in out
-    assert "packed into 70 chunks" in out
+    assert "split sizes: {'test': 34, 'train': 238, 'val': 28}" in out
+    assert "packed into 71 chunks" in out
 
 
 def test_quickstart_runs(spark, tmp_path, capsys):
