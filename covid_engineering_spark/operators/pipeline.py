@@ -366,6 +366,101 @@ def q_pipe_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_upsert(changelog: DataFrame, keys: list[str], ts: str = "ts") -> DataFrame:
+    """Latest-wins changelog compaction — the batch form of ``MERGE
+    INTO`` that keeps, per key, only the most recent version. The
+    maintenance query behind every snapshot refresh of a mutable
+    corpus (re-crawled pages, re-scored documents, corrected labels).
+
+    Spark-first shape: ``max_by`` aggregation, NOT a ranked window —
+    partial aggregation compacts each map-side partition before the
+    shuffle, so the exchange carries at most one row per key per input
+    partition, where a ``row_number`` window would shuffle and sort
+    EVERY version of every key. Determinism requires a total order on
+    ``ts`` within a key (the synthetic feed's timestamps are globally
+    unique; production changelogs use a (ts, sequence) struct).
+    """
+    others = [c for c in changelog.columns if c not in keys and c != ts]
+    return changelog.groupBy(*keys).agg(
+        F.max(ts).alias(ts),
+        *[F.max_by(c, ts).alias(c) for c in others],
+    )
+
+
+def q_pipe_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compact the event log to the latest state per (user, event
+    type) — e.g. "each user's most recent purchase/click/error".
+    """
+    ev = read_table(spark, sf_dir, "events")
+    return cdc_upsert(
+        ev.select("user_id", "event_type", "ts", "value", "props"),
+        keys=["user_id", "event_type"],
+    )
+
+
+#: Redaction patterns: regex -> replacement token. Digit runs stand in
+#: for the phone/SSN/account-number patterns a production scrubber
+#: ships; the regex subset used here (character classes, +) compiles
+#: identically under Java regex (Spark) and RE2 (DuckDB).
+PII_PATTERNS: list[tuple[str, str]] = [("[0-9]+", "<NUM>")]
+
+
+def pii_scrub(
+    df: DataFrame, col: str, patterns: list[tuple[str, str]] = PII_PATTERNS
+) -> DataFrame:
+    """Redact every match of each pattern in ``col`` and count the
+    redactions per row. Pure JVM ``regexp_replace``/``regexp_count``
+    expressions inside whole-stage codegen — a scan-side rewrite with
+    no shuffle at any scale; the audit count rides along so a
+    downstream gate can quarantine rows with excessive hits.
+    """
+    scrubbed = F.col(col)
+    hits = F.lit(0)
+    for pat, token in patterns:
+        hits = hits + F.regexp_count(scrubbed, F.lit(pat))
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return df.withColumns(
+        {f"{col}_scrubbed": scrubbed, "n_redactions": hits.cast("long")}
+    )
+
+
+def q_pipe_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return pii_scrub(ev.select("event_id", "props"), "props").select(
+        "event_id", "props_scrubbed", "n_redactions"
+    )
+
+
+def dup_rate(docs: DataFrame) -> DataFrame:
+    """Per-source duplication report: how much of each source is
+    byte-identical duplicate content — the corpus-QA number that
+    decides which crawls get a dedup pass first. Exact-dup groups come
+    from the md5 groupBy (same shape as ``dedup_exact``); a document
+    is a "dup" if its text hash occurs more than once GLOBALLY, and
+    the rate is per-source. Two partial-aggregated shuffles (hash,
+    then source), both carrying group-sized — not corpus-sized — rows.
+    """
+    hashed = docs.select(
+        "doc_id", "source", F.md5(F.col("text")).alias("h")
+    )
+    counts = hashed.groupBy("h").agg(F.count("*").alias("n_copies"))
+    return (
+        hashed.join(counts, "h")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("n_copies") > 1).cast("long")).alias("n_dup_docs"),
+            F.round(
+                F.avg((F.col("n_copies") > 1).cast("double")), 6
+            ).alias("dup_rate"),
+        )
+    )
+
+
+def q_pipe_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup_rate(read_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "pipe_split_hash": q_pipe_split_hash,
     "pipe_quota_source": q_pipe_quota_source,
@@ -375,6 +470,9 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "pipe_keep_best": q_pipe_keep_best,
     "pipe_length_hist": q_pipe_length_hist,
+    "pipe_cdc_upsert": q_pipe_cdc_upsert,
+    "pipe_pii_scrub": q_pipe_pii_scrub,
+    "pipe_dup_rate": q_pipe_dup_rate,
 }
 
 # 4-gram shingle CTE shared by the decontamination oracle.
@@ -497,6 +595,32 @@ ORACLES = {
         threshold=JACCARD_THRESHOLD,
         quality=_sql_quality_score("d.text"),
     ),
+    "pipe_cdc_upsert": """
+        SELECT user_id, event_type,
+               MAX(CAST(ts AS TIMESTAMP)) AS ts,
+               arg_max(value, CAST(ts AS TIMESTAMP)) AS value,
+               arg_max(props, CAST(ts AS TIMESTAMP)) AS props
+        FROM events
+        GROUP BY user_id, event_type
+    """,
+    "pipe_pii_scrub": """
+        SELECT event_id,
+               regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS props_scrubbed,
+               CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT)
+                   AS n_redactions
+        FROM events
+    """,
+    "pipe_dup_rate": """
+        WITH hashed AS (
+            SELECT doc_id, source, md5(text) AS h FROM documents
+        ),
+        counts AS (SELECT h, COUNT(*) AS n_copies FROM hashed GROUP BY h)
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM((n_copies > 1)::INT) AS BIGINT) AS n_dup_docs,
+               ROUND(AVG((n_copies > 1)::INT), 6) AS dup_rate
+        FROM hashed JOIN counts USING (h)
+        GROUP BY source
+    """,
     "pipe_length_hist": f"""
         SELECT bucket, n_docs, sum_chars, sum_ws_tokens, min_chars,
                max_chars, bucket * {HIST_BUCKET_CHARS} AS lo_chars

@@ -261,11 +261,61 @@ def ivf_topk(emb: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
+KNN_K = 5
+
+
+def knn_graph(emb: DataFrame, block: str = "label", k: int = KNN_K) -> DataFrame:
+    """Blocked exact k-nearest-neighbor graph: within each ``block``
+    (here the label column, standing in for an IVF cell / shard
+    assignment), every vector's k nearest others by cosine. The
+    all-pairs primitive behind semantic-dedup clustering, diversity
+    sampling, and retrieval-graph construction.
+
+    Scale shape: the self-join is an EQUI-join on the block id — never
+    a cartesian product (asserted in the plan audit) — so cost is
+    Σ block_size², bounded by the coarse partitioner, and each block's
+    pairs stay inside one shuffle partition. Exact-within-block is the
+    production trade: a global exact graph is inherently quadratic;
+    when no natural block exists, the IVF codebook (``_centroids``)
+    or LSH buckets supply one at the cost of cross-block recall
+    (measured for the ANN paths in tests).
+    """
+    a = emb.select(
+        F.col("vec_id").alias("src_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col(block).alias("blk"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col(block).alias("blk"),
+    )
+    cos = cosine_expr(F.col("a_emb"), F.col("b_emb"))
+    scored = (
+        a.join(b, "blk")
+        .filter(F.col("src_id") != F.col("n_id"))
+        .select("blk", "src_id", "n_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("cosine"), "n_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("blk").alias(block), "src_id", "n_id", "cosine", "rank"
+        )
+    )
+
+
+def q_emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn_graph(read_table(spark, sf_dir, "embeddings"))
+
+
 QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "emb_centroid": q_emb_centroid,
+    "emb_knn_graph": q_emb_knn_graph,
 }
 
 ORACLES = {
@@ -276,6 +326,24 @@ ORACLES = {
                COUNT(*) AS n_vecs
         FROM embeddings, generate_series(1, {DIM}) AS t(i)
         GROUP BY 1, 2
+    """,
+    "emb_knn_graph": f"""
+        WITH scored AS (
+            SELECT a.label, a.vec_id AS src_id, b.vec_id AS n_id,
+                   ROUND(list_dot_product(
+                       list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                       list_transform(b.embedding, x -> CAST(x AS DOUBLE))
+                   ), 6) AS cosine
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id <> b.vec_id
+        )
+        SELECT label, src_id, n_id, cosine, CAST(rank AS INTEGER) AS rank
+        FROM (
+            SELECT label, src_id, n_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY src_id
+                                      ORDER BY cosine DESC, n_id) AS rank
+            FROM scored
+        ) t WHERE rank <= {KNN_K}
     """,
     "ann_cosine_topk": f"""
         WITH q AS (

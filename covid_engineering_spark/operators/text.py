@@ -249,8 +249,38 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def normalize(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Canonical text normalization before hashing/dedup: lowercase,
+    collapse every punctuation/whitespace run to one space, trim —
+    then fingerprint the canonical form (md5) so byte-different
+    rewrites of the same content collide. This is the key-preparation
+    step exact dedup and MinHash both assume; running it as explicit
+    scan-side expressions (lower/regexp_replace/trim — all
+    whole-stage-codegen JVM built-ins, no shuffle, no Python) keeps
+    the 100 TB cost at exactly one pass over the text column.
+    """
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(col)), "[^a-z0-9]+", " ")
+    )
+    return docs.withColumns(
+        {
+            "norm_text": norm,
+            "content_hash": F.md5(norm),
+            "norm_tokens": F.size(F.split(norm, " ")).cast("long"),
+        }
+    )
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return normalize(docs).select(
+        "doc_id", "norm_text", "content_hash", "norm_tokens"
+    )
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
+    "text_normalize": q_text_normalize,
     "text_repetition": q_text_repetition,
     "text_tfidf": q_text_tfidf,
     "text_quality": q_text_quality,
@@ -292,6 +322,17 @@ def _sql_score(stop: tuple[str, ...], markers: tuple[str, ...]) -> str:
 
 
 ORACLES = {
+    "text_normalize": """
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+                   AS norm_text,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+                   AS content_hash,
+               CAST(len(string_split(
+                   trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                   ' ')) AS BIGINT) AS norm_tokens
+        FROM documents
+    """,
     "text_repetition": """
         WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         words AS (SELECT doc_id, unnest(w) AS t FROM ws),

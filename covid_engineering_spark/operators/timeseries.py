@@ -93,9 +93,199 @@ def q_ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(read_table(spark, sf_dir, "events"))
 
 
-QUERIES = {"ts_resample": q_ts_resample, "ts_sessionize": q_ts_sessionize}
+#: Ordered funnel steps: a later step only counts if it happens
+#: STRICTLY AFTER the user's earliest completion of the previous step.
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def funnel(ev: DataFrame, steps: list[str] = FUNNEL_STEPS) -> DataFrame:
+    """Ordered-step conversion funnel: per user, the earliest time each
+    step completed GIVEN the previous step completed before it, plus
+    the reached depth. The standard product-analytics query a metrics
+    store runs over the raw event log.
+
+    Scale shape: one filtered min-aggregate per step, each joined on
+    ``user_id`` — every stage is a partial-aggregated groupBy whose
+    output is one row per qualifying user, and each successive stage
+    only scans the (shrinking) survivor set's events. All stages
+    shuffle on the same ``user_id`` key, so AQE coalesces them onto
+    one exchange layout; nothing is windowed, nothing is quadratic.
+    Determinism: event timestamps are unique (asserted for the
+    synthetic feed in tests), and ``min`` is order-independent.
+    """
+    base = ev.select("user_id", "ts", "event_type")
+    reached = (
+        base.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias(f"t_{steps[0]}"))
+    )
+    out = reached
+    prev = f"t_{steps[0]}"
+    for step in steps[1:]:
+        nxt = (
+            base.filter(F.col("event_type") == step)
+            .join(out.select("user_id", prev), "user_id")
+            .filter(F.col("ts") > F.col(prev))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(f"t_{step}"))
+        )
+        out = out.join(nxt, "user_id", "left")
+        prev = f"t_{step}"
+    depth = sum(
+        (F.col(f"t_{s}").isNotNull().cast("int") for s in steps), F.lit(0)
+    )
+    return out.withColumn("funnel_depth", depth)
+
+
+def q_ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return funnel(read_table(spark, sf_dir, "events"))
+
+
+def cohort_retention(ev: DataFrame) -> DataFrame:
+    """Weekly cohort-retention matrix: users grouped by the week of
+    their FIRST event; each (cohort_week, activity_week) cell counts
+    the distinct cohort members active that week, with the week offset
+    for triangle-matrix rendering.
+
+    Scale shape: first-touch is a partial-aggregated min per user; the
+    cohort label rides back on a user_id equi-join (AQE broadcasts the
+    per-user frame when it is small, and at 100 TB both sides already
+    hash-partition on user_id so the join reuses one exchange); the
+    matrix agg's shuffle carries one row per (cohort, week) pair —
+    hundreds of rows for years of data. ``date_trunc('week', ...)`` is
+    ISO-Monday in both engines.
+    """
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.date_trunc("week", "ts").cast("date").alias("activity_week"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .withColumn(
+            "week_offset",
+            (
+                F.datediff(F.col("activity_week"), F.col("cohort_week")) / 7
+            ).cast("long"),
+        )
+    )
+
+
+def q_ts_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cohort_retention(read_table(spark, sf_dir, "events"))
+
+
+def gapfill_daily(ev: DataFrame) -> DataFrame:
+    """Calendar densification: one row per user per calendar day
+    between that user's first and last event, with the day's event
+    count (0 on silent days). The spine every downstream
+    interpolation / rolling-window consumer needs — W6 interpolates
+    VALUES but assumes the rows exist; this op manufactures the rows.
+
+    Scale shape: the spine is generated executor-side from each
+    user's (min, max) day via ``sequence`` + ``explode`` — no driver
+    loop, no cross join against a global calendar frame, and the
+    per-user row count is bounded by that user's own span. Spine and
+    daily counts both shuffle on ``user_id`` (the join key), so the
+    whole op is two partial aggs and one co-partitioned join.
+    """
+    day = F.to_date("ts")
+    span = ev.groupBy("user_id").agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    )
+    spine = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    daily = ev.groupBy("user_id", day.alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gapfill_daily(read_table(spark, sf_dir, "events"))
+
+
+QUERIES = {
+    "ts_resample": q_ts_resample,
+    "ts_sessionize": q_ts_sessionize,
+    "ts_funnel": q_ts_funnel,
+    "ts_cohort": q_ts_cohort,
+    "ts_gapfill": q_ts_gapfill,
+}
 
 ORACLES = {
+    "ts_funnel": """
+        WITH ev AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+            FROM events
+        ),
+        s1 AS (
+            SELECT user_id, MIN(ts) AS t_view FROM ev
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT ev.user_id, MIN(ev.ts) AS t_click
+            FROM ev JOIN s1 USING (user_id)
+            WHERE ev.event_type = 'click' AND ev.ts > s1.t_view
+            GROUP BY ev.user_id
+        ),
+        s3 AS (
+            SELECT ev.user_id, MIN(ev.ts) AS t_purchase
+            FROM ev JOIN s2 USING (user_id)
+            WHERE ev.event_type = 'purchase' AND ev.ts > s2.t_click
+            GROUP BY ev.user_id
+        )
+        SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+               (1 + (s2.t_click IS NOT NULL)::INT
+                  + (s3.t_purchase IS NOT NULL)::INT) AS funnel_depth
+        FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    """,
+    "ts_cohort": """
+        WITH first AS (
+            SELECT user_id,
+                   date_trunc('week', MIN(CAST(ts AS TIMESTAMP)))
+                       AS cohort_week
+            FROM events GROUP BY user_id
+        )
+        SELECT cohort_week,
+               date_trunc('week', CAST(ts AS TIMESTAMP)) AS activity_week,
+               COUNT(DISTINCT user_id) AS n_active,
+               CAST(date_diff('day', CAST(cohort_week AS DATE),
+                              CAST(date_trunc('week', CAST(ts AS TIMESTAMP))
+                                   AS DATE)) // 7 AS BIGINT) AS week_offset
+        FROM events JOIN first USING (user_id)
+        GROUP BY 1, 2
+    """,
+    "ts_gapfill": """
+        WITH span AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS d0,
+                   MAX(CAST(ts AS DATE)) AS d1
+            FROM events GROUP BY user_id
+        ),
+        spine AS (
+            SELECT user_id, CAST(unnest(generate_series(d0, d1,
+                       INTERVAL 1 DAY)) AS DATE) AS day
+            FROM span
+        ),
+        daily AS (
+            SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT spine.user_id, spine.day,
+               COALESCE(daily.n, 0) AS n_events
+        FROM spine LEFT JOIN daily USING (user_id, day)
+    """,
     "ts_resample": """
         SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
                event_type,

@@ -80,3 +80,32 @@ def test_kmeans_codebook_beats_or_matches_stride(spark, brute_force):
     learned = _check(ivf_topk(emb, _centroids(emb)).collect(), brute_force, 0.0)
     baseline = _check(ivf_topk(emb, stride_cent).collect(), brute_force, 0.0)
     assert learned >= baseline, (learned, baseline)
+
+
+def test_knn_graph_blocked_exact_and_symmetric_candidates(spark):
+    from pyspark.sql import functions as F
+
+    from covid_engineering_spark.operators.similarity import KNN_K, knn_graph
+    from covid_engineering_spark.sources import read_table
+
+    emb = read_table(spark, SF_SMOKE, "embeddings").cache()
+    rows = knn_graph(emb).collect()
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    by_src: dict = {}
+    for r in rows:
+        # neighbors never cross the block, never self-match
+        assert labels[r["src_id"]] == r["label"] == labels[r["n_id"]]
+        assert r["src_id"] != r["n_id"]
+        assert 1 <= r["rank"] <= KNN_K
+        by_src.setdefault(r["src_id"], []).append(r)
+    # every vector whose block has >= 2 members appears as a source,
+    # with min(block_size - 1, k) neighbors, ranked by descending cosine
+    sizes: dict = {}
+    for lbl in labels.values():
+        sizes[lbl] = sizes.get(lbl, 0) + 1
+    for vid, lbl in labels.items():
+        expect = min(sizes[lbl] - 1, KNN_K)
+        got = sorted(by_src.get(vid, []), key=lambda r: r["rank"])
+        assert len(got) == expect, (vid, expect, len(got))
+        cosines = [r["cosine"] for r in got]
+        assert cosines == sorted(cosines, reverse=True)

@@ -317,3 +317,85 @@ def test_length_hist_partitions_the_corpus(spark):
         assert r["lo_chars"] == r["bucket"] * HIST_BUCKET_CHARS
         assert r["lo_chars"] <= r["min_chars"] <= r["max_chars"]
         assert r["max_chars"] < r["lo_chars"] + HIST_BUCKET_CHARS
+
+
+def test_cdc_upsert_latest_wins_and_partition_invariant(spark):
+    from covid_engineering_spark.operators.pipeline import cdc_upsert
+
+    log = spark.createDataFrame(
+        [
+            (1, "a", "2024-01-01 00:00:00", 10.0),
+            (1, "a", "2024-01-03 00:00:00", 30.0),  # latest for (1, a)
+            (1, "a", "2024-01-02 00:00:00", 20.0),
+            (2, "a", "2024-01-01 00:00:00", 5.0),
+        ],
+        "user_id long, event_type string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got = {
+        (r["user_id"], r["event_type"]): r["value"]
+        for r in cdc_upsert(log, ["user_id", "event_type"]).collect()
+    }
+    assert got == {(1, "a"): 30.0, (2, "a"): 5.0}
+    reshuffled = {
+        (r["user_id"], r["event_type"]): r["value"]
+        for r in cdc_upsert(log.repartition(7), ["user_id", "event_type"]).collect()
+    }
+    assert reshuffled == got
+
+
+def test_pii_scrub_counts_and_redacts_multiple_patterns(spark):
+    from covid_engineering_spark.operators.pipeline import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "call 555 1234 or mail a@b.com"),
+            (2, "no secrets here"),
+            (3, None),
+        ],
+        "id long, s string",
+    )
+    pats = [("[0-9]+", "<NUM>"), ("[a-z]+@[a-z]+\\.[a-z]+", "<EMAIL>")]
+    rows = {r["id"]: r for r in pii_scrub(df, "s", pats).collect()}
+    assert rows[1]["s_scrubbed"] == "call <NUM> <NUM> or mail <EMAIL>"
+    assert rows[1]["n_redactions"] == 3
+    assert rows[2]["s_scrubbed"] == "no secrets here"
+    assert rows[2]["n_redactions"] == 0
+    assert rows[3]["s_scrubbed"] is None
+
+
+def test_dup_rate_flags_global_duplicates_across_sources(spark):
+    from covid_engineering_spark.operators.pipeline import dup_rate
+
+    # one text duplicated ACROSS sources: both copies must count as
+    # dups in their own source's rate
+    docs = spark.createDataFrame(
+        [
+            (1, "same text", "srcA"),
+            (2, "same text", "srcB"),
+            (3, "unique one", "srcA"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r["source"]: (r["n_docs"], r["n_dup_docs"])
+        for r in dup_rate(docs).collect()
+    }
+    assert got == {"srcA": (2, 1), "srcB": (1, 1)}
+
+
+def test_normalize_collapses_case_punct_and_whitespace(spark):
+    from covid_engineering_spark.operators.text import normalize
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello,   WORLD!!"),
+            (2, "hello world"),
+            (3, "  hello   world  "),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in normalize(docs).collect()}
+    # all three are the same content after normalization -> same hash
+    assert rows[1]["norm_text"] == "hello world"
+    assert len({rows[i]["content_hash"] for i in (1, 2, 3)}) == 1
+    assert rows[1]["norm_tokens"] == 2

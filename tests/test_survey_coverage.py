@@ -101,15 +101,20 @@ SURVEY_MAP = {
     "TXT-TOP": "text_top_terms",
     "TXT-TFIDF": "text_tfidf",
     "TXT-REP": "text_repetition",
+    "TXT-NORM": "text_normalize",
+    "ANN-KNN": "emb_knn_graph",
     "MM": "mm_feature_extract",
     # streaming tier (§2.12)
     "STR-TUMBLE": "stream_tumble",
     "STR-SLIDE": "stream_slide",
     "STR-SESSION": "stream_session",
     "STR-DEDUP": "stream_dedup",
-    # time-series rollup
+    # time-series rollup + event analytics
     "TS-RESAMPLE": "ts_resample",
     "TS-SESSIONIZE": "ts_sessionize",
+    "TS-FUNNEL": "ts_funnel",
+    "TS-COHORT": "ts_cohort",
+    "TS-GAPFILL": "ts_gapfill",
     # training-data pipeline tier (corpus management)
     "PIPE-SPLIT": "pipe_split_hash",
     "PIPE-QUOTA": "pipe_quota_source",
@@ -119,6 +124,9 @@ SURVEY_MAP = {
     "PIPE-CC": "dedup_clusters",
     "PIPE-KEEP": "pipe_keep_best",
     "PIPE-HIST": "pipe_length_hist",
+    "PIPE-CDC": "pipe_cdc_upsert",
+    "PIPE-PII": "pipe_pii_scrub",
+    "PIPE-DUPRATE": "pipe_dup_rate",
     # ingest extensions (JSONL / ORC / compaction round-trips)
     "ING-JSONL": "s6_jsonl_scan",
     "ING-ORC": "s7_orc_roundtrip",

@@ -65,3 +65,91 @@ def test_sessionize_is_partition_invariant_and_total(spark):
     }
     assert a == b and len(a) == ev.count()
     assert max(a.values()) > 1  # the 8-h gap yields real multi-session users
+
+
+def test_funnel_requires_step_order(spark):
+    from covid_engineering_spark.operators.timeseries import funnel
+
+    ev = spark.createDataFrame(
+        [
+            # user 1: view -> click -> purchase, fully ordered
+            (1, "2024-01-01 00:00:00", 1, "view"),
+            (2, "2024-01-01 01:00:00", 1, "click"),
+            (3, "2024-01-01 02:00:00", 1, "purchase"),
+            # user 2: clicked BEFORE viewing — the click must not count
+            (4, "2024-01-02 00:00:00", 2, "click"),
+            (5, "2024-01-02 01:00:00", 2, "view"),
+            # user 3: view then purchase but never clicked — depth stops at 1
+            (6, "2024-01-03 00:00:00", 3, "view"),
+            (7, "2024-01-03 01:00:00", 3, "purchase"),
+            # user 4: never viewed — not in the funnel at all
+            (8, "2024-01-04 00:00:00", 4, "purchase"),
+        ],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    rows = {r["user_id"]: r for r in funnel(ev).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["funnel_depth"] == 3
+    assert rows[2]["funnel_depth"] == 1 and rows[2]["t_click"] is None
+    assert rows[3]["funnel_depth"] == 1 and rows[3]["t_purchase"] is None
+
+
+def test_funnel_counts_only_post_view_clicks(spark):
+    from covid_engineering_spark.operators.timeseries import funnel
+
+    # the user clicks twice: once before the first view (ignored) and
+    # once after (the one the funnel must report)
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 9, "click"),
+            (2, "2024-01-01 01:00:00", 9, "view"),
+            (3, "2024-01-01 02:00:00", 9, "click"),
+        ],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    row = funnel(ev).collect()[0]
+    assert str(row["t_click"]).startswith("2024-01-01 02:00:00")
+
+
+def test_cohort_cell_totals_bound_by_cohort_size(spark):
+    from covid_engineering_spark.operators.timeseries import cohort_retention
+
+    ev = read_table(spark, SF_SMOKE, "events")
+    rows = cohort_retention(ev).collect()
+    # week-0 cell == cohort size (every member is active the week they
+    # first appear), later cells never exceed it
+    week0 = {r["cohort_week"]: r["n_active"] for r in rows if r["week_offset"] == 0}
+    for r in rows:
+        assert r["n_active"] <= week0[r["cohort_week"]]
+        assert r["week_offset"] >= 0
+
+
+def test_gapfill_covers_span_with_zero_days(spark):
+    from covid_engineering_spark.operators.timeseries import gapfill_daily
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 12:00:00", 5, "view"),
+            (2, "2024-01-05 12:00:00", 5, "view"),
+            (3, "2024-01-05 13:00:00", 5, "view"),
+        ],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    rows = {str(r["day"]): r["n_events"] for r in gapfill_daily(ev).collect()}
+    assert rows == {
+        "2024-01-01": 1,
+        "2024-01-02": 0,
+        "2024-01-03": 0,
+        "2024-01-04": 0,
+        "2024-01-05": 2,
+    }
+
+
+def test_gapfill_total_preserved(spark):
+    from covid_engineering_spark.operators.timeseries import gapfill_daily
+
+    ev = read_table(spark, SF_SMOKE, "events")
+    out = gapfill_daily(ev)
+    assert out.agg(F.sum("n_events")).collect()[0][0] == ev.count()
+    # spine has no duplicate (user, day) rows
+    assert out.count() == out.select("user_id", "day").distinct().count()
