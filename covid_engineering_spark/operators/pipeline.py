@@ -366,6 +366,44 @@ def q_pipe_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Exact per-stratum sample size for the stratified sampler.
+STRATUM_N = 20
+
+
+def stratified_sample(
+    df: DataFrame, strata: list[str], key: str = "doc_id", n: int = STRATUM_N
+) -> DataFrame:
+    """Exact-N uniform sample per stratum, reproducibly: rank rows
+    within each stratum by md5(key) — a uniform, content-stable order
+    — and keep the first ``n``. Unlike ``sampleBy`` (per-row coin
+    flips: approximate counts, partition-order dependent), this
+    yields EXACTLY min(n, stratum size) rows and the same rows on
+    every engine, every layout. One ranked window on the strata key;
+    Spark's WindowGroupLimit pushes the rank filter below the full
+    sort for n << stratum size, so a mega-stratum never fully sorts.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*strata).orderBy(
+        F.md5(F.col(key).cast("string")), F.col(key)
+    )
+    return (
+        df.withColumn("sample_rk", F.row_number().over(w))
+        .filter(F.col("sample_rk") <= n)
+    )
+
+
+def q_pipe_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 uniformly-chosen docs per (lang, source) stratum —
+    the eval-set construction step (fixed-size per-cell samples, not
+    proportional ones).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, ["lang", "source"]).select(
+        "doc_id", "lang", "source", "sample_rk"
+    )
+
+
 def cdc_upsert(changelog: DataFrame, keys: list[str], ts: str = "ts") -> DataFrame:
     """Latest-wins changelog compaction — the batch form of ``MERGE
     INTO`` that keeps, per key, only the most recent version. The
@@ -473,6 +511,7 @@ QUERIES = {
     "pipe_cdc_upsert": q_pipe_cdc_upsert,
     "pipe_pii_scrub": q_pipe_pii_scrub,
     "pipe_dup_rate": q_pipe_dup_rate,
+    "pipe_stratified_sample": q_pipe_stratified_sample,
 }
 
 # 4-gram shingle CTE shared by the decontamination oracle.
@@ -620,6 +659,15 @@ ORACLES = {
                ROUND(AVG((n_copies > 1)::INT), 6) AS dup_rate
         FROM hashed JOIN counts USING (h)
         GROUP BY source
+    """,
+    "pipe_stratified_sample": f"""
+        SELECT doc_id, lang, source, sample_rk FROM (
+            SELECT doc_id, lang, source,
+                   ROW_NUMBER() OVER (PARTITION BY lang, source
+                                      ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                               doc_id) AS sample_rk
+            FROM documents
+        ) WHERE sample_rk <= {STRATUM_N}
     """,
     "pipe_length_hist": f"""
         SELECT bucket, n_docs, sum_chars, sum_ws_tokens, min_chars,
