@@ -90,6 +90,7 @@ ROUND3_PENDING = {
     "pipe_cdc_upsert",
     "pipe_pii_scrub",
     "pipe_dup_rate",
+    "pipe_stratified_sample",
     "text_normalize",
     "emb_knn_graph",
 }

@@ -127,6 +127,7 @@ SURVEY_MAP = {
     "PIPE-CDC": "pipe_cdc_upsert",
     "PIPE-PII": "pipe_pii_scrub",
     "PIPE-DUPRATE": "pipe_dup_rate",
+    "PIPE-STRAT": "pipe_stratified_sample",
     # ingest extensions (JSONL / ORC / compaction round-trips)
     "ING-JSONL": "s6_jsonl_scan",
     "ING-ORC": "s7_orc_roundtrip",
