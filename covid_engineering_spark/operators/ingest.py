@@ -18,20 +18,36 @@ Java's shortest-roundtrip formatting), so the oracle is just the
 identity select on the source table — any coercion bug breaks the
 driver's value hash.
 
-The staging directory is a fresh ``tempfile.mkdtemp`` per call: these
-are ingest operators, so the write half is executed eagerly by design
-(one-shot migration semantics, like ``sqlite_to_parquet``).
+Staging directories all live under one per-process root that is
+removed at interpreter exit (``atexit``): the returned DataFrames read
+the staged files lazily, so per-call deletion would race the caller's
+materialization, but a long-lived session re-invoking these queries
+(bench warmup + timed runs) must not grow /tmp without bound.
 """
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import sqlite3
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_STAGING_ROOT: str | None = None
+
+
+def _staging_dir(prefix: str) -> str:
+    """A scratch dir under one atexit-cleaned per-process root."""
+    global _STAGING_ROOT
+    if _STAGING_ROOT is None:
+        _STAGING_ROOT = tempfile.mkdtemp(prefix="ces_staging_")
+        atexit.register(shutil.rmtree, _STAGING_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_STAGING_ROOT)
+
 
 from covid_engineering_spark import schemas
 from covid_engineering_spark.sources import (
@@ -59,7 +75,7 @@ def q_s1_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``read_covid_csv`` (declared StructType, ``to_date`` coercion — no
     inference pass, the 100 TB-safe contract).
     """
-    out = os.path.join(tempfile.mkdtemp(prefix="ces_s1_"), "orders_csv")
+    out = os.path.join(_staging_dir("s1_"), "orders_csv")
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
@@ -86,7 +102,7 @@ def q_s2_sqlite_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pandas as pd
 
-    tmp = tempfile.mkdtemp(prefix="ces_s2_")
+    tmp = _staging_dir("s2_")
     db = os.path.join(tmp, "star.db")
     with sqlite3.connect(db) as conn:
         for name in ("nation", "region"):
@@ -107,7 +123,7 @@ def q_s5_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     values live in directory names, so the cast back to string is
     explicit.
     """
-    out = os.path.join(tempfile.mkdtemp(prefix="ces_s5_"), "customer_pq")
+    out = os.path.join(_staging_dir("s5_"), "customer_pq")
     cust = read_table(spark, sf_dir, "customer")
     write_partitioned(cust, out, "c_mktsegment")
     back = spark.read.parquet(out)
@@ -129,7 +145,7 @@ def q_s6_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     types; the declared StructType is the contract. Text passes
     through JSON string escaping bit-for-bit or the driver hash fails.
     """
-    out = os.path.join(tempfile.mkdtemp(prefix="ces_s6_"), "docs_jsonl")
+    out = os.path.join(_staging_dir("s6_"), "docs_jsonl")
     docs = read_table(spark, sf_dir, "documents")
     docs.write.mode("overwrite").json(out)
     return spark.read.schema(schemas.STAR["documents"]).json(out)
@@ -141,7 +157,7 @@ def q_s7_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     column-pruning contract as parquet) and re-read with the declared
     schema.
     """
-    out = os.path.join(tempfile.mkdtemp(prefix="ces_s7_"), "supplier_orc")
+    out = os.path.join(_staging_dir("s7_"), "supplier_orc")
     read_table(spark, sf_dir, "supplier").write.mode("overwrite").orc(out)
     return spark.read.schema(schemas.STAR["supplier"]).orc(out)
 
@@ -157,7 +173,7 @@ def q_s8_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from covid_engineering_spark.sources import compact_parquet
 
-    tmp = tempfile.mkdtemp(prefix="ces_s8_")
+    tmp = _staging_dir("s8_")
     small = os.path.join(tmp, "part_small")
     compacted = os.path.join(tmp, "part_compact")
     read_table(spark, sf_dir, "part").repartition(32).write.mode(
@@ -175,7 +191,7 @@ def q_s9_sink_range_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     property itself is pinned by tests/test_partitioned_layout.py
     reading the footers), then re-read whole for the identity check.
     """
-    out = os.path.join(tempfile.mkdtemp(prefix="ces_s9_"), "orders_range")
+    out = os.path.join(_staging_dir("s9_"), "orders_range")
     from covid_engineering_spark.sources import write_range_sorted
 
     orders = read_table(spark, sf_dir, "orders")

@@ -131,12 +131,23 @@ def decontaminate(
     )
 
 
+#: The shingle frame cached by the most recent q_pipe_decontaminate
+#: call. The returned DataFrame still reads from it, so it can't be
+#: unpersisted here — but a long-lived session re-invoking the query
+#: (bench warmup + timed runs) must not accumulate one cached copy per
+#: call, so each invocation evicts its predecessor.
+_DECON_LAST_CACHE: list[DataFrame] = []
+
+
 def q_pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     # both join sides derive from the same shingle frame: cache it so
     # the scan + explode runs once, not once per branch (same reason
     # minhash_lsh_pairs caches its shingles)
+    while _DECON_LAST_CACHE:
+        _DECON_LAST_CACHE.pop().unpersist()
     sh = shingles_of(docs, DECON_NGRAM).cache()
+    _DECON_LAST_CACHE.append(sh)
     is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
     return decontaminate(sh.filter(~is_eval), sh.filter(is_eval))
 
@@ -203,7 +214,14 @@ def q_pipe_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     h2 = F.substring(
         F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))), 1, 2
     )
-    src_num = F.regexp_extract(F.col("source"), r"src(\d+)", 1).cast("int")
+    # A source not matching 'src<N>' extracts '' -> null int; give it
+    # an explicit keep-all default (class 3) instead of letting the
+    # null comparison silently drop the row — the oracle's TRY_CAST +
+    # ELSE branch lands on the same class.
+    src_num = F.coalesce(
+        F.regexp_extract(F.col("source"), r"src(\d+)", 1).cast("int"),
+        F.lit(3),
+    )
     thr = F.element_at(
         F.array(*[F.lit(t) for t in MIX_THRESHOLDS]), src_num % 4 + 1
     )
@@ -622,7 +640,7 @@ ORACLES = {
     "pipe_mixture_sample": f"""
         SELECT doc_id, source FROM documents
         WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 2) <
-              CASE CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) % 4
+              CASE TRY_CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) % 4
                    WHEN 0 THEN '{MIX_THRESHOLDS[0]}' WHEN 1 THEN '{MIX_THRESHOLDS[1]}'
                    WHEN 2 THEN '{MIX_THRESHOLDS[2]}' ELSE '{MIX_THRESHOLDS[3]}' END
     """,

@@ -231,10 +231,18 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = docs.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size(ws) - 3),
-                lambda i: F.concat_ws(" ", F.slice(ws, i + 1, 3)),
-            )
+            # A doc with <3 words has no trigrams: F.sequence(0, -k)
+            # would count downward and F.slice(ws, 0, 3) throws, so
+            # short docs get an empty array (explode drops them, and
+            # the inner join below then drops the doc — matching the
+            # oracle, which produces no trigram rows for them either).
+            F.when(
+                F.size(ws) >= 3,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(ws) - 3),
+                    lambda i: F.concat_ws(" ", F.slice(ws, i + 1, 3)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("t"),
     )
 
