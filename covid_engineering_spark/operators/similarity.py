@@ -262,43 +262,92 @@ def ivf_topk(emb: DataFrame, cent: DataFrame) -> DataFrame:
 
 
 KNN_K = 5
+#: Max rows of a block that share one join task. A block bigger than
+#: this splits into ceil(n/cap) salted sub-blocks, bounding every
+#: task's pair count at ~cap² no matter how skewed the block sizes
+#: are. Sized so a full sub-block's pair scoring (cap² 64-dim dots)
+#: stays a seconds-scale task on one core.
+KNN_BLOCK_CAP = 4096
 
 
-def knn_graph(emb: DataFrame, block: str = "label", k: int = KNN_K) -> DataFrame:
+def knn_graph(
+    emb: DataFrame,
+    block: str = "label",
+    k: int = KNN_K,
+    cap: int = KNN_BLOCK_CAP,
+) -> DataFrame:
     """Blocked exact k-nearest-neighbor graph: within each ``block``
     (here the label column, standing in for an IVF cell / shard
     assignment), every vector's k nearest others by cosine. The
     all-pairs primitive behind semantic-dedup clustering, diversity
     sampling, and retrieval-graph construction.
 
-    Scale shape: the self-join is an EQUI-join on the block id — never
-    a cartesian product (asserted in the plan audit) — so cost is
-    Σ block_size², bounded by the coarse partitioner, and each block's
-    pairs stay inside one shuffle partition. Exact-within-block is the
-    production trade: a global exact graph is inherently quadratic;
-    when no natural block exists, the IVF codebook (``_centroids``)
-    or LSH buckets supply one at the cost of cross-block recall
-    (measured for the ANN paths in tests).
+    Scale shape: the self-join is an EQUI-join — never a cartesian
+    product (asserted in the plan audit) — so cost is Σ block_size².
+    Exact-within-block is the production trade: a global exact graph
+    is inherently quadratic; when no natural block exists, the IVF
+    codebook (``_centroids``) or LSH buckets supply one at the cost
+    of cross-block recall (measured for the ANN paths in tests).
+
+    Skew guard: with ``label`` alone as the join key, one dominant
+    block degenerates toward quadratic INSIDE ONE TASK. So each block
+    is split into s = ceil(n/cap) salted sub-blocks per side and the
+    join key becomes (blk, salt_a, salt_b) — an s×s grid of cells of
+    ≤ cap×cap pairs, each its own shuffle partition. Both sides
+    replicate ×s (explode over the other side's salt), total pair
+    count is unchanged, but the LARGEST task is now cap-bounded
+    instead of block-bounded. Results are exactly invariant to the
+    split (verified in tests with a tiny cap); per-block s comes from
+    a count aggregate broadcast back onto both sides, so the plan
+    stays fully lazy. Candidates then merge per src_id in two top-k
+    passes: a partial rank inside each (src_id, salt_b) cell-row cuts
+    the final shuffle to ≤ s·k rows per vector before the global
+    rank — the same partial-then-final shape as a two-level agg.
     """
-    a = emb.select(
-        F.col("vec_id").alias("src_id"),
-        F.col("embedding").alias("a_emb"),
-        F.col(block).alias("blk"),
+    sizes = emb.groupBy(F.col(block).alias("blk")).agg(
+        F.ceil(F.count("*") / F.lit(cap)).cast("int").alias("n_sub")
     )
-    b = emb.select(
-        F.col("vec_id").alias("n_id"),
-        F.col("embedding").alias("b_emb"),
-        F.col(block).alias("blk"),
+    salts = F.explode(F.sequence(F.lit(0), F.col("n_sub") - 1))
+    a = (
+        emb.select(
+            F.col("vec_id").alias("src_id"),
+            F.col("embedding").alias("a_emb"),
+            F.col(block).alias("blk"),
+        )
+        .join(F.broadcast(sizes), "blk")
+        .withColumn(
+            "salt_a",
+            F.pmod(F.xxhash64("src_id"), F.col("n_sub")).cast("int"),
+        )
+        .withColumn("salt_b", salts)
+    )
+    b = (
+        emb.select(
+            F.col("vec_id").alias("n_id"),
+            F.col("embedding").alias("b_emb"),
+            F.col(block).alias("blk"),
+        )
+        .join(F.broadcast(sizes), "blk")
+        .withColumn(
+            "salt_b",
+            F.pmod(F.xxhash64("n_id"), F.col("n_sub")).cast("int"),
+        )
+        .withColumn("salt_a", salts)
     )
     cos = cosine_expr(F.col("a_emb"), F.col("b_emb"))
     scored = (
-        a.join(b, "blk")
+        a.join(b, ["blk", "salt_a", "salt_b"])
         .filter(F.col("src_id") != F.col("n_id"))
-        .select("blk", "src_id", "n_id", cos.alias("cosine"))
+        .select("blk", "salt_b", "src_id", "n_id", cos.alias("cosine"))
+    )
+    w_cell = Window.partitionBy("src_id", "salt_b").orderBy(
+        F.desc("cosine"), "n_id"
     )
     w = Window.partitionBy("src_id").orderBy(F.desc("cosine"), "n_id")
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("_cr", F.row_number().over(w_cell))
+        .filter(F.col("_cr") <= k)
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             F.col("blk").alias(block), "src_id", "n_id", "cosine", "rank"

@@ -109,3 +109,29 @@ def test_knn_graph_blocked_exact_and_symmetric_candidates(spark):
         assert len(got) == expect, (vid, expect, len(got))
         cosines = [r["cosine"] for r in got]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_knn_graph_salted_split_is_exact_and_cartesian_free(spark):
+    # The skew guard: a tiny cap forces every block into multiple
+    # salted sub-blocks. The graph must be EXACTLY the unsplit one
+    # (salting changes execution, never results), and the plan must
+    # stay an equi-join — no cartesian product from the salting.
+    from covid_engineering_spark.operators.similarity import knn_graph
+    from covid_engineering_spark.sources import read_table
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    # one dominant block: collapse 3/4 of the labels onto label 0
+    from pyspark.sql import functions as F
+
+    skewed = emb.withColumn(
+        "label",
+        F.when(F.col("label") % 4 != 3, F.lit(0)).otherwise(F.col("label")),
+    )
+    baseline = knn_graph(skewed, cap=1 << 30)
+    salted = knn_graph(skewed, cap=16)
+    assert "CartesianProduct" not in salted._jdf.queryExecution().executedPlan().toString()
+    key = lambda r: (r["src_id"], r["rank"])
+    base_rows = sorted(baseline.collect(), key=key)
+    salt_rows = sorted(salted.collect(), key=key)
+    assert [tuple(r) for r in base_rows] == [tuple(r) for r in salt_rows]
+    assert len(base_rows) > 0
