@@ -517,6 +517,49 @@ def q_pipe_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_rate(read_table(spark, sf_dir, "documents"))
 
 
+def curate_corpus(docs: DataFrame) -> DataFrame:
+    """The flagship end-to-end curation composite — the full sequence
+    a pretraining corpus actually runs, as ONE lazy plan:
+
+    1. normalize (lowercase/collapse punctuation, content hash)
+    2. exact dedup on the NORMALIZED hash (byte-different rewrites of
+       the same content collapse; min doc_id is the canonical copy)
+    3. near-dup clustering over the normalized text (guarded 3-gram
+       Jaccard pairs -> connected components)
+    4. best-of-cluster retention by quality score
+    5. deterministic train/val/test split of the survivors
+
+    Scale shape: every stage is the already-audited operator it names —
+    normalization is scan-side codegen, exact dedup is one partial-agg
+    groupBy on the content hash, the pair join is stop-shingle-guarded,
+    CC is log-diameter label propagation, retention is one cluster_id
+    window, and the split is a pure expression. Stages hand off
+    DataFrames, so Catalyst fuses the whole pipeline into one plan
+    (the CC rounds' localCheckpoints are the one deliberate
+    materialization — the iterative stage truncates its own lineage).
+    """
+    from covid_engineering_spark.operators.text import (
+        normalize,
+        quality_frame,
+    )
+
+    nd = normalize(docs)
+    canon = nd.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+    surv = nd.join(canon.select("doc_id"), "doc_id")
+    pairs = ngram_jaccard_pairs(
+        surv.select("doc_id", F.col("norm_text").alias("text"))
+    )
+    kept = keep_best(surv, connected_components(pairs), quality_frame(docs))
+    out = split_assign(kept.withColumnRenamed("kept_doc_id", "doc_id"))
+    return out.select(
+        "doc_id", "cluster_id", "n_docs", "quality_score", "split"
+    )
+
+
+def q_pipe_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curate_corpus(read_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "pipe_split_hash": q_pipe_split_hash,
     "pipe_quota_source": q_pipe_quota_source,
@@ -530,6 +573,7 @@ QUERIES = {
     "pipe_pii_scrub": q_pipe_pii_scrub,
     "pipe_dup_rate": q_pipe_dup_rate,
     "pipe_stratified_sample": q_pipe_stratified_sample,
+    "pipe_curate_corpus": q_pipe_curate_corpus,
 }
 
 # 4-gram shingle CTE shared by the decontamination oracle.
@@ -599,6 +643,75 @@ _KEEP_BEST_SQL = _CLUSTER_CTES + """,
         FROM lab
     )
 SELECT cluster_id, doc_id AS kept_doc_id, n_docs, quality_score
+FROM ranked WHERE rk = 1
+"""
+
+# The curation oracle replays the same five stages over the survivor
+# set: normalization as an expression CTE, canonical-copy selection,
+# the guarded 3-gram pair CTE stack on the NORMALIZED text, the
+# recursive-CTE transitive closure, ranked retention, and the md5
+# split. Shares its shingle/closure shape with _CLUSTER_CTES but runs
+# over ``surv.ntext`` rather than raw ``documents.text``.
+_CURATE_SQL = """
+WITH RECURSIVE
+    nd AS (
+        SELECT doc_id, text AS raw,
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+                   AS ntext
+        FROM documents
+    ),
+    canon AS (SELECT MIN(doc_id) AS doc_id FROM nd GROUP BY md5(ntext)),
+    surv AS (SELECT nd.* FROM nd JOIN canon USING (doc_id)),
+    ws AS (SELECT doc_id, string_split(ntext, ' ') AS w FROM surv),
+    sh_all AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 2),
+                                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM ws
+    ),
+    keep AS (
+        SELECT s FROM (SELECT s, COUNT(*) AS df FROM sh_all GROUP BY s)
+        WHERE df <= {max_df}
+    ),
+    sh AS (SELECT sh_all.doc_id, sh_all.s FROM sh_all JOIN keep USING (s)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT d1, d2 FROM common
+        JOIN sizes na ON na.doc_id = d1
+        JOIN sizes nb ON nb.doc_id = d2
+        WHERE ROUND(c / (na.n + nb.n - c), 6) >= {threshold}
+    ),
+    edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    closure AS (SELECT * FROM reach UNION SELECT DISTINCT a, a FROM edges),
+    labels AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM closure GROUP BY a),
+    lab AS (
+        SELECT s.doc_id, COALESCE(l.cluster_id, s.doc_id) AS cluster_id,
+               {quality} AS quality_score
+        FROM surv s LEFT JOIN labels l USING (doc_id)
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY quality_score DESC, doc_id) AS rk,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS n_docs
+        FROM lab
+    )
+SELECT doc_id, cluster_id, n_docs, quality_score,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{train}'
+            THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{val}'
+            THEN 'val'
+            ELSE 'test' END AS split
 FROM ranked WHERE rk = 1
 """
 
@@ -678,6 +791,13 @@ ORACLES = {
         FROM hashed JOIN counts USING (h)
         GROUP BY source
     """,
+    "pipe_curate_corpus": _CURATE_SQL.format(
+        max_df=NGRAM_MAX_DF,
+        threshold=JACCARD_THRESHOLD,
+        quality=_sql_quality_score("s.raw"),
+        train=SPLIT_TRAIN_UPPER,
+        val=SPLIT_VAL_UPPER,
+    ),
     "pipe_stratified_sample": f"""
         SELECT doc_id, lang, source, sample_rk FROM (
             SELECT doc_id, lang, source,

@@ -141,6 +141,74 @@ def q_ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(read_table(spark, sf_dir, "events"))
 
 
+#: The 5-step funnel exercised by the single-pass form — every event
+#: type in the synthetic feed, in conversion order.
+FUNNEL_STEPS_5 = ["signup", "view", "click", "purchase", "error"]
+
+
+def funnel_single_pass(
+    ev: DataFrame, steps: list[str] = FUNNEL_STEPS_5
+) -> DataFrame:
+    """The same ordered-funnel semantics as ``funnel`` in ONE shuffle
+    regardless of step count: collect each user's (ts, type) events,
+    sort, and fold left with an accumulator of per-step first-completion
+    times — step i fires on the first event of its type that is
+    STRICTLY AFTER the recorded step i-1 time. The fold is a pure JVM
+    ``aggregate`` over an ``array_sort(collect_list(...))``, so the
+    per-step joins of the chained form (one shuffle + join per added
+    step) collapse into a single groupBy on ``user_id``.
+
+    Scale shape: one exchange, period — where the chained form costs
+    O(steps) joins, this is the form a 20-step product funnel runs.
+    The per-user array is bounded by that user's own event count (the
+    same bound sessionize already carries); a pathological single user
+    bounds one task, not the stage. Equivalence with the chained form
+    is asserted in tests over the same oracle.
+    """
+    init = F.array(*[F.lit(None).cast("timestamp") for _ in steps])
+
+    def fold(acc, e):
+        outs = []
+        for i, s in enumerate(steps):
+            cur = F.element_at(acc, i + 1)
+            cond = cur.isNull() & (e["event_type"] == s)
+            if i > 0:
+                prev = F.element_at(acc, i)
+                cond = cond & prev.isNotNull() & (e["ts"] > prev)
+            outs.append(F.when(cond, e["ts"]).otherwise(cur))
+        return F.array(*outs)
+
+    t = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("ts", "event_type"))),
+        init,
+        fold,
+    )
+    agg = (
+        ev.select("user_id", "ts", "event_type")
+        .groupBy("user_id")
+        .agg(t.alias("t"))
+    )
+    depth = sum(
+        (
+            F.element_at(F.col("t"), i + 1).isNotNull().cast("int")
+            for i in range(len(steps))
+        ),
+        F.lit(0),
+    )
+    return agg.select(
+        "user_id",
+        *[
+            F.element_at("t", i + 1).alias(f"t_{s}")
+            for i, s in enumerate(steps)
+        ],
+        depth.alias("funnel_depth"),
+    ).filter(F.col(f"t_{steps[0]}").isNotNull())
+
+
+def q_ts_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return funnel_single_pass(read_table(spark, sf_dir, "events"))
+
+
 def cohort_retention(ev: DataFrame) -> DataFrame:
     """Weekly cohort-retention matrix: users grouped by the week of
     their FIRST event; each (cohort_week, activity_week) cell counts
@@ -220,6 +288,7 @@ QUERIES = {
     "ts_resample": q_ts_resample,
     "ts_sessionize": q_ts_sessionize,
     "ts_funnel": q_ts_funnel,
+    "ts_funnel_steps": q_ts_funnel_steps,
     "ts_cohort": q_ts_cohort,
     "ts_gapfill": q_ts_gapfill,
 }
@@ -250,6 +319,48 @@ ORACLES = {
                (1 + (s2.t_click IS NOT NULL)::INT
                   + (s3.t_purchase IS NOT NULL)::INT) AS funnel_depth
         FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    """,
+    "ts_funnel_steps": """
+        WITH ev AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+            FROM events
+        ),
+        s1 AS (
+            SELECT user_id, MIN(ts) AS t_signup FROM ev
+            WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT ev.user_id, MIN(ev.ts) AS t_view
+            FROM ev JOIN s1 USING (user_id)
+            WHERE ev.event_type = 'view' AND ev.ts > s1.t_signup
+            GROUP BY ev.user_id
+        ),
+        s3 AS (
+            SELECT ev.user_id, MIN(ev.ts) AS t_click
+            FROM ev JOIN s2 USING (user_id)
+            WHERE ev.event_type = 'click' AND ev.ts > s2.t_view
+            GROUP BY ev.user_id
+        ),
+        s4 AS (
+            SELECT ev.user_id, MIN(ev.ts) AS t_purchase
+            FROM ev JOIN s3 USING (user_id)
+            WHERE ev.event_type = 'purchase' AND ev.ts > s3.t_click
+            GROUP BY ev.user_id
+        ),
+        s5 AS (
+            SELECT ev.user_id, MIN(ev.ts) AS t_error
+            FROM ev JOIN s4 USING (user_id)
+            WHERE ev.event_type = 'error' AND ev.ts > s4.t_purchase
+            GROUP BY ev.user_id
+        )
+        SELECT s1.user_id, s1.t_signup, s2.t_view, s3.t_click,
+               s4.t_purchase, s5.t_error,
+               (1 + (s2.t_view IS NOT NULL)::INT
+                  + (s3.t_click IS NOT NULL)::INT
+                  + (s4.t_purchase IS NOT NULL)::INT
+                  + (s5.t_error IS NOT NULL)::INT) AS funnel_depth
+        FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        LEFT JOIN s4 USING (user_id) LEFT JOIN s5 USING (user_id)
     """,
     "ts_cohort": """
         WITH first AS (

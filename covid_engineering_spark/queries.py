@@ -73,6 +73,12 @@ PRIORITY = [
     "pipe_stratified_sample",
     "text_normalize",
     "emb_knn_graph",
+    # New in round 3: the flagship curation composite and the
+    # one-shuffle 5-step funnel — never driver-checked, so they claim
+    # window slots immediately (displacing the r02-green
+    # pipe_split_hash / pipe_pack_chunks past slot 50).
+    "pipe_curate_corpus",
+    "ts_funnel_steps",
     # Hard tier, re-verified (r02-green).
     "w6_interpolate",
     "wrangle_clean_complete",
@@ -108,10 +114,8 @@ PRIORITY = [
     "s2_sqlite_ingest",
     "covid_param_series",
     "covid_transfer_sim",
-    "pipe_split_hash",
     "pipe_quota_source",
     "pipe_decontaminate",
-    "pipe_pack_chunks",
     "pipe_mixture_sample",
     "pipe_keep_best",
     "pipe_length_hist",

@@ -399,3 +399,33 @@ def test_normalize_collapses_case_punct_and_whitespace(spark):
     assert rows[1]["norm_text"] == "hello world"
     assert len({rows[i]["content_hash"] for i in (1, 2, 3)}) == 1
     assert rows[1]["norm_tokens"] == 2
+
+
+def test_curate_corpus_collapses_rewrites_then_clusters_then_splits(spark):
+    from covid_engineering_spark.operators.pipeline import curate_corpus
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            # 1 and 2 normalize to the SAME bytes (case/punct rewrite):
+            # exact-dedup must collapse them to doc 1 before clustering
+            (1, base, "srcA"),
+            (2, "The quick, brown FOX jumps over the lazy dog... again and again!!", "srcB"),
+            # 3 is a near-dup of 1 (high shingle overlap, not identical):
+            # the cluster stage must group it with 1; retention keeps one
+            (3, base + " tonight", "srcA"),
+            # 4 is unrelated — survives as its own singleton
+            (4, "completely different content about spark physical plans here", "srcC"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["doc_id"]: r for r in curate_corpus(docs).collect()}
+    # doc 2 died in exact dedup; docs 1/3 formed one cluster with one
+    # survivor; doc 4 survived alone
+    assert 2 not in out
+    assert len({r["cluster_id"] for r in out.values()}) == len(out)
+    clustered = [r for r in out.values() if r["n_docs"] == 2]
+    assert len(clustered) == 1 and clustered[0]["cluster_id"] == 1
+    assert out[4]["n_docs"] == 1
+    for r in out.values():
+        assert r["split"] in {"train", "val", "test"}

@@ -128,6 +128,8 @@ SURVEY_MAP = {
     "PIPE-PII": "pipe_pii_scrub",
     "PIPE-DUPRATE": "pipe_dup_rate",
     "PIPE-STRAT": "pipe_stratified_sample",
+    "PIPE-CURATE": "pipe_curate_corpus",
+    "TS-FUNNEL1P": "ts_funnel_steps",
     # ingest extensions (JSONL / ORC / compaction round-trips)
     "ING-JSONL": "s6_jsonl_scan",
     "ING-ORC": "s7_orc_roundtrip",

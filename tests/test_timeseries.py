@@ -153,3 +153,61 @@ def test_gapfill_total_preserved(spark):
     assert out.agg(F.sum("n_events")).collect()[0][0] == ev.count()
     # spine has no duplicate (user, day) rows
     assert out.count() == out.select("user_id", "day").distinct().count()
+
+
+def test_funnel_single_pass_matches_chained_form(spark):
+    # Both funnel forms — O(steps) chained joins vs the one-shuffle
+    # fold — must produce IDENTICAL rows for the same step list, on
+    # real data (all 5 event types) and on the tricky hand cases the
+    # chained tests pin.
+    from covid_engineering_spark.operators.timeseries import (
+        FUNNEL_STEPS_5,
+        funnel,
+        funnel_single_pass,
+    )
+
+    ev = read_table(spark, SF_SMOKE, "events")
+    a = funnel(ev, FUNNEL_STEPS_5)
+    b = funnel_single_pass(ev, FUNNEL_STEPS_5)
+    assert a.columns == b.columns
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    assert b.count() > 0
+
+
+def test_funnel_single_pass_out_of_order_and_pre_step_events(spark):
+    from covid_engineering_spark.operators.timeseries import funnel_single_pass
+
+    ev = spark.createDataFrame(
+        [
+            # user 2: clicked BEFORE viewing — the click must not count
+            (4, "2024-01-02 00:00:00", 2, "click"),
+            (5, "2024-01-02 01:00:00", 2, "view"),
+            # user 9: click before AND after first view — report the post one
+            (1, "2024-01-01 00:00:00", 9, "click"),
+            (2, "2024-01-01 01:00:00", 9, "view"),
+            (3, "2024-01-01 02:00:00", 9, "click"),
+            # user 4: never viewed — not in the funnel at all
+            (8, "2024-01-04 00:00:00", 4, "purchase"),
+        ],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    rows = {
+        r["user_id"]: r
+        for r in funnel_single_pass(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert set(rows) == {2, 9}
+    assert rows[2]["funnel_depth"] == 1 and rows[2]["t_click"] is None
+    assert str(rows[9]["t_click"]).startswith("2024-01-01 02:00:00")
+
+
+def test_funnel_single_pass_is_one_exchange_for_five_steps(spark):
+    # The point of the single-pass form: shuffle count must not grow
+    # with the step count (the chained form pays one join per step).
+    from covid_engineering_spark.plans import has_cartesian, shuffle_count
+    from covid_engineering_spark.operators.timeseries import funnel_single_pass
+
+    ev = read_table(spark, SF_SMOKE, "events")
+    df = funnel_single_pass(ev)
+    assert shuffle_count(df) <= 2
+    assert not has_cartesian(df)
