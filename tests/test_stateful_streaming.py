@@ -95,3 +95,72 @@ def test_state_store_is_rocksdb(spark, source_dir):
     assert ops, "no stateful operator progress recorded"
     metrics = ops[-1]["stateOperators"][0].get("customMetrics", {})
     assert any(k.startswith("rocksdb") for k in metrics), metrics
+
+
+def test_session_state_stays_watermark_bounded_over_batches(spark, tmp_path):
+    # VERDICT r2 item 7: run the RocksDB session aggregation as a real
+    # incremental query — three availableNow micro-batch runs over one
+    # checkpoint, one day-separated file each — and assert the state
+    # store holds only watermark-live sessions, not the cumulative
+    # session history.
+    from datetime import datetime
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    sch = "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+    n_users = 4
+
+    def write_day(day):
+        rows = [
+            (day * 10 + u, datetime(2024, 1, 1 + day, 12, 0, 0), u, "view", 1.0)
+            for u in range(1, n_users + 1)
+        ]
+        spark.createDataFrame(rows, sch).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(sch)
+            .parquet(src)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "1 hour")
+        )
+        agg = (
+            stream.groupBy(
+                F.session_window("ts", "30 minutes").alias("w"), "user_id"
+            )
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        ops = [p for p in q.recentProgress if p.get("stateOperators")]
+        assert ops, "no stateful progress recorded"
+        return ops[-1]["stateOperators"][0]["numRowsTotal"]
+
+    state_rows = []
+    for day in range(3):
+        write_day(day)
+        state_rows.append(run_once())
+
+    # Run 1: exactly one open session per user buffered.
+    assert state_rows[0] == n_users, state_rows
+    # Run 3: 12 sessions existed cumulatively, but the watermark
+    # (trailing 1 h behind a day-granularity feed) keeps at most the
+    # last two days' sessions live — day-0 state MUST have been
+    # evicted (state rows < distinct live sessions + 1).
+    live_upper = 2 * n_users
+    assert state_rows[2] <= live_upper, state_rows
+    assert state_rows[2] < 3 * n_users, state_rows
