@@ -41,6 +41,13 @@ NGRAM_MAX_DF = 50
 SIMHASH_BITS = 32
 SIMHASH_MAX_HAMMING = 3
 COSINE_THRESHOLD = 0.95
+#: Threshold for the REGISTERED form of the embedding-dedup query.
+#: The synthetic embeddings are near-uniform (max within-label cosine
+#: ~0.47 at every SF), so the production 0.95 yields zero pairs and
+#: the driver's differential check would be vacuously green on an
+#: empty frame. 0.4 keeps the same plan and semantics but produces a
+#: real pair set whose values the oracle actually hash-checks.
+COSINE_REGISTRY_THRESHOLD = 0.4
 
 
 def shingles_of(docs: DataFrame, n: int = 3) -> DataFrame:
@@ -299,12 +306,13 @@ def cosine_expr(a, b):
     )
 
 
-def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cosine >= 0.95), blocked by
-    cluster label so the self-join is per-block instead of global —
+def embedding_pairs(
+    emb: DataFrame, threshold: float = COSINE_THRESHOLD
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine >= threshold), blocked
+    by cluster label so the self-join is per-block instead of global —
     the blocking key bounds the quadratic term at scale.
     """
-    emb = read_table(spark, sf_dir, "embeddings")
     a = emb.select(
         F.col("label"),
         F.col("vec_id").alias("v1"),
@@ -320,8 +328,16 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "label")
         .filter(F.col("v1") < F.col("v2"))
         .select("v1", "v2", cos.alias("cosine"))
-        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+        .filter(F.col("cosine") >= threshold)
     )
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form: same plan, synthetic-data threshold (see
+    COSINE_REGISTRY_THRESHOLD) so the differential check is
+    non-vacuous."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_pairs(emb, COSINE_REGISTRY_THRESHOLD)
 
 
 QUERIES = {
@@ -366,7 +382,7 @@ ORACLES = {
         JOIN sizes nb ON nb.doc_id = d2
         WHERE ROUND(c / (na.n + nb.n - c), 6) >= 0.5
     """,
-    "dedup_embedding": """
+    "dedup_embedding": f"""
         SELECT a.vec_id AS v1, b.vec_id AS v2,
                ROUND(list_dot_product(
                    list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
@@ -377,6 +393,6 @@ ORACLES = {
         WHERE ROUND(list_dot_product(
                    list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
                    list_transform(b.embedding, x -> CAST(x AS DOUBLE))
-               ), 6) >= 0.95
+               ), 6) >= {COSINE_REGISTRY_THRESHOLD}
     """,
 }
