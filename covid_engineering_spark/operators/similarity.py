@@ -299,10 +299,12 @@ def knn_graph(
     instead of block-bounded. Results are exactly invariant to the
     split (verified in tests with a tiny cap); per-block s comes from
     a count aggregate broadcast back onto both sides, so the plan
-    stays fully lazy. Candidates then merge per src_id in two top-k
-    passes: a partial rank inside each (src_id, salt_b) cell-row cuts
-    the final shuffle to ≤ s·k rows per vector before the global
-    rank — the same partial-then-final shape as a two-level agg.
+    stays fully lazy. Candidates then merge per src_id through the
+    rank window — and because the rank filter is a row_number ≤ k,
+    Spark plans a PARTIAL WindowGroupLimit before the exchange
+    (asserted in tests), so each join task ships at most k survivor
+    rows per src_id into the final rank: the partial-then-final
+    top-k merge comes from Catalyst, not hand-rolled plumbing.
     """
     sizes = emb.groupBy(F.col(block).alias("blk")).agg(
         F.ceil(F.count("*") / F.lit(cap)).cast("int").alias("n_sub")
@@ -338,16 +340,11 @@ def knn_graph(
     scored = (
         a.join(b, ["blk", "salt_a", "salt_b"])
         .filter(F.col("src_id") != F.col("n_id"))
-        .select("blk", "salt_b", "src_id", "n_id", cos.alias("cosine"))
-    )
-    w_cell = Window.partitionBy("src_id", "salt_b").orderBy(
-        F.desc("cosine"), "n_id"
+        .select("blk", "src_id", "n_id", cos.alias("cosine"))
     )
     w = Window.partitionBy("src_id").orderBy(F.desc("cosine"), "n_id")
     return (
-        scored.withColumn("_cr", F.row_number().over(w_cell))
-        .filter(F.col("_cr") <= k)
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             F.col("blk").alias(block), "src_id", "n_id", "cosine", "rank"

@@ -129,7 +129,11 @@ def test_knn_graph_salted_split_is_exact_and_cartesian_free(spark):
     )
     baseline = knn_graph(skewed, cap=1 << 30)
     salted = knn_graph(skewed, cap=16)
-    assert "CartesianProduct" not in salted._jdf.queryExecution().executedPlan().toString()
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the top-k merge must be partial-then-final: Catalyst's partial
+    # WindowGroupLimit bounds what each join task ships to the rank
+    assert "row_number(), 5, Partial" in plan, plan[:2000]
     key = lambda r: (r["src_id"], r["rank"])
     base_rows = sorted(baseline.collect(), key=key)
     salt_rows = sorted(salted.collect(), key=key)
