@@ -142,6 +142,16 @@ def main() -> None:
             quality_frame(docs),
         ).write.mode("overwrite").format("noop").save()
 
+    def curate(sf_dir):
+        # the flagship composite: normalize + exact dedup + clusters +
+        # retention + split as one plan (its cluster stage re-derives
+        # pairs over NORMALIZED text, so this is not just keep_best)
+        from covid_engineering_spark.operators.pipeline import curate_corpus
+
+        curate_corpus(read_table(spark, sf_dir, "documents")).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
     def sess(sf_dir):
         # window-heavy events path: user keys grow with the data, so
         # per-partition state must stay bounded
@@ -157,6 +167,7 @@ def main() -> None:
         ("dedup_minhash_lsh", minhash),
         ("dedup_clusters", clusters),
         ("pipe_keep_best", keep),
+        ("pipe_curate_corpus", curate),
         ("ts_sessionize", sess),
     ):
         fn(small)  # warmup at 1x

@@ -139,3 +139,23 @@ def test_knn_graph_salted_split_is_exact_and_cartesian_free(spark):
     salt_rows = sorted(salted.collect(), key=key)
     assert [tuple(r) for r in base_rows] == [tuple(r) for r in salt_rows]
     assert len(base_rows) > 0
+    # bounded task evidence: replay the salting arithmetic and check
+    # no (block, salt) cell holds more than ~cap rows (hash-variance
+    # slack 3x) — i.e. the dominant block really was split and every
+    # join task's pair count is ~cap^2, not block^2
+    cap = 16
+    sizes = skewed.groupBy(F.col("label").alias("blk")).agg(
+        F.ceil(F.count("*") / F.lit(cap)).cast("int").alias("n_sub")
+    )
+    cell_max = (
+        skewed.join(sizes, F.col("label") == F.col("blk"))
+        .groupBy(
+            "label", F.pmod(F.xxhash64("vec_id"), F.col("n_sub")).alias("s")
+        )
+        .count()
+        .agg(F.max("count"))
+        .head()[0]
+    )
+    dominant = skewed.groupBy("label").count().agg(F.max("count")).head()[0]
+    assert dominant > 10 * cap  # the skew is real
+    assert cell_max <= 3 * cap, cell_max

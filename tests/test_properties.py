@@ -174,3 +174,43 @@ def test_asof_join_matches_bruteforce(spark, case):
         cands = [(rm, v) for (rk, rm, v) in rs if rk == k and rm <= m]
         want = float(max(cands)[1]) if cands else None
         assert got[i] == want, (i, k, m, got[i], want)
+
+
+# ---------------------------------------------------------------------------
+# Funnel differential: the chained per-step-join form and the
+# single-pass fold must agree on ANY event log — hypothesis drives
+# adversarial orderings (pre-step events, repeats, missing steps,
+# interleaved users) through both plans and compares exact rows.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_EVENT = st.tuples(
+    st.integers(min_value=1, max_value=4),        # user_id
+    st.integers(min_value=0, max_value=40),       # minute offset (may tie)
+    st.sampled_from(["view", "click", "purchase"]),
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_FUNNEL_EVENT, min_size=0, max_size=24))
+def test_funnel_forms_agree_on_generated_logs(spark, events):
+    from covid_engineering_spark.operators.timeseries import (
+        funnel,
+        funnel_single_pass,
+    )
+
+    steps = ["view", "click", "purchase"]
+    # unique timestamps per user (the documented determinism contract:
+    # both forms assume a total order of ts within a user)
+    seen = set()
+    rows = []
+    for i, (uid, minute, etype) in enumerate(events):
+        while (uid, minute) in seen:
+            minute += 41  # keep collisions deterministic but distinct
+        seen.add((uid, minute))
+        rows.append((i, datetime(2024, 1, 1) + timedelta(minutes=minute), uid, etype))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string"
+    )
+    a = {tuple(r) for r in funnel(ev, steps).collect()}
+    b = {tuple(r) for r in funnel_single_pass(ev, steps).collect()}
+    assert a == b
