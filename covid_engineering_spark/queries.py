@@ -57,11 +57,13 @@ _MODULES = [
 #: The first 50 registry entries — the driver's verification window.
 #: Round-3 rotation: every round-2 window slot greened in
 #: CORRECTNESS_r02.json, so the never-driver-checked tail
-#: (ROUND3_PENDING in tests/test_registry_order.py) rotates to the
-#: front. Nine r02-green entries are displaced past slot 50 to make
-#: room (the five ingest round-trips plus four stable representatives —
-#: their verification history is on record in CORRECTNESS_r02.json);
-#: the rest of the window re-verifies the hard tier.
+#: (ROUND3_ROTATED in tests/test_registry_order.py) rotates to the
+#: front, followed by the two operators born this round
+#: (ROUND3_NEW). Eleven r02-green entries are displaced past slot 50
+#: to make room (the five ingest round-trips plus six stable
+#: representatives — their verification history is on record in
+#: CORRECTNESS_r02.json); the rest of the window re-verifies the
+#: hard tier.
 PRIORITY = [
     # Never driver-checked: the round-2 tail, first in line.
     "ts_funnel",

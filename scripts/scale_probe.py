@@ -170,6 +170,14 @@ def main() -> None:
         ("pipe_curate_corpus", curate),
         ("ts_sessionize", sess),
     ):
+        # Release the previous pipeline's lingering blocks (cached
+        # frames, localCheckpoint RDDs await async ContextCleaner GC)
+        # so each measurement starts from the same storage state —
+        # without this, the checkpoint-heavy cluster pipelines inherit
+        # memory pressure from whatever ran before them and the
+        # exponents drift run to run.
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
         fn(small)  # warmup at 1x
         t1 = _time(lambda: fn(small))
         fn(big)  # warmup at 10x
