@@ -187,3 +187,49 @@ def test_stream_static_join_enriches_like_batch(spark, source_dir):
     }
     assert got == want
     assert len(got) == 3
+
+
+def test_session_streaming_equals_batch(spark, source_dir):
+    # The session face, run INCREMENTALLY (not just through its batch
+    # twin): multi-batch availableNow over the same parquet source,
+    # complete mode so no session is lost to the final watermark, and
+    # the emitted sessions must equal the batch session_agg exactly.
+    from covid_engineering_spark import schemas
+    from covid_engineering_spark.streaming.windows import session_agg
+
+    stream = (
+        spark.readStream.schema(schemas.STAR["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "2 hours")
+    )
+    q = (
+        stream.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+        .writeStream.format("memory")
+        .queryName("session_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 2
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end)): r.n_events
+        for r in spark.sql("SELECT * FROM session_stream").collect()
+    }
+    want = {
+        (r.user_id, str(r.session_start), str(r.session_end)): r.n_events
+        for r in session_agg(spark.read.parquet(source_dir)).collect()
+    }
+    assert got == want
+    assert len(got) > 0
