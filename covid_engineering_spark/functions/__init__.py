@@ -1,3 +1,4 @@
+from covid_engineering_spark.functions.caching import evicting_cache
 from covid_engineering_spark.functions.diagnostics import key_skew_stats
 from covid_engineering_spark.functions.scalar import (
     clamp_eps,
@@ -11,6 +12,7 @@ __all__ = [
     "clamp_eps",
     "davg",
     "dsum",
+    "evicting_cache",
     "key_skew_stats",
     "missing_count",
     "safe_div",

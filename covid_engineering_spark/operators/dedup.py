@@ -160,7 +160,11 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> 
     (No SQL oracle: xxhash64 seeds are engine-specific; recall is
     probabilistic. Verified against the exact path in tests.)
     """
-    sh = shingles_of(docs).cache()
+    # evicting: bench warmup + timed re-invocations must not stack one
+    # cached shingle copy per call in a long-lived session
+    from covid_engineering_spark.functions import evicting_cache
+
+    sh = evicting_cache(shingles_of(docs), "minhash_shingles")
     sig = _minhash_signatures(sh, 16)
     bands = sig.select(
         "doc_id",

@@ -131,23 +131,15 @@ def decontaminate(
     )
 
 
-#: The shingle frame cached by the most recent q_pipe_decontaminate
-#: call. The returned DataFrame still reads from it, so it can't be
-#: unpersisted here — but a long-lived session re-invoking the query
-#: (bench warmup + timed runs) must not accumulate one cached copy per
-#: call, so each invocation evicts its predecessor.
-_DECON_LAST_CACHE: list[DataFrame] = []
-
-
 def q_pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from covid_engineering_spark.functions import evicting_cache
+
     docs = read_table(spark, sf_dir, "documents")
     # both join sides derive from the same shingle frame: cache it so
     # the scan + explode runs once, not once per branch (same reason
-    # minhash_lsh_pairs caches its shingles)
-    while _DECON_LAST_CACHE:
-        _DECON_LAST_CACHE.pop().unpersist()
-    sh = shingles_of(docs, DECON_NGRAM).cache()
-    _DECON_LAST_CACHE.append(sh)
+    # minhash_lsh_pairs caches its shingles); evicting so re-invocation
+    # in a long-lived session holds one cached copy, not one per call
+    sh = evicting_cache(shingles_of(docs, DECON_NGRAM), "decon_shingles")
     is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
     return decontaminate(sh.filter(~is_eval), sh.filter(is_eval))
 

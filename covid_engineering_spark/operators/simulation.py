@@ -120,7 +120,9 @@ def q_x2_sird_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single grouped kernel runs the recurrence — the reference's
     "params from A, initial conditions from B" as a join + grouped map.
     """
-    daily = _daily_series(spark, sf_dir).cache()
+    from covid_engineering_spark.functions import evicting_cache
+
+    daily = evicting_cache(_daily_series(spark, sf_dir), "x2_daily")
 
     # Parameter country: *cumulative* (i, r, d) proxies — the
     # reference's series are cumulative counts, and cumulative input
@@ -200,7 +202,9 @@ def q_x3_sird_mse(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual daily series (sir_model_MSE_values, main.py:108-147):
     simulate, join back on (country, step), aggregate squared error.
     """
-    daily = _daily_series(spark, sf_dir).cache()
+    from covid_engineering_spark.functions import evicting_cache
+
+    daily = evicting_cache(_daily_series(spark, sf_dir), "x3_daily")
     from pyspark.sql import Window
 
     actual = daily.withColumn(

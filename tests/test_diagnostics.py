@@ -46,3 +46,21 @@ def test_merge_schema_reads_evolved_parquet(spark, tmp_path):
     assert set(df.columns) == {"id", "txt", "quality"}
     rows = df.collect()
     assert [r["quality"] for r in rows] == [None, None, 0.9]
+
+
+def test_evicting_cache_holds_one_copy_per_key(spark):
+    # Re-invoking a query that caches an internal frame must not stack
+    # cached copies in a long-lived session: the helper evicts the
+    # previous holder of the same key, leaves other keys alone.
+    from covid_engineering_spark.functions import evicting_cache
+
+    a = evicting_cache(spark.range(10), "k1")
+    a.count()
+    assert a.storageLevel.useMemory
+    b = evicting_cache(spark.range(20), "k1")
+    b.count()
+    other = evicting_cache(spark.range(5), "k2")
+    other.count()
+    assert not a.storageLevel.useMemory  # evicted by b
+    assert b.storageLevel.useMemory
+    assert other.storageLevel.useMemory
