@@ -552,6 +552,109 @@ def q_pipe_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_corpus(read_table(spark, sf_dir, "documents"))
 
 
+#: Deterministic snapshot simulation: OLD drops doc_id % 10 == 9,
+#: NEW drops doc_id % 10 == 0 and rewrites every doc_id % 7 == 0
+#: (append " v2") — so the diff exercises all four statuses.
+SNAP_OLD_DROP = 9
+SNAP_NEW_DROP = 0
+SNAP_EDIT_MOD = 7
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Corpus snapshot reconciliation: classify every doc_id across
+    two corpus snapshots as added / removed / changed / unchanged by
+    content-hash comparison — the validation step after any CDC merge
+    or re-crawl, and the audit trail a dataset release ships with.
+
+    Scale shape: each side collapses to (doc_id, md5) at the scan
+    (projection prunes the text column immediately after hashing),
+    then ONE full-outer sort-merge join on doc_id; both sides
+    hash-partition on the same key, no broadcast of anything
+    corpus-sized, and the join output is one row per doc_id union.
+    The CASE classification is pure codegen.
+    """
+    o = old.select(
+        "doc_id", F.md5(F.col("text")).alias("old_hash")
+    )
+    n = new.select(
+        "doc_id", F.md5(F.col("text")).alias("new_hash")
+    )
+    status = (
+        F.when(F.col("new_hash").isNull(), "removed")
+        .when(F.col("old_hash").isNull(), "added")
+        .when(F.col("old_hash") != F.col("new_hash"), "changed")
+        .otherwise("unchanged")
+    )
+    return o.join(n, "doc_id", "full_outer").select(
+        "doc_id", "old_hash", "new_hash", status.alias("status")
+    )
+
+
+def q_pipe_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != SNAP_OLD_DROP)
+    new = docs.filter(F.col("doc_id") % 10 != SNAP_NEW_DROP).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % SNAP_EDIT_MOD == 0,
+            F.concat(F.col("text"), F.lit(" v2")),
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new)
+
+
+#: Gopher-style rule thresholds, tuned so every rule has live pass AND
+#: fail populations on the synthetic corpus (verified in tests): char
+#: length bounds, mean-word-length bounds, minimum stopword ratio,
+#: minimum distinct-token fraction.
+QF_LEN_MIN, QF_LEN_MAX = 100, 500
+QF_WLEN_MIN, QF_WLEN_MAX = 4.0, 5.0
+QF_STOP_MIN = 0.03
+QF_UNIQ_MIN = 0.35
+_QF_STOP = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def quality_filter(docs: DataFrame) -> DataFrame:
+    """Rule-based document filtering (the Gopher/C4 pre-filter): four
+    deterministic per-document rules — character-length window,
+    mean-word-length window, minimum stopword ratio, minimum
+    distinct-token fraction — each surfaced as its own flag plus the
+    conjunction, so downstream can both filter and report per-rule
+    rejection rates.
+
+    Scale shape: pure map-side codegen — split / higher-order array
+    folds / array_distinct, no shuffle, no Python; the whole filter
+    rides the scan. Ratios are IEEE divisions of exact integer counts,
+    so the SQL oracle agrees bit-for-bit.
+    """
+    ws = F.split(F.col("text"), " ")
+    n_words = F.size(ws)
+    sum_len = F.aggregate(
+        F.transform(ws, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    stop_arr = F.array(*[F.lit(s) for s in _QF_STOP])
+    n_stop = F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w)))
+    n_uniq = F.size(F.array_distinct(ws))
+    len_ok = F.length("text").between(QF_LEN_MIN, QF_LEN_MAX)
+    wlen_ok = (sum_len / n_words).between(QF_WLEN_MIN, QF_WLEN_MAX)
+    stop_ok = (n_stop / n_words) >= QF_STOP_MIN
+    uniq_ok = (n_uniq / n_words) >= QF_UNIQ_MIN
+    return docs.select(
+        "doc_id",
+        len_ok.alias("len_ok"),
+        wlen_ok.alias("wlen_ok"),
+        stop_ok.alias("stop_ok"),
+        uniq_ok.alias("uniq_ok"),
+        (len_ok & wlen_ok & stop_ok & uniq_ok).alias("keep"),
+    )
+
+
+def q_pipe_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_filter(read_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "pipe_split_hash": q_pipe_split_hash,
     "pipe_quota_source": q_pipe_quota_source,
@@ -566,6 +669,8 @@ QUERIES = {
     "pipe_dup_rate": q_pipe_dup_rate,
     "pipe_stratified_sample": q_pipe_stratified_sample,
     "pipe_curate_corpus": q_pipe_curate_corpus,
+    "pipe_snapshot_diff": q_pipe_snapshot_diff,
+    "pipe_quality_filter": q_pipe_quality_filter,
 }
 
 # 4-gram shingle CTE shared by the decontamination oracle.
@@ -708,6 +813,54 @@ FROM ranked WHERE rk = 1
 """
 
 ORACLES = {
+    "pipe_snapshot_diff": """
+        WITH old AS (
+            SELECT doc_id, md5(text) AS old_hash FROM documents
+            WHERE doc_id % 10 != 9
+        ),
+        new AS (
+            SELECT doc_id,
+                   md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                            ELSE text END) AS new_hash
+            FROM documents WHERE doc_id % 10 != 0
+        )
+        SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+               old_hash, new_hash,
+               CASE WHEN new_hash IS NULL THEN 'removed'
+                    WHEN old_hash IS NULL THEN 'added'
+                    WHEN old_hash != new_hash THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+    """,
+    "pipe_quality_filter": """
+        WITH base AS (
+            SELECT doc_id,
+                   length(text) AS n_chars_m,
+                   string_split(text, ' ') AS ws
+            FROM documents
+        ),
+        feat AS (
+            SELECT doc_id, n_chars_m,
+                   len(ws) AS n_words,
+                   list_sum(list_transform(ws, x -> length(x))) AS sum_len,
+                   len(list_filter(
+                       ws,
+                       x -> x IN ('the','a','of','and','to','in','is')
+                   )) AS n_stop,
+                   len(list_distinct(ws)) AS n_uniq
+            FROM base
+        )
+        SELECT doc_id,
+               (n_chars_m BETWEEN 100 AND 500) AS len_ok,
+               (sum_len / n_words BETWEEN 4.0 AND 5.0) AS wlen_ok,
+               (n_stop / n_words >= 0.03) AS stop_ok,
+               (n_uniq / n_words >= 0.35) AS uniq_ok,
+               ((n_chars_m BETWEEN 100 AND 500)
+                AND (sum_len / n_words BETWEEN 4.0 AND 5.0)
+                AND (n_stop / n_words >= 0.03)
+                AND (n_uniq / n_words >= 0.35)) AS keep
+        FROM feat
+    """,
     "pipe_split_hash": f"""
         SELECT doc_id,
                CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{SPLIT_TRAIN_UPPER}'

@@ -286,6 +286,82 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Corpus-share thresholds for the unigram model, expressed as exact
+#: integer cross-multiplications (no float thresholds): a token is
+#: HOT when cf * HOT_DIV >= total (share ≥ 1/HOT_DIV → at most
+#: HOT_DIV tokens can qualify, so the broadcast side is PROVABLY
+#: bounded by construction), and RARE when cf * RARE_DIV < total
+#: (share < 1/RARE_DIV).
+UNIGRAM_HOT_DIV = 20
+UNIGRAM_RARE_DIV = 40
+
+
+def unigram_lm(docs: DataFrame) -> DataFrame:
+    """Corpus unigram-model document scoring: build the corpus term-
+    frequency table in-query, then score every document by its tokens'
+    corpus frequencies — total token count, corpus-frequency mass, and
+    the count/fraction of rare tokens (corpus share < 1/40). The
+    shape of every statistical quality filter that scores documents
+    against corpus-level statistics (a unigram LM's log-prob is this
+    same join with ``log`` folded in; kept in exact integer space here
+    so the SQL oracle agrees bit-for-bit — rare_ratio is one IEEE
+    division of two exact longs).
+
+    Scale shape: tokens collapse to per-(doc, term) counts at the
+    first partial agg, so the join input is bounded by distinct terms
+    per doc, not raw tokens. The tf table is CACHED (session-scoped,
+    evicting) because four plan branches read it — vocab, total, and
+    both join sides; without the cache Catalyst clones the
+    scan+explode subtree per branch and the corpus is tokenized five
+    times. The vocabulary join is SKEW-SPLIT by corpus share: tokens
+    with share ≥ 1/20 — the Zipf head that would hot-spot a hash join
+    — go through a broadcast join whose build side is provably ≤ 20
+    rows AT ANY CORPUS SIZE (at most 20 tokens can each hold ≥ 5% of
+    the mass), while the long tail takes the ordinary shuffle join
+    with no heavy keys left in it. The 1-row total rides a broadcast,
+    never a driver-side collect.
+    """
+    from covid_engineering_spark.functions import evicting_cache
+
+    tf = evicting_cache(
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c")),
+        "unigram_tf",
+    )
+    # vocab is vocabulary-sized (tiny next to tf) but read three ways
+    # (total, hot filter, cold filter) — cache it so the tok-shuffle
+    # of tf happens exactly once.
+    vocab = evicting_cache(
+        tf.groupBy("tok").agg(F.sum("c").alias("cf")), "unigram_vocab"
+    )
+    total = vocab.agg(F.sum("cf").alias("total"))
+    v = vocab.join(F.broadcast(total))
+    hot = F.col("cf") * UNIGRAM_HOT_DIV >= F.col("total")
+    joined = tf.join(F.broadcast(v.filter(hot)), "tok").unionByName(
+        tf.join(v.filter(~hot), "tok")
+    )
+    rare = (F.col("cf") * UNIGRAM_RARE_DIV < F.col("total")).cast("long")
+    agg = joined.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.col("c") * F.col("cf")).alias("cf_mass"),
+        F.sum(F.col("c") * rare).alias("rare_count"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "cf_mass",
+        "rare_count",
+        (F.col("rare_count") / F.col("n_tokens")).alias("rare_ratio"),
+    )
+
+
+def q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return unigram_lm(read_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
     "text_normalize": q_text_normalize,
@@ -295,6 +371,7 @@ QUERIES = {
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
     "text_top_terms": q_text_top_terms,
+    "text_unigram_lm": q_text_unigram_lm,
 }
 
 
@@ -330,6 +407,30 @@ def _sql_score(stop: tuple[str, ...], markers: tuple[str, ...]) -> str:
 
 
 ORACLES = {
+    "text_unigram_lm": f"""
+        WITH tf AS (
+            SELECT doc_id, tok, COUNT(*) AS c
+            FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            )
+            GROUP BY doc_id, tok
+        ),
+        vocab AS (
+            SELECT tok, CAST(SUM(c) AS BIGINT) AS cf FROM tf GROUP BY tok
+        ),
+        tot AS (SELECT CAST(SUM(cf) AS BIGINT) AS total FROM vocab)
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(SUM(c * cf) AS BIGINT) AS cf_mass,
+               CAST(SUM(CASE WHEN cf * {UNIGRAM_RARE_DIV} < total
+                             THEN c ELSE 0 END) AS BIGINT) AS rare_count,
+               CAST(SUM(CASE WHEN cf * {UNIGRAM_RARE_DIV} < total
+                             THEN c ELSE 0 END) AS BIGINT)
+                 / CAST(SUM(c) AS BIGINT) AS rare_ratio
+        FROM tf JOIN vocab USING (tok) CROSS JOIN tot
+        GROUP BY doc_id
+    """,
     "text_normalize": """
         SELECT doc_id,
                trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))

@@ -284,6 +284,132 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gapfill_daily(read_table(spark, sf_dir, "events"))
 
 
+#: Rolling-anomaly history: the trailing frame (in buckets) the
+#: z-score baseline is computed over, and the minimum history before a
+#: bucket is eligible to be flagged at all.
+ANOMALY_FRAME = 24
+ANOMALY_MIN_HIST = 8
+#: |z| threshold — flagged when (x - mean)^2 > Z^2 * var_pop.
+ANOMALY_Z = 3
+
+
+def rolling_anomaly(
+    ev: DataFrame,
+    every: str = EVERY,
+    frame: int = ANOMALY_FRAME,
+    min_hist: int = ANOMALY_MIN_HIST,
+    z: int = ANOMALY_Z,
+) -> DataFrame:
+    """Rolling z-score anomaly flags over the resampled feed: each
+    (event_type, bucket) hourly value is compared against the mean and
+    population variance of its own trailing ``frame`` buckets
+    (current bucket EXCLUDED — the baseline must not contain the point
+    it judges), flagged when ``(x - mean)² > z²·var``. The metrics-
+    store alerting query.
+
+    Exactness: the whole test runs in integer cents — values enter as
+    ``CAST(round(value*100) AS BIGINT)`` and the flag inequality is
+    cross-multiplied to clear divisions: with S = Σxᵢ, Q = Σxᵢ², n
+    over the frame, ``(x-S/n)² > z²·(Q/n-(S/n)²)`` ⇔
+    ``(n·x-S)² > z²·(n·Q-S²)``. No float enters, so Spark and the SQL
+    oracle agree bit-for-bit. (At 100 TB magnitudes, swap the BIGINT
+    carries for DECIMAL(38,0) — same exact algebra, wider headroom.)
+
+    Scale shape: the resample agg partial-aggregates raw events down
+    to one row per (type, bucket) before any window; the rolling frame
+    then runs over that bucket-cardinality frame, partitioned by
+    event_type — per-partition size is #buckets, bounded by the time
+    span, never by raw rows. The one low-cardinality shuffle
+    (#types keys) moves only the rolled-up rows.
+    """
+    cents = F.round(F.col("value") * 100).cast("long")
+    bucketed = ev.groupBy(
+        F.date_trunc(every, "ts").alias("bucket"), "event_type"
+    ).agg(F.sum(cents).alias("x_cents"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-frame, -1)
+    )
+    n = F.count("x_cents").over(w)
+    s = F.coalesce(F.sum("x_cents").over(w), F.lit(0).cast("long"))
+    q = F.coalesce(
+        F.sum(F.col("x_cents") * F.col("x_cents")).over(w),
+        F.lit(0).cast("long"),
+    )
+    dev = n * F.col("x_cents") - s
+    flag = (n >= min_hist) & (dev * dev > F.lit(z * z) * (n * q - s * s))
+    return (
+        bucketed.withColumn("n_hist", n)
+        .withColumn("s_hist", s)
+        .withColumn("q_hist", q)
+        .withColumn("is_anomaly", flag)
+        .select(
+            "event_type", "bucket", "x_cents",
+            "n_hist", "s_hist", "q_hist", "is_anomaly",
+        )
+    )
+
+
+def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rolling_anomaly(read_table(spark, sf_dir, "events"))
+
+
+#: Rolling-activity window for WAU, in days (inclusive of the day
+#: itself: day-6 .. day).
+WAU_DAYS = 7
+
+
+def active_users(ev: DataFrame, window_days: int = WAU_DAYS) -> DataFrame:
+    """Daily + rolling weekly active users (DAU/WAU): per calendar
+    day, the count of distinct users active that day and the count of
+    distinct users active in the trailing ``window_days`` days — the
+    engagement rollup every product dashboard reads.
+
+    Scale shape: raw events first collapse to distinct (day, user_id)
+    pairs — one partial-aggregated distinct whose output is bounded by
+    users × days, not raw rows. WAU avoids a range join entirely:
+    each pair EXPLODES to the ≤``window_days`` target days it
+    contributes to (``sequence`` + ``explode``, executor-side), then a
+    count-distinct per target day — a fixed ×7 fan-out on the already-
+    collapsed pairs, one shuffle, no O(days × pairs) join. The tiny
+    observed-days frame (one row per calendar day) broadcasts to drop
+    phantom days past the feed's end. At 100 TB the same plan holds
+    with the count-distinct swapped for HLL (the ``a14`` pattern) when
+    ±2% is acceptable.
+    """
+    from covid_engineering_spark.functions import evicting_cache
+
+    # Three branches read the collapsed pairs (observed days, DAU,
+    # WAU fan-out) — cache the bounded pairs table so raw events are
+    # scanned and distinct-collapsed exactly once.
+    pairs = evicting_cache(
+        ev.select(F.to_date("ts").alias("day"), "user_id").distinct(),
+        "active_users_pairs",
+    )
+    days = pairs.select("day").distinct()
+    dau = pairs.groupBy("day").agg(F.count("*").alias("dau"))
+    contrib = pairs.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add("day", window_days - 1))
+        ).alias("day_t"),
+        "user_id",
+    )
+    wau = (
+        contrib.join(
+            F.broadcast(days.withColumnRenamed("day", "day_t")), "day_t"
+        )
+        .groupBy("day_t")
+        .agg(F.count_distinct("user_id").alias("wau"))
+        .withColumnRenamed("day_t", "day")
+    )
+    return dau.join(wau, "day").select("day", "dau", "wau")
+
+
+def q_ts_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return active_users(read_table(spark, sf_dir, "events"))
+
+
 QUERIES = {
     "ts_resample": q_ts_resample,
     "ts_sessionize": q_ts_sessionize,
@@ -291,9 +417,51 @@ QUERIES = {
     "ts_funnel_steps": q_ts_funnel_steps,
     "ts_cohort": q_ts_cohort,
     "ts_gapfill": q_ts_gapfill,
+    "ts_anomaly": q_ts_anomaly,
+    "ts_active_users": q_ts_active_users,
 }
 
 ORACLES = {
+    "ts_anomaly": """
+        WITH bucketed AS (
+            SELECT date_trunc('hour', ts) AS bucket, event_type,
+                   SUM(CAST(round(value * 100) AS BIGINT)) AS x_cents
+            FROM events
+            GROUP BY 1, 2
+        ),
+        rolled AS (
+            SELECT event_type, bucket, x_cents,
+                   COUNT(x_cents) OVER w AS n_hist,
+                   COALESCE(SUM(x_cents) OVER w, 0) AS s_hist,
+                   COALESCE(SUM(x_cents * x_cents) OVER w, 0) AS q_hist
+            FROM bucketed
+            WINDOW w AS (
+                PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING
+            )
+        )
+        SELECT event_type, bucket, x_cents, n_hist, s_hist, q_hist,
+               (n_hist >= 8 AND
+                (n_hist * x_cents - s_hist) * (n_hist * x_cents - s_hist)
+                  > 9 * (n_hist * q_hist - s_hist * s_hist)
+               ) AS is_anomaly
+        FROM rolled
+    """,
+    "ts_active_users": """
+        WITH pairs AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        ),
+        days AS (SELECT DISTINCT day FROM pairs),
+        dau AS (SELECT day, COUNT(*) AS dau FROM pairs GROUP BY day),
+        wau AS (
+            SELECT d.day, COUNT(DISTINCT p.user_id) AS wau
+            FROM days d
+            JOIN pairs p
+              ON p.day BETWEEN d.day - 6 AND d.day
+            GROUP BY d.day
+        )
+        SELECT day, dau, wau FROM dau JOIN wau USING (day)
+    """,
     "ts_funnel": """
         WITH ev AS (
             SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type

@@ -105,10 +105,25 @@ def codegen_stage_count(df: DataFrame) -> int:
 
 
 def shuffle_count(df: DataFrame) -> int:
-    """Exchange operators (shuffles) in the physical plan. AQE may
-    later coalesce partitions but cannot remove a planned exchange.
+    """DISTINCT Exchange operators (shuffles) in the physical plan.
+    AQE may later coalesce partitions but cannot remove a planned
+    exchange. Deduplicated by ``plan_id``: the explain text reprints a
+    cached (InMemoryRelation) build subtree under every branch that
+    reads it, but those exchanges execute once at cache population —
+    counting each reprint would charge a reused frame N times.
     """
-    return len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", simple_plan(df)))
+    seen: set[str] = set()
+    n = 0
+    for m in re.finditer(
+        r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)[^\n]*",
+        simple_plan(df),
+    ):
+        pid = re.search(r"plan_id=(\d+)", m.group(0))
+        key = pid.group(1) if pid else f"pos:{m.start()}"
+        if key not in seen:
+            seen.add(key)
+            n += 1
+    return n
 
 
 def sort_merge_join_count(df: DataFrame) -> int:

@@ -75,12 +75,21 @@ PRIORITY = [
     "pipe_stratified_sample",
     "text_normalize",
     "emb_knn_graph",
-    # New in round 3: the flagship curation composite and the
-    # one-shuffle 5-step funnel — never driver-checked, so they claim
-    # window slots immediately (displacing the r02-green
-    # pipe_split_hash / pipe_pack_chunks past slot 50).
+    # New in round 3: the flagship curation composite, the
+    # one-shuffle 5-step funnel, rolling z-score anomaly flags,
+    # DAU/WAU rollup, corpus snapshot diff, Gopher-rule quality
+    # filtering, and unigram-LM scoring — never driver-checked, so
+    # they claim window slots immediately (displacing r02-green
+    # entries past slot 50: pipe_split_hash, pipe_pack_chunks,
+    # pipe_quota_source, pipe_decontaminate, pipe_mixture_sample,
+    # pipe_length_hist, text_tfidf).
     "pipe_curate_corpus",
     "ts_funnel_steps",
+    "ts_anomaly",
+    "ts_active_users",
+    "pipe_snapshot_diff",
+    "pipe_quality_filter",
+    "text_unigram_lm",
     # Hard tier, re-verified (r02-green).
     "w6_interpolate",
     "wrangle_clean_complete",
@@ -102,7 +111,6 @@ PRIORITY = [
     "ann_ivf_topk",
     "emb_centroid",
     "text_token_stats",
-    "text_tfidf",
     "text_quality",
     "text_langid",
     "text_repetition",
@@ -116,11 +124,7 @@ PRIORITY = [
     "s2_sqlite_ingest",
     "covid_param_series",
     "covid_transfer_sim",
-    "pipe_quota_source",
-    "pipe_decontaminate",
-    "pipe_mixture_sample",
     "pipe_keep_best",
-    "pipe_length_hist",
 ]
 
 

@@ -429,3 +429,41 @@ def test_curate_corpus_collapses_rewrites_then_clusters_then_splits(spark):
     assert out[4]["n_docs"] == 1
     for r in out.values():
         assert r["split"] in {"train", "val", "test"}
+
+
+def test_snapshot_diff_classifies_all_four_statuses(spark):
+    from covid_engineering_spark.operators.pipeline import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "was this"), (3, "gone soon")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "now this"), (4, "brand new")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_snapshot_diff_statuses_all_live_on_the_corpus(spark):
+    from covid_engineering_spark.operators.pipeline import q_pipe_snapshot_diff
+
+    got = {
+        r["status"]
+        for r in q_pipe_snapshot_diff(spark, SF_SMOKE).collect()
+    }
+    assert got == {"added", "removed", "changed", "unchanged"}
+
+
+def test_quality_filter_every_rule_has_live_pass_and_fail(spark):
+    from covid_engineering_spark.operators.pipeline import q_pipe_quality_filter
+
+    rows = q_pipe_quality_filter(spark, SF_SMOKE).collect()
+    for flag in ("len_ok", "wlen_ok", "stop_ok", "uniq_ok", "keep"):
+        vals = {r[flag] for r in rows}
+        assert vals == {True, False}, f"{flag} is vacuous: {vals}"
+    for r in rows:
+        assert r["keep"] == (
+            r["len_ok"] and r["wlen_ok"] and r["stop_ok"] and r["uniq_ok"]
+        )

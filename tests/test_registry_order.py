@@ -36,7 +36,15 @@ ROUND3_ROTATED = {
 #: new, so they must also claim a window slot — a new op with no
 #: driver row ever is the strictly worse gap than re-verifying a
 #: green one.
-ROUND3_NEW = {"pipe_curate_corpus", "ts_funnel_steps"}
+ROUND3_NEW = {
+    "pipe_curate_corpus",
+    "ts_funnel_steps",
+    "ts_anomaly",
+    "ts_active_users",
+    "pipe_snapshot_diff",
+    "pipe_quality_filter",
+    "text_unigram_lm",
+}
 
 #: Round-4 rotation queue: if the window saturates with
 #: never-driver-checked entries again, new ops queue here in the tail

@@ -129,7 +129,12 @@ SURVEY_MAP = {
     "PIPE-DUPRATE": "pipe_dup_rate",
     "PIPE-STRAT": "pipe_stratified_sample",
     "PIPE-CURATE": "pipe_curate_corpus",
+    "PIPE-SNAPDIFF": "pipe_snapshot_diff",
+    "PIPE-QFILTER": "pipe_quality_filter",
     "TS-FUNNEL1P": "ts_funnel_steps",
+    "TS-ANOMALY": "ts_anomaly",
+    "TS-ACTIVE": "ts_active_users",
+    "TXT-UNIGRAM": "text_unigram_lm",
     # ingest extensions (JSONL / ORC / compaction round-trips)
     "ING-JSONL": "s6_jsonl_scan",
     "ING-ORC": "s7_orc_roundtrip",

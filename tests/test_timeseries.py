@@ -211,3 +211,55 @@ def test_funnel_single_pass_is_one_exchange_for_five_steps(spark):
     df = funnel_single_pass(ev)
     assert shuffle_count(df) <= 2
     assert not has_cartesian(df)
+
+
+def test_anomaly_baseline_excludes_judged_point(spark):
+    # A constant series with one spike: every pre-spike bucket has
+    # zero variance, so the spike is flagged iff the baseline excludes
+    # it (a frame including the current row would fold the spike into
+    # its own variance).
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i), 1, "a", 5.0, "{}")
+        for i in range(12)
+    ] + [(99, dt.datetime(2024, 1, 1, 12), 1, "a", 500.0, "{}")]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    from covid_engineering_spark.operators.timeseries import rolling_anomaly
+
+    out = {r["x_cents"]: r for r in rolling_anomaly(ev).collect()}
+    assert out[50000]["is_anomaly"] is True
+    assert all(not r["is_anomaly"] for x, r in out.items() if x == 500)
+
+
+def test_anomaly_flags_fire_on_real_feed_nonvacuously(spark):
+    from covid_engineering_spark.operators.timeseries import rolling_anomaly
+
+    ev = read_table(spark, SF_SMOKE, "events")
+    rows = rolling_anomaly(ev).collect()
+    flagged = [r for r in rows if r["is_anomaly"]]
+    eligible = [r for r in rows if r["n_hist"] >= 8]
+    # The synthetic feed must exercise BOTH branches or the oracle
+    # match is vacuous.
+    assert flagged and len(flagged) < len(eligible)
+    # No NULL flags escape: empty/short frames are definitively false.
+    assert all(r["is_anomaly"] is not None for r in rows)
+
+
+def test_active_users_wau_bounds_and_partition_invariance(spark):
+    from covid_engineering_spark.operators.timeseries import active_users
+
+    ev = read_table(spark, SF_SMOKE, "events")
+    rows = active_users(ev).collect()
+    assert rows
+    total_users = ev.select("user_id").distinct().count()
+    for r in rows:
+        # WAU is a superset count of DAU, bounded by the user universe.
+        assert r["dau"] <= r["wau"] <= total_users
+    again = {
+        r["day"]: (r["dau"], r["wau"])
+        for r in active_users(ev.repartition(13)).collect()
+    }
+    assert again == {r["day"]: (r["dau"], r["wau"]) for r in rows}
