@@ -161,6 +161,50 @@ def main() -> None:
             "overwrite"
         ).format("noop").save()
 
+    def unigram(sf_dir):
+        # vocabulary join path: the blowup multiplies the VOCABULARY
+        # 10x (replica-suffixed words) while per-token frequencies
+        # stay flat — the worst case for the skew-split join's tail
+        # side, which must grow linearly, never quadratically
+        from covid_engineering_spark.operators.text import unigram_lm
+
+        unigram_lm(read_table(spark, sf_dir, "documents")).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+    def active(sf_dir):
+        # distinct-collapse + 7x fan-out path: 10x the users over the
+        # same calendar span, so pairs grow 10x and per-day
+        # count-distinct state grows with users
+        from covid_engineering_spark.operators.timeseries import active_users
+
+        active_users(read_table(spark, sf_dir, "events")).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+    def anomaly(sf_dir):
+        # rolled-up window path: bucket×type cardinality is CONSTANT
+        # under the blowup (same span, denser buckets), so the window
+        # cost must stay flat and only the pre-agg scan scales
+        from covid_engineering_spark.operators.timeseries import (
+            rolling_anomaly,
+        )
+
+        rolling_anomaly(read_table(spark, sf_dir, "events")).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+    def snapdiff(sf_dir):
+        # full-outer hash-compare path: both snapshot sides scale with
+        # the corpus; one sort-merge join, no broadcast to blow up
+        from covid_engineering_spark.operators.pipeline import (
+            q_pipe_snapshot_diff,
+        )
+
+        q_pipe_snapshot_diff(spark, sf_dir).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
     out: dict = {"metric": "scale_probe", "x": REPLICAS, "base": BASE}
     for name, fn in (
         ("wrangle_clean_complete", wrangle),
@@ -169,6 +213,10 @@ def main() -> None:
         ("pipe_keep_best", keep),
         ("pipe_curate_corpus", curate),
         ("ts_sessionize", sess),
+        ("text_unigram_lm", unigram),
+        ("ts_active_users", active),
+        ("ts_anomaly", anomaly),
+        ("pipe_snapshot_diff", snapdiff),
     ):
         # Release the previous pipeline's lingering blocks (cached
         # frames, localCheckpoint RDDs await async ContextCleaner GC)

@@ -64,3 +64,20 @@ def test_evicting_cache_holds_one_copy_per_key(spark):
     assert not a.storageLevel.useMemory  # evicted by b
     assert b.storageLevel.useMemory
     assert other.storageLevel.useMemory
+
+
+def test_evicting_cache_reuses_warm_cache_on_same_plan(spark):
+    # Same key + same logical result => the warm cached frame comes
+    # back untouched (a bench's timed runs must hit the warmup's
+    # cache, not rebuild it); a different plan still evicts.
+    from covid_engineering_spark.functions import evicting_cache
+
+    a = evicting_cache(spark.range(30), "k3")
+    a.count()
+    b = evicting_cache(spark.range(30), "k3")
+    assert b is a  # reused, not re-cached
+    assert a.storageLevel.useMemory
+    c = evicting_cache(spark.range(31), "k3")
+    c.count()
+    assert not a.storageLevel.useMemory  # genuinely different => evicted
+    assert c.storageLevel.useMemory
