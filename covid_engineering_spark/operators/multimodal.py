@@ -159,15 +159,26 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 4
 
 def q_mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline: attach payloads -> mapInPandas decode ->
-    relational post-aggregation per media type. (Rows-only check: the
-    decode step is a Python-side double; tests pin its values.)
+    relational post-aggregation per media type. The decode runs in
+    Python (the pandas-UDF plumbing under test), but the fake codec is
+    arithmetic over the payload bytes, so the WHOLE pipeline has an
+    exact SQL twin — the driver hash-checks the Python decode path
+    end-to-end instead of settling for a rows-only count.
+
+    ``avg_feat0`` is aggregated from the integer ``checksum`` column
+    (one IEEE division at the end), not by averaging the per-row
+    float ``feat0``: float summation is partition-order dependent,
+    integer summation is not.
     """
     docs = read_table(spark, sf_dir, "documents")
     feats = extract_features(with_media_columns(docs))
     return feats.groupBy("media_type").agg(
         F.count("*").alias("n_items"),
         F.sum("n_bytes").alias("total_bytes"),
-        F.round(F.avg("feat0"), 6).alias("avg_feat0"),
+        F.round(
+            F.sum(F.col("checksum") % 1000) / (F.count("*") * F.lit(1000.0)),
+            6,
+        ).alias("avg_feat0"),
         F.min("width").alias("min_width"),
         F.max("height").alias("max_height"),
     )
@@ -177,7 +188,33 @@ QUERIES = {
     "mm_feature_extract": q_mm_feature_extract,
 }
 
-# Deliberately no oracle: the decode stage is non-SQL by design (it is
-# the pandas-UDF plumbing under test); tests/test_multimodal.py pins
-# the fake-decoder output row-by-row instead.
-ORACLES: dict[str, str] = {}
+# The SQL twin replays fake_decode's byte arithmetic (131-base rolling
+# checksum mod 1e9+7 over the UTF-8 payload — the corpus is ASCII, so
+# chars == bytes; asserted in tests) and the same media-type
+# assignment, making the mapInPandas decode stage hash-checkable.
+ORACLES: dict[str, str] = {
+    "mm_feature_extract": """
+        WITH c AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                        WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                        ELSE 'video/mp4' END AS media_type,
+                   length(text) AS n_bytes,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(string_split(text, ''),
+                                          ch -> CAST(ascii(ch) AS BIGINT))),
+                       (a, b) -> (a * 131 + b) % 1000000007
+                   ) AS checksum
+            FROM documents
+        )
+        SELECT media_type,
+               COUNT(*) AS n_items,
+               CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+               ROUND(SUM(checksum % 1000) / (COUNT(*) * 1000.0), 6)
+                   AS avg_feat0,
+               CAST(MIN(16 + checksum % 64) AS INT) AS min_width,
+               CAST(MAX(16 + (checksum // 64) % 64) AS INT) AS max_height
+        FROM c GROUP BY media_type
+    """
+}

@@ -655,6 +655,65 @@ def q_pipe_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_filter(read_table(spark, sf_dir, "documents"))
 
 
+#: Incremental-batch simulation: the standing corpus is doc_id%5 != 0;
+#: the arriving batch is the %5 == 0 docs (genuinely new), plus
+#: verbatim re-crawls of corpus docs with %6 == 0 (dup_of_corpus),
+#: plus second copies of batch docs with %4 == 0 (dup_in_batch).
+INC_RECRAWL_OFFSET = 10**9
+INC_SELFDUP_OFFSET = 2 * 10**9
+
+
+def dedup_incremental(corpus: DataFrame, batch: DataFrame) -> DataFrame:
+    """Incremental exact dedup: classify each arriving-batch document
+    against the standing corpus WITHOUT re-deduplicating the corpus —
+    the shape every production ingest runs daily. A batch doc is
+    ``dup_of_corpus`` if its content hash already exists in the
+    corpus, else ``dup_in_batch`` if an earlier batch doc (smaller
+    doc_id) has the same hash, else ``new``.
+
+    Scale shape: the corpus side collapses to its DISTINCT hash index
+    at the scan — the compact structure a real pipeline keeps
+    materialized between runs, so the daily cost is
+    O(batch + index-probe), never O(corpus re-scan of text). The
+    index join and the first-in-batch window both key on
+    content_hash, so one exchange layout serves both. The batch is
+    small by definition; nothing corpus-sized is broadcast.
+    """
+    h = F.md5(F.lower(F.col("text")))
+    idx = (
+        corpus.select(h.alias("content_hash"))
+        .distinct()
+        .withColumn("in_corpus", F.lit(True))
+    )
+    from pyspark.sql import Window
+
+    b = batch.select("doc_id", h.alias("content_hash"))
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    b = b.withColumn("rn", F.row_number().over(w))
+    status = (
+        F.when(F.col("in_corpus").isNotNull(), "dup_of_corpus")
+        .when(F.col("rn") > 1, "dup_in_batch")
+        .otherwise("new")
+    )
+    return b.join(idx, "content_hash", "left").select(
+        "doc_id", "content_hash", status.alias("status")
+    )
+
+
+def q_pipe_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    fresh = docs.filter(F.col("doc_id") % 5 == 0)
+    recrawl = corpus.filter(F.col("doc_id") % 6 == 0).withColumn(
+        "doc_id", F.col("doc_id") + INC_RECRAWL_OFFSET
+    )
+    selfdup = fresh.filter(F.col("doc_id") % 4 == 0).withColumn(
+        "doc_id", F.col("doc_id") + INC_SELFDUP_OFFSET
+    )
+    batch = fresh.unionByName(recrawl).unionByName(selfdup)
+    return dedup_incremental(corpus, batch)
+
+
 QUERIES = {
     "pipe_split_hash": q_pipe_split_hash,
     "pipe_quota_source": q_pipe_quota_source,
@@ -671,6 +730,7 @@ QUERIES = {
     "pipe_curate_corpus": q_pipe_curate_corpus,
     "pipe_snapshot_diff": q_pipe_snapshot_diff,
     "pipe_quality_filter": q_pipe_quality_filter,
+    "pipe_dedup_incremental": q_pipe_dedup_incremental,
 }
 
 # 4-gram shingle CTE shared by the decontamination oracle.
@@ -813,6 +873,34 @@ FROM ranked WHERE rk = 1
 """
 
 ORACLES = {
+    "pipe_dedup_incremental": f"""
+        WITH corpus AS (
+            SELECT doc_id, md5(lower(text)) AS content_hash
+            FROM documents WHERE doc_id % 5 != 0
+        ),
+        idx AS (SELECT DISTINCT content_hash FROM corpus),
+        batch AS (
+            SELECT doc_id, md5(lower(text)) AS content_hash
+            FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id + {INC_RECRAWL_OFFSET}, md5(lower(text))
+            FROM documents WHERE doc_id % 5 != 0 AND doc_id % 6 = 0
+            UNION ALL
+            SELECT doc_id + {INC_SELFDUP_OFFSET}, md5(lower(text))
+            FROM documents WHERE doc_id % 5 = 0 AND doc_id % 4 = 0
+        ),
+        b AS (
+            SELECT doc_id, content_hash,
+                   ROW_NUMBER() OVER (PARTITION BY content_hash
+                                      ORDER BY doc_id) AS rn
+            FROM batch
+        )
+        SELECT b.doc_id, b.content_hash,
+               CASE WHEN idx.content_hash IS NOT NULL THEN 'dup_of_corpus'
+                    WHEN rn > 1 THEN 'dup_in_batch'
+                    ELSE 'new' END AS status
+        FROM b LEFT JOIN idx USING (content_hash)
+    """,
     "pipe_snapshot_diff": """
         WITH old AS (
             SELECT doc_id, md5(text) AS old_hash FROM documents

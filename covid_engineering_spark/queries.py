@@ -90,6 +90,8 @@ PRIORITY = [
     "pipe_snapshot_diff",
     "pipe_quality_filter",
     "text_unigram_lm",
+    "pipe_dedup_incremental",
+    "stream_interval_join",
     # Hard tier, re-verified (r02-green).
     "w6_interpolate",
     "wrangle_clean_complete",
@@ -110,8 +112,6 @@ PRIORITY = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "emb_centroid",
-    "text_token_stats",
-    "text_quality",
     "text_langid",
     "text_repetition",
     "stream_tumble",

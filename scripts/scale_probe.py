@@ -223,12 +223,20 @@ def main() -> None:
         # so each measurement starts from the same storage state —
         # without this, the checkpoint-heavy cluster pipelines inherit
         # memory pressure from whatever ran before them and the
-        # exponents drift run to run.
+        # exponents drift run to run. clearCache ALSO runs between the
+        # warmup and the timed run: cache-backed queries reuse a warm
+        # internal frame across invocations (the bench's steady-state
+        # behavior), but the probe's question is the COLD end-to-end
+        # cost at 10x — a timed run reading the warmup's cache skips
+        # the very scan whose scaling is being measured. So: warmup =
+        # warm JVM/codegen; timed = cold data, warm JVM.
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
-        fn(small)  # warmup at 1x
+        fn(small)  # warmup at 1x (JVM/codegen)
+        spark.catalog.clearCache()
         t1 = _time(lambda: fn(small))
         fn(big)  # warmup at 10x
+        spark.catalog.clearCache()
         t10 = _time(lambda: fn(big))
         out[name] = {
             "t_1x_sec": round(t1, 2),

@@ -83,3 +83,20 @@ def test_payload_pruned_when_untouched(spark):
     schemas = read_schemas(meta_only)
     assert len(schemas) == 1
     assert "text" not in schemas[0]
+
+
+def test_corpus_is_ascii_the_oracle_byte_equivalence_precondition(spark):
+    # The mm_feature_extract oracle folds the checksum over CHARACTERS
+    # (ascii codes); fake_decode folds over UTF-8 BYTES. These agree
+    # exactly when the corpus is pure ASCII — assert it, so a future
+    # non-ASCII corpus fails loudly here instead of hash-mismatching.
+    from pyspark.sql import functions as F
+
+    from covid_engineering_spark.sources import read_table
+    from tests.conftest import SF_ORACLE
+
+    docs = read_table(spark, SF_ORACLE, "documents")
+    non_ascii = docs.filter(
+        F.length(F.col("text")) != F.length(F.encode("text", "UTF-8"))
+    ).count()
+    assert non_ascii == 0

@@ -467,3 +467,36 @@ def test_quality_filter_every_rule_has_live_pass_and_fail(spark):
         assert r["keep"] == (
             r["len_ok"] and r["wlen_ok"] and r["stop_ok"] and r["uniq_ok"]
         )
+
+
+def test_dedup_incremental_priority_and_statuses(spark):
+    from covid_engineering_spark.operators.pipeline import dedup_incremental
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha"),   # in corpus -> dup_of_corpus
+            (11, "gamma"),   # first of its hash in batch -> new
+            (12, "gamma"),   # later copy in batch -> dup_in_batch
+            (13, "ALPHA"),   # case-folded corpus dup -> dup_of_corpus
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["status"] for r in dedup_incremental(corpus, batch).collect()}
+    assert out == {
+        10: "dup_of_corpus",
+        11: "new",
+        12: "dup_in_batch",
+        13: "dup_of_corpus",
+    }
+
+
+def test_dedup_incremental_registry_form_covers_all_statuses(spark):
+    from covid_engineering_spark.operators.pipeline import (
+        q_pipe_dedup_incremental,
+    )
+
+    rows = q_pipe_dedup_incremental(spark, SF_SMOKE).collect()
+    assert {r["status"] for r in rows} == {"new", "dup_of_corpus", "dup_in_batch"}

@@ -44,6 +44,8 @@ ROUND3_NEW = {
     "pipe_snapshot_diff",
     "pipe_quality_filter",
     "text_unigram_lm",
+    "pipe_dedup_incremental",
+    "stream_interval_join",
 }
 
 #: Round-4 rotation queue: if the window saturates with

@@ -233,3 +233,92 @@ def test_session_streaming_equals_batch(spark, source_dir):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_interval_join_streaming_equals_batch(spark, source_dir):
+    """The stream-stream interval join (append mode, watermarked both
+    sides) over the chunked landing zone must produce exactly the
+    batch face's attribution pairs."""
+    from covid_engineering_spark.streaming.joins import (
+        attributed_clicks,
+        stream_attributed_clicks,
+    )
+
+    q = (
+        stream_attributed_clicks(spark, source_dir, watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("attrib_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.user_id, r.view_id, r.click_id)
+        for r in spark.sql("SELECT * FROM attrib_stream").collect()
+    }
+    ev = spark.read.parquet(source_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    want = {
+        (r.user_id, r.view_id, r.click_id)
+        for r in attributed_clicks(
+            ev.filter(F.col("event_type") == "view"),
+            ev.filter(F.col("event_type") == "click"),
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_interval_join_state_is_watermark_bounded(spark, tmp_path):
+    """The join condition's event-time bound plus the watermark must
+    let the engine evict view-side state: after processing, the state
+    store must hold fewer rows than the total views ingested (an
+    unbounded stream-stream join keeps every row forever)."""
+    import datetime as dt
+
+    from covid_engineering_spark.streaming.joins import stream_attributed_clicks
+
+    d = str(tmp_path / "ev")
+    cp = str(tmp_path / "cp")
+    base = dt.datetime(2021, 3, 1, 0, 0)
+
+    def rows(part, hours):
+        return [
+            (part * 1000 + i, base + dt.timedelta(hours=h), 1,
+             "view" if i % 2 == 0 else "click", 1.0, "{}")
+            for i, h in enumerate(hours)
+        ]
+
+    schema = ("event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    # two arrivals 3 days apart: run 1's views are far below run 2's
+    # watermark, so their state must be gone by the end of run 2
+    spark.createDataFrame(rows(0, [0, 1, 2, 3]), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+
+    def run():
+        q = (
+            stream_attributed_clicks(spark, d, watermark="1 hour")
+            .writeStream.format("noop")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return q.lastProgress
+
+    p1 = run()
+    spark.createDataFrame(rows(1, [72, 73]), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    p2 = run()
+    ops = (p2 or {}).get("stateOperators") or []
+    assert ops, "no state operator reported"
+    n_state = sum(op.get("numRowsTotal", 0) for op in ops)
+    # 6 events ingested in total; bounded state must have evicted the
+    # day-1 rows once the watermark passed them
+    assert n_state < 6, f"state not evicted: {n_state} rows"

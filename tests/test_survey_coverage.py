@@ -131,6 +131,8 @@ SURVEY_MAP = {
     "PIPE-CURATE": "pipe_curate_corpus",
     "PIPE-SNAPDIFF": "pipe_snapshot_diff",
     "PIPE-QFILTER": "pipe_quality_filter",
+    "PIPE-INCDEDUP": "pipe_dedup_incremental",
+    "STR-JOIN": "stream_interval_join",
     "TS-FUNNEL1P": "ts_funnel_steps",
     "TS-ANOMALY": "ts_anomaly",
     "TS-ACTIVE": "ts_active_users",
@@ -159,7 +161,6 @@ ROWS_ONLY = {
     "dedup_simhash",
     "ann_lsh_topk",
     "ann_ivf_topk",
-    "mm_feature_extract",
 }
 
 
