@@ -714,6 +714,75 @@ def q_pipe_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_incremental(corpus, batch)
 
 
+def near_dup_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    max_df: int | None = NGRAM_MAX_DF,
+) -> DataFrame:
+    """Incremental NEAR-dup detection: exact word-3-gram Jaccard of
+    each arriving-batch document against the standing corpus — the
+    sibling of ``dedup_incremental`` for rewrites that exact hashing
+    cannot catch, and the daily form of ``ngram_jaccard_pairs`` (which
+    re-pairs the whole corpus against itself).
+
+    Scale shape: the join is batch-side × corpus-side shingles on the
+    shingle key — NEVER corpus × corpus. With the stop-shingle guard
+    (document frequency over corpus ∪ batch ≤ ``max_df``) each kept
+    shingle contributes at most df_batch · df_corpus ≤ max_df² pair
+    rows, so the candidate set is bounded by |batch shingles| · max_df
+    — linear in the BATCH, which is the whole point of incremental
+    operation. A production pipeline keeps the corpus shingle-df index
+    materialized between runs (the same index this op derives
+    in-query), making the daily cost independent of corpus re-scans.
+    """
+    shc = shingles_of(corpus)
+    shb = shingles_of(batch)
+    df_ = (
+        shc.unionByName(shb)
+        .groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("s")
+    )
+    shc = shc.join(df_, "s")
+    shb = shb.join(df_, "s")
+    nc = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
+    nb = shb.groupBy("doc_id").agg(F.count("*").alias("n"))
+    common = (
+        shb.alias("b")
+        .join(shc.alias("c"), F.col("b.s") == F.col("c.s"))
+        .groupBy(
+            F.col("b.doc_id").alias("d_batch"),
+            F.col("c.doc_id").alias("d_corpus"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(
+            nb.select(F.col("doc_id").alias("d_batch"), F.col("n").alias("na")),
+            "d_batch",
+        )
+        .join(
+            nc.select(
+                F.col("doc_id").alias("d_corpus"), F.col("n").alias("nb")
+            ),
+            "d_corpus",
+        )
+        .select("d_batch", "d_corpus", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def q_pipe_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return near_dup_incremental(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+    )
+
+
 QUERIES = {
     "pipe_split_hash": q_pipe_split_hash,
     "pipe_quota_source": q_pipe_quota_source,
@@ -731,6 +800,7 @@ QUERIES = {
     "pipe_snapshot_diff": q_pipe_snapshot_diff,
     "pipe_quality_filter": q_pipe_quality_filter,
     "pipe_dedup_incremental": q_pipe_dedup_incremental,
+    "pipe_near_dup_incremental": q_pipe_near_dup_incremental,
 }
 
 # 4-gram shingle CTE shared by the decontamination oracle.
@@ -873,6 +943,35 @@ FROM ranked WHERE rk = 1
 """
 
 ORACLES = {
+    "pipe_near_dup_incremental": f"""
+        WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents),
+        sh_all AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(generate_series(1, len(w) - 2),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+            FROM ws
+        ),
+        keep AS (
+            SELECT s FROM (SELECT s, COUNT(*) AS df FROM sh_all GROUP BY s)
+            WHERE df <= {NGRAM_MAX_DF}
+        ),
+        sh AS (SELECT sh_all.doc_id, sh_all.s
+               FROM sh_all JOIN keep USING (s)),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT b.doc_id AS d_batch, c.doc_id AS d_corpus, COUNT(*) AS c
+            FROM sh b JOIN sh c
+              ON b.s = c.s AND b.doc_id % 5 = 0 AND c.doc_id % 5 != 0
+            GROUP BY 1, 2
+        )
+        SELECT d_batch, d_corpus,
+               ROUND(c / (na.n + nb.n - c), 6) AS jaccard
+        FROM common
+        JOIN sizes na ON na.doc_id = d_batch
+        JOIN sizes nb ON nb.doc_id = d_corpus
+        WHERE ROUND(c / (na.n + nb.n - c), 6) >= {JACCARD_THRESHOLD}
+    """,
     "pipe_dedup_incremental": f"""
         WITH corpus AS (
             SELECT doc_id, md5(lower(text)) AS content_hash

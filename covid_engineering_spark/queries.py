@@ -78,11 +78,15 @@ PRIORITY = [
     # New in round 3: the flagship curation composite, the
     # one-shuffle 5-step funnel, rolling z-score anomaly flags,
     # DAU/WAU rollup, corpus snapshot diff, Gopher-rule quality
-    # filtering, and unigram-LM scoring — never driver-checked, so
-    # they claim window slots immediately (displacing r02-green
-    # entries past slot 50: pipe_split_hash, pipe_pack_chunks,
+    # filtering, unigram-LM scoring, incremental exact + near-dup
+    # batch dedup, and the stream-stream interval join — never
+    # driver-checked, so they claim window slots immediately
+    # (displacing r02-green entries past slot 50: the five ingest
+    # round-trips beyond s1/s2, w7_rank, w8_range_frame, text_tfidf,
+    # text_token_stats, text_quality, text_fingerprint,
+    # text_top_terms, stream_slide, pipe_split_hash, pipe_pack_chunks,
     # pipe_quota_source, pipe_decontaminate, pipe_mixture_sample,
-    # pipe_length_hist, text_tfidf).
+    # pipe_length_hist — verification history on record).
     "pipe_curate_corpus",
     "ts_funnel_steps",
     "ts_anomaly",
@@ -91,6 +95,7 @@ PRIORITY = [
     "pipe_quality_filter",
     "text_unigram_lm",
     "pipe_dedup_incremental",
+    "pipe_near_dup_incremental",
     "stream_interval_join",
     # Hard tier, re-verified (r02-green).
     "w6_interpolate",
@@ -101,7 +106,6 @@ PRIORITY = [
     "m1_ols_origin",
     "m3_param_series",
     "m4_r0_series",
-    "w8_range_frame",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -500,3 +500,16 @@ def test_dedup_incremental_registry_form_covers_all_statuses(spark):
 
     rows = q_pipe_dedup_incremental(spark, SF_SMOKE).collect()
     assert {r["status"] for r in rows} == {"new", "dup_of_corpus", "dup_in_batch"}
+
+
+def test_near_dup_incremental_crosses_sides_only(spark):
+    from covid_engineering_spark.operators.pipeline import (
+        q_pipe_near_dup_incremental,
+    )
+
+    rows = q_pipe_near_dup_incremental(spark, SF_SMOKE).collect()
+    assert rows  # cross-split near-dups exist in the synthetic corpus
+    for r in rows:
+        assert r["d_batch"] % 5 == 0
+        assert r["d_corpus"] % 5 != 0
+        assert 0.5 <= r["jaccard"] <= 1.0

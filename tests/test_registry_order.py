@@ -45,6 +45,7 @@ ROUND3_NEW = {
     "pipe_quality_filter",
     "text_unigram_lm",
     "pipe_dedup_incremental",
+    "pipe_near_dup_incremental",
     "stream_interval_join",
 }
 

@@ -132,6 +132,7 @@ SURVEY_MAP = {
     "PIPE-SNAPDIFF": "pipe_snapshot_diff",
     "PIPE-QFILTER": "pipe_quality_filter",
     "PIPE-INCDEDUP": "pipe_dedup_incremental",
+    "PIPE-INCNEAR": "pipe_near_dup_incremental",
     "STR-JOIN": "stream_interval_join",
     "TS-FUNNEL1P": "ts_funnel_steps",
     "TS-ANOMALY": "ts_anomaly",
