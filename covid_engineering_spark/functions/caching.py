@@ -31,8 +31,17 @@ def evicting_cache(df: DataFrame, key: str) -> DataFrame:
     prev = _LAST.get(key)
     if prev is not None:
         try:
-            same = df._jdf.queryExecution().analyzed().sameResult(
-                prev._jdf.queryExecution().analyzed()
+            # Same LIVE session only: a stopped-and-replaced session's
+            # frame can still answer sameResult/storageLevel from
+            # memoized state, then blow up at first action — so the
+            # reuse path requires session identity, not just plan
+            # equality.
+            same = (
+                df.sparkSession is prev.sparkSession
+                and not df.sparkSession._sc._jsc.sc().isStopped()
+                and df._jdf.queryExecution()
+                .analyzed()
+                .sameResult(prev._jdf.queryExecution().analyzed())
             )
         except Exception:
             same = False  # old frame's session may already be stopped

@@ -38,15 +38,31 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _STAGING_ROOT: str | None = None
+_STAGING_SEEN: set[str] = set()
 
 
 def _staging_dir(prefix: str) -> str:
-    """A scratch dir under one atexit-cleaned per-process root."""
+    """ONE stable scratch dir per query prefix under one atexit-cleaned
+    per-process root: re-invoking the same ingest query (bench warmup +
+    timed runs, the driver loop) reuses — after wiping — its own dir
+    instead of minting a new one per call, so staging disk is bounded
+    by (number of ingest queries), not invocation count. The wipe on
+    re-entry assumes the previous invocation's returned frame has been
+    materialized by the time the query is invoked again (true for the
+    bench and the driver, which fully consume each result before the
+    next call); Spark's own sinks are mode('overwrite') anyway — the
+    wipe exists for the non-Spark stagers (the scratch SQLite DB).
+    """
     global _STAGING_ROOT
     if _STAGING_ROOT is None:
         _STAGING_ROOT = tempfile.mkdtemp(prefix="ces_staging_")
         atexit.register(shutil.rmtree, _STAGING_ROOT, ignore_errors=True)
-    return tempfile.mkdtemp(prefix=prefix, dir=_STAGING_ROOT)
+    d = os.path.join(_STAGING_ROOT, prefix.rstrip("_"))
+    if prefix in _STAGING_SEEN:
+        shutil.rmtree(d, ignore_errors=True)
+    _STAGING_SEEN.add(prefix)
+    os.makedirs(d, exist_ok=True)
+    return d
 
 
 from covid_engineering_spark import schemas

@@ -736,17 +736,23 @@ def near_dup_incremental(
     materialized between runs (the same index this op derives
     in-query), making the daily cost independent of corpus re-scans.
     """
-    shc = shingles_of(corpus)
-    shb = shingles_of(batch)
-    df_ = (
-        shc.unionByName(shb)
-        .groupBy("s")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= max_df)
-        .select("s")
-    )
-    shc = shc.join(df_, "s")
-    shb = shb.join(df_, "s")
+    from covid_engineering_spark.functions import evicting_cache
+
+    # Both shingle frames feed three plan branches each (the df
+    # guard, the cross join, the per-doc sizes) — cache them or
+    # Catalyst clones the scan+tokenize subtree per branch.
+    shc = evicting_cache(shingles_of(corpus), "inc_near_shingles_corpus")
+    shb = evicting_cache(shingles_of(batch), "inc_near_shingles_batch")
+    if max_df is not None:
+        df_ = (
+            shc.unionByName(shb)
+            .groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("s")
+        )
+        shc = shc.join(df_, "s")
+        shb = shb.join(df_, "s")
     nc = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
     nb = shb.groupBy("doc_id").agg(F.count("*").alias("n"))
     common = (

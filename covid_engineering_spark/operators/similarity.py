@@ -293,10 +293,13 @@ def knn_graph(
     block degenerates toward quadratic INSIDE ONE TASK. So each block
     is split into s = ceil(n/cap) salted sub-blocks per side and the
     join key becomes (blk, salt_a, salt_b) — an s×s grid of cells of
-    ≤ cap×cap pairs, each its own shuffle partition. Both sides
-    replicate ×s (explode over the other side's salt), total pair
-    count is unchanged, but the LARGEST task is now cap-bounded
-    instead of block-bounded. Results are exactly invariant to the
+    ~cap×cap pairs (hash-assigned, so ~cap per cell side IN
+    EXPECTATION with Binomial(n, 1/s) variance, not a hard bound —
+    an exact row_number split would pay an extra window for the
+    guarantee), each its own shuffle partition. Both sides replicate
+    ×s (explode over the other side's salt), total pair count is
+    unchanged, but the LARGEST task now concentrates around the cap
+    instead of scaling with the block. Results are exactly invariant to the
     split (verified in tests with a tiny cap); per-block s comes from
     a count aggregate broadcast back onto both sides, so the plan
     stays fully lazy. Candidates then merge per src_id through the

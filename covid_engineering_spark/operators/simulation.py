@@ -122,7 +122,7 @@ def q_x2_sird_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from covid_engineering_spark.functions import evicting_cache
 
-    daily = evicting_cache(_daily_series(spark, sf_dir), "x2_daily")
+    daily = evicting_cache(_daily_series(spark, sf_dir), "daily_series")
 
     # Parameter country: *cumulative* (i, r, d) proxies — the
     # reference's series are cumulative counts, and cumulative input
@@ -204,7 +204,7 @@ def q_x3_sird_mse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from covid_engineering_spark.functions import evicting_cache
 
-    daily = evicting_cache(_daily_series(spark, sf_dir), "x3_daily")
+    daily = evicting_cache(_daily_series(spark, sf_dir), "daily_series")
     from pyspark.sql import Window
 
     actual = daily.withColumn(

@@ -58,12 +58,11 @@ _MODULES = [
 #: Round-3 rotation: every round-2 window slot greened in
 #: CORRECTNESS_r02.json, so the never-driver-checked tail
 #: (ROUND3_ROTATED in tests/test_registry_order.py) rotates to the
-#: front, followed by the two operators born this round
-#: (ROUND3_NEW). Eleven r02-green entries are displaced past slot 50
-#: to make room (the five ingest round-trips plus six stable
-#: representatives — their verification history is on record in
-#: CORRECTNESS_r02.json); the rest of the window re-verifies the
-#: hard tier.
+#: front, followed by the operators born this round (ROUND3_NEW).
+#: NINETEEN r02-green entries are displaced past slot 50 to make room
+#: (enumerated in the ROUND3_NEW comment below — their verification
+#: history is on record in CORRECTNESS_r02.json); the rest of the
+#: window re-verifies the hard tier.
 PRIORITY = [
     # Never driver-checked: the round-2 tail, first in line.
     "ts_funnel",

@@ -5,8 +5,9 @@ of driver verification.
 
 Round-3 state: every round-2 window slot greened in
 CORRECTNESS_r02.json, so the never-driver-checked round-2 tail
-(ROUND3_ROTATED) rotated to the front of the window; nine r02-green
-entries were displaced past slot 50 (their history is on record).
+(ROUND3_ROTATED) rotated to the front of the window, followed by the
+operators born during round 3 (ROUND3_NEW); nineteen r02-green entries
+were displaced past slot 50 (their history is on record).
 Every tail entry must therefore hold a green row in CORRECTNESS_r01
 or CORRECTNESS_r02 — after this round there should be NO registry
 entry that was never driver-verified.

@@ -229,9 +229,12 @@ def test_anomaly_baseline_excludes_judged_point(spark):
     )
     from covid_engineering_spark.operators.timeseries import rolling_anomaly
 
-    out = {r["x_cents"]: r for r in rolling_anomaly(ev).collect()}
-    assert out[50000]["is_anomaly"] is True
-    assert all(not r["is_anomaly"] for x, r in out.items() if x == 500)
+    rows = rolling_anomaly(ev).collect()
+    spikes = [r for r in rows if r["x_cents"] == 50000]
+    assert len(spikes) == 1 and spikes[0]["is_anomaly"] is True
+    constants = [r for r in rows if r["x_cents"] == 500]
+    assert len(constants) == 12
+    assert all(not r["is_anomaly"] for r in constants)
 
 
 def test_anomaly_flags_fire_on_real_feed_nonvacuously(spark):
