@@ -214,3 +214,91 @@ def test_funnel_forms_agree_on_generated_logs(spark, events):
     a = {tuple(r) for r in funnel(ev, steps).collect()}
     b = {tuple(r) for r in funnel_single_pass(ev, steps).collect()}
     assert a == b
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    hist=st.lists(st.integers(min_value=0, max_value=10**6), min_size=8, max_size=24),
+    x=st.integers(min_value=0, max_value=10**6),
+)
+def test_anomaly_integer_algebra_equals_float_zscore(hist, x):
+    # The cross-multiplied flag (n·x − S)² > z²·(n·Q − S²) must agree
+    # with the naive float z-score test (x − mean)² > z²·var_pop
+    # whenever the float form is numerically unambiguous.
+    import math
+
+    n = len(hist)
+    s = sum(hist)
+    q = sum(v * v for v in hist)
+    lhs_int = (n * x - s) ** 2
+    rhs_int = 9 * (n * q - s * s)
+    mean = s / n
+    var = q / n - mean * mean
+    lhs_f = (x - mean) ** 2
+    rhs_f = 9 * var
+    if not math.isclose(lhs_f, rhs_f, rel_tol=1e-9, abs_tol=1e-9):
+        assert (lhs_int > rhs_int) == (lhs_f > rhs_f)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    old_ids=st.sets(st.integers(min_value=0, max_value=30), max_size=20),
+    new_ids=st.sets(st.integers(min_value=0, max_value=30), max_size=20),
+    edited=st.sets(st.integers(min_value=0, max_value=30), max_size=20),
+)
+def test_snapshot_diff_partitions_the_id_union(spark, old_ids, new_ids, edited):
+    from covid_engineering_spark.operators.pipeline import snapshot_diff
+
+    schema = "doc_id long, text string"
+    old = spark.createDataFrame([(i, f"doc {i}") for i in old_ids] or [], schema)
+    new = spark.createDataFrame(
+        [(i, f"doc {i} v2" if i in edited else f"doc {i}") for i in new_ids] or [],
+        schema,
+    )
+    rows = snapshot_diff(old, new).collect()
+    got = {r["doc_id"]: r["status"] for r in rows}
+    assert set(got) == old_ids | new_ids  # every id classified once
+    assert len(rows) == len(got)
+    for i, status in got.items():
+        if i in old_ids and i not in new_ids:
+            assert status == "removed"
+        elif i in new_ids and i not in old_ids:
+            assert status == "added"
+        elif i in edited:
+            assert status == "changed"
+        else:
+            assert status == "unchanged"
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    corpus=st.lists(st.sampled_from("abcdef"), min_size=0, max_size=12),
+    batch=st.lists(st.sampled_from("abcdef"), min_size=1, max_size=12),
+)
+def test_dedup_incremental_matches_set_model(spark, corpus, batch):
+    from covid_engineering_spark.operators.pipeline import dedup_incremental
+
+    schema = "doc_id long, text string"
+    c = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)] or [], schema
+    )
+    b = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(batch)], schema
+    )
+    got = {
+        r["doc_id"]: r["status"]
+        for r in dedup_incremental(c, b).collect()
+    }
+    assert set(got) == {100 + i for i in range(len(batch))}
+    corpus_set = set(corpus)
+    first_seen: dict[str, int] = {}
+    for i, t in enumerate(batch):
+        first_seen.setdefault(t, 100 + i)
+    for i, t in enumerate(batch):
+        doc = 100 + i
+        if t in corpus_set:
+            assert got[doc] == "dup_of_corpus"
+        elif first_seen[t] != doc:
+            assert got[doc] == "dup_in_batch"
+        else:
+            assert got[doc] == "new"
