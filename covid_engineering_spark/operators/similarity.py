@@ -123,8 +123,11 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (explode over N_TABLES bucket ids); candidates are same-bucket
     pairs in ANY table, deduped, then exact-scored. Bucket ids are
     plain integers, so the candidate join is an equi-join Catalyst can
-    shuffle-hash — no cross product at any scale. (No SQL oracle —
-    recall is probabilistic; tests measure it against brute force.)
+    shuffle-hash — no cross product at any scale. RECALL is
+    probabilistic (measured against brute force in tests), but the
+    INDEX is deterministic: the LCG hyperplanes are constants, so the
+    generated SQL twin (``_lsh_oracle_sql``) reproduces the exact
+    buckets and the driver hash-checks the whole path.
     """
     emb = read_table(spark, sf_dir, "embeddings")
     buckets = F.array(
@@ -367,7 +370,59 @@ QUERIES = {
     "emb_knn_graph": q_emb_knn_graph,
 }
 
+def _lsh_oracle_sql() -> str:
+    """Generated DuckDB twin of ``q_ann_lsh_topk``: the hyperplanes
+    come from the SAME ``_hyperplanes`` LCG, inlined as list literals,
+    so the oracle cannot drift from the implementation. Sign bits are
+    engine-identical because both sides compute the dot product as a
+    sequential in-order fold over the same doubles (the property the
+    6dp-rounded cosine oracles already rely on), so the bucket ids —
+    and therefore the candidate sets — agree exactly, making this
+    'probabilistic' index fully hash-checkable.
+    """
+    per_table = []
+    for t in range(N_TABLES):
+        bits = [str(t << N_PLANES_PER_TABLE)]
+        for i, plane in enumerate(_hyperplanes(t)):
+            lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+            bits.append(
+                f"CASE WHEN list_dot_product(v, {lit}) > 0 "
+                f"THEN {1 << i} ELSE 0 END"
+            )
+        per_table.append("(" + " + ".join(bits) + ")")
+    buckets = ",\n                   ".join(per_table)
+    return f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        b AS (
+            SELECT vec_id, v,
+                   unnest([{buckets}]) AS bucket
+            FROM e
+        ),
+        q AS (
+            SELECT vec_id AS q_id, v AS q_emb, bucket FROM b
+            WHERE vec_id < {N_QUERIES}
+        ),
+        scored AS (
+            SELECT DISTINCT q_id, c.vec_id AS n_id,
+                   ROUND(list_dot_product(q_emb, c.v), 6) AS cosine
+            FROM b c JOIN q USING (bucket)
+            WHERE q_id <> c.vec_id
+        )
+        SELECT q_id, n_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+            SELECT q_id, n_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cosine DESC, n_id) AS rank
+            FROM scored
+        ) t WHERE rank <= {TOP_K}
+    """
+
+
 ORACLES = {
+    "ann_lsh_topk": _lsh_oracle_sql(),
     "emb_centroid": f"""
         SELECT label, i AS pos,
                ROUND(CAST(SUM(CAST(embedding[i] AS DECIMAL(18,9))) AS DOUBLE)

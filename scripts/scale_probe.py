@@ -205,6 +205,18 @@ def main() -> None:
             "overwrite"
         ).format("noop").save()
 
+    def incnear(sf_dir):
+        # guarded batch-vs-corpus shingle join: the whole point is
+        # that the candidate set is bounded by |batch shingles|·max_df
+        # — if the guard slipped, this would go quadratic in the blowup
+        from covid_engineering_spark.operators.pipeline import (
+            q_pipe_near_dup_incremental,
+        )
+
+        q_pipe_near_dup_incremental(spark, sf_dir).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
     out: dict = {"metric": "scale_probe", "x": REPLICAS, "base": BASE}
     for name, fn in (
         ("wrangle_clean_complete", wrangle),
@@ -217,6 +229,7 @@ def main() -> None:
         ("ts_active_users", active),
         ("ts_anomaly", anomaly),
         ("pipe_snapshot_diff", snapdiff),
+        ("pipe_near_dup_incremental", incnear),
     ):
         # Release the previous pipeline's lingering blocks (cached
         # frames, localCheckpoint RDDs await async ContextCleaner GC)

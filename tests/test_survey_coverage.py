@@ -153,14 +153,15 @@ SURVEY_MAP = {
     "Q6": "q6_forecast_revenue",
 }
 
-# Rows-only by design: hash-seeded sketches, probabilistic recall, and
-# python-side decode (the driver records the weaker check; the judge
-# sees which). Everything SQL-expressible is oracle-matched, including
-# both simulation recursions and the full cleaning pipeline.
+# Rows-only by design: the three ops whose keys come from
+# engine-specific hashing (xxhash64 sketches) or a fitted MLlib model
+# (the IVF codebook) — nothing DuckDB can replay. Everything else is
+# oracle-matched, including the LSH index (deterministic LCG planes),
+# the mapInPandas decode, both simulation recursions, and the full
+# cleaning pipeline.
 ROWS_ONLY = {
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "ann_lsh_topk",
     "ann_ivf_topk",
 }
 
