@@ -220,6 +220,62 @@ def q_pipe_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(h2 < thr).select("doc_id", "source")
 
 
+#: Target mixture weights per source CLASS (src_num % 4, matching
+#: pipe_mixture_sample's class assignment); they sum to 1.
+MIX_TARGETS = (0.4, 0.3, 0.2, 0.1)
+
+
+def q_pipe_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture PLANNING — the step before ``pipe_mixture_sample``:
+    per source, its actual token share vs its class's target share,
+    and the per-source sampling rate (capped at 1) that would hit the
+    target. The report a data-mixing run is driven by.
+
+    Scale shape: one partial-aggregated groupBy on ``source``
+    collapses the corpus to source cardinality; every derived figure
+    (corpus total, class source-counts, shares, rates) is a window
+    over that TINY frame — the single-partition global window is over
+    #sources rows, not the corpus, so it is bounded by construction.
+    All inputs to the divisions are exact integers; each output is one
+    IEEE division rounded to 6dp, so the SQL twin agrees bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    src_num = F.coalesce(
+        F.regexp_extract(F.col("source"), r"src(\d+)", 1).cast("int"),
+        F.lit(3),
+    )
+    per_src = (
+        docs.withColumn("cls", src_num % 4)
+        .groupBy("source", "cls")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split("text", " ")).cast("long")).alias(
+                "n_tokens"
+            ),
+        )
+    )
+    w_all = Window.partitionBy()
+    w_cls = Window.partitionBy("cls")
+    total = F.sum("n_tokens").over(w_all)
+    n_in_cls = F.count("*").over(w_cls)
+    cls_target = F.element_at(
+        F.array(*[F.lit(t) for t in MIX_TARGETS]), F.col("cls") + 1
+    )
+    target_share = cls_target / n_in_cls
+    rate = F.least(F.lit(1.0), target_share * total / F.col("n_tokens"))
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "cls",
+        F.round(F.col("n_tokens") / total, 6).alias("token_share"),
+        F.round(target_share, 6).alias("target_share"),
+        F.round(rate, 6).alias("sampling_rate"),
+    )
+
+
 def connected_components(
     pairs: DataFrame, max_rounds: int = CC_MAX_ROUNDS
 ) -> DataFrame:
@@ -807,6 +863,7 @@ QUERIES = {
     "pipe_quality_filter": q_pipe_quality_filter,
     "pipe_dedup_incremental": q_pipe_dedup_incremental,
     "pipe_near_dup_incremental": q_pipe_near_dup_incremental,
+    "pipe_mixture_plan": q_pipe_mixture_plan,
 }
 
 # 4-gram shingle CTE shared by the decontamination oracle.
@@ -949,6 +1006,31 @@ FROM ranked WHERE rk = 1
 """
 
 ORACLES = {
+    "pipe_mixture_plan": f"""
+        WITH per_src AS (
+            SELECT source,
+                   COALESCE(TRY_CAST(regexp_extract(source, 'src(\\d+)', 1)
+                                     AS INT), 3) % 4 AS cls,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens
+            FROM documents GROUP BY 1, 2
+        ),
+        win AS (
+            SELECT source, n_docs, n_tokens, cls,
+                   SUM(n_tokens) OVER () AS total,
+                   COUNT(*) OVER (PARTITION BY cls) AS n_in_cls
+            FROM per_src
+        )
+        SELECT source, n_docs, n_tokens, cls,
+               ROUND(n_tokens / total, 6) AS token_share,
+               ROUND(([{", ".join(str(t) for t in MIX_TARGETS)}])[cls + 1]
+                     / n_in_cls, 6) AS target_share,
+               ROUND(LEAST(1.0,
+                     ([{", ".join(str(t) for t in MIX_TARGETS)}])[cls + 1]
+                     / n_in_cls * total / n_tokens), 6) AS sampling_rate
+        FROM win
+    """,
     "pipe_near_dup_incremental": f"""
         WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
                     FROM documents),

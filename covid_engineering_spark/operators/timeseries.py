@@ -410,6 +410,43 @@ def q_ts_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return active_users(read_table(spark, sf_dir, "events"))
 
 
+#: A known Monday, anchoring the engine-independent day-of-week
+#: formula (dow 0 = Monday): both Spark's and DuckDB's native
+#: dayofweek functions disagree on numbering, so the profile derives
+#: dow from date arithmetic instead.
+DOW_ANCHOR = "2024-01-01"
+
+
+def hourly_profile(ev: DataFrame) -> DataFrame:
+    """Seasonality profile: the (day-of-week × hour-of-day) activity
+    heatmap — events, distinct users, and exact value mass per cell.
+    The feed behind every traffic-shape dashboard and the baseline for
+    seasonal anomaly thresholds (pair with ``rolling_anomaly``).
+
+    Scale shape: one partial-aggregated groupBy onto at most 7×24
+    cells — the shuffle carries 168 rows regardless of feed size; the
+    count-distinct adds its usual (cell, user) pre-aggregation, still
+    bounded by users × 168. Value mass rides integer cents, exact
+    under any partitioning.
+    """
+    dow = F.pmod(
+        F.datediff(F.to_date("ts"), F.to_date(F.lit(DOW_ANCHOR))), 7
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.groupBy(dow.alias("dow"), F.hour("ts").alias("hour"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum(cents).alias("sum_cents"),
+        )
+    )
+
+
+def q_ts_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hourly_profile(read_table(spark, sf_dir, "events"))
+
+
 QUERIES = {
     "ts_resample": q_ts_resample,
     "ts_sessionize": q_ts_sessionize,
@@ -419,9 +456,21 @@ QUERIES = {
     "ts_gapfill": q_ts_gapfill,
     "ts_anomaly": q_ts_anomaly,
     "ts_active_users": q_ts_active_users,
+    "ts_hourly_profile": q_ts_hourly_profile,
 }
 
 ORACLES = {
+    "ts_hourly_profile": f"""
+        SELECT ((CAST(ts AS DATE) - DATE '{DOW_ANCHOR}') % 7 + 7) % 7
+                   AS dow,
+               hour(ts) AS hour,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM events
+        GROUP BY 1, 2
+    """,
     "ts_anomaly": """
         WITH bucketed AS (
             SELECT date_trunc('hour', ts) AS bucket, event_type,

@@ -59,7 +59,7 @@ _MODULES = [
 #: CORRECTNESS_r02.json, so the never-driver-checked tail
 #: (ROUND3_ROTATED in tests/test_registry_order.py) rotates to the
 #: front, followed by the operators born this round (ROUND3_NEW).
-#: NINETEEN r02-green entries are displaced past slot 50 to make room
+#: TWENTY-ONE r02-green entries are displaced past slot 50 to make room
 #: (enumerated in the ROUND3_NEW comment below — their verification
 #: history is on record in CORRECTNESS_r02.json); the rest of the
 #: window re-verifies the hard tier.
@@ -78,14 +78,16 @@ PRIORITY = [
     # one-shuffle 5-step funnel, rolling z-score anomaly flags,
     # DAU/WAU rollup, corpus snapshot diff, Gopher-rule quality
     # filtering, unigram-LM scoring, incremental exact + near-dup
-    # batch dedup, and the stream-stream interval join — never
-    # driver-checked, so they claim window slots immediately
-    # (displacing r02-green entries past slot 50: the five ingest
-    # round-trips beyond s1/s2, w7_rank, w8_range_frame, text_tfidf,
+    # batch dedup, mixture planning, the hourly seasonality profile,
+    # and the stream-stream interval join — never driver-checked, so
+    # they claim window slots immediately (displacing TWENTY-ONE
+    # r02-green entries past slot 50: the five ingest round-trips
+    # beyond s1/s2, w7_rank, w8_range_frame, text_tfidf,
     # text_token_stats, text_quality, text_fingerprint,
     # text_top_terms, stream_slide, pipe_split_hash, pipe_pack_chunks,
     # pipe_quota_source, pipe_decontaminate, pipe_mixture_sample,
-    # pipe_length_hist — verification history on record).
+    # pipe_length_hist, ts_resample, ts_sessionize — verification
+    # history on record).
     "pipe_curate_corpus",
     "ts_funnel_steps",
     "ts_anomaly",
@@ -95,6 +97,8 @@ PRIORITY = [
     "text_unigram_lm",
     "pipe_dedup_incremental",
     "pipe_near_dup_incremental",
+    "pipe_mixture_plan",
+    "ts_hourly_profile",
     "stream_interval_join",
     # Hard tier, re-verified (r02-green).
     "w6_interpolate",
@@ -120,8 +124,6 @@ PRIORITY = [
     "stream_tumble",
     "stream_session",
     "stream_dedup",
-    "ts_resample",
-    "ts_sessionize",
     "mm_feature_extract",
     "s1_csv_scan",
     "s2_sqlite_ingest",

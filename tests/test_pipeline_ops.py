@@ -513,3 +513,21 @@ def test_near_dup_incremental_crosses_sides_only(spark):
         assert r["d_batch"] % 5 == 0
         assert r["d_corpus"] % 5 != 0
         assert 0.5 <= r["jaccard"] <= 1.0
+
+
+def test_mixture_plan_shares_and_rates_are_consistent(spark):
+    from covid_engineering_spark.operators.pipeline import (
+        MIX_TARGETS,
+        q_pipe_mixture_plan,
+    )
+
+    rows = q_pipe_mixture_plan(spark, SF_SMOKE).collect()
+    assert rows
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-4
+    # each class's per-source targets sum back to the class weight
+    by_cls: dict[int, float] = {}
+    for r in rows:
+        by_cls[r["cls"]] = by_cls.get(r["cls"], 0.0) + r["target_share"]
+        assert 0.0 < r["sampling_rate"] <= 1.0
+    for cls, total in by_cls.items():
+        assert abs(total - MIX_TARGETS[cls]) < 1e-4

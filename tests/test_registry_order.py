@@ -6,7 +6,7 @@ of driver verification.
 Round-3 state: every round-2 window slot greened in
 CORRECTNESS_r02.json, so the never-driver-checked round-2 tail
 (ROUND3_ROTATED) rotated to the front of the window, followed by the
-operators born during round 3 (ROUND3_NEW); nineteen r02-green entries
+operators born during round 3 (ROUND3_NEW); twenty-one r02-green entries
 were displaced past slot 50 (their history is on record).
 Every tail entry must therefore hold a green row in CORRECTNESS_r01
 or CORRECTNESS_r02 — after this round there should be NO registry
@@ -47,6 +47,8 @@ ROUND3_NEW = {
     "text_unigram_lm",
     "pipe_dedup_incremental",
     "pipe_near_dup_incremental",
+    "pipe_mixture_plan",
+    "ts_hourly_profile",
     "stream_interval_join",
 }
 

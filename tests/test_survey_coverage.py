@@ -133,10 +133,12 @@ SURVEY_MAP = {
     "PIPE-QFILTER": "pipe_quality_filter",
     "PIPE-INCDEDUP": "pipe_dedup_incremental",
     "PIPE-INCNEAR": "pipe_near_dup_incremental",
+    "PIPE-MIXPLAN": "pipe_mixture_plan",
     "STR-JOIN": "stream_interval_join",
     "TS-FUNNEL1P": "ts_funnel_steps",
     "TS-ANOMALY": "ts_anomaly",
     "TS-ACTIVE": "ts_active_users",
+    "TS-PROFILE": "ts_hourly_profile",
     "TXT-UNIGRAM": "text_unigram_lm",
     # ingest extensions (JSONL / ORC / compaction round-trips)
     "ING-JSONL": "s6_jsonl_scan",

@@ -266,3 +266,21 @@ def test_active_users_wau_bounds_and_partition_invariance(spark):
         for r in active_users(ev.repartition(13)).collect()
     }
     assert again == {r["day"]: (r["dau"], r["wau"]) for r in rows}
+
+
+def test_hourly_profile_totals_and_dow_anchor(spark):
+    import datetime as dt
+
+    from covid_engineering_spark.operators.timeseries import hourly_profile
+
+    ev = read_table(spark, SF_SMOKE, "events")
+    rows = hourly_profile(ev).collect()
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    assert all(0 <= r["dow"] <= 6 and 0 <= r["hour"] <= 23 for r in rows)
+    # anchor check: a known Monday lands on dow 0
+    one = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 8, 5, 0), 1, "view", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = hourly_profile(one).collect()
+    assert (got[0]["dow"], got[0]["hour"]) == (0, 5)
