@@ -142,30 +142,84 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(read_table(spark, sf_dir, "documents"))
 
 
-def _minhash_signatures(sh: DataFrame, k: int = 16) -> DataFrame:
-    """k seeded-xxhash64 min-aggregates -> one constant-size signature
-    row per doc, in a single partial+final aggregation pass.
+def portable_hash64(col, seed: int):
+    """60-bit hash an ANSI-SQL engine can reproduce exactly: the first
+    15 hex chars of md5(value || ':' || seed), parsed base-16.
+    Spark: ``conv(substring(md5(..), 1, 15), 16, 10)::long``;
+    DuckDB twin: ``('0x' || substr(md5(..), 1, 15))::BIGINT``.
+    15 hex chars = 60 bits, always non-negative, fits signed int64 in
+    both engines (verified byte-identical incl. unicode inputs).
+    ~3-4x the cost of xxhash64 per call but still whole-stage codegen;
+    used by the REGISTERED sketch queries so the driver can hash-check
+    the full MinHash/SimHash paths against a generated SQL twin. The
+    xxhash64 family remains the default production path.
     """
-    aggs = [
-        F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"m{i}") for i in range(k)
-    ]
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(col, F.lit(f":{seed}"))), 1, 15), 16, 10
+        ).cast("long")
+    )
+
+
+def _portable_hash_sql(expr: str, seed: int) -> str:
+    """DuckDB twin of :func:`portable_hash64` for SQL-oracle generation."""
+    return f"('0x' || substr(md5({expr} || ':{seed}'),1,15))::BIGINT"
+
+
+MINHASH_K = 16
+MINHASH_BANDS = 4
+
+
+def _minhash_signatures(
+    sh: DataFrame, k: int = MINHASH_K, portable: bool = False
+) -> DataFrame:
+    """k seeded min-hash aggregates -> one constant-size signature row
+    per doc, in a single partial+final aggregation pass. Hash family:
+    seeded xxhash64 (fast, engine-specific) or the md5-derived portable
+    family (oracle-reproducible), same plan shape either way.
+    """
+    hash_of = (
+        (lambda i: portable_hash64(F.col("s"), i))
+        if portable
+        else (lambda i: F.xxhash64(F.col("s"), F.lit(i)))
+    )
+    aggs = [F.min(hash_of(i)).alias(f"m{i}") for i in range(k)]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    portable: bool = False,
+) -> DataFrame:
     """MinHash+LSH near-dup pairs: signature -> band buckets ->
     same-bucket candidates -> exact Jaccard verification (>= τ).
     The shingle self-join runs only over candidate pairs, so the
     quadratic blowup of ngram_jaccard_pairs never materializes.
-    (No SQL oracle: xxhash64 seeds are engine-specific; recall is
-    probabilistic. Verified against the exact path in tests.)
+
+    ``portable=True`` (the registered form) swaps xxhash64 for the
+    md5-derived :func:`portable_hash64` family and md5-string band
+    buckets, making every intermediate — signatures, buckets,
+    candidates, verified pairs — bit-reproducible in ANSI SQL, so the
+    generated DuckDB twin (``_minhash_oracle_sql``) hash-checks the
+    ENTIRE sketch path, not just its recall. Recall itself is still
+    probabilistic in both families and measured against the exact
+    n-gram path in tests.
     """
     # evicting: bench warmup + timed re-invocations must not stack one
     # cached shingle copy per call in a long-lived session
     from covid_engineering_spark.functions import evicting_cache
 
     sh = evicting_cache(shingles_of(docs), "minhash_shingles")
-    sig = _minhash_signatures(sh, 16)
+    sig = _minhash_signatures(sh, MINHASH_K, portable=portable)
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+
+    def band_hash(bnd: int):
+        members = [F.col(f"m{rows_per_band * bnd + j}") for j in range(rows_per_band)]
+        if portable:
+            return F.md5(F.concat_ws(",", *members, F.lit(str(bnd))))
+        return F.xxhash64(*members, F.lit(bnd))
+
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -173,12 +227,9 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> 
                 *[
                     F.struct(
                         F.lit(bnd).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"m{4 * bnd + j}") for j in range(4)],
-                            F.lit(bnd),
-                        ).alias("bh"),
+                        band_hash(bnd).alias("bh"),
                     )
-                    for bnd in range(4)
+                    for bnd in range(MINHASH_BANDS)
                 ]
             )
         ).alias("bk"),
@@ -224,21 +275,36 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> 
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_lsh_pairs(read_table(spark, sf_dir, "documents"))
+    return minhash_lsh_pairs(
+        read_table(spark, sf_dir, "documents"), portable=True
+    )
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    portable: bool = False,
+) -> DataFrame:
     """SimHash sketches + near-dup pairs (hamming <= k over 32 bits).
     Per-bit weighted sums are 32 plain aggregate expressions over the
     token frequency table — one shuffle, no bit explosion; candidate
     pairs come from 8-bit chunk equality (hamming <= 3 over 4 chunks
     guarantees one equal chunk), verified with bit_count(xor).
+
+    ``portable=True`` (the registered form) hashes tokens with
+    :func:`portable_hash64` instead of xxhash64, so the generated
+    DuckDB twin (``_simhash_oracle_sql``) reproduces the exact sketch
+    bits and the driver hash-checks sketches, candidates, and verified
+    pairs end-to-end.
     """
+    tok_hash = (
+        portable_hash64(F.col("w"), 0) if portable else F.xxhash64("w")
+    )
     tok = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count("*").alias("cnt"))
-        .withColumn("h", F.xxhash64("w"))
+        .withColumn("h", tok_hash)
     )
     bit_aggs = [
         F.sum(
@@ -294,7 +360,9 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> Da
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_pairs(read_table(spark, sf_dir, "documents"))
+    return simhash_pairs(
+        read_table(spark, sf_dir, "documents"), portable=True
+    )
 
 
 def cosine_expr(a, b):
@@ -368,11 +436,109 @@ _SHINGLES_SQL = f"""
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
 """
 
+def _minhash_oracle_sql() -> str:
+    """Generated DuckDB twin of ``q_dedup_minhash_lsh`` (portable
+    family): identical md5-derived signatures, md5-string band
+    buckets, candidate join, and exact-Jaccard verification — the
+    driver hash-checks the whole sketch path, not just its recall.
+    Uses the UNGUARDED shingle set (sh_all): the sketch path carries
+    no stop-shingle filter, matching minhash_lsh_pairs.
+    """
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    sig_cols = ", ".join(
+        f"MIN({_portable_hash_sql('s', i)}) AS m{i}" for i in range(MINHASH_K)
+    )
+    band_selects = "\n            UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({concat} || ',{b}') AS bh FROM sigs".format(
+            b=b,
+            concat=" || ',' || ".join(
+                f"m{rows_per_band * b + j}::VARCHAR" for j in range(rows_per_band)
+            ),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+        WITH
+        ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(generate_series(1, len(w) - 2),
+                                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+            FROM ws
+        ),
+        sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+        bands AS (
+            {band_selects}
+        ),
+        cand AS (
+            SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+            FROM bands l JOIN bands r
+              ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT d1, d2, COUNT(*) AS c
+            FROM cand
+            JOIN sh a ON a.doc_id = d1
+            JOIN sh b ON b.doc_id = d2 AND a.s = b.s
+            GROUP BY d1, d2
+        )
+        SELECT d1, d2, ROUND(c / (na.n + nb.n - c), 6) AS jaccard
+        FROM common
+        JOIN sizes na ON na.doc_id = d1
+        JOIN sizes nb ON nb.doc_id = d2
+        WHERE ROUND(c / (na.n + nb.n - c), 6) >= {JACCARD_THRESHOLD}
+    """
+
+
+def _simhash_oracle_sql() -> str:
+    """Generated DuckDB twin of ``q_dedup_simhash`` (portable family):
+    same md5-derived token hashes, 32 per-bit weighted sums, chunked
+    pigeonhole candidates, and bit_count(xor) verification.
+    """
+    bit_sums = ",\n                   ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN cnt ELSE -cnt END) AS b{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    sim_expr = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    chunk_selects = "\n            UNION ALL ".join(
+        f"SELECT doc_id, simhash, {j} AS j, (simhash >> {8 * j}) & 255 AS chunk FROM sigs"
+        for j in range(4)
+    )
+    return f"""
+        WITH
+        tokc AS (
+            SELECT doc_id, w, COUNT(*) AS cnt
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            GROUP BY doc_id, w
+        ),
+        tok AS (SELECT doc_id, cnt, {_portable_hash_sql('w', 0)} AS h FROM tokc),
+        sums AS (SELECT doc_id,
+                   {bit_sums}
+                 FROM tok GROUP BY doc_id),
+        sigs AS (SELECT doc_id, ({sim_expr})::BIGINT AS simhash FROM sums),
+        chunks AS (
+            {chunk_selects}
+        )
+        SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2,
+               bit_count(xor(l.simhash, r.simhash))::INTEGER AS hamming
+        FROM chunks l JOIN chunks r
+          ON l.j = r.j AND l.chunk = r.chunk AND l.doc_id < r.doc_id
+        WHERE bit_count(xor(l.simhash, r.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """
+
+
 ORACLES = {
     "dedup_exact": """
         SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         FROM documents GROUP BY md5(lower(text))
     """,
+    "dedup_minhash_lsh": _minhash_oracle_sql(),
+    "dedup_simhash": _simhash_oracle_sql(),
     "dedup_ngram_jaccard": f"""
         WITH {_SHINGLES_SQL},
         common AS (

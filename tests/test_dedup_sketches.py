@@ -150,3 +150,99 @@ def test_stop_shingle_guard_bounds_candidates_and_keeps_real_dups(spark):
         for r in ngram_jaccard_pairs(docs, max_df=None).collect()
     }
     assert {(100, 101), (200, 201)} <= full
+
+
+def test_portable_hash64_matches_duckdb(spark):
+    """The registered sketch forms stand on portable_hash64 being
+    bit-identical across engines — pin that for ASCII, unicode, empty,
+    and multi-seed inputs."""
+    import duckdb
+
+    from covid_engineering_spark.operators.dedup import (
+        _portable_hash_sql,
+        portable_hash64,
+    )
+
+    vals = ["hello world", "", "ünïcode tëst", "a b c", "0x1234"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    con = duckdb.connect()
+    for seed in (0, 7, 15):
+        got = [
+            r[0]
+            for r in df.select(portable_hash64(F.col("s"), seed))
+            .collect()
+        ]
+        want = [
+            con.execute(
+                f"SELECT {_portable_hash_sql('?', seed)}", [v]
+            ).fetchone()[0]
+            for v in vals
+        ]
+        assert got == want, (seed, got, want)
+        assert all(v >= 0 for v in got)  # 60-bit: never negative
+
+
+def test_portable_minhash_precision_against_exact(spark, docs):
+    """The portable (registered) MinHash family keeps the family
+    contract: every emitted pair is exact-verified with the jaccard
+    the exact path computes, and recall stays at the xxhash level."""
+    exact = {
+        (r.d1, r.d2): r.jaccard
+        for r in ngram_jaccard_pairs(docs, max_df=None).collect()
+    }
+    lsh = {
+        (r.d1, r.d2): r.jaccard
+        for r in minhash_lsh_pairs(docs, portable=True).collect()
+    }
+    for pair, j in lsh.items():
+        assert pair in exact and exact[pair] == j
+    assert len(set(lsh) & set(exact)) / len(exact) >= 0.8
+
+
+def test_portable_simhash_is_pigeonhole_complete(spark, docs):
+    """Chunked candidate generation must stay complete for the
+    portable token-hash family too: pairs at hamming <= 3 over the
+    portable signatures exactly match a brute-force scan."""
+    from covid_engineering_spark.operators.dedup import (
+        SIMHASH_BITS,
+        portable_hash64,
+    )
+
+    out = {
+        (r.d1, r.d2): r.hamming
+        for r in simhash_pairs(docs, portable=True).collect()
+    }
+    sigs = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", portable_hash64(F.col("w"), 0))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                        F.col("cnt"),
+                    ).otherwise(-F.col("cnt"))
+                ).alias(f"b{i}")
+                for i in range(SIMHASH_BITS)
+            ]
+        )
+        .collect()
+    )
+    sig_of = {}
+    for r in sigs:
+        v = 0
+        for i in range(SIMHASH_BITS):
+            if r[f"b{i}"] > 0:
+                v |= 1 << i
+        sig_of[r.doc_id] = v
+    ids = sorted(sig_of)
+    want = {}
+    for i, d1 in enumerate(ids):
+        for d2 in ids[i + 1 :]:
+            ham = bin(sig_of[d1] ^ sig_of[d2]).count("1")
+            if ham <= SIMHASH_MAX_HAMMING:
+                want[(d1, d2)] = ham
+    assert out == want

@@ -155,15 +155,13 @@ SURVEY_MAP = {
     "Q6": "q6_forecast_revenue",
 }
 
-# Rows-only by design: the three ops whose keys come from
-# engine-specific hashing (xxhash64 sketches) or a fitted MLlib model
-# (the IVF codebook) — nothing DuckDB can replay. Everything else is
-# oracle-matched, including the LSH index (deterministic LCG planes),
-# the mapInPandas decode, both simulation recursions, and the full
-# cleaning pipeline.
+# Rows-only by design: the one op whose keys come from a fitted MLlib
+# model (the IVF codebook) — nothing DuckDB can replay. Everything
+# else is oracle-matched, including the LSH ANN index (deterministic
+# LCG planes), the MinHash/SimHash sketches (portable md5-derived hash
+# family in the registered forms), the mapInPandas decode, both
+# simulation recursions, and the full cleaning pipeline.
 ROWS_ONLY = {
-    "dedup_minhash_lsh",
-    "dedup_simhash",
     "ann_ivf_topk",
 }
 
