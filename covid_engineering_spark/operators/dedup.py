@@ -177,13 +177,31 @@ def _minhash_signatures(
     per doc, in a single partial+final aggregation pass. Hash family:
     seeded xxhash64 (fast, engine-specific) or the md5-derived portable
     family (oracle-reproducible), same plan shape either way.
+
+    The portable family uses Kirsch-Mitzenmacher double hashing:
+    ONE md5 per shingle split into two 56-bit halves (h1, h2), then
+    g_i = h1 + i*h2 — k independent-enough min-hash functions for the
+    cost of a single digest (k md5 calls per shingle benched 3x slower
+    at sf0.1). 56-bit halves keep h1 + 15*h2 < 2^61, so the arithmetic
+    never overflows int64 in either engine (DuckDB raises on overflow;
+    Spark would silently wrap).
     """
-    hash_of = (
-        (lambda i: portable_hash64(F.col("s"), i))
-        if portable
-        else (lambda i: F.xxhash64(F.col("s"), F.lit(i)))
-    )
-    aggs = [F.min(hash_of(i)).alias(f"m{i}") for i in range(k)]
+    if portable:
+        md = F.md5(F.col("s"))
+        hashed = sh.select(
+            "doc_id",
+            F.conv(F.substring(md, 1, 14), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(md, 15, 14), 16, 10).cast("long").alias("h2"),
+        )
+        aggs = [
+            F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"m{i}")
+            for i in range(k)
+        ]
+        return hashed.groupBy("doc_id").agg(*aggs)
+    aggs = [
+        F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"m{i}")
+        for i in range(k)
+    ]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -442,11 +460,13 @@ def _minhash_oracle_sql() -> str:
     buckets, candidate join, and exact-Jaccard verification — the
     driver hash-checks the whole sketch path, not just its recall.
     Uses the UNGUARDED shingle set (sh_all): the sketch path carries
-    no stop-shingle filter, matching minhash_lsh_pairs.
+    no stop-shingle filter, matching minhash_lsh_pairs. Same
+    double-hashing scheme as ``_minhash_signatures``: one md5 per
+    shingle, two 56-bit halves, g_i = h1 + i*h2.
     """
     rows_per_band = MINHASH_K // MINHASH_BANDS
     sig_cols = ", ".join(
-        f"MIN({_portable_hash_sql('s', i)}) AS m{i}" for i in range(MINHASH_K)
+        f"MIN(h1 + {i}*h2) AS m{i}" for i in range(MINHASH_K)
     )
     band_selects = "\n            UNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5({concat} || ',{b}') AS bh FROM sigs".format(
@@ -466,7 +486,13 @@ def _minhash_oracle_sql() -> str:
                                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
             FROM ws
         ),
-        sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+        hashed AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(s), 1, 14))::BIGINT AS h1,
+                   ('0x' || substr(md5(s), 15, 14))::BIGINT AS h2
+            FROM sh
+        ),
+        sigs AS (SELECT doc_id, {sig_cols} FROM hashed GROUP BY doc_id),
         bands AS (
             {band_selects}
         ),
