@@ -483,6 +483,61 @@ def q_a15_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a16_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 (extension) — PIVOT: yearly revenue spread wide across the
+    three order statuses. Pivot values are declared explicitly
+    (``["F","O","P"]``) — without them Spark runs an extra eager
+    distinct-scan job over the whole table just to discover the column
+    set, which at 100 TB is a full scan before the real query starts.
+    With declared values the pivot compiles to one groupBy with three
+    conditional decimal sums — single shuffle, partial-agg friendly.
+    Empty cells stay null in both engines (pivot hole ≡ SUM(CASE)
+    over zero rows).
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy(F.year("o_orderdate").alias("yr"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast(
+                    "double"
+                ),
+                2,
+            )
+        )
+    )
+    return wide.select(
+        "yr",
+        F.col("F").alias("rev_f"),
+        F.col("O").alias("rev_o"),
+        F.col("P").alias("rev_p"),
+    )
+
+
+def q_a17_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 (extension) — UNPIVOT (melt): a wide per-flag aggregate
+    turned long, one (measure, value) row per source column. Spark's
+    ``DataFrame.unpivot`` compiles to an Expand node — each input row
+    is emitted N times map-side, no join and no shuffle beyond the
+    aggregation that built the wide frame. The inverse of A16.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+        F.round(
+            F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double"), 4
+        ).alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price", "sum_disc"],
+        "measure",
+        "value",
+    )
+
+
 def q_j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6 (extension) — as-of join: each 'click' event picks up the
     most recent prior-or-equal 'purchase' value for the same user.
@@ -890,6 +945,8 @@ QUERIES = {
     "a13_salted_agg": q_a13_salted_agg,
     "a14_approx_distinct": q_a14_approx_distinct,
     "a15_grouping_sets": q_a15_grouping_sets,
+    "a16_pivot": q_a16_pivot,
+    "a17_unpivot": q_a17_unpivot,
     "j6_asof_join": q_j6_asof_join,
 }
 
@@ -912,6 +969,30 @@ ORACLES = {
         SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
         FROM orders
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+    """,
+    "a16_pivot": """
+        SELECT year(o_orderdate) AS yr,
+               ROUND(CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                   THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE), 2) AS rev_f,
+               ROUND(CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                   THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE), 2) AS rev_o,
+               ROUND(CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                   THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE), 2) AS rev_p
+        FROM orders GROUP BY 1
+    """,
+    "a17_unpivot": """
+        WITH wide AS (
+            SELECT l_returnflag,
+                   ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty,
+                   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_price,
+                   ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_disc
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'sum_price', sum_price FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
     """,
     "a11_percentile": """
         SELECT l_returnflag,

@@ -362,12 +362,81 @@ def q_emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph(read_table(spark, sf_dir, "embeddings"))
 
 
+def assign_nearest_centroid(emb: DataFrame) -> DataFrame:
+    """Vector quantization / cluster assignment: each embedding is
+    assigned to the nearest per-label centroid by cosine — the
+    primitive behind IVF list routing, k-means E-steps, and
+    prototype classification.
+
+    Scale shape: the centroid table is bounded (labels × DIM rows from
+    ``centroids_by_label``, reassembled into one array row per label),
+    so the scoring join is a broadcast nested loop of corpus ×
+    n_labels computed map-side — the corpus is never shuffled. The
+    argmax collapses via ``max_by`` partial aggregation (n_labels rows
+    per vec combine map-side, one row per vec crosses the wire), NOT a
+    row_number window, which would shuffle every scored row. Ties are
+    impossible: the max_by ordering struct appends -label, making the
+    sort key unique per (vec, label).
+
+    Determinism: centroids are 6dp-rounded decimals (identical in both
+    engines); dot products and the centroid norm are sequential
+    in-order folds over the same doubles, mirroring the oracle's
+    list_dot_product — the same property every cosine oracle here
+    relies on.
+    """
+    cent = centroids_by_label(emb)
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "centroid_val"))),
+            lambda s: s["centroid_val"],
+        ).alias("c")
+    )
+    cnorm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("c"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    carr = carr.select(
+        F.col("label").alias("c_label"), "c", cnorm.alias("cnorm")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), F.col("c"), lambda x, y: x.cast("double") * y
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(carr))
+        .select(
+            "vec_id",
+            "c_label",
+            F.round(dot / F.col("cnorm"), 6).alias("cos6"),
+        )
+    )
+    return scored.groupBy("vec_id").agg(
+        F.max_by(
+            "c_label",
+            F.struct(F.col("cos6"), (-F.col("c_label")).alias("nl")),
+        ).alias("assigned_label"),
+        F.max("cos6").alias("cosine"),
+    )
+
+
+def q_emb_assign_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return assign_nearest_centroid(read_table(spark, sf_dir, "embeddings"))
+
+
 QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "emb_centroid": q_emb_centroid,
     "emb_knn_graph": q_emb_knn_graph,
+    "emb_assign_nearest": q_emb_assign_nearest,
 }
 
 def _lsh_oracle_sql() -> str:
@@ -423,6 +492,32 @@ def _lsh_oracle_sql() -> str:
 
 ORACLES = {
     "ann_lsh_topk": _lsh_oracle_sql(),
+    "emb_assign_nearest": f"""
+        WITH cent AS (
+            SELECT label, i AS pos,
+                   ROUND(CAST(SUM(CAST(embedding[i] AS DECIMAL(18,9))) AS DOUBLE)
+                         / COUNT(*), 6) AS centroid_val
+            FROM embeddings, generate_series(1, {DIM}) AS t(i)
+            GROUP BY 1, 2
+        ),
+        carr AS (
+            SELECT label AS c_label, list(centroid_val ORDER BY pos) AS c
+            FROM cent GROUP BY label
+        ),
+        scored AS (
+            SELECT e.vec_id, carr.c_label,
+                   ROUND(list_dot_product(
+                       list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c)
+                       / sqrt(list_dot_product(c, c)), 6) AS cos6
+            FROM embeddings e CROSS JOIN carr
+        )
+        SELECT vec_id, c_label AS assigned_label, cos6 AS cosine FROM (
+            SELECT vec_id, c_label, cos6,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cos6 DESC, c_label) AS rn
+            FROM scored
+        ) t WHERE rn = 1
+    """,
     "emb_centroid": f"""
         SELECT label, i AS pos,
                ROUND(CAST(SUM(CAST(embedding[i] AS DECIMAL(18,9))) AS DOUBLE)

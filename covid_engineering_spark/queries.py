@@ -100,15 +100,19 @@ PRIORITY = [
     "pipe_mixture_plan",
     "ts_hourly_profile",
     "stream_interval_join",
+    # Also new in round 3: PIVOT/UNPIVOT and nearest-centroid
+    # assignment (vector quantization) — window slots claimed by
+    # displacing m3_param_series, m4_r0_series, x3_sird_mse past
+    # slot 50 (all three r02-green; m1/x1/x2 stay as family reps).
+    "a16_pivot",
+    "a17_unpivot",
+    "emb_assign_nearest",
     # Hard tier, re-verified (r02-green).
     "w6_interpolate",
     "wrangle_clean_complete",
     "x1_sird_sim",
     "x2_sird_transfer",
-    "x3_sird_mse",
     "m1_ols_origin",
-    "m3_param_series",
-    "m4_r0_series",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -50,6 +50,9 @@ ROUND3_NEW = {
     "pipe_mixture_plan",
     "ts_hourly_profile",
     "stream_interval_join",
+    "a16_pivot",
+    "a17_unpivot",
+    "emb_assign_nearest",
 }
 
 #: Round-4 rotation queue: if the window saturates with

@@ -46,6 +46,8 @@ SURVEY_MAP = {
     "A13": "a13_salted_agg",
     "A14": "a14_approx_distinct",
     "A15": "a15_grouping_sets",
+    "A16": "a16_pivot",
+    "A17": "a17_unpivot",
     # §2.5 windows
     "W1": "w1_cumsum",
     "W2": "w2_diff",
@@ -103,6 +105,7 @@ SURVEY_MAP = {
     "TXT-REP": "text_repetition",
     "TXT-NORM": "text_normalize",
     "ANN-KNN": "emb_knn_graph",
+    "ANN-ASSIGN": "emb_assign_nearest",
     "MM": "mm_feature_extract",
     # streaming tier (§2.12)
     "STR-TUMBLE": "stream_tumble",
