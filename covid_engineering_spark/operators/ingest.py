@@ -28,6 +28,7 @@ materialization, but a long-lived session re-invoking these queries
 from __future__ import annotations
 
 import atexit
+import hashlib
 import os
 import shutil
 import sqlite3
@@ -41,26 +42,37 @@ _STAGING_ROOT: str | None = None
 _STAGING_SEEN: set[str] = set()
 
 
-def _staging_dir(prefix: str) -> str:
-    """ONE stable scratch dir per query prefix under one atexit-cleaned
-    per-process root: re-invoking the same ingest query (bench warmup +
-    timed runs, the driver loop) reuses — after wiping — its own dir
-    instead of minting a new one per call, so staging disk is bounded
-    by (number of ingest queries), not invocation count. The wipe on
-    re-entry assumes the previous invocation's returned frame has been
-    materialized by the time the query is invoked again (true for the
-    bench and the driver, which fully consume each result before the
-    next call); Spark's own sinks are mode('overwrite') anyway — the
-    wipe exists for the non-Spark stagers (the scratch SQLite DB).
+def _staging_dir(prefix: str, sf_dir: str) -> str:
+    """ONE stable scratch dir per (query prefix, source dir) under one
+    atexit-cleaned per-process root: re-invoking the same ingest query
+    (bench warmup + timed runs, the driver loop) reuses — after
+    wiping — its own dir instead of minting a new one per call, so
+    staging disk is bounded by (ingest queries × source dirs), not
+    invocation count. Keying on ``sf_dir`` means a call against a
+    DIFFERENT source can never wipe a directory a previous
+    invocation's still-lazy DataFrame reads from — two sf_dirs get two
+    disjoint stages. The wipe on SAME-source re-entry assumes the
+    previous invocation's frame has been materialized by then (true
+    for the bench and the driver, which fully consume each result
+    before the next call — and the re-staged content is identical
+    anyway, the source being immutable); Spark's own sinks are
+    mode('overwrite') — the wipe exists for the non-Spark stagers
+    (pandas ``to_sql`` into the scratch SQLite DB errors on an
+    existing table).
     """
     global _STAGING_ROOT
     if _STAGING_ROOT is None:
         _STAGING_ROOT = tempfile.mkdtemp(prefix="ces_staging_")
         atexit.register(shutil.rmtree, _STAGING_ROOT, ignore_errors=True)
-    d = os.path.join(_STAGING_ROOT, prefix.rstrip("_"))
-    if prefix in _STAGING_SEEN:
+    key = (
+        prefix.rstrip("_")
+        + "-"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    d = os.path.join(_STAGING_ROOT, key)
+    if key in _STAGING_SEEN:
         shutil.rmtree(d, ignore_errors=True)
-    _STAGING_SEEN.add(prefix)
+    _STAGING_SEEN.add(key)
     os.makedirs(d, exist_ok=True)
     return d
 
@@ -91,7 +103,7 @@ def q_s1_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``read_covid_csv`` (declared StructType, ``to_date`` coercion — no
     inference pass, the 100 TB-safe contract).
     """
-    out = os.path.join(_staging_dir("s1_"), "orders_csv")
+    out = os.path.join(_staging_dir("s1_", sf_dir), "orders_csv")
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
@@ -118,7 +130,7 @@ def q_s2_sqlite_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pandas as pd
 
-    tmp = _staging_dir("s2_")
+    tmp = _staging_dir("s2_", sf_dir)
     db = os.path.join(tmp, "star.db")
     with sqlite3.connect(db) as conn:
         for name in ("nation", "region"):
@@ -139,7 +151,7 @@ def q_s5_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     values live in directory names, so the cast back to string is
     explicit.
     """
-    out = os.path.join(_staging_dir("s5_"), "customer_pq")
+    out = os.path.join(_staging_dir("s5_", sf_dir), "customer_pq")
     cust = read_table(spark, sf_dir, "customer")
     write_partitioned(cust, out, "c_mktsegment")
     back = spark.read.parquet(out)
@@ -161,7 +173,7 @@ def q_s6_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     types; the declared StructType is the contract. Text passes
     through JSON string escaping bit-for-bit or the driver hash fails.
     """
-    out = os.path.join(_staging_dir("s6_"), "docs_jsonl")
+    out = os.path.join(_staging_dir("s6_", sf_dir), "docs_jsonl")
     docs = read_table(spark, sf_dir, "documents")
     docs.write.mode("overwrite").json(out)
     return spark.read.schema(schemas.STAR["documents"]).json(out)
@@ -173,7 +185,7 @@ def q_s7_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     column-pruning contract as parquet) and re-read with the declared
     schema.
     """
-    out = os.path.join(_staging_dir("s7_"), "supplier_orc")
+    out = os.path.join(_staging_dir("s7_", sf_dir), "supplier_orc")
     read_table(spark, sf_dir, "supplier").write.mode("overwrite").orc(out)
     return spark.read.schema(schemas.STAR["supplier"]).orc(out)
 
@@ -189,7 +201,7 @@ def q_s8_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from covid_engineering_spark.sources import compact_parquet
 
-    tmp = _staging_dir("s8_")
+    tmp = _staging_dir("s8_", sf_dir)
     small = os.path.join(tmp, "part_small")
     compacted = os.path.join(tmp, "part_compact")
     read_table(spark, sf_dir, "part").repartition(32).write.mode(
@@ -207,7 +219,7 @@ def q_s9_sink_range_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     property itself is pinned by tests/test_partitioned_layout.py
     reading the footers), then re-read whole for the identity check.
     """
-    out = os.path.join(_staging_dir("s9_"), "orders_range")
+    out = os.path.join(_staging_dir("s9_", sf_dir), "orders_range")
     from covid_engineering_spark.sources import write_range_sorted
 
     orders = read_table(spark, sf_dir, "orders")

@@ -39,10 +39,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from covid_engineering_spark.operators.dedup import (
+    _SHINGLES_SQL,
     JACCARD_THRESHOLD,
     NGRAM_MAX_DF,
     ngram_jaccard_pairs,
     shingles_of,
+)
+from covid_engineering_spark.operators.text import (
+    EN_STOP,
 )
 from covid_engineering_spark.operators.text import (
     sql_quality_score as _sql_quality_score,
@@ -667,7 +671,7 @@ QF_LEN_MIN, QF_LEN_MAX = 100, 500
 QF_WLEN_MIN, QF_WLEN_MAX = 4.0, 5.0
 QF_STOP_MIN = 0.03
 QF_UNIQ_MIN = 0.35
-_QF_STOP = ("the", "a", "of", "and", "to", "in", "is")
+_QF_STOP = EN_STOP  # single source of truth for the English stopword list
 
 
 def quality_filter(docs: DataFrame) -> DataFrame:
@@ -1032,21 +1036,7 @@ ORACLES = {
         FROM win
     """,
     "pipe_near_dup_incremental": f"""
-        WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
-                    FROM documents),
-        sh_all AS (
-            SELECT DISTINCT doc_id,
-                   unnest(list_transform(generate_series(1, len(w) - 2),
-                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
-            FROM ws
-        ),
-        keep AS (
-            SELECT s FROM (SELECT s, COUNT(*) AS df FROM sh_all GROUP BY s)
-            WHERE df <= {NGRAM_MAX_DF}
-        ),
-        sh AS (SELECT sh_all.doc_id, sh_all.s
-               FROM sh_all JOIN keep USING (s)),
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        WITH {_SHINGLES_SQL},
         common AS (
             SELECT b.doc_id AS d_batch, c.doc_id AS d_corpus, COUNT(*) AS c
             FROM sh b JOIN sh c

@@ -165,7 +165,12 @@ def funnel_single_pass(
     bounds one task, not the stage. Equivalence with the chained form
     is asserted in tests over the same oracle.
     """
-    init = F.array(*[F.lit(None).cast("timestamp") for _ in steps])
+    # The accumulator literal must carry the INPUT ts type: a plain
+    # cast("timestamp") would coerce timestamp_ntz events to LTZ,
+    # reinterpreting wall-clock times in any non-UTC session and
+    # changing the output type vs the chained form.
+    ts_type = ev.schema["ts"].dataType.simpleString()
+    init = F.array(*[F.lit(None).cast(ts_type) for _ in steps])
 
     def fold(acc, e):
         outs = []
@@ -486,17 +491,18 @@ ORACLES = {
             FROM bucketed
             WINDOW w AS (
                 PARTITION BY event_type ORDER BY bucket
-                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING
+                ROWS BETWEEN {ANOMALY_FRAME} PRECEDING AND 1 PRECEDING
             )
         )
         SELECT event_type, bucket, x_cents, n_hist, s_hist, q_hist,
-               (n_hist >= 8 AND
+               (n_hist >= {ANOMALY_MIN_HIST} AND
                 (n_hist * x_cents - s_hist) * (n_hist * x_cents - s_hist)
-                  > 9 * (n_hist * q_hist - s_hist * s_hist)
+                  > {z2} * (n_hist * q_hist - s_hist * s_hist)
                ) AS is_anomaly
         FROM rolled
-    """,
-    "ts_active_users": """
+    """.format(ANOMALY_FRAME=ANOMALY_FRAME, ANOMALY_MIN_HIST=ANOMALY_MIN_HIST,
+                z2=ANOMALY_Z * ANOMALY_Z),
+    "ts_active_users": f"""
         WITH pairs AS (
             SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
         ),
@@ -506,7 +512,7 @@ ORACLES = {
             SELECT d.day, COUNT(DISTINCT p.user_id) AS wau
             FROM days d
             JOIN pairs p
-              ON p.day BETWEEN d.day - 6 AND d.day
+              ON p.day BETWEEN d.day - {WAU_DAYS - 1} AND d.day
             GROUP BY d.day
         )
         SELECT day, dau, wau FROM dau JOIN wau USING (day)

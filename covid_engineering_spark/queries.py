@@ -59,10 +59,10 @@ _MODULES = [
 #: CORRECTNESS_r02.json, so the never-driver-checked tail
 #: (ROUND3_ROTATED in tests/test_registry_order.py) rotates to the
 #: front, followed by the operators born this round (ROUND3_NEW).
-#: TWENTY-ONE r02-green entries are displaced past slot 50 to make room
-#: (enumerated in the ROUND3_NEW comment below — their verification
-#: history is on record in CORRECTNESS_r02.json); the rest of the
-#: window re-verifies the hard tier.
+#: TWENTY-FOUR r02-green entries are displaced past slot 50 to make
+#: room (enumerated in the ROUND3_NEW comments below — their
+#: verification history is on record in CORRECTNESS_r02.json); the
+#: rest of the window re-verifies the hard tier.
 PRIORITY = [
     # Never driver-checked: the round-2 tail, first in line.
     "ts_funnel",
@@ -80,14 +80,15 @@ PRIORITY = [
     # filtering, unigram-LM scoring, incremental exact + near-dup
     # batch dedup, mixture planning, the hourly seasonality profile,
     # and the stream-stream interval join — never driver-checked, so
-    # they claim window slots immediately (displacing TWENTY-ONE
-    # r02-green entries past slot 50: the five ingest round-trips
-    # beyond s1/s2, w7_rank, w8_range_frame, text_tfidf,
-    # text_token_stats, text_quality, text_fingerprint,
-    # text_top_terms, stream_slide, pipe_split_hash, pipe_pack_chunks,
-    # pipe_quota_source, pipe_decontaminate, pipe_mixture_sample,
-    # pipe_length_hist, ts_resample, ts_sessionize — verification
-    # history on record).
+    # they claim window slots immediately (displacing, together with
+    # the three below, TWENTY-FOUR r02-green entries past slot 50:
+    # the five ingest round-trips beyond s1/s2, w7_rank,
+    # w8_range_frame, text_tfidf, text_token_stats, text_quality,
+    # text_fingerprint, text_top_terms, stream_slide, pipe_split_hash,
+    # pipe_pack_chunks, pipe_quota_source, pipe_decontaminate,
+    # pipe_mixture_sample, pipe_length_hist, ts_resample,
+    # ts_sessionize, m3_param_series, m4_r0_series, x3_sird_mse —
+    # verification history on record).
     "pipe_curate_corpus",
     "ts_funnel_steps",
     "ts_anomaly",

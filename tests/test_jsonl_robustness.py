@@ -66,3 +66,29 @@ def test_failfast_mode_surfaces_the_damage(spark, tmp_path):
     )
     with pytest.raises(Py4JJavaError):
         df.count()
+
+
+def test_staging_is_isolated_per_source_dir(spark):
+    """Regression: the per-query staging dir is keyed on (query,
+    sf_dir). A later invocation against a DIFFERENT source must not
+    wipe or overwrite the stage a previous invocation's still-lazy
+    DataFrame reads from — the old per-prefix key silently served the
+    second source's rows to the first frame."""
+    from covid_engineering_spark.operators.ingest import q_s6_jsonl_scan
+    from tests.conftest import SF_SMOKE
+
+    other = SF_SMOKE.replace("sf0.001", "sf0.01")
+    df_small = q_s6_jsonl_scan(spark, SF_SMOKE)      # stage A (lazy)
+    df_big = q_s6_jsonl_scan(spark, other)           # stage B (disjoint)
+    from pyspark.sql import functions as F
+
+    def chars(df):
+        return df.agg(F.sum("n_chars").alias("s")).first().s
+
+    got_small = chars(df_small)                      # A must survive B
+    got_big = chars(df_big)
+    want_small = chars(spark.read.parquet(f"{SF_SMOKE}/documents.parquet"))
+    want_big = chars(spark.read.parquet(f"{other}/documents.parquet"))
+    assert got_small == want_small
+    assert got_big == want_big
+    assert want_small != want_big  # the probe is non-vacuous

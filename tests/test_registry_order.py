@@ -66,12 +66,13 @@ def _green(fname):
     path = os.path.join(os.path.dirname(os.path.dirname(__file__)), fname)
     with open(path) as f:
         rows = json.load(f)
+    # STRICT three-axis green only: a rows-only (no_oracle) driver row
+    # is not verification history strong enough to park an entry past
+    # the window — every current tail entry holds a full hash-match.
     return {
         k
         for k, v in rows.items()
-        if v.get("rows_match")
-        and v.get("schema_match")
-        and (v.get("hash_match") or v.get("err") == "no_oracle")
+        if v.get("rows_match") and v.get("schema_match") and v.get("hash_match")
     }
 
 

@@ -170,6 +170,12 @@ def test_funnel_single_pass_matches_chained_form(spark):
     a = funnel(ev, FUNNEL_STEPS_5)
     b = funnel_single_pass(ev, FUNNEL_STEPS_5)
     assert a.columns == b.columns
+    # identical TYPES too: the fold accumulator must carry the input
+    # ts type — a bare cast("timestamp") silently coerced ntz->ltz,
+    # shifting wall-clock times in non-UTC sessions (regression)
+    assert [f.dataType for f in a.schema.fields] == [
+        f.dataType for f in b.schema.fields
+    ]
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
     assert b.count() > 0
