@@ -302,3 +302,111 @@ def test_dedup_incremental_matches_set_model(spark, corpus, batch):
             assert got[doc] == "dup_in_batch"
         else:
             assert got[doc] == "new"
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1995, 2001),
+            st.sampled_from(["F", "O", "P"]),
+            st.integers(1, 10_000),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_pivot_cells_match_filtered_sums(spark, rows):
+    """A16 property: every pivot cell equals the plain filtered sum
+    for its (year, status) pair, and empty cells are null."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(y, s, float(v)) for y, s, v in rows],
+        "yr int, status string, price double",
+    )
+    wide = (
+        df.groupBy("yr")
+        .pivot("status", ["F", "O", "P"])
+        .agg(F.round(F.sum(F.col("price").cast("decimal(18,6)")).cast("double"), 2))
+        .collect()
+    )
+    want: dict[tuple[int, str], float] = {}
+    for y, s, v in rows:
+        want[(y, s)] = round(want.get((y, s), 0.0) + v, 2)
+    for r in wide:
+        for s in ("F", "O", "P"):
+            assert r[s] == want.get((r["yr"], s)), (r["yr"], s)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    vals=st.lists(
+        st.tuples(st.sampled_from("AB"), st.integers(0, 100), st.integers(0, 100)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_unpivot_is_lossless_melt(spark, vals):
+    """A17 property: unpivot emits exactly one (measure, value) row per
+    id x value-column, and re-pivoting recovers the wide frame."""
+    df = spark.createDataFrame(vals, "k string, m1 long, m2 long")
+    import pyspark.sql.functions as F
+
+    wide = df.groupBy("k").agg(
+        F.sum("m1").alias("m1"), F.sum("m2").alias("m2")
+    )
+    long = wide.unpivot(["k"], ["m1", "m2"], "measure", "value")
+    n_keys = wide.count()
+    assert long.count() == 2 * n_keys
+    back = (
+        long.groupBy("k").pivot("measure", ["m1", "m2"]).agg(F.first("value"))
+    )
+    a = {r["k"]: (r["m1"], r["m2"]) for r in wide.collect()}
+    b = {r["k"]: (r["m1"], r["m2"]) for r in back.collect()}
+    assert a == b
+
+
+def test_assign_nearest_is_argmax_of_scored_centroids(spark):
+    """ANN-ASSIGN property: on a corpus small enough to brute-force,
+    the assignment equals the python argmax over (cosine to every
+    centroid), with the lowest label winning exact ties."""
+    import math
+
+    from covid_engineering_spark.operators.similarity import (
+        assign_nearest_centroid,
+    )
+    from covid_engineering_spark.sources import read_table
+    from tests.conftest import SF_SMOKE
+
+    emb = read_table(spark, SF_SMOKE, "embeddings").limit(60).cache()
+    got = {
+        r["vec_id"]: (r["assigned_label"], r["cosine"])
+        for r in assign_nearest_centroid(emb).collect()
+    }
+    rows = emb.collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(r["embedding"])
+    cents = {}
+    for lbl, vecs in by_label.items():
+        dim = len(vecs[0])
+        # mirror the engine's decimal-exact 6dp-rounded mean
+        cents[lbl] = [
+            round(sum(float(v[i]) for v in vecs) / len(vecs), 6)
+            for i in range(dim)
+        ]
+    for r in rows:
+        best = None
+        for lbl in sorted(cents):
+            c = cents[lbl]
+            dot = 0.0
+            for x, y in zip(r["embedding"], c):
+                dot += float(x) * y
+            nrm = math.sqrt(sum(y * y for y in c))
+            cos = round(dot / nrm, 6)
+            if best is None or cos > best[1]:
+                best = (lbl, cos)
+        assert got[r["vec_id"]][0] == best[0], r["vec_id"]
+        assert abs(got[r["vec_id"]][1] - best[1]) < 1e-9
+    emb.unpersist()
