@@ -67,9 +67,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twins of ``queries()`` entries; keys
-    absent here (simulation, hash-dependent sketches) get the driver's
-    rows-only check.
+    """DuckDB-runnable ANSI SQL twins of ``queries()`` entries; the one
+    key absent here (``ann_ivf_topk``, keyed on a fitted MLlib k-means
+    codebook nothing SQL can replay) gets the driver's rows-only check.
     """
     from covid_engineering_spark.queries import oracles
 

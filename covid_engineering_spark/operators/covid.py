@@ -201,7 +201,9 @@ def transfer_simulation_pairs(
     )
     tagged = params.unionByName(actual, allowMissingColumns=True)
 
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    # fully-annotated signature: a partially-hinted (key, pdf) makes
+    # pyspark emit an eval-type inference warning on every import
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         param_c, sim_c = key
         p = pdf[pdf["kind"] == "param"].sort_values("t")
         a = pdf[pdf["kind"] == "actual"].sort_values("date").reset_index(drop=True)

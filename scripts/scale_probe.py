@@ -117,9 +117,12 @@ def main() -> None:
         ).format("noop").save()
 
     def minhash(sf_dir):
-        minhash_lsh_pairs(read_table(spark, sf_dir, "documents")).write.mode(
-            "overwrite"
-        ).format("noop").save()
+        # portable=True: probe the REGISTERED (md5 double-hash) form,
+        # not the xxhash production variant — the exponent on record
+        # must describe the code the driver actually verifies.
+        minhash_lsh_pairs(
+            read_table(spark, sf_dir, "documents"), portable=True
+        ).write.mode("overwrite").format("noop").save()
 
     def clusters(sf_dir):
         # the full resolution path: guarded pair generation + CC loop
