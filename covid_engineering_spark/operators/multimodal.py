@@ -184,8 +184,47 @@ def q_mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling pipeline, driver-checkable: the video rows fan
+    out to per-frame rows through the ``sample_frames`` mapInPandas
+    flat-map, then each frame is summarized by length + the same
+    131-base rolling checksum the decode stage uses — so the SQL twin
+    replays the byte-window arithmetic (``substr`` at the frame
+    stride) and hash-checks the Python fan-out end-to-end, frames and
+    all, without comparing raw binary.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    frames = sample_frames(with_media_columns(docs))
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, idx, payload in zip(
+                pdf["doc_id"], pdf["frame_idx"], pdf["frame_payload"]
+            ):
+                meta = fake_decode(payload, "video/mp4")
+                rows.append(
+                    (doc_id, int(idx), meta["n_bytes"], meta["checksum"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "frame_idx",
+                    "n_frame_bytes",
+                    "frame_checksum",
+                ],
+            )
+
+    return frames.mapInPandas(
+        summarize,
+        "doc_id long, frame_idx int, n_frame_bytes long, frame_checksum long",
+    )
+
+
 QUERIES = {
     "mm_feature_extract": q_mm_feature_extract,
+    "mm_frame_sample": q_mm_frame_sample,
 }
 
 # The SQL twin replays fake_decode's byte arithmetic (131-base rolling
@@ -216,5 +255,32 @@ ORACLES: dict[str, str] = {
                CAST(MIN(16 + checksum % 64) AS INT) AS min_width,
                CAST(MAX(16 + (checksum // 64) % 64) AS INT) AS max_height
         FROM c GROUP BY media_type
-    """
+    """,
+    "mm_frame_sample": """
+        WITH v AS (
+            SELECT doc_id, text, length(text) AS n
+            FROM documents WHERE doc_id % 3 = 2
+        ),
+        idx AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(0,
+                       CAST(least(4, greatest(1, n // 64)) - 1 AS BIGINT)
+                   )) AS i
+            FROM v
+        ),
+        f AS (
+            SELECT doc_id, i AS frame_idx,
+                   substr(text, CAST(i * 64 + 1 AS INT), 64) AS frame
+            FROM idx
+        )
+        SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+               length(frame) AS n_frame_bytes,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(frame, ''),
+                                      ch -> CAST(ascii(ch) AS BIGINT))),
+                   (a, b) -> (a * 131 + b) % 1000000007
+               ) AS frame_checksum
+        FROM f
+    """,
 }

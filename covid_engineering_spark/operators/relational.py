@@ -468,6 +468,42 @@ def q_a14_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a18_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18 (extension) — approx_percentile (mergeable quantile sketch)
+    made oracle-checkable, the a14 pattern: the sketch values are
+    engine-specific, so the query emits the EXACT percentiles (which
+    the DuckDB ``quantile_cont`` oracle hash-matches) plus computed
+    within-relative-error flags for the approx values; the oracle
+    expects the flags TRUE. At 100 TB the approx sketch is the only
+    viable path — exact ``percentile`` sorts every group's values
+    inside the aggregation buffer (A11 keeps the exact form precisely
+    to judge this one); approx is single-pass, bounded-memory, and
+    mergeable across partitions.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    exact50 = F.expr("percentile(l_extendedprice, 0.5)")
+    exact90 = F.expr("percentile(l_extendedprice, 0.9)")
+    appr = F.expr(
+        "approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)"
+    )
+    rel = lambda a, e: F.abs(a - e) / e <= 0.01  # noqa: E731
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(exact50, 4).alias("p50"),
+            F.round(exact90, 4).alias("p90"),
+            appr.alias("_ap"),
+        )
+        .select(
+            "l_returnflag",
+            "p50",
+            "p90",
+            rel(F.element_at("_ap", 1), F.col("p50")).alias("p50_within"),
+            rel(F.element_at("_ap", 2), F.col("p90")).alias("p90_within"),
+        )
+    )
+
+
 def q_a15_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A15 (extension) — explicit GROUPING SETS: exactly the two
     groupings (priority) and (status), one expand + one shuffle, no
@@ -947,6 +983,7 @@ QUERIES = {
     "a15_grouping_sets": q_a15_grouping_sets,
     "a16_pivot": q_a16_pivot,
     "a17_unpivot": q_a17_unpivot,
+    "a18_approx_percentile": q_a18_approx_percentile,
     "j6_asof_join": q_j6_asof_join,
 }
 
@@ -998,6 +1035,14 @@ ORACLES = {
         SELECT l_returnflag,
                ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
                ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "a18_approx_percentile": """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+               ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+               TRUE AS p50_within,
+               TRUE AS p90_within
         FROM lineitem GROUP BY l_returnflag
     """,
     "a12_cube": """

@@ -4,8 +4,8 @@ DataFrame` callable and its DuckDB oracle SQL into the dicts that
 
 Modules register themselves via ``QUERIES`` / ``ORACLES`` dicts; a
 query without an oracle entry gets the driver's weaker rows-only check
-(reserved for genuinely non-SQL-expressible ops like the hash-seeded
-sketches).
+(reserved for the genuinely non-SQL-expressible: today only the
+MLlib-fitted IVF codebook).
 
 Registration ORDER is part of the driver contract: the driver hashes
 exactly the first 50 registry entries, so ``PRIORITY`` pins the
@@ -59,7 +59,7 @@ _MODULES = [
 #: CORRECTNESS_r02.json, so the never-driver-checked tail
 #: (ROUND3_ROTATED in tests/test_registry_order.py) rotates to the
 #: front, followed by the operators born this round (ROUND3_NEW).
-#: TWENTY-FOUR r02-green entries are displaced past slot 50 to make
+#: TWENTY-SIX r02-green entries are displaced past slot 50 to make
 #: room (enumerated in the ROUND3_NEW comments below — their
 #: verification history is on record in CORRECTNESS_r02.json); the
 #: rest of the window re-verifies the hard tier.
@@ -108,6 +108,13 @@ PRIORITY = [
     "a16_pivot",
     "a17_unpivot",
     "emb_assign_nearest",
+    # Third round-3 batch: the mergeable-sketch percentile (the 100 TB
+    # quantile path, bound-checked like a14) and the frame-sampling
+    # fan-out with its byte-arithmetic twin — displacing stream_tumble
+    # and text_repetition (both r02-green; stream_session/text_langid
+    # keep their families in the window).
+    "a18_approx_percentile",
+    "mm_frame_sample",
     # Hard tier, re-verified (r02-green).
     "w6_interpolate",
     "wrangle_clean_complete",
@@ -125,8 +132,6 @@ PRIORITY = [
     "ann_ivf_topk",
     "emb_centroid",
     "text_langid",
-    "text_repetition",
-    "stream_tumble",
     "stream_session",
     "stream_dedup",
     "mm_feature_extract",

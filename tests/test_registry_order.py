@@ -53,6 +53,8 @@ ROUND3_NEW = {
     "a16_pivot",
     "a17_unpivot",
     "emb_assign_nearest",
+    "a18_approx_percentile",
+    "mm_frame_sample",
 }
 
 #: Round-4 rotation queue: if the window saturates with

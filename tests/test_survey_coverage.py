@@ -48,6 +48,7 @@ SURVEY_MAP = {
     "A15": "a15_grouping_sets",
     "A16": "a16_pivot",
     "A17": "a17_unpivot",
+    "A18": "a18_approx_percentile",
     # §2.5 windows
     "W1": "w1_cumsum",
     "W2": "w2_diff",
@@ -107,6 +108,7 @@ SURVEY_MAP = {
     "ANN-KNN": "emb_knn_graph",
     "ANN-ASSIGN": "emb_assign_nearest",
     "MM": "mm_feature_extract",
+    "MM-FRAMES": "mm_frame_sample",
     # streaming tier (§2.12)
     "STR-TUMBLE": "stream_tumble",
     "STR-SLIDE": "stream_slide",
