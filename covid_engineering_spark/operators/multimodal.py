@@ -222,9 +222,42 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize pipeline, driver-checkable: image rows pass through the
+    ``resize_images`` mapInPandas stage (decode -> re-encode at the
+    32x32 target), then each output payload is summarized by length +
+    rolling checksum — the SQL twin replays the proportional byte
+    subsample (``substr`` to the pixel-budget bound) so the driver
+    hash-checks the resize plumbing end-to-end.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    resized = resize_images(with_media_columns(docs))
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, w, h in zip(
+                pdf["doc_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                meta = fake_decode(payload, "image/png")
+                rows.append(
+                    (doc_id, int(w), int(h), meta["n_bytes"], meta["checksum"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "n_out_bytes", "out_checksum"],
+            )
+
+    return resized.mapInPandas(
+        summarize,
+        "doc_id long, width int, height int, n_out_bytes long, out_checksum long",
+    )
+
+
 QUERIES = {
     "mm_feature_extract": q_mm_feature_extract,
     "mm_frame_sample": q_mm_frame_sample,
+    "mm_resize": q_mm_resize,
 }
 
 # The SQL twin replays fake_decode's byte arithmetic (131-base rolling
@@ -282,5 +315,26 @@ ORACLES: dict[str, str] = {
                    (a, b) -> (a * 131 + b) % 1000000007
                ) AS frame_checksum
         FROM f
+    """,
+    "mm_resize": """
+        WITH v AS (
+            SELECT doc_id, text, length(text) AS n
+            FROM documents WHERE doc_id % 3 = 0
+        ),
+        r AS (
+            SELECT doc_id,
+                   substr(text, 1,
+                          CAST(greatest(1, least(n, 128)) AS INT)) AS out
+            FROM v
+        )
+        SELECT doc_id, 32 AS width, 32 AS height,
+               length(out) AS n_out_bytes,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(out, ''),
+                                      ch -> CAST(ascii(ch) AS BIGINT))),
+                   (a, b) -> (a * 131 + b) % 1000000007
+               ) AS out_checksum
+        FROM r
     """,
 }

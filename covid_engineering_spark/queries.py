@@ -59,7 +59,7 @@ _MODULES = [
 #: CORRECTNESS_r02.json, so the never-driver-checked tail
 #: (ROUND3_ROTATED in tests/test_registry_order.py) rotates to the
 #: front, followed by the operators born this round (ROUND3_NEW).
-#: TWENTY-SIX r02-green entries are displaced past slot 50 to make
+#: TWENTY-SEVEN r02-green entries are displaced past slot 50 to make
 #: room (enumerated in the ROUND3_NEW comments below — their
 #: verification history is on record in CORRECTNESS_r02.json); the
 #: rest of the window re-verifies the hard tier.
@@ -110,11 +110,12 @@ PRIORITY = [
     "emb_assign_nearest",
     # Third round-3 batch: the mergeable-sketch percentile (the 100 TB
     # quantile path, bound-checked like a14) and the frame-sampling
-    # fan-out with its byte-arithmetic twin — displacing stream_tumble
-    # and text_repetition (both r02-green; stream_session/text_langid
-    # keep their families in the window).
+    # fan-out with its byte-arithmetic twin — displacing stream_tumble,
+    # text_repetition, and dedup_embedding (all r02-green; their
+    # families keep representatives in the window).
     "a18_approx_percentile",
     "mm_frame_sample",
+    "mm_resize",
     # Hard tier, re-verified (r02-green).
     "w6_interpolate",
     "wrangle_clean_complete",
@@ -125,7 +126,6 @@ PRIORITY = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_embedding",
     "dedup_clusters",
     "ann_cosine_topk",
     "ann_lsh_topk",

@@ -55,6 +55,7 @@ ROUND3_NEW = {
     "emb_assign_nearest",
     "a18_approx_percentile",
     "mm_frame_sample",
+    "mm_resize",
 }
 
 #: Round-4 rotation queue: if the window saturates with

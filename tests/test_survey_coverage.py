@@ -109,6 +109,7 @@ SURVEY_MAP = {
     "ANN-ASSIGN": "emb_assign_nearest",
     "MM": "mm_feature_extract",
     "MM-FRAMES": "mm_frame_sample",
+    "MM-RESIZE": "mm_resize",
     # streaming tier (§2.12)
     "STR-TUMBLE": "stream_tumble",
     "STR-SLIDE": "stream_slide",
