@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""End-to-end event analytics: the metrics-store tier as one engine
+script.
+
+    python examples/event_analytics.py [sf_dir] [out_dir]
+
+Starting from the raw ``events`` table (one row per event: user, time,
+type, value), this runs the standard product-analytics stack:
+
+1. sessionize       — label every event with a per-user session id
+                      (8 h inactivity gap);
+2. funnel           — per-user ordered-step conversion times through
+                      the 5-step funnel in ONE shuffle (the
+                      fold-over-sorted-events form, not a join per
+                      step);
+3. DAU / WAU        — daily active users and the 7-day rolling
+                      distinct-user count;
+4. hourly profile   — the day-of-week x hour-of-day seasonality grid;
+5. anomaly flags    — per-type rolling z-score over hourly sums;
+6. OHLC resample    — hourly open/high/low/close/sum rollup, written
+                      hive-partitioned by event_type so dashboard
+                      readers prune to their series.
+
+Every stage is lazy DataFrame composition — the whole stack compiles
+to a handful of shuffles (user_id for sessions/funnel, bucket keys for
+the rollups) regardless of scale.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from covid_engineering_spark.operators.timeseries import (
+    FUNNEL_STEPS_5,
+    active_users,
+    funnel_single_pass,
+    hourly_profile,
+    resample,
+    rolling_anomaly,
+    sessionize,
+)
+from covid_engineering_spark.session import get_spark
+from covid_engineering_spark.sources import read_table, write_partitioned
+
+
+def main(
+    sf_dir: str = "/root/testdata/sf0.001",
+    out_dir: str = "/tmp/covid_engine_events",
+) -> None:
+    spark = get_spark(app_name="event-analytics")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    ev = read_table(spark, sf_dir, "events")
+    n_events = ev.count()
+
+    # 1. sessions: count + mean session length in events
+    sess = sessionize(ev)
+    sess_stats = (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.round(F.avg("n"), 2).alias("avg_events_per_session"),
+        )
+        .first()
+    )
+
+    # 2. one-shuffle funnel: conversion depth histogram
+    fun = funnel_single_pass(ev, FUNNEL_STEPS_5)
+    depth_hist = {
+        r["funnel_depth"]: r["n"]
+        for r in fun.groupBy("funnel_depth")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+    # 3. DAU / WAU: latest day's numbers
+    au = active_users(ev).orderBy(F.desc("day")).first()
+
+    # 4. seasonality grid: the busiest (weekday, hour) cell
+    peak = (
+        hourly_profile(ev)
+        .orderBy(F.desc("n_events"))
+        .select("dow", "hour", "n_events")
+        .first()
+    )
+
+    # 5. anomaly flags over hourly sums
+    n_anom = rolling_anomaly(ev).filter(F.col("is_anomaly")).count()
+
+    # 6. hourly OHLC rollup, partitioned by series for pruned reads
+    write_partitioned(resample(ev), f"{out_dir}/hourly", "event_type")
+    back = spark.read.parquet(f"{out_dir}/hourly")
+
+    print(f"events            : {n_events}")
+    print(
+        f"sessions          : {sess_stats['n_sessions']} "
+        f"(avg {sess_stats['avg_events_per_session']} events)"
+    )
+    print(f"funnel depth hist : {dict(sorted(depth_hist.items()))}")
+    print(f"latest DAU/WAU    : {au['dau']} / {au['wau']} ({au['day']})")
+    print(f"peak load cell    : dow={peak['dow']} hour={peak['hour']} n={peak['n_events']}")
+    print(f"anomalous buckets : {n_anom}")
+    print(f"hourly rollup rows: {back.count()} -> {out_dir}/hourly")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:3])

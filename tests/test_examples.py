@@ -41,3 +41,20 @@ def test_quickstart_runs(spark, tmp_path, capsys):
     assert "cleaned rows: 26373 across 187 countries" in out
     assert "partition-pruned Netherlands read: 152 rows" in out
     assert "transfer simulation" in out
+
+
+def test_event_analytics_runs(spark, tmp_path, capsys):
+    mod = runpy.run_path(
+        os.path.join(
+            os.path.dirname(os.path.dirname(__file__)),
+            "examples",
+            "event_analytics.py",
+        ),
+        run_name="event_analytics",
+    )
+    mod["main"]("/root/testdata/sf0.001", str(tmp_path / "out"))
+    out = capsys.readouterr().out
+    assert "events            : 1000" in out
+    assert "sessions          : 492" in out
+    assert "funnel depth hist : {5: 15}" in out
+    assert "hourly rollup rows: 868" in out
