@@ -184,6 +184,34 @@ def q_mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _summarize_payloads(
+    frame: DataFrame,
+    payload_col: str,
+    id_cols: list[str],
+    out_cols: tuple[str, str],
+    out_schema: str,
+) -> DataFrame:
+    """Shared mapInPandas postprocess for the driver-checkable media
+    queries: carry ``id_cols`` through and summarize ``payload_col``
+    by (byte length, 131-base rolling checksum) via ``fake_decode`` —
+    ONE implementation, so the checksum contract cannot drift between
+    the frame-sampling and resize twins.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for tup in zip(*(pdf[c] for c in [*id_cols, payload_col])):
+                *ids, payload = tup
+                meta = fake_decode(payload, "application/octet-stream")
+                rows.append(
+                    (*(int(i) for i in ids), meta["n_bytes"], meta["checksum"])
+                )
+            yield pd.DataFrame(rows, columns=[*id_cols, *out_cols])
+
+    return frame.mapInPandas(run, out_schema)
+
+
 def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling pipeline, driver-checkable: the video rows fan
     out to per-frame rows through the ``sample_frames`` mapInPandas
@@ -195,61 +223,37 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = read_table(spark, sf_dir, "documents")
     frames = sample_frames(with_media_columns(docs))
-
-    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, idx, payload in zip(
-                pdf["doc_id"], pdf["frame_idx"], pdf["frame_payload"]
-            ):
-                meta = fake_decode(payload, "video/mp4")
-                rows.append(
-                    (doc_id, int(idx), meta["n_bytes"], meta["checksum"])
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id",
-                    "frame_idx",
-                    "n_frame_bytes",
-                    "frame_checksum",
-                ],
-            )
-
-    return frames.mapInPandas(
-        summarize,
+    return _summarize_payloads(
+        frames,
+        "frame_payload",
+        ["doc_id", "frame_idx"],
+        ("n_frame_bytes", "frame_checksum"),
         "doc_id long, frame_idx int, n_frame_bytes long, frame_checksum long",
     )
+
+
+#: The resize target the registered query AND its SQL twin agree on:
+#: 32x32 -> a (32*32)//8 = 128-byte output budget in the fake codec.
+RESIZE_TARGET = (32, 32)
 
 
 def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize pipeline, driver-checkable: image rows pass through the
     ``resize_images`` mapInPandas stage (decode -> re-encode at the
-    32x32 target), then each output payload is summarized by length +
-    rolling checksum — the SQL twin replays the proportional byte
-    subsample (``substr`` to the pixel-budget bound) so the driver
+    ``RESIZE_TARGET`` pixel budget — pinned at the call site because
+    the SQL twin hard-codes the matching 32/32/128 bound), then each
+    output payload is summarized by length + rolling checksum so the
+    twin replays the proportional byte subsample and the driver
     hash-checks the resize plumbing end-to-end.
     """
     docs = read_table(spark, sf_dir, "documents")
-    resized = resize_images(with_media_columns(docs))
-
-    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, payload, w, h in zip(
-                pdf["doc_id"], pdf["payload"], pdf["width"], pdf["height"]
-            ):
-                meta = fake_decode(payload, "image/png")
-                rows.append(
-                    (doc_id, int(w), int(h), meta["n_bytes"], meta["checksum"])
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "width", "height", "n_out_bytes", "out_checksum"],
-            )
-
-    return resized.mapInPandas(
-        summarize,
+    w, h = RESIZE_TARGET
+    resized = resize_images(with_media_columns(docs), width=w, height=h)
+    return _summarize_payloads(
+        resized,
+        "payload",
+        ["doc_id", "width", "height"],
+        ("n_out_bytes", "out_checksum"),
         "doc_id long, width int, height int, n_out_bytes long, out_checksum long",
     )
 
@@ -260,24 +264,32 @@ QUERIES = {
     "mm_resize": q_mm_resize,
 }
 
+def _checksum_sql(expr: str) -> str:
+    """The SQL twin of fake_decode's 131-base rolling checksum over
+    ``expr`` — defined ONCE so the three media oracles cannot drift
+    from each other (or from the Python fake codec's constants)."""
+    return (
+        "list_reduce("
+        "list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), "
+        "ch -> CAST(ascii(ch) AS BIGINT))), "
+        "(a, b) -> (a * 131 + b) % 1000000007)"
+    )
+
+
 # The SQL twin replays fake_decode's byte arithmetic (131-base rolling
 # checksum mod 1e9+7 over the UTF-8 payload — the corpus is ASCII, so
 # chars == bytes; asserted in tests) and the same media-type
 # assignment, making the mapInPandas decode stage hash-checkable.
 ORACLES: dict[str, str] = {
-    "mm_feature_extract": """
+    "mm_feature_extract": f"""
         WITH c AS (
             SELECT doc_id,
                    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
                         WHEN doc_id % 3 = 1 THEN 'audio/wav'
                         ELSE 'video/mp4' END AS media_type,
                    length(text) AS n_bytes,
-                   list_reduce(
-                       list_prepend(CAST(0 AS BIGINT),
-                           list_transform(string_split(text, ''),
-                                          ch -> CAST(ascii(ch) AS BIGINT))),
-                       (a, b) -> (a * 131 + b) % 1000000007
-                   ) AS checksum
+                   {_checksum_sql('text')} AS checksum
             FROM documents
         )
         SELECT media_type,
@@ -289,7 +301,7 @@ ORACLES: dict[str, str] = {
                CAST(MAX(16 + (checksum // 64) % 64) AS INT) AS max_height
         FROM c GROUP BY media_type
     """,
-    "mm_frame_sample": """
+    "mm_frame_sample": f"""
         WITH v AS (
             SELECT doc_id, text, length(text) AS n
             FROM documents WHERE doc_id % 3 = 2
@@ -308,15 +320,10 @@ ORACLES: dict[str, str] = {
         )
         SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
                length(frame) AS n_frame_bytes,
-               list_reduce(
-                   list_prepend(CAST(0 AS BIGINT),
-                       list_transform(string_split(frame, ''),
-                                      ch -> CAST(ascii(ch) AS BIGINT))),
-                   (a, b) -> (a * 131 + b) % 1000000007
-               ) AS frame_checksum
+               {_checksum_sql('frame')} AS frame_checksum
         FROM f
     """,
-    "mm_resize": """
+    "mm_resize": f"""
         WITH v AS (
             SELECT doc_id, text, length(text) AS n
             FROM documents WHERE doc_id % 3 = 0
@@ -329,12 +336,7 @@ ORACLES: dict[str, str] = {
         )
         SELECT doc_id, 32 AS width, 32 AS height,
                length(out) AS n_out_bytes,
-               list_reduce(
-                   list_prepend(CAST(0 AS BIGINT),
-                       list_transform(string_split(out, ''),
-                                      ch -> CAST(ascii(ch) AS BIGINT))),
-                   (a, b) -> (a * 131 + b) % 1000000007
-               ) AS out_checksum
+               {_checksum_sql('out')} AS out_checksum
         FROM r
     """,
 }

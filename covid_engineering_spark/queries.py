@@ -109,10 +109,11 @@ PRIORITY = [
     "a17_unpivot",
     "emb_assign_nearest",
     # Third round-3 batch: the mergeable-sketch percentile (the 100 TB
-    # quantile path, bound-checked like a14) and the frame-sampling
-    # fan-out with its byte-arithmetic twin — displacing stream_tumble,
-    # text_repetition, and dedup_embedding (all r02-green; their
-    # families keep representatives in the window).
+    # quantile path, bound-checked like a14), the frame-sampling
+    # fan-out, and the resize stage, each with a byte-arithmetic twin —
+    # displacing stream_tumble, text_repetition, and text_langid (all
+    # r02-green with REAL row counts; their families keep
+    # representatives in the window).
     "a18_approx_percentile",
     "mm_frame_sample",
     "mm_resize",
@@ -127,11 +128,16 @@ PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
+    # dedup_embedding stays IN the window: its only driver row
+    # (r02) was a vacuous 0-vs-0-rows match at the production 0.95
+    # threshold; the registry form now runs at 0.4 precisely so the
+    # driver checks real pair values — that non-vacuous check has
+    # never run driver-side, so the entry cannot be parked on history.
+    "dedup_embedding",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "emb_centroid",
-    "text_langid",
     "stream_session",
     "stream_dedup",
     "mm_feature_extract",

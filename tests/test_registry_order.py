@@ -6,11 +6,14 @@ of driver verification.
 Round-3 state: every round-2 window slot greened in
 CORRECTNESS_r02.json, so the never-driver-checked round-2 tail
 (ROUND3_ROTATED) rotated to the front of the window, followed by the
-operators born during round 3 (ROUND3_NEW); twenty-one r02-green entries
-were displaced past slot 50 (their history is on record).
-Every tail entry must therefore hold a green row in CORRECTNESS_r01
-or CORRECTNESS_r02 — after this round there should be NO registry
-entry that was never driver-verified.
+operators born during round 3 (ROUND3_NEW); twenty-seven r02-green
+entries were displaced past slot 50 (their history — strict three-axis
+hash matches over non-empty results — is on record; see queries.py for
+the enumeration). dedup_embedding deliberately stays in the window:
+its r02 row was a vacuous 0-row match, so its non-vacuous form still
+needs a driver row. Every tail entry must therefore hold a green row
+in CORRECTNESS_r01 or CORRECTNESS_r02 — after this round there should
+be NO registry entry that was never driver-verified.
 """
 
 import json
