@@ -887,6 +887,44 @@ def q_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite: TPC-H Q2 shape — the correlated scalar subquery
+    ("suppliers whose cost equals the minimum cost for that part"),
+    expressed DECORRELATED: per-(part, supplier) average cost, a
+    per-part min aggregate, and an equi-join back on the part key.
+    This is the rewrite Catalyst itself applies to correlated
+    subqueries where it can — written directly, the plan is two
+    partial-agg groupBys and one join, all shuffling on l_partkey, so
+    AQE reuses one exchange layout; a naive per-part subquery would be
+    one aggregation per outer row. Ties keep every minimal supplier in
+    both engines (deterministic: decimal-averaged cost, no argmin).
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    part = read_table(spark, sf_dir, "part")
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+                / F.count("*")
+            ).cast("double"),
+            4,
+        ).alias("cost")
+    )
+    minc = costs.groupBy("l_partkey").agg(F.min("cost").alias("min_cost"))
+    return (
+        costs.join(minc, "l_partkey")
+        .filter(F.col("cost") == F.col("min_cost"))
+        # part/supplier scale with SF: broadcast is the size-based
+        # planner's decision, not a pinned hint (the r01 lesson).
+        .join(part, costs.l_partkey == part.p_partkey)
+        .join(supp, costs.l_suppkey == supp.s_suppkey)
+        .select(
+            "p_partkey", "p_name", "s_name", F.col("cost").alias("min_cost")
+        )
+    )
+
+
 def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite: TPC-H Q6 shape — the pushdown showcase. All three
     predicates (date range, discount band, quantity cap) reach the
@@ -975,6 +1013,7 @@ QUERIES = {
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_top_orders": q_q3_top_orders,
     "q5_region_revenue": q_q5_region_revenue,
+    "q2_min_cost_supplier": q_q2_min_cost_supplier,
     "q6_forecast_revenue": q_q6_forecast_revenue,
     "a11_percentile": q_a11_percentile,
     "a12_cube": q_a12_cube,
@@ -988,6 +1027,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q2_min_cost_supplier": """
+        WITH costs AS (
+            SELECT l_partkey, l_suppkey,
+                   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+                              / COUNT(*) AS DOUBLE), 4) AS cost
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ),
+        minc AS (
+            SELECT l_partkey, MIN(cost) AS min_cost FROM costs GROUP BY l_partkey
+        )
+        SELECT p_partkey, p_name, s_name, cost AS min_cost
+        FROM costs
+        JOIN minc USING (l_partkey)
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE cost = minc.min_cost
+    """,
     "q6_forecast_revenue": """
         SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE), 2)
                AS revenue_effect

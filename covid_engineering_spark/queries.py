@@ -59,7 +59,7 @@ _MODULES = [
 #: CORRECTNESS_r02.json, so the never-driver-checked tail
 #: (ROUND3_ROTATED in tests/test_registry_order.py) rotates to the
 #: front, followed by the operators born this round (ROUND3_NEW).
-#: TWENTY-SEVEN r02-green entries are displaced past slot 50 to make
+#: TWENTY-EIGHT r02-green entries are displaced past slot 50 to make
 #: room (enumerated in the ROUND3_NEW comments below — their
 #: verification history is on record in CORRECTNESS_r02.json); the
 #: rest of the window re-verifies the hard tier.
@@ -117,6 +117,10 @@ PRIORITY = [
     "a18_approx_percentile",
     "mm_frame_sample",
     "mm_resize",
+    # Fourth round-3 batch: the TPC-H Q2-shape decorrelated argmin
+    # join — displacing ann_cosine_topk (r02-green; ann_lsh/ann_ivf/
+    # emb_centroid keep the ANN family in the window).
+    "q2_min_cost_supplier",
     # Hard tier, re-verified (r02-green).
     "w6_interpolate",
     "wrangle_clean_complete",
@@ -134,7 +138,6 @@ PRIORITY = [
     # driver checks real pair values — that non-vacuous check has
     # never run driver-side, so the entry cannot be parked on history.
     "dedup_embedding",
-    "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "emb_centroid",

@@ -156,6 +156,7 @@ SURVEY_MAP = {
     "COVID-TRANSFER": "covid_transfer_sim",
     # flagship composites (§7.2)
     "Q1": "q1_pricing_summary",
+    "Q2": "q2_min_cost_supplier",
     "Q3": "q3_top_orders",
     "Q5": "q5_region_revenue",
     "Q6": "q6_forecast_revenue",
