@@ -246,3 +246,40 @@ def test_portable_simhash_is_pigeonhole_complete(spark, docs):
             if ham <= SIMHASH_MAX_HAMMING:
                 want[(d1, d2)] = ham
     assert out == want
+
+
+def test_portable_hash64_matches_duckdb_on_generated_unicode(spark):
+    """Property form of the cross-engine pin: arbitrary unicode inputs
+    (one Spark job over the whole corpus of examples, not one per
+    example) must hash bit-identically in both engines."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from covid_engineering_spark.operators.dedup import (
+        _portable_hash_sql,
+        portable_hash64,
+    )
+
+    con = duckdb.connect()
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        vals=st.lists(
+            st.text(min_size=0, max_size=40), min_size=1, max_size=25
+        )
+    )
+    def check(vals):
+        df = spark.createDataFrame([(v,) for v in vals], "s string")
+        got = [
+            r[0] for r in df.select(portable_hash64(F.col("s"), 3)).collect()
+        ]
+        want = [
+            con.execute(
+                f"SELECT {_portable_hash_sql('?', 3)}", [v]
+            ).fetchone()[0]
+            for v in vals
+        ]
+        assert got == want
+
+    check()
