@@ -42,6 +42,12 @@ from pyspark.sql import functions as F  # noqa: E402
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPLICAS = int(os.environ.get("SPARK_GRAFT_PROBE_X", "10"))
+#: Comma-separated pipeline-name filter (empty = all): lets a deeper
+#: blowup (e.g. SPARK_GRAFT_PROBE_X=30) probe just the heavy pipelines
+#: without paying for the whole suite at that scale.
+ONLY = {
+    p for p in os.environ.get("SPARK_GRAFT_PROBE_ONLY", "").split(",") if p
+}
 
 
 def _blowup(spark, out_dir: str, replicas: int) -> None:
@@ -234,6 +240,8 @@ def main() -> None:
         ("pipe_snapshot_diff", snapdiff),
         ("pipe_near_dup_incremental", incnear),
     ):
+        if ONLY and name not in ONLY:
+            continue
         # Release the previous pipeline's lingering blocks (cached
         # frames, localCheckpoint RDDs await async ContextCleaner GC)
         # so each measurement starts from the same storage state —
