@@ -154,7 +154,14 @@ def q_s5_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(_staging_dir("s5_", sf_dir), "customer_pq")
     cust = read_table(spark, sf_dir, "customer")
     write_partitioned(cust, out, "c_mktsegment")
-    back = spark.read.parquet(out)
+    # Declared schema on the read-back (partition column included):
+    # schema inference over a partitioned layout is an extra listing +
+    # footer pass at 100 TB, and it THROWS on an empty sink instead of
+    # returning the empty frame the schema describes.
+    back = spark.read.schema(
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string"
+    ).parquet(out)
     return back.select(
         "c_custkey",
         "c_name",

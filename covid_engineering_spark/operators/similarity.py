@@ -194,6 +194,14 @@ def _centroids(emb: DataFrame) -> DataFrame:
     ).select(
         array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
     )
+    if sample.isEmpty():
+        # graceful degrade on an empty corpus: no codebook to fit —
+        # emit an empty codebook so the query returns zero rows
+        # instead of an MLlib fit error (isEmpty costs one
+        # first-partition probe on the already-eager training path)
+        return emb.sparkSession.createDataFrame(
+            [], "c_id int, c_emb array<double>"
+        )
     model = KMeans(k=N_CENTROIDS, seed=42, maxIter=10).fit(sample)
     rows = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())

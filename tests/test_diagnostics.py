@@ -81,3 +81,30 @@ def test_evicting_cache_reuses_warm_cache_on_same_plan(spark):
     c.count()
     assert not a.storageLevel.useMemory  # genuinely different => evicted
     assert c.storageLevel.useMemory
+
+
+def test_every_registered_query_survives_an_empty_star(spark, tmp_path):
+    """Robustness net: all registered operators must RUN against a
+    fully EMPTY star schema — the short-input/empty-partition class of
+    bug the trigram-slice crash belonged to. Global aggregates
+    correctly return one all-null row on empty input, so the assertion
+    is execution, not emptiness. Any operator that needs
+    special-casing for empty input (the IVF codebook fit, the
+    partitioned-sink read-back) must carry that handling itself."""
+    import os
+
+    from covid_engineering_spark import schemas
+    from covid_engineering_spark.queries import registry
+
+    empty = str(tmp_path / "empty_star")
+    for name, schema in schemas.STAR.items():
+        spark.createDataFrame([], schema).write.mode("overwrite").parquet(
+            os.path.join(empty, f"{name}.parquet")
+        )
+    failures = {}
+    for name, fn in registry().items():
+        try:
+            assert fn(spark, empty).count() >= 0
+        except Exception as ex:  # noqa: BLE001 - collecting all failures
+            failures[name] = repr(ex)[:120]
+    assert not failures, failures
