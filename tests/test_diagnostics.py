@@ -108,3 +108,43 @@ def test_every_registered_query_survives_an_empty_star(spark, tmp_path):
         except Exception as ex:  # noqa: BLE001 - collecting all failures
             failures[name] = repr(ex)[:120]
     assert not failures, failures
+
+
+def test_every_registered_query_survives_nulls_and_empty_strings(spark, tmp_path):
+    """Second robustness net: single-row tables where every non-key
+    column is NULL (and text is the empty string) — the null-handling
+    class of bug, distinct from the empty-table class above. All 128
+    operators must execute."""
+    import datetime
+    import os
+
+    from covid_engineering_spark import schemas
+    from covid_engineering_spark.queries import registry
+
+    def val_for(f):
+        n = f.name
+        if n.endswith("key") or n in ("doc_id", "vec_id", "event_id", "user_id"):
+            return 1
+        if n == "text":
+            return ""
+        if n == "embedding":
+            return [0.0] * 64
+        if n == "label":
+            return 0
+        if n in ("ts", "o_orderdate", "l_shipdate"):
+            return datetime.datetime(2024, 1, 1)
+        return None
+
+    root = str(tmp_path / "null_star")
+    for name, schema in schemas.STAR.items():
+        row = tuple(val_for(f) for f in schema.fields)
+        spark.createDataFrame([row], schema).write.mode("overwrite").parquet(
+            os.path.join(root, f"{name}.parquet")
+        )
+    failures = {}
+    for name, fn in registry().items():
+        try:
+            assert fn(spark, root).count() >= 0
+        except Exception as ex:  # noqa: BLE001 - collecting all failures
+            failures[name] = repr(ex)[:120]
+    assert not failures, failures
