@@ -204,3 +204,42 @@ def test_transfer_simulation_plans_no_single_partition_window(spark):
     cleaned = clean_complete(_synthetic_complete(spark, SF_SMOKE))
     df = transfer_simulation(cleaned, synthetic_population(spark), "C0", "C1")
     assert "SinglePartition" not in simple_plan(df)
+
+
+def test_q2_decorrelated_min_join_shape(spark):
+    """Q2's decorrelated argmin must stay two partial-agg groupBys +
+    joins on the part key: no cartesian, bounded exchanges (the two
+    aggs + at most one join layout — AQE may broadcast the dim sides
+    at this size, which adds no exchange)."""
+    df = q(spark, "q2_min_cost_supplier")
+    assert not has_cartesian(df)
+    assert shuffle_count(df) <= 4
+
+
+def test_pivot_is_single_aggregation_pipeline(spark):
+    """A16 with DECLARED pivot values must not run an eager distinct
+    scan: the plan is aggregation-only (no join), bounded exchanges."""
+    df = q(spark, "a16_pivot")
+    assert not has_cartesian(df)
+    assert broadcast_join_count(df) == 0
+    assert sort_merge_join_count(df) == 0
+    assert shuffle_count(df) <= 2  # pivot = two-phase aggregate
+
+
+def test_unpivot_adds_no_exchange_beyond_the_agg(spark):
+    """A17's Expand is map-side: the only shuffle is the aggregation
+    that built the wide frame."""
+    df = q(spark, "a17_unpivot")
+    assert shuffle_count(df) <= 1
+    assert not has_cartesian(df)
+
+
+def test_assign_nearest_never_shuffles_the_scoring(spark):
+    """ANN-ASSIGN: the centroid cross join must be broadcast (never a
+    shuffled cartesian); the only corpus-sized exchange is the final
+    per-vector argmax aggregation."""
+    from covid_engineering_spark.plans import has_broadcast_nested_loop
+
+    df = q(spark, "emb_assign_nearest")
+    assert not has_cartesian(df)
+    assert has_broadcast_nested_loop(df)
