@@ -486,7 +486,11 @@ def q_a18_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     appr = F.expr(
         "approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)"
     )
-    rel = lambda a, e: F.abs(a - e) / e <= 0.01  # noqa: E731
+    # bound with an absolute floor: a pure relative bound is undefined
+    # when the exact percentile is 0 (division by zero -> null flag)
+    rel = lambda a, e: F.abs(a - e) <= F.greatest(  # noqa: E731
+        0.01 * F.abs(e), F.lit(1e-9)
+    )
     return (
         li.groupBy("l_returnflag")
         .agg(
@@ -1326,12 +1330,18 @@ ORACLES = {
         FROM holes
     """,
     "f8_format": """
+        WITH c AS (
+            SELECT o_orderkey,
+                   CAST(ROUND(ROUND(o_totalprice, 2) * 100) AS BIGINT) AS cents
+            FROM orders
+        )
         SELECT o_orderkey,
-               format('{:,}', CAST(ROUND(ROUND(o_totalprice, 2) * 100) AS BIGINT) // 100)
+               CASE WHEN cents < 0 THEN '-' ELSE '' END
+               || format('{:,}', ABS(cents) // 100)
                || '.' ||
-               lpad(CAST(CAST(ROUND(ROUND(o_totalprice, 2) * 100) AS BIGINT) % 100 AS VARCHAR), 2, '0')
+               lpad(CAST(ABS(cents) % 100 AS VARCHAR), 2, '0')
                AS price_fmt
-        FROM orders
+        FROM c
     """,
     "json_extract": """
         SELECT event_id,
