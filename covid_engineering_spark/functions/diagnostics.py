@@ -36,3 +36,26 @@ def key_skew_stats(df: DataFrame, key: str) -> DataFrame:
         F.expr("approx_percentile(n, 0.99, 10000)").alias("p99_per_key"),
         F.round(F.max("n") / F.avg("n"), 4).alias("skew_ratio"),
     )
+
+
+def non_finite_counts(df: DataFrame, *cols: str) -> DataFrame:
+    """Per-column NaN / +-Infinity / NULL counts for double columns —
+    the ingest-time validation the decimal-accumulation contract
+    (``scalar.dsum``) assumes: Spark's non-ANSI NaN->DECIMAL cast is
+    NULL, so a NaN would silently vanish from money sums while the
+    DuckDB differential twin errors. Run this at the ingest edge and
+    quarantine or repair before aggregating. One partial-aggregated
+    pass, no shuffle beyond the single global row.
+    """
+    names = list(cols) or [
+        f.name for f in df.schema.fields if f.dataType.simpleString() == "double"
+    ]
+    aggs = []
+    for c in names:
+        col = F.col(c)
+        aggs += [
+            F.sum(F.isnan(col).cast("long")).alias(f"{c}_nan"),
+            F.sum((F.abs(col) == float("inf")).cast("long")).alias(f"{c}_inf"),
+            F.sum(col.isNull().cast("long")).alias(f"{c}_null"),
+        ]
+    return df.agg(*aggs)

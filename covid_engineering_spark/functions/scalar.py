@@ -23,6 +23,14 @@ def dsum(c: Column | str, scale: int = 2) -> Column:
 
     At scale this costs one widening per value — still whole-stage
     codegen, still a partial/final hash aggregate, no extra shuffle.
+
+    NaN policy (found by the adversarial oracle sweep): Spark's
+    non-ANSI ``CAST(NaN AS DECIMAL)`` yields NULL, so a NaN input row
+    silently DROPS OUT of the sum, while the DuckDB twin errors loudly
+    on the same cast. Money-like columns are therefore contracted
+    NaN-free at ingest — validate with
+    :func:`covid_engineering_spark.functions.diagnostics.non_finite_counts`
+    before trusting aggregates over external data.
     """
     c = F.col(c) if isinstance(c, str) else c
     return F.round(F.sum(c.cast("decimal(18,6)")).cast("double"), scale)

@@ -148,3 +148,22 @@ def test_every_registered_query_survives_nulls_and_empty_strings(spark, tmp_path
         except Exception as ex:  # noqa: BLE001 - collecting all failures
             failures[name] = repr(ex)[:120]
     assert not failures, failures
+
+
+def test_non_finite_counts_flags_nan_inf_null(spark):
+    from covid_engineering_spark.functions.diagnostics import (
+        non_finite_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0,), (float("nan"),), (float("inf",),), (float("-inf"),), (None,)],
+        "v double",
+    )
+    row = non_finite_counts(df, "v").first()
+    assert (row["v_nan"], row["v_inf"], row["v_null"]) == (1, 2, 1)
+    # the hazard this guards, pinned: NaN and +-Inf cast to DECIMAL as
+    # NULL under non-ANSI Spark, so they silently leave the sum — only
+    # the finite 1.0 survives
+    from covid_engineering_spark.functions import dsum
+
+    assert df.agg(dsum("v").alias("s")).first()["s"] == 1.0
