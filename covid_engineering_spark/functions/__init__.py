@@ -1,5 +1,8 @@
 from covid_engineering_spark.functions.caching import evicting_cache
-from covid_engineering_spark.functions.diagnostics import key_skew_stats
+from covid_engineering_spark.functions.diagnostics import (
+    key_skew_stats,
+    non_finite_counts,
+)
 from covid_engineering_spark.functions.scalar import (
     clamp_eps,
     davg,
@@ -15,5 +18,6 @@ __all__ = [
     "evicting_cache",
     "key_skew_stats",
     "missing_count",
+    "non_finite_counts",
     "safe_div",
 ]
