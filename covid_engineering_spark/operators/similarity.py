@@ -202,7 +202,21 @@ def _centroids(emb: DataFrame) -> DataFrame:
         return emb.sparkSession.createDataFrame(
             [], "c_id int, c_emb array<double>"
         )
-    model = KMeans(k=N_CENTROIDS, seed=42, maxIter=10).fit(sample)
+    # MLlib's k-means|| init throws ArrayIndexOutOfBounds when the
+    # sample holds fewer DISTINCT points than k (found by the skew
+    # sweep: duplicate/zero vectors). Clamp k to the distinct-vector
+    # count — measured via a hash of the serialized vector, which is
+    # collision-SAFE here: a collision only lowers the clamp, never
+    # raises it above the true distinct count. One extra distinct-agg
+    # job on the already-eager training path.
+    n_distinct = (
+        emb.filter(F.xxhash64("vec_id") % _TRAIN_SAMPLE_MOD == 0)
+        .select(F.xxhash64(F.col("embedding").cast("string")).alias("h"))
+        .distinct()
+        .count()
+    )
+    k_eff = max(1, min(N_CENTROIDS, n_distinct))
+    model = KMeans(k=k_eff, seed=42, maxIter=10).fit(sample)
     rows = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]

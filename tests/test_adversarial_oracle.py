@@ -154,3 +154,41 @@ def test_precondition_violations_still_execute(spark, patho_dir):
     reg = registry()
     for name in sorted(PRECONDITION_VIOLATED):
         assert reg[name](spark, patho_dir).count() >= 0, name
+
+
+@pytest.fixture(scope="module")
+def skew_dir(tmp_path_factory):
+    """Degenerate-key variant: ONE user owns every event, ONE label
+    owns every embedding (with duplicate zero vectors), timestamps
+    unique. Found the MLlib k-means|| crash on fewer distinct sample
+    points than k."""
+    root = str(tmp_path_factory.mktemp("skew_star"))
+    rows = _pathological_rows()
+    rows["events"] = [
+        (i, datetime.datetime(2024, 1, 1, 0, 0, i % 60, i), 0,
+         ["view", "click", "purchase", "signup", "error"][i % 5],
+         None if i % 4 == 0 else float(i % 7) - 3.0, '{"k":1}')
+        for i in range(30)
+    ]
+    rows["embeddings"] = [(i, _vec(i), 0) for i in range(16)]
+    for name, schema in schemas.STAR.items():
+        arrays, fields = [], []
+        for i, f in enumerate(schema.fields):
+            at = _arrow_type(f.dataType)
+            fields.append(pa.field(f.name, at))
+            arrays.append(pa.array([r[i] for r in rows[name]], type=at))
+        pq.write_table(
+            pa.Table.from_arrays(arrays, schema=pa.schema(fields)),
+            os.path.join(root, f"{name}.parquet"),
+        )
+    return root
+
+
+def test_every_query_executes_under_total_key_skew(spark, skew_dir):
+    failures = {}
+    for name, fn in registry().items():
+        try:
+            assert fn(spark, skew_dir).count() >= 0
+        except Exception as ex:  # noqa: BLE001 - collecting all failures
+            failures[name] = repr(ex)[:120]
+    assert not failures, failures
