@@ -38,14 +38,21 @@ def key_skew_stats(df: DataFrame, key: str) -> DataFrame:
     )
 
 
+#: Magnitude ceiling of the DECIMAL(18,6) accumulation type: values at
+#: or beyond it cast to NULL under non-ANSI Spark and silently leave
+#: decimal sums, exactly like NaN/Inf.
+DSUM_RANGE = 1e12
+
+
 def non_finite_counts(df: DataFrame, *cols: str) -> DataFrame:
-    """Per-column NaN / +-Infinity / NULL counts for double columns —
-    the ingest-time validation the decimal-accumulation contract
-    (``scalar.dsum``) assumes: Spark's non-ANSI NaN->DECIMAL cast is
-    NULL, so a NaN would silently vanish from money sums while the
-    DuckDB differential twin errors. Run this at the ingest edge and
-    quarantine or repair before aggregating. One partial-aggregated
-    pass, no shuffle beyond the single global row.
+    """Per-column NaN / +-Infinity / NULL / out-of-decimal-range counts
+    for double columns — the ingest-time validation the
+    decimal-accumulation contract (``scalar.dsum``) assumes: Spark's
+    non-ANSI cast of NaN, Infinity, OR a magnitude >= 1e12 to
+    DECIMAL(18,6) is NULL, so any of them silently vanishes from money
+    sums while the DuckDB differential twin errors. Run this at the
+    ingest edge and quarantine or repair before aggregating. One
+    partial-aggregated pass, no shuffle beyond the single global row.
     """
     names = list(cols) or [
         f.name for f in df.schema.fields if f.dataType.simpleString() == "double"
@@ -57,5 +64,13 @@ def non_finite_counts(df: DataFrame, *cols: str) -> DataFrame:
             F.sum(F.isnan(col).cast("long")).alias(f"{c}_nan"),
             F.sum((F.abs(col) == float("inf")).cast("long")).alias(f"{c}_inf"),
             F.sum(col.isNull().cast("long")).alias(f"{c}_null"),
+            # disjoint classes: Inf is counted by _inf, not again here
+            F.sum(
+                (
+                    (F.abs(col) >= DSUM_RANGE)
+                    & ~F.isnan(col)
+                    & (F.abs(col) != float("inf"))
+                ).cast("long")
+            ).alias(f"{c}_oob"),
         ]
     return df.agg(*aggs)

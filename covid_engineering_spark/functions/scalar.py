@@ -24,13 +24,16 @@ def dsum(c: Column | str, scale: int = 2) -> Column:
     At scale this costs one widening per value — still whole-stage
     codegen, still a partial/final hash aggregate, no extra shuffle.
 
-    NaN policy (found by the adversarial oracle sweep): Spark's
-    non-ANSI ``CAST(NaN AS DECIMAL)`` yields NULL, so a NaN input row
-    silently DROPS OUT of the sum, while the DuckDB twin errors loudly
-    on the same cast. Money-like columns are therefore contracted
-    NaN-free at ingest — validate with
+    NaN/range policy (found by the adversarial oracle sweep): Spark's
+    non-ANSI cast of NaN, +-Infinity, OR any magnitude >= 1e12 (past
+    DECIMAL(18,6)) to decimal yields NULL, so such input rows silently
+    DROP OUT of the sum, while the DuckDB twin errors loudly on the
+    same cast. Money-like columns are therefore contracted finite and
+    < 1e12 in magnitude at ingest — validate with
     :func:`covid_engineering_spark.functions.diagnostics.non_finite_counts`
-    before trusting aggregates over external data.
+    (which counts all three hazard classes) before trusting aggregates
+    over external data. The SUM itself widens to DECIMAL(28,6), so at
+    1e12 rows of in-range values the accumulator cannot overflow.
     """
     c = F.col(c) if isinstance(c, str) else c
     return F.round(F.sum(c.cast("decimal(18,6)")).cast("double"), scale)

@@ -156,14 +156,18 @@ def test_non_finite_counts_flags_nan_inf_null(spark):
     )
 
     df = spark.createDataFrame(
-        [(1.0,), (float("nan"),), (float("inf",),), (float("-inf"),), (None,)],
+        [(1.0,), (float("nan"),), (float("inf",),), (float("-inf"),), (None,),
+         (1e13,), (-2e12,)],
         "v double",
     )
     row = non_finite_counts(df, "v").first()
-    assert (row["v_nan"], row["v_inf"], row["v_null"]) == (1, 2, 1)
-    # the hazard this guards, pinned: NaN and +-Inf cast to DECIMAL as
-    # NULL under non-ANSI Spark, so they silently leave the sum — only
-    # the finite 1.0 survives
+    assert (row["v_nan"], row["v_inf"], row["v_null"], row["v_oob"]) == (
+        1, 2, 1, 2,
+    )
+    # the hazard this guards, pinned: NaN, +-Inf, AND out-of-decimal-
+    # range magnitudes cast to DECIMAL as NULL under non-ANSI Spark, so
+    # they silently leave the sum — only the finite in-range 1.0
+    # survives
     from covid_engineering_spark.functions import dsum
 
     assert df.agg(dsum("v").alias("s")).first()["s"] == 1.0
