@@ -57,20 +57,26 @@ def non_finite_counts(df: DataFrame, *cols: str) -> DataFrame:
     names = list(cols) or [
         f.name for f in df.schema.fields if f.dataType.simpleString() == "double"
     ]
+    if not names:
+        raise ValueError(
+            "non_finite_counts: no double columns to validate "
+            f"(frame columns: {df.columns})"
+        )
+    # coalesce: on a legitimately EMPTY batch every counter must read
+    # 0, not NULL — ingest gates assert equality against 0
+    zsum = lambda c: F.coalesce(F.sum(c.cast("long")), F.lit(0))  # noqa: E731
     aggs = []
     for c in names:
         col = F.col(c)
         aggs += [
-            F.sum(F.isnan(col).cast("long")).alias(f"{c}_nan"),
-            F.sum((F.abs(col) == float("inf")).cast("long")).alias(f"{c}_inf"),
-            F.sum(col.isNull().cast("long")).alias(f"{c}_null"),
+            zsum(F.isnan(col)).alias(f"{c}_nan"),
+            zsum(F.abs(col) == float("inf")).alias(f"{c}_inf"),
+            zsum(col.isNull()).alias(f"{c}_null"),
             # disjoint classes: Inf is counted by _inf, not again here
-            F.sum(
-                (
-                    (F.abs(col) >= DSUM_RANGE)
-                    & ~F.isnan(col)
-                    & (F.abs(col) != float("inf"))
-                ).cast("long")
+            zsum(
+                (F.abs(col) >= DSUM_RANGE)
+                & ~F.isnan(col)
+                & (F.abs(col) != float("inf"))
             ).alias(f"{c}_oob"),
         ]
     return df.agg(*aggs)

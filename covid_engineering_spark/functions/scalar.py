@@ -32,8 +32,11 @@ def dsum(c: Column | str, scale: int = 2) -> Column:
     < 1e12 in magnitude at ingest — validate with
     :func:`covid_engineering_spark.functions.diagnostics.non_finite_counts`
     (which counts all three hazard classes) before trusting aggregates
-    over external data. The SUM itself widens to DECIMAL(28,6), so at
-    1e12 rows of in-range values the accumulator cannot overflow.
+    over external data. The SUM widens to DECIMAL(28,6) (capacity
+    ~1e22), so the accumulator holds 1e12 rows up to an AVERAGE
+    magnitude of ~1e10 — past that, the overflow itself NULLs under
+    non-ANSI Spark; shard the aggregation (e.g. the A13 salt) before
+    approaching it.
     """
     c = F.col(c) if isinstance(c, str) else c
     return F.round(F.sum(c.cast("decimal(18,6)")).cast("double"), scale)

@@ -158,10 +158,7 @@ def q_s5_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # schema inference over a partitioned layout is an extra listing +
     # footer pass at 100 TB, and it THROWS on an empty sink instead of
     # returning the empty frame the schema describes.
-    back = spark.read.schema(
-        "c_custkey long, c_name string, c_nationkey int, "
-        "c_acctbal double, c_mktsegment string"
-    ).parquet(out)
+    back = spark.read.schema(schemas.STAR["customer"]).parquet(out)
     return back.select(
         "c_custkey",
         "c_name",

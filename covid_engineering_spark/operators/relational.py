@@ -486,24 +486,27 @@ def q_a18_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     appr = F.expr(
         "approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)"
     )
-    # bound with an absolute floor: a pure relative bound is undefined
-    # when the exact percentile is 0 (division by zero -> null flag)
+    # The flag compares the sketch against the UNROUNDED exact value
+    # (judging against the 4dp-rounded emission would fail on sub-cent
+    # data where the rounding error alone exceeds the bound), with an
+    # absolute floor because a pure relative bound is undefined when
+    # the exact percentile is 0.
     rel = lambda a, e: F.abs(a - e) <= F.greatest(  # noqa: E731
         0.01 * F.abs(e), F.lit(1e-9)
     )
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(exact50, 4).alias("p50"),
-            F.round(exact90, 4).alias("p90"),
+            exact50.alias("_e50"),
+            exact90.alias("_e90"),
             appr.alias("_ap"),
         )
         .select(
             "l_returnflag",
-            "p50",
-            "p90",
-            rel(F.element_at("_ap", 1), F.col("p50")).alias("p50_within"),
-            rel(F.element_at("_ap", 2), F.col("p90")).alias("p90_within"),
+            F.round("_e50", 4).alias("p50"),
+            F.round("_e90", 4).alias("p90"),
+            rel(F.element_at("_ap", 1), F.col("_e50")).alias("p50_within"),
+            rel(F.element_at("_ap", 2), F.col("_e90")).alias("p90_within"),
         )
     )
 

@@ -189,34 +189,34 @@ def _centroids(emb: DataFrame) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    sample = emb.filter(
-        F.xxhash64("vec_id") % _TRAIN_SAMPLE_MOD == 0
-    ).select(
+    filtered = emb.filter(F.xxhash64("vec_id") % _TRAIN_SAMPLE_MOD == 0)
+    sample = filtered.select(
         array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
     )
-    if sample.isEmpty():
-        # graceful degrade on an empty corpus: no codebook to fit —
-        # emit an empty codebook so the query returns zero rows
-        # instead of an MLlib fit error (isEmpty costs one
-        # first-partition probe on the already-eager training path)
-        return emb.sparkSession.createDataFrame(
-            [], "c_id int, c_emb array<double>"
-        )
     # MLlib's k-means|| init throws ArrayIndexOutOfBounds when the
     # sample holds fewer DISTINCT points than k (found by the skew
     # sweep: duplicate/zero vectors). Clamp k to the distinct-vector
-    # count — measured via a hash of the serialized vector, which is
-    # collision-SAFE here: a collision only lowers the clamp, never
-    # raises it above the true distinct count. One extra distinct-agg
-    # job on the already-eager training path.
+    # count — measured via a hash of the serialized vector from the
+    # SAME filtered frame the fit consumes (one predicate, one source
+    # of truth), which is collision-SAFE: a collision only lowers the
+    # clamp, never raises it above the true distinct count. The count
+    # doubles as the empty-corpus probe (0 distinct -> empty codebook,
+    # no fit), so the training path runs exactly two jobs: this
+    # distinct-agg and the fit itself.
     n_distinct = (
-        emb.filter(F.xxhash64("vec_id") % _TRAIN_SAMPLE_MOD == 0)
-        .select(F.xxhash64(F.col("embedding").cast("string")).alias("h"))
+        filtered.select(
+            F.xxhash64(F.col("embedding").cast("string")).alias("h")
+        )
         .distinct()
         .count()
     )
-    k_eff = max(1, min(N_CENTROIDS, n_distinct))
-    model = KMeans(k=k_eff, seed=42, maxIter=10).fit(sample)
+    if n_distinct == 0:
+        return emb.sparkSession.createDataFrame(
+            [], "c_id int, c_emb array<double>"
+        )
+    model = KMeans(
+        k=min(N_CENTROIDS, n_distinct), seed=42, maxIter=10
+    ).fit(sample)
     rows = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]

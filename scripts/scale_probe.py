@@ -227,6 +227,7 @@ def main() -> None:
         ).format("noop").save()
 
     out: dict = {"metric": "scale_probe", "x": REPLICAS, "base": BASE}
+    seen_names: set = set()
     for name, fn in (
         ("wrangle_clean_complete", wrangle),
         ("dedup_minhash_lsh", minhash),
@@ -242,6 +243,7 @@ def main() -> None:
     ):
         if ONLY and name not in ONLY:
             continue
+        seen_names.add(name)
         # Release the previous pipeline's lingering blocks (cached
         # frames, localCheckpoint RDDs await async ContextCleaner GC)
         # so each measurement starts from the same storage state —
@@ -267,6 +269,13 @@ def main() -> None:
             f"t_{REPLICAS}x_sec": round(t10, 2),
             "exponent": round(math.log(t10 / t1) / math.log(REPLICAS), 3),
         }
+    if ONLY:
+        unknown = ONLY - seen_names
+        if unknown:
+            raise SystemExit(
+                f"SPARK_GRAFT_PROBE_ONLY names not in the pipeline set: "
+                f"{sorted(unknown)}"
+            )
     print(json.dumps(out))
     spark.stop()
 
