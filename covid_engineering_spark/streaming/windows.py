@@ -77,11 +77,14 @@ def stream_events(
     source_dir: str,
     watermark: str = "2 hours",
     reader_options: dict[str, str] | None = None,
+    slide: str | None = None,
 ) -> DataFrame:
-    """Streaming flavor: parquet file source -> event-time tumbling
-    aggregation with a watermark bounding late data and state. Start
-    with ``.writeStream.trigger(availableNow=True)`` for a catch-up
-    run, or a processing-time trigger for continuous ingest.
+    """Streaming flavor: parquet file source -> event-time windowed
+    aggregation with a watermark bounding late data and state. Pass
+    ``slide`` for the overlapping-window (sliding) face; default is
+    tumbling. Start with ``.writeStream.trigger(availableNow=True)``
+    for a catch-up run, or a processing-time trigger for continuous
+    ingest.
     """
     from covid_engineering_spark import schemas
 
@@ -97,8 +100,11 @@ def stream_events(
         .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", watermark)
     )
+    win = (
+        F.window("ts", "1 hour", slide) if slide else F.window("ts", "1 hour")
+    )
     return (
-        stream.groupBy(F.window("ts", "1 hour").alias("w"))
+        stream.groupBy(win.alias("w"))
         .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
         .select(
             F.col("w.start").cast("timestamp_ntz").alias("window_start"),

@@ -49,6 +49,35 @@ def test_streaming_equals_batch(spark, source_dir):
     assert len(got) > 0
 
 
+def test_sliding_streaming_equals_batch(spark, source_dir):
+    """The overlapping-window face must also hold under incremental
+    execution: every event lands in TWO windows, and the availableNow
+    run over chunked arrivals must equal the batch sliding aggregate
+    exactly (the last window face that only had batch verification)."""
+    from covid_engineering_spark.streaming.windows import sliding_agg
+
+    q = (
+        stream_events(spark, source_dir, slide="30 minutes")
+        .writeStream.format("memory")
+        .queryName("slide_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r.window_start), str(r.window_end)): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM slide_stream").collect()
+    }
+    want = {
+        (str(r.window_start), str(r.window_end)): (r.n_events, r.sum_value)
+        for r in sliding_agg(spark.read.parquet(source_dir)).collect()
+    }
+    assert got == want
+    # genuinely sliding: half-hour-offset windows must exist
+    assert any(ws.endswith("30:00") for ws, _ in got)
+
+
 def test_watermark_drops_late_data_across_restart(spark, tmp_path):
     """Concrete late-data semantics, production-shaped: run 1 advances
     the watermark to 11:00 (max 13:00 − 2h) and checkpoints it; run 2
