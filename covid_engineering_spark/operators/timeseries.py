@@ -93,6 +93,76 @@ def q_ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(read_table(spark, sf_dir, "events"))
 
 
+def rollup_partial(ev: DataFrame, every: str = EVERY) -> DataFrame:
+    """Mergeable partial rollup: the OHLC aggregate of ``resample``
+    with the merge keys carried — exact decimal sums (additive),
+    first/last event times (so open/close stay selectable after a
+    merge), min/max. The building block of incremental materialized
+    rollups: partials from disjoint event batches combine via
+    :func:`rollup_merge` into exactly the full recompute.
+    """
+    return (
+        ev.groupBy(
+            F.date_trunc(every, "ts").alias("bucket"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("_sum_dec"),
+            F.min("ts").alias("_first_ts"),
+            F.max("ts").alias("_last_ts"),
+            F.min_by("value", "ts").alias("open_value"),
+            F.max_by("value", "ts").alias("close_value"),
+            F.min("value").alias("low"),
+            F.max("value").alias("high"),
+        )
+    )
+
+
+def rollup_merge(partials: DataFrame) -> DataFrame:
+    """Combine partial rollups (a union of :func:`rollup_partial`
+    outputs over disjoint batches) into the final OHLC frame. Every
+    aggregate is mergeable: counts and decimal sums add; open/close
+    re-select by the carried first/last event time; min/max nest.
+    The shuffle carries one row per (bucket, type) PER BATCH — at
+    100 TB this is how an hourly rollup absorbs a new day of events
+    without rereading history (refresh cost = O(batch + touched
+    buckets), never O(corpus)).
+    """
+    return (
+        partials.groupBy("bucket", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("_sum_dec").cast("double"), 2).alias("sum_value"),
+            F.min_by("open_value", "_first_ts").alias("open_value"),
+            F.max_by("close_value", "_last_ts").alias("close_value"),
+            F.min("low").alias("low"),
+            F.max("high").alias("high"),
+        )
+        .select(
+            "bucket", "event_type", "n_events", "sum_value",
+            "open_value", "close_value", "low", "high",
+        )
+    )
+
+
+def q_ts_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance, driver-PROVEN: the event log is
+    hash-split into a standing corpus and an arriving batch, each side
+    is partially rolled up, and the partials merge. The oracle is the
+    FULL recompute over all events (``resample``'s own SQL twin), so
+    the driver hash-match is a proof that the merge is lossless — the
+    mergeable-aggregate property every incremental materialized view
+    stands on. Same unique-timestamp determinism contract as
+    ``ts_resample``.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    corpus = ev.filter(F.col("event_id") % 5 != 0)
+    batch = ev.filter(F.col("event_id") % 5 == 0)
+    partials = rollup_partial(corpus).unionByName(rollup_partial(batch))
+    return rollup_merge(partials)
+
+
 #: Ordered funnel steps: a later step only counts if it happens
 #: STRICTLY AFTER the user's earliest completion of the previous step.
 FUNNEL_STEPS = ["view", "click", "purchase"]
@@ -454,6 +524,7 @@ def q_ts_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "ts_resample": q_ts_resample,
+    "ts_rollup_incremental": q_ts_rollup_incremental,
     "ts_sessionize": q_ts_sessionize,
     "ts_funnel": q_ts_funnel,
     "ts_funnel_steps": q_ts_funnel_steps,
@@ -619,6 +690,19 @@ ORACLES = {
         SELECT spine.user_id, spine.day,
                COALESCE(daily.n, 0) AS n_events
         FROM spine LEFT JOIN daily USING (user_id, day)
+    """,
+    "ts_rollup_incremental": """
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+                   AS sum_value,
+               arg_min(value, CAST(ts AS TIMESTAMP)) AS open_value,
+               arg_max(value, CAST(ts AS TIMESTAMP)) AS close_value,
+               MIN(value) AS low,
+               MAX(value) AS high
+        FROM events
+        GROUP BY 1, 2
     """,
     "ts_resample": """
         SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,

@@ -59,7 +59,7 @@ _MODULES = [
 #: CORRECTNESS_r02.json, so the never-driver-checked tail
 #: (ROUND3_ROTATED in tests/test_registry_order.py) rotates to the
 #: front, followed by the operators born this round (ROUND3_NEW).
-#: TWENTY-EIGHT r02-green entries are displaced past slot 50 to make
+#: TWENTY-NINE r02-green entries are displaced past slot 50 to make
 #: room (enumerated in the ROUND3_NEW comments below — their
 #: verification history is on record in CORRECTNESS_r02.json); the
 #: rest of the window re-verifies the hard tier.
@@ -121,6 +121,11 @@ PRIORITY = [
     # join — displacing ann_cosine_topk (r02-green; ann_lsh/ann_ivf/
     # emb_centroid keep the ANN family in the window).
     "q2_min_cost_supplier",
+    # Fifth round-3 batch: incremental rollup maintenance — partials
+    # merged and hash-proven equal to the full recompute (displacing
+    # covid_param_series, r02-green; covid_transfer_sim keeps the
+    # family in the window).
+    "ts_rollup_incremental",
     # Hard tier, re-verified (r02-green).
     "w6_interpolate",
     "wrangle_clean_complete",
@@ -146,7 +151,6 @@ PRIORITY = [
     "mm_feature_extract",
     "s1_csv_scan",
     "s2_sqlite_ingest",
-    "covid_param_series",
     "covid_transfer_sim",
     "pipe_keep_best",
 ]

@@ -6,7 +6,7 @@ of driver verification.
 Round-3 state: every round-2 window slot greened in
 CORRECTNESS_r02.json, so the never-driver-checked round-2 tail
 (ROUND3_ROTATED) rotated to the front of the window, followed by the
-operators born during round 3 (ROUND3_NEW); twenty-eight r02-green
+operators born during round 3 (ROUND3_NEW); twenty-nine r02-green
 entries were displaced past slot 50 (their history — strict three-axis
 hash matches over non-empty results — is on record; see queries.py for
 the enumeration). dedup_embedding deliberately stays in the window:
@@ -60,6 +60,7 @@ ROUND3_NEW = {
     "mm_frame_sample",
     "mm_resize",
     "q2_min_cost_supplier",
+    "ts_rollup_incremental",
 }
 
 #: Round-4 rotation queue: if the window saturates with

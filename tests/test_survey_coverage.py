@@ -117,6 +117,7 @@ SURVEY_MAP = {
     "STR-DEDUP": "stream_dedup",
     # time-series rollup + event analytics
     "TS-RESAMPLE": "ts_resample",
+    "TS-ROLLUPINC": "ts_rollup_incremental",
     "TS-SESSIONIZE": "ts_sessionize",
     "TS-FUNNEL": "ts_funnel",
     "TS-COHORT": "ts_cohort",
