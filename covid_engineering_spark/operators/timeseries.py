@@ -139,28 +139,38 @@ def rollup_merge(partials: DataFrame) -> DataFrame:
             F.min("low").alias("low"),
             F.max("high").alias("high"),
         )
-        .select(
-            "bucket", "event_type", "n_events", "sum_value",
-            "open_value", "close_value", "low", "high",
-        )
+    )
+
+
+#: Deterministic hash-split for the incremental-rollup demonstration:
+#: event_id % INC_ROLLUP_MOD == 0 is the "arriving batch".
+INC_ROLLUP_MOD = 5
+
+
+def incremental_rollup(ev: DataFrame) -> DataFrame:
+    """Split the event log into a standing corpus and an arriving
+    batch, partially roll up each side, and merge — ONE definition
+    shared by the registered query and the example, so the split key
+    cannot drift between them.
+    """
+    corpus = ev.filter(F.col("event_id") % INC_ROLLUP_MOD != 0)
+    batch = ev.filter(F.col("event_id") % INC_ROLLUP_MOD == 0)
+    return rollup_merge(
+        rollup_partial(corpus).unionByName(rollup_partial(batch))
     )
 
 
 def q_ts_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental rollup maintenance, driver-PROVEN: the event log is
     hash-split into a standing corpus and an arriving batch, each side
-    is partially rolled up, and the partials merge. The oracle is the
-    FULL recompute over all events (``resample``'s own SQL twin), so
-    the driver hash-match is a proof that the merge is lossless — the
+    is partially rolled up, and the partials merge. The oracle IS the
+    ``ts_resample`` twin — the full recompute over all events — so the
+    driver hash-match is a proof that the merge is lossless: the
     mergeable-aggregate property every incremental materialized view
     stands on. Same unique-timestamp determinism contract as
     ``ts_resample``.
     """
-    ev = read_table(spark, sf_dir, "events")
-    corpus = ev.filter(F.col("event_id") % 5 != 0)
-    batch = ev.filter(F.col("event_id") % 5 == 0)
-    partials = rollup_partial(corpus).unionByName(rollup_partial(batch))
-    return rollup_merge(partials)
+    return incremental_rollup(read_table(spark, sf_dir, "events"))
 
 
 #: Ordered funnel steps: a later step only counts if it happens
@@ -691,19 +701,6 @@ ORACLES = {
                COALESCE(daily.n, 0) AS n_events
         FROM spine LEFT JOIN daily USING (user_id, day)
     """,
-    "ts_rollup_incremental": """
-        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
-               event_type,
-               COUNT(*) AS n_events,
-               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
-                   AS sum_value,
-               arg_min(value, CAST(ts AS TIMESTAMP)) AS open_value,
-               arg_max(value, CAST(ts AS TIMESTAMP)) AS close_value,
-               MIN(value) AS low,
-               MAX(value) AS high
-        FROM events
-        GROUP BY 1, 2
-    """,
     "ts_resample": """
         SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
                event_type,
@@ -736,3 +733,8 @@ ORACLES = {
         FROM flagged
     """,
 }
+
+# The incremental rollup's oracle IS the full-recompute twin: one SQL
+# definition, so the two can never diverge — and the shared text is
+# precisely what makes the driver hash-match a losslessness proof.
+ORACLES["ts_rollup_incremental"] = ORACLES["ts_resample"]

@@ -100,11 +100,8 @@ def stream_events(
         .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", watermark)
     )
-    win = (
-        F.window("ts", "1 hour", slide) if slide else F.window("ts", "1 hour")
-    )
     return (
-        stream.groupBy(win.alias("w"))
+        stream.groupBy(F.window("ts", "1 hour", slide).alias("w"))
         .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
         .select(
             F.col("w.start").cast("timestamp_ntz").alias("window_start"),

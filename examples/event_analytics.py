@@ -40,9 +40,8 @@ from covid_engineering_spark.operators.timeseries import (
     active_users,
     funnel_single_pass,
     hourly_profile,
+    incremental_rollup,
     resample,
-    rollup_merge,
-    rollup_partial,
     rolling_anomaly,
     sessionize,
 )
@@ -96,15 +95,16 @@ def main(
     n_anom = rolling_anomaly(ev).filter(F.col("is_anomaly")).count()
 
     # 6. hourly OHLC rollup, partitioned by series for pruned reads —
-    # maintained INCREMENTALLY: the standing rollup absorbs an arriving
-    # batch by merging partials (refresh cost O(batch + touched
-    # buckets)), and the merge provably equals the full recompute
-    standing = rollup_partial(ev.filter(F.col("event_id") % 5 != 0))
-    arriving = rollup_partial(ev.filter(F.col("event_id") % 5 == 0))
-    merged = rollup_merge(standing.unionByName(arriving))
-    assert merged.exceptAll(resample(ev)).count() == 0  # lossless merge
-    write_partitioned(merged, f"{out_dir}/hourly", "event_type")
-    back = spark.read.parquet(f"{out_dir}/hourly")
+    # maintained INCREMENTALLY (the driver-verified helper: a standing
+    # rollup absorbs an arriving batch by merging partials, refresh
+    # cost O(batch + touched buckets)). Written once, then the
+    # written-back data is proven EQUAL to the full recompute in both
+    # directions (subset checks alone would miss dropped groups).
+    write_partitioned(incremental_rollup(ev), f"{out_dir}/hourly", "event_type")
+    back = spark.read.parquet(f"{out_dir}/hourly").select(*resample(ev).columns)
+    full = resample(ev)
+    assert back.exceptAll(full).count() == 0
+    assert full.exceptAll(back).count() == 0
 
     print(f"events            : {n_events}")
     print(
