@@ -28,8 +28,10 @@ from tests.oracle_check import compare, duck_con
 #: - mm_*: the byte/char oracle equivalence requires an ASCII corpus
 #:   (multimodal.py ORACLES comment; asserted for the real corpus in
 #:   test_multimodal) — this corpus is deliberately unicode.
-#: - ts_resample: min_by/max_by open/close determinism requires unique
-#:   event timestamps (timeseries.py module docstring) — all equal here.
+#: - ts_resample / ts_rollup_incremental: min_by/max_by open/close
+#:   determinism requires unique event timestamps (timeseries.py module
+#:   docstring; the incremental form documents the same contract) —
+#:   all equal here.
 #: - pipe_cdc_upsert: latest-wins requires a total order on ts within a
 #:   key (pipeline.py cdc_upsert docstring) — all equal here.
 PRECONDITION_VIOLATED = {
@@ -37,6 +39,7 @@ PRECONDITION_VIOLATED = {
     "mm_frame_sample",
     "mm_resize",
     "ts_resample",
+    "ts_rollup_incremental",
     "pipe_cdc_upsert",
 }
 
