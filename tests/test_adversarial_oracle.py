@@ -1,6 +1,7 @@
 """Adversarial differential sweep: every oracle comparison re-run on
 PATHOLOGICAL data — duplicate timestamps, aggregate ties, negative and
-zero money values, unicode text, zero vectors, empty strings. The
+zero money values, unicode text, zero vectors, empty strings, NULL
+join keys and event types, and a multi-thousand-word document. The
 well-behaved driver testdata never exercises these paths; this net
 caught two real oracle defects on first run (the f8 money formatter
 broke on negative cents, and a18's pure-relative error bound was
@@ -73,12 +74,14 @@ def _pathological_rows():
         "x y z w v u t s",
         "ASCII only plain text here",
         "",
+        " ".join(f"w{k % 97}" for k in range(2000)),  # giant doc
     ]
     return {
         "region": [(0, "R0"), (1, "R1")],
         "nation": [(0, "N0", 0), (1, "N1", 0), (2, "N2", 1)],
         "customer": [
-            (i, f"c{i}", i % 3, [-5.0, 0.0, 0.0, 7.25][i % 4],
+            (i, f"c{i}", None if i % 5 == 0 else i % 3,
+             [-5.0, 0.0, 0.0, 7.25][i % 4],
              ["BUILDING", "AUTOMOBILE"][i % 2])
             for i in range(12)
         ],
@@ -88,9 +91,10 @@ def _pathological_rows():
              [899.0, 925.0, 950.0, 975.0, 999.99][i % 5])
             for i in range(8)
         ],
+        # NULL foreign keys: inner joins must drop them identically
         "orders": [
-            (i, i % 12, ["F", "O", "P"][i % 3], [-1.5, 0.0, 100.0][i % 3],
-             D(2020, 1, 1 + (i % 3)), "1-URGENT")
+            (i, None if i % 7 == 0 else i % 12, ["F", "O", "P"][i % 3],
+             [-1.5, 0.0, 100.0][i % 3], D(2020, 1, 1 + (i % 3)), "1-URGENT")
             for i in range(20)
         ],
         "lineitem": [
@@ -103,7 +107,8 @@ def _pathological_rows():
         # time-tiebreak assumption
         "events": [
             (i, D(2024, 1, 1), i % 3,
-             ["view", "click", "purchase", "signup", "error"][i % 5],
+             None if i % 11 == 0
+             else ["view", "click", "purchase", "signup", "error"][i % 5],
              None if i % 4 == 0 else float(i % 7) - 3.0, '{"k":1}')
             for i in range(30)
         ],
