@@ -75,6 +75,7 @@ def _pathological_rows():
         "ASCII only plain text here",
         "",
         " ".join(f"w{k % 97}" for k in range(2000)),  # giant doc
+        'line\nbreak\ttab "quoted, comma"',  # control chars + CSV/JSON traps
     ]
     return {
         "region": [(0, "R0"), (1, "R1")],
