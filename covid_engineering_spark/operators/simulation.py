@@ -212,7 +212,19 @@ def q_x3_sird_mse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(Window.partitionBy("country").orderBy("day")) - 1,
     )
     sim = _x1_from_daily(daily)  # one events scan+agg shared by both arms
-    err = F.col("i") - F.col("val")
+    # err from the 6dp-QUANTIZED i — exactly the values the x1 oracle
+    # hash-verifies — not the raw double: the square amplifies any
+    # final-bit float divergence between the two engines' Euler
+    # recurrences by 2·err (~1e6 here), which at sf0.1 pushed one
+    # country's mean onto a 4dp rounding knife-edge. Quantizing first
+    # makes x3 bit-consistent wherever x1 is.
+    err = F.round(F.col("i"), 6) - F.col("val")
+    # Final round at 2dp, not 4: the MSE magnitudes here reach ~1e11,
+    # where a double's ulp (~1.5e-5) already swallows the 4th decimal
+    # and DuckDB's ROUND(x, 4) — which scales by 10^4 before rounding —
+    # leaves exact-integer double range and misrounds (found by the
+    # sf0.1 sweep: one country landed one ulp apart). At 2dp the
+    # scaled value stays well inside 2^53 in both engines.
     return (
         sim.join(actual, ["country", "t"])
         .groupBy("country")
@@ -220,7 +232,7 @@ def q_x3_sird_mse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum((err * err).cast("decimal(38,6)")).cast("double")
                 / F.count("*"),
-                4,
+                2,
             ).alias("mse_i")
         )
     )
@@ -341,8 +353,9 @@ ORACLES = {
             FROM daily
         )
         SELECT rec.country,
-               ROUND(CAST(SUM(CAST((i - val) * (i - val) AS DECIMAL(38,6))) AS DOUBLE)
-                     / COUNT(*), 4) AS mse_i
+               ROUND(CAST(SUM(CAST((ROUND(i, 6) - val) * (ROUND(i, 6) - val)
+                              AS DECIMAL(38,6))) AS DOUBLE)
+                     / COUNT(*), 2) AS mse_i
         FROM rec JOIN actual ON rec.country = actual.country AND rec.t = actual.t
         GROUP BY rec.country
     """,
