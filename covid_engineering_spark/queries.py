@@ -130,7 +130,11 @@ PRIORITY = [
     "w6_interpolate",
     "wrangle_clean_complete",
     "x1_sird_sim",
-    "x2_sird_transfer",
+    # x3 re-enters the window: its MSE emission changed this round
+    # (2dp large-magnitude stabilization), so the r02 row no longer
+    # describes the shipped output; x2 (unchanged, r02-green) cedes
+    # the slot.
+    "x3_sird_mse",
     "m1_ols_origin",
     "dedup_exact",
     "dedup_ngram_jaccard",
