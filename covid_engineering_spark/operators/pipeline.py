@@ -315,6 +315,10 @@ def connected_components(
             F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias(
                 "lbl"
             ),
+            # the round's STARTING label rides along so convergence is
+            # a scan of the checkpointed output, not a join back onto
+            # the previous labels frame (one fewer shuffle per round)
+            F.col("lbl").alias("prev_lbl"),
         )
         # pointer jumping (path halving): also adopt the label OF the
         # label — every label is itself a vertex, so this is an inner
@@ -326,15 +330,11 @@ def connected_components(
         jumped = a.join(b, F.col("a.lbl") == F.col("b.v")).select(
             F.col("a.v").alias("v"),
             F.least(F.col("a.lbl"), F.col("b.lbl")).alias("lbl"),
+            F.col("a.prev_lbl").alias("prev_lbl"),
         )
         new = jumped.localCheckpoint(eager=True)
-        changed = (
-            new.withColumnRenamed("lbl", "new_lbl")
-            .join(labels, "v")
-            .filter(F.col("new_lbl") != F.col("lbl"))
-            .count()
-        )
-        labels = new
+        changed = new.filter(F.col("lbl") != F.col("prev_lbl")).count()
+        labels = new.select("v", "lbl")
         if changed == 0:
             break
     if changed != 0:
