@@ -67,9 +67,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twins of ``queries()`` entries; the one
-    key absent here (``ann_ivf_topk``, keyed on a fitted MLlib k-means
-    codebook nothing SQL can replay) gets the driver's rows-only check.
+    """DuckDB-runnable ANSI SQL twins of ``queries()`` entries — one
+    per registered query, no rows-only exceptions: even the IVF ANN
+    index replays in SQL (deterministic md5-sampled + one-Lloyd-step
+    codebook; the MLlib k-means codebook remains a lib-level option).
     """
     from covid_engineering_spark.queries import oracles
 

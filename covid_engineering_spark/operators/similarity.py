@@ -224,19 +224,113 @@ def _centroids(emb: DataFrame) -> DataFrame:
 
 
 def _assign(vectors: DataFrame, cent: DataFrame, id_col: str, emb_col: str, n: int) -> DataFrame:
-    """Attach the n nearest centroid ids to each vector: broadcast the
-    (tiny) codebook, score all K per vector, keep top-n per vector via
-    one window — the corpus is scanned once and never shuffled by the
-    scoring itself.
+    """Attach the n nearest centroid ids to each vector, entirely
+    map-side: the (tiny, ≤K-row) codebook collapses to ONE array row,
+    that row is broadcast, and each vector scores all K centroids and
+    picks its top-n inside a single projection — a per-row array sort
+    of K structs, no window, no shuffle. The corpus is scanned once
+    and NEVER repartitioned by assignment (the earlier window form
+    shuffled every (vector × centroid) row on the vector id, i.e. a
+    full-corpus exchange carrying embeddings).
+
+    Ordering: ascending array_sort on (cosine, -c_id) then reverse ≡
+    cosine DESC, c_id ASC — the oracle's ORDER BY, including the
+    null-cosine case (Spark sorts null-first ascending, so reverse
+    puts nulls last, matching DuckDB's DESC NULLS LAST).
     """
-    cos = cosine_expr(F.col(emb_col), F.col("c_emb"))
-    w = Window.partitionBy(id_col).orderBy(F.desc("c_cos"), "c_id")
+    carr = cent.agg(
+        F.collect_list(F.struct(F.col("c_id"), F.col("c_emb"))).alias("cents")
+    )
+
+    def _scored(s):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(emb_col),
+                s["c_emb"],
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.struct(
+            F.round(dot, 6).alias("cs"), (-s["c_id"]).alias("ns")
+        )
+
+    top = F.slice(
+        F.reverse(F.array_sort(F.transform(F.col("cents"), _scored))), 1, n
+    )
     return (
-        vectors.join(F.broadcast(cent))
-        .select(id_col, emb_col, "c_id", cos.alias("c_cos"))
-        .withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= n)
-        .drop("_r", "c_cos")
+        vectors.join(F.broadcast(carr))
+        .select(id_col, emb_col, F.explode(top).alias("hit"))
+        .select(
+            id_col,
+            emb_col,
+            (-F.col("hit.ns")).cast("int").alias("c_id"),
+        )
+    )
+
+
+def deterministic_codebook(emb: DataFrame) -> DataFrame:
+    """Engine-independent IVF codebook: K seed vectors drawn by
+    md5-rank (a deterministic uniform sample — the standard random
+    init of k-means) refined by ONE Lloyd step whose cell means
+    accumulate in DECIMAL(18,9) (order-independent, so identical under
+    any partitioning). Every arithmetic step — the md5 sample, the
+    6dp-rounded seed cosines, the decimal means — is replayable in
+    ANSI SQL, which is what lets ``ann_ivf_topk`` carry a full SQL
+    twin (``_ivf_oracle_sql``) instead of a rows-only check. Recall on
+    the near-uniform synthetic corpus matches the MLlib-KMeans
+    codebook (~0.7 at the same probe budget; measured in tests);
+    ``_centroids`` remains the production path when iterated k-means
+    is worth an eager fit — this codebook is a LAZY plan (the
+    registered query runs no job until the driver acts on it).
+
+    Scale shape: the seed draw is ``orderBy(md5).limit(K)`` — Catalyst
+    plans TakeOrderedAndProject (per-partition top-K then a K-row
+    merge), never a global sort; the Lloyd step broadcasts the K-row
+    seed table, scores map-side, and collapses via ``max_by`` partial
+    aggregation; the mean shuffle carries cells × DIM rows regardless
+    of corpus size.
+    """
+    key = F.md5(F.col("vec_id").cast("string"))
+    seeds0 = (
+        emb.select("vec_id", "embedding").orderBy(key, "vec_id").limit(N_CENTROIDS)
+    )
+    # rank → seed id over the K-row result (window over ≤K rows)
+    w = Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    seeds = seeds0.select(
+        (F.row_number().over(w) - 1).alias("s_id"),
+        F.col("embedding").alias("s_emb"),
+    )
+    # one Lloyd E-step through the same map-side argmax the probe path
+    # uses (best cosine, smallest seed id on ties — the oracle's
+    # ORDER BY cs DESC, s_id): no shuffle touches the corpus here
+    assigned = _assign(
+        emb.select("vec_id", "embedding"),
+        seeds.select(
+            F.col("s_id").alias("c_id"), F.col("s_emb").alias("c_emb")
+        ),
+        "vec_id",
+        "embedding",
+        1,
+    ).select("vec_id", "embedding", F.col("c_id").alias("cell"))
+    x = assigned.select("cell", F.posexplode("embedding").alias("pos0", "x"))
+    cm = x.groupBy("cell", (F.col("pos0") + 1).alias("pos")).agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(18,9)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("cv")
+    )
+    return (
+        cm.groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s["cv"],
+            ).alias("c_emb")
+        )
+        .select(F.col("cell").alias("c_id"), "c_emb")
     )
 
 
@@ -245,11 +339,14 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted list (n=1); each query probes its N_PROBE nearest lists
     and scores only those vectors. The candidate join is an equi-join
     on c_id — at 100 TB the inverted lists are the partition layout,
-    so a probe touches 1/K of the corpus per list. (Rows-only check:
-    recall is probabilistic; measured against brute force in tests.)
+    so a probe touches 1/K of the corpus per list. The registered form
+    uses the deterministic sampled-init + one-Lloyd-step codebook, so
+    the ENTIRE path (codebook, list assignment, probes, scoring) is
+    hash-checked by a generated SQL twin; recall is additionally
+    measured against brute force in tests.
     """
     emb = read_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, _centroids(emb))
+    return ivf_topk(emb, deterministic_codebook(emb))
 
 
 def ivf_topk(emb: DataFrame, cent: DataFrame) -> DataFrame:
@@ -512,8 +609,91 @@ def _lsh_oracle_sql() -> str:
     """
 
 
+def _ivf_oracle_sql() -> str:
+    """Generated DuckDB twin of ``q_ann_ivf_topk``: replays the
+    md5-ranked seed draw, the 6dp-rounded seed assignment, the
+    DECIMAL(18,9) Lloyd means, the probe selection, and the final
+    scoring — step for step. Both engines fold dot products
+    sequentially over the same doubles and round at the same 6dp
+    points, so every intermediate (and therefore the candidate set)
+    agrees exactly; the one Lloyd refinement uses decimal sums, so the
+    cell means are accumulation-order independent on the Spark side.
+    """
+    return f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                   embedding AS raw
+            FROM embeddings
+        ),
+        seeds AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                      vec_id) - 1 AS s_id,
+                   v AS s_emb
+            FROM e
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT {N_CENTROIDS}
+        ),
+        assigned AS (
+            SELECT vec_id, raw, s_id AS cell FROM (
+                SELECT e.vec_id, e.raw, s.s_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY ROUND(list_dot_product(e.v, s.s_emb), 6)
+                                    DESC, s.s_id) AS rn
+                FROM e CROSS JOIN seeds s
+            ) t WHERE rn = 1
+        ),
+        cm AS (
+            SELECT cell, i AS pos,
+                   ROUND(CAST(SUM(CAST(raw[i] AS DECIMAL(18,9))) AS DOUBLE)
+                         / COUNT(*), 6) AS cv
+            FROM assigned, generate_series(1, {DIM}) AS t(i)
+            GROUP BY 1, 2
+        ),
+        cent AS (
+            SELECT cell AS c_id, list(cv ORDER BY pos) AS c
+            FROM cm GROUP BY cell
+        ),
+        corpus AS (
+            SELECT n_id, n_emb, c_id FROM (
+                SELECT e.vec_id AS n_id, e.v AS n_emb, cent.c_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY ROUND(list_dot_product(e.v, cent.c), 6)
+                                    DESC, cent.c_id) AS rn
+                FROM e CROSS JOIN cent
+            ) t WHERE rn = 1
+        ),
+        q AS (
+            SELECT q_id, q_emb, c_id FROM (
+                SELECT e.vec_id AS q_id, e.v AS q_emb, cent.c_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY ROUND(list_dot_product(e.v, cent.c), 6)
+                                    DESC, cent.c_id) AS rn
+                FROM e CROSS JOIN cent
+                WHERE e.vec_id < {N_QUERIES}
+            ) t WHERE rn <= {N_PROBE}
+        ),
+        scored AS (
+            SELECT DISTINCT q_id, n_id,
+                   ROUND(list_dot_product(q_emb, n_emb), 6) AS cosine
+            FROM corpus JOIN q USING (c_id)
+            WHERE q_id <> n_id
+        )
+        SELECT q_id, n_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+            SELECT q_id, n_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cosine DESC, n_id) AS rank
+            FROM scored
+        ) t WHERE rank <= {TOP_K}
+    """
+
+
 ORACLES = {
     "ann_lsh_topk": _lsh_oracle_sql(),
+    "ann_ivf_topk": _ivf_oracle_sql(),
     "emb_assign_nearest": f"""
         WITH cent AS (
             SELECT label, i AS pos,

@@ -163,15 +163,17 @@ SURVEY_MAP = {
     "Q6": "q6_forecast_revenue",
 }
 
-# Rows-only by design: the one op whose keys come from a fitted MLlib
-# model (the IVF codebook) — nothing DuckDB can replay. Everything
-# else is oracle-matched, including the LSH ANN index (deterministic
-# LCG planes), the MinHash/SimHash sketches (portable md5-derived hash
-# family in the registered forms), the mapInPandas decode, both
-# simulation recursions, and the full cleaning pipeline.
-ROWS_ONLY = {
-    "ann_ivf_topk",
-}
+# Rows-only by design: EMPTY — every registered query now carries a
+# SQL twin. The last holdout (ann_ivf_topk, formerly keyed on a fitted
+# MLlib k-means codebook) switched its registered form to the
+# deterministic sampled-init + one-Lloyd-step codebook, whose every
+# arithmetic step replays in SQL; the MLlib path survives as the
+# production lib function (`_centroids`), recall-tested through the
+# identical probe/score plan. Also oracle-matched: the LSH ANN index
+# (deterministic LCG planes), the MinHash/SimHash sketches (portable
+# md5-derived hash family in the registered forms), the mapInPandas
+# decode, both simulation recursions, and the full cleaning pipeline.
+ROWS_ONLY: set[str] = set()
 
 
 def test_every_survey_operator_is_registered():
