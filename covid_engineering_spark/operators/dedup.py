@@ -17,7 +17,11 @@ Scale design notes (the point of each implementation):
 * MinHash+LSH: the linear-ish scale path — constant-size signature per
   doc (k seeded xxhash64 mins), banded into buckets; only same-bucket
   pairs are candidates, then exact Jaccard verifies. Tune (k, bands)
-  for the recall/cost point; here k=16, 4 bands of 4 rows.
+  for the recall/cost point; here k=16, 4 bands of 4 rows. Bucket
+  membership is CAPPED (``SKETCH_BUCKET_CAP``): a mega-cluster of
+  near-identical docs otherwise reintroduces the quadratic all-pairs
+  join inside one bucket; oversized buckets emit doc_id-chain edges
+  instead (connectivity preserved, per-bucket work bounded).
 * SimHash: constant-size bit sketch via 32 per-bit weighted sums —
   computed as 32 JVM-side aggregate expressions in ONE pass (no
   bit-explosion), candidates by 8-bit chunk equality (pigeonhole for
@@ -28,12 +32,27 @@ Scale design notes (the point of each implementation):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from covid_engineering_spark.sources import read_table
 
 JACCARD_THRESHOLD = 0.5
+#: Max members of one LSH band bucket that take the all-pairs
+#: candidate join. A mega-cluster of near-identical documents lands
+#: its whole membership B in ONE bucket, and an uncapped join emits
+#: B²/2 candidate rows inside one task — the quadratic blowup the
+#: sketch exists to avoid, reintroduced through the back door. Buckets
+#: over the cap switch to consecutive doc_id-chain pairs (B-1 edges):
+#: connectivity — what downstream cluster resolution
+#: (connected_components) consumes — is fully preserved, per-bucket
+#: work is bounded at ~cap²/2, and the chain still passes exact
+#: verification doc by doc. The generated SQL twin replays the cap,
+#: so the driver hash-check covers it. (SimHash's chunk join is NOT
+#: capped — see the note in ``simhash_pairs``: its buckets grow with
+#: the corpus by construction and a cap would break pigeonhole
+#: completeness; chunk width is the scale dial there.)
+SKETCH_BUCKET_CAP = 64
 #: Stop-shingle doc-frequency cap for the exact n-gram path: a shingle
 #: in more than this many documents is boilerplate, not signal, and
 #: would fan the self-join out quadratically.
@@ -205,6 +224,70 @@ def _minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def _capped_bucket_pairs(
+    buckets: DataFrame,
+    key_cols: list[str],
+    carry: str | None = None,
+    cap: int = SKETCH_BUCKET_CAP,
+) -> DataFrame:
+    """Candidate (d1, d2) pairs from equal-bucket membership with
+    BOUNDED per-bucket work: buckets of <= ``cap`` members take the
+    all-pairs join (<= cap²/2 pairs), larger buckets take consecutive
+    doc_id-chain pairs (B-1 edges, connectivity preserved for cluster
+    resolution). ``carry`` optionally forwards one column from each
+    side as ``{carry}_1`` / ``{carry}_2`` (SimHash needs both sketches
+    to verify hamming distance).
+
+    The bucket count/rank windows ride the same (key) shuffle the
+    candidate join needs anyway; their output bounds the join instead
+    of letting one mega-bucket emit B²/2 rows inside a single task.
+    """
+    wc = Window.partitionBy(*key_cols)
+    wr = Window.partitionBy(*key_cols).orderBy("doc_id")
+    bx = buckets.select(
+        "doc_id",
+        *key_cols,
+        *([carry] if carry else []),
+        F.count("*").over(wc).alias("_bn"),
+        F.row_number().over(wr).alias("_rn"),
+    )
+    small = bx.filter(F.col("_bn") <= cap)
+    big = bx.filter(F.col("_bn") > cap)
+
+    def _sel(joined: DataFrame) -> DataFrame:
+        cols = [
+            F.col("l.doc_id").alias("d1"),
+            F.col("r.doc_id").alias("d2"),
+        ]
+        if carry:
+            cols += [
+                F.col(f"l.{carry}").alias(f"{carry}_1"),
+                F.col(f"r.{carry}").alias(f"{carry}_2"),
+            ]
+        return joined.select(*cols)
+
+    def _same(side_keys):
+        cond = None
+        for k in side_keys:
+            c = F.col(f"l.{k}") == F.col(f"r.{k}")
+            cond = c if cond is None else cond & c
+        return cond
+
+    all_pairs = _sel(
+        small.alias("l").join(
+            small.alias("r"),
+            _same(key_cols) & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+    )
+    chain_pairs = _sel(
+        big.alias("l").join(
+            big.alias("r"),
+            _same(key_cols) & (F.col("l._rn") + 1 == F.col("r._rn")),
+        )
+    )
+    return all_pairs.unionByName(chain_pairs).distinct()
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
@@ -252,19 +335,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.bh")
-    l, r = bands.alias("l"), bands.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bh") == F.col("r.bh"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(
-            F.col("l.doc_id").alias("d1"), F.col("r.doc_id").alias("d2")
-        )
-        .distinct()
-    )
+    cand = _capped_bucket_pairs(bands, ["band", "bh"])
     # exact verification restricted to candidates
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -356,6 +427,15 @@ def simhash_pairs(
             )
         ).alias("ck"),
     ).select("doc_id", "simhash", "ck.j", "ck.chunk")
+    # NOTE the candidate join is deliberately NOT bucket-capped (unlike
+    # MinHash-LSH): chunk buckets are not content clusters — there are
+    # only 2^8 values per chunk index, so membership grows linearly
+    # with the corpus BY CONSTRUCTION, and any cap would break the
+    # pigeonhole completeness the tests pin (every hamming<=3 pair IS
+    # found). The scale dial here is chunk width: at 100 TB you run a
+    # 64-bit sketch with 16-bit chunks (65,536 buckets per index) or a
+    # two-level pigeonhole, keeping per-bucket membership bounded
+    # while preserving completeness.
     l, r = chunks.alias("l"), chunks.alias("r")
     ham = F.bit_count(
         F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
@@ -496,10 +576,26 @@ def _minhash_oracle_sql() -> str:
         bands AS (
             {band_selects}
         ),
+        bandsx AS (
+            SELECT doc_id, band, bh,
+                   COUNT(*) OVER (PARTITION BY band, bh) AS bn,
+                   ROW_NUMBER() OVER (PARTITION BY band, bh
+                                      ORDER BY doc_id) AS rn
+            FROM bands
+        ),
         cand AS (
-            SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
-            FROM bands l JOIN bands r
-              ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+            SELECT DISTINCT d1, d2 FROM (
+                SELECT l.doc_id AS d1, r.doc_id AS d2
+                FROM bandsx l JOIN bandsx r
+                  ON l.band = r.band AND l.bh = r.bh
+                 AND l.doc_id < r.doc_id
+                WHERE l.bn <= {SKETCH_BUCKET_CAP}
+                UNION ALL
+                SELECT l.doc_id AS d1, r.doc_id AS d2
+                FROM bandsx l JOIN bandsx r
+                  ON l.band = r.band AND l.bh = r.bh AND l.rn + 1 = r.rn
+                WHERE l.bn > {SKETCH_BUCKET_CAP}
+            )
         ),
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         common AS (

@@ -283,3 +283,45 @@ def test_portable_hash64_matches_duckdb_on_generated_unicode(spark):
         assert got == want
 
     check()
+
+
+def test_mega_bucket_cap_bounds_pairs_and_preserves_connectivity(spark):
+    # A cluster of near-identical docs lands whole in one band bucket;
+    # the cap must switch it from all-pairs (B²/2 rows in one task) to
+    # a doc_id chain (B-1 edges) WITHOUT splitting the cluster that
+    # connected-components resolves from the pairs.
+    from covid_engineering_spark.operators.dedup import (
+        SKETCH_BUCKET_CAP,
+        minhash_lsh_pairs,
+    )
+    from covid_engineering_spark.operators.pipeline import (
+        connected_components,
+    )
+
+    n = 4 * SKETCH_BUCKET_CAP
+    base = " ".join(f"w{i}" for i in range(30))
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(base).alias("text")
+    )
+    mh = minhash_lsh_pairs(docs, portable=True)
+    mh_rows = mh.count()
+    # chain, not clique: linear in the bucket, far under all-pairs
+    assert mh_rows == n - 1, mh_rows
+    clusters = connected_components(mh)
+    assert clusters.select("cluster_id").distinct().count() == 1
+    assert clusters.count() == n
+
+
+def test_small_buckets_still_take_all_pairs(spark):
+    # Under the cap nothing changes: k identical docs yield the full
+    # k²/2 verified pair set (the pre-cap semantics).
+    from covid_engineering_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    k = 8
+    base = " ".join(f"v{i}" for i in range(25))
+    docs = spark.range(k).select(
+        F.col("id").alias("doc_id"), F.lit(base).alias("text")
+    )
+    assert minhash_lsh_pairs(docs, portable=True).count() == k * (k - 1) // 2
