@@ -229,6 +229,7 @@ def _capped_bucket_pairs(
     key_cols: list[str],
     carry: str | None = None,
     cap: int = SKETCH_BUCKET_CAP,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Candidate (d1, d2) pairs from equal-bucket membership with
     BOUNDED per-bucket work: buckets of <= ``cap`` members take the
@@ -251,6 +252,16 @@ def _capped_bucket_pairs(
         F.count("*").over(wc).alias("_bn"),
         F.row_number().over(wr).alias("_rn"),
     )
+    if cache_key is not None:
+        # four lineage branches (small×small, big×big) would otherwise
+        # recompute the upstream sketch four times; caching the bucket
+        # index is also the production shape — a real dedup pipeline
+        # MATERIALIZES its signature index rather than re-deriving it
+        # per probe (measured: uncached, the union form doubled the
+        # sf0.1 wall time of dedup_minhash_lsh)
+        from covid_engineering_spark.functions import evicting_cache
+
+        bx = evicting_cache(bx, cache_key)
     small = bx.filter(F.col("_bn") <= cap)
     big = bx.filter(F.col("_bn") > cap)
 
@@ -335,7 +346,9 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.bh")
-    cand = _capped_bucket_pairs(bands, ["band", "bh"])
+    cand = _capped_bucket_pairs(
+        bands, ["band", "bh"], cache_key="minhash_bands"
+    )
     # exact verification restricted to candidates
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
