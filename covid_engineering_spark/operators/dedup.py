@@ -489,26 +489,61 @@ def cosine_expr(a, b):
     )
 
 
+#: Max rows of one label block sharing a join task in embedding_pairs
+#: — same skew guard as knn_graph (similarity.py): a dominant label
+#: otherwise degenerates the per-block self-join toward quadratic
+#: inside ONE task.
+EMB_BLOCK_CAP = 4096
+
+
 def embedding_pairs(
-    emb: DataFrame, threshold: float = COSINE_THRESHOLD
+    emb: DataFrame,
+    threshold: float = COSINE_THRESHOLD,
+    cap: int = EMB_BLOCK_CAP,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (cosine >= threshold), blocked
     by cluster label so the self-join is per-block instead of global —
     the blocking key bounds the quadratic term at scale.
+
+    Skew guard (mirrors ``knn_graph``): each block splits into
+    s = ceil(n/cap) salted sub-blocks per side and the join key becomes
+    (label, salt_a, salt_b) — an s×s grid of ~cap×cap cells, each its
+    own shuffle partition. Every pair meets in exactly one cell
+    ((salt(v1), salt(v2))), so results are exactly invariant to the
+    split (verified in tests with a tiny cap); the LARGEST task
+    concentrates around cap² pairs no matter how skewed the labels.
     """
-    a = emb.select(
-        F.col("label"),
-        F.col("vec_id").alias("v1"),
-        F.col("embedding").alias("e1"),
+    sizes = emb.groupBy(F.col("label").alias("lbl")).agg(
+        F.ceil(F.count("*") / F.lit(cap)).cast("int").alias("n_sub")
     )
-    b = emb.select(
-        F.col("label"),
-        F.col("vec_id").alias("v2"),
-        F.col("embedding").alias("e2"),
+    salts = F.explode(F.sequence(F.lit(0), F.col("n_sub") - 1))
+    a = (
+        emb.select(
+            F.col("label").alias("lbl"),
+            F.col("vec_id").alias("v1"),
+            F.col("embedding").alias("e1"),
+        )
+        .join(F.broadcast(sizes), "lbl")
+        .withColumn(
+            "salt_a", F.pmod(F.xxhash64("v1"), F.col("n_sub")).cast("int")
+        )
+        .withColumn("salt_b", salts)
+    )
+    b = (
+        emb.select(
+            F.col("label").alias("lbl"),
+            F.col("vec_id").alias("v2"),
+            F.col("embedding").alias("e2"),
+        )
+        .join(F.broadcast(sizes), "lbl")
+        .withColumn(
+            "salt_b", F.pmod(F.xxhash64("v2"), F.col("n_sub")).cast("int")
+        )
+        .withColumn("salt_a", salts)
     )
     cos = cosine_expr(F.col("e1"), F.col("e2"))
     return (
-        a.join(b, "label")
+        a.join(b, ["lbl", "salt_a", "salt_b"])
         .filter(F.col("v1") < F.col("v2"))
         .select("v1", "v2", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)

@@ -325,3 +325,26 @@ def test_small_buckets_still_take_all_pairs(spark):
         F.col("id").alias("doc_id"), F.lit(base).alias("text")
     )
     assert minhash_lsh_pairs(docs, portable=True).count() == k * (k - 1) // 2
+
+
+def test_embedding_pairs_salted_split_is_exact_and_cartesian_free(spark):
+    # Same contract as the knn_graph skew guard: a tiny cap forces
+    # every label block into multiple salted sub-blocks; the pair set
+    # must be EXACTLY the unsplit one and the plan must stay an
+    # equi-join.
+    from covid_engineering_spark.operators.dedup import embedding_pairs
+    from covid_engineering_spark.plans import has_cartesian
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    skewed = emb.withColumn(
+        "label",
+        F.when(F.col("label") % 4 != 3, F.lit(0)).otherwise(F.col("label")),
+    )
+    baseline = embedding_pairs(skewed, threshold=0.3, cap=1 << 30)
+    salted = embedding_pairs(skewed, threshold=0.3, cap=16)
+    assert not has_cartesian(salted)
+    key = lambda r: (r["v1"], r["v2"])
+    base_rows = sorted(baseline.collect(), key=key)
+    salt_rows = sorted(salted.collect(), key=key)
+    assert [tuple(r) for r in base_rows] == [tuple(r) for r in salt_rows]
+    assert len(base_rows) > 0
