@@ -3,9 +3,11 @@ DataFrame` callable and its DuckDB oracle SQL into the dicts that
 ``__spark_entry__`` exposes to the verification driver.
 
 Modules register themselves via ``QUERIES`` / ``ORACLES`` dicts; a
-query without an oracle entry gets the driver's weaker rows-only check
-(reserved for the genuinely non-SQL-expressible: today only the
-MLlib-fitted IVF codebook).
+query without an oracle entry would get the driver's weaker rows-only
+check — as of round 3 there are NONE: all 129 registered queries carry
+SQL twins (the last holdout, the IVF ANN index, switched its
+registered codebook to a deterministic SQL-replayable form; the
+MLlib-KMeans codebook stays available as a lib function).
 
 Registration ORDER is part of the driver contract: the driver hashes
 exactly the first 50 registry entries, so ``PRIORITY`` pins the
