@@ -10,8 +10,15 @@ from covid_engineering_spark.functions.scalar import (
     missing_count,
     safe_div,
 )
+from covid_engineering_spark.functions.skew import (
+    BLOCK_CAP,
+    SALTED_JOIN_KEYS,
+    salted_block_sides,
+)
 
 __all__ = [
+    "BLOCK_CAP",
+    "SALTED_JOIN_KEYS",
     "clamp_eps",
     "davg",
     "dsum",
@@ -20,4 +27,5 @@ __all__ = [
     "missing_count",
     "non_finite_counts",
     "safe_div",
+    "salted_block_sides",
 ]

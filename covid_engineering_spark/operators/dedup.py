@@ -21,7 +21,8 @@ Scale design notes (the point of each implementation):
   membership is CAPPED (``SKETCH_BUCKET_CAP``): a mega-cluster of
   near-identical docs otherwise reintroduces the quadratic all-pairs
   join inside one bucket; oversized buckets emit doc_id-chain edges
-  instead (connectivity preserved, per-bucket work bounded).
+  instead — a replayed approximation that bounds total work (see the
+  ``SKETCH_BUCKET_CAP`` note for the exact recall trade).
 * SimHash: constant-size bit sketch via 32 per-bit weighted sums —
   computed as 32 JVM-side aggregate expressions in ONE pass (no
   bit-explosion), candidates by 8-bit chunk equality (pigeonhole for
@@ -41,17 +42,24 @@ JACCARD_THRESHOLD = 0.5
 #: Max members of one LSH band bucket that take the all-pairs
 #: candidate join. A mega-cluster of near-identical documents lands
 #: its whole membership B in ONE bucket, and an uncapped join emits
-#: B²/2 candidate rows inside one task — the quadratic blowup the
-#: sketch exists to avoid, reintroduced through the back door. Buckets
-#: over the cap switch to consecutive doc_id-chain pairs (B-1 edges):
-#: connectivity — what downstream cluster resolution
-#: (connected_components) consumes — is fully preserved, per-bucket
-#: work is bounded at ~cap²/2, and the chain still passes exact
-#: verification doc by doc. The generated SQL twin replays the cap,
-#: so the driver hash-check covers it. (SimHash's chunk join is NOT
-#: capped — see the note in ``simhash_pairs``: its buckets grow with
-#: the corpus by construction and a cap would break pigeonhole
-#: completeness; chunk width is the scale dial there.)
+#: B²/2 candidate rows — TOTAL work quadratic in B, not just one
+#: task's (so salting, which only spreads the work, is no fix here).
+#: Buckets over the cap switch to consecutive doc_id-chain pairs
+#: (B-1 edges). This is a deliberate, REPLAYED approximation, not a
+#: free lunch: candidate-graph connectivity is preserved, and when the
+#: oversized bucket is a genuine near-dup cluster (the motivating
+#: case) the verified chain links it into one component for
+#: connected_components; but a MIXED mega-bucket — distinct content
+#: groups co-bucketing by band-hash chance — can see chain links fail
+#: exact verification where a skipped all-pairs link would have
+#: passed, silently reducing verified-pair recall within that bucket.
+#: Below the cap semantics are exactly the uncapped all-pairs join.
+#: The generated SQL twin replays the cap bit-for-bit, so the driver
+#: hash-check covers both regimes; the cap is the recall/cost dial.
+#: (SimHash's chunk join is NOT capped — see the note in
+#: ``simhash_pairs``: its buckets grow with the corpus by construction
+#: and a cap would break pigeonhole completeness; chunk width is the
+#: scale dial there.)
 SKETCH_BUCKET_CAP = 64
 #: Stop-shingle doc-frequency cap for the exact n-gram path: a shingle
 #: in more than this many documents is boilerplate, not signal, and
@@ -227,17 +235,15 @@ def _minhash_signatures(
 def _capped_bucket_pairs(
     buckets: DataFrame,
     key_cols: list[str],
-    carry: str | None = None,
     cap: int = SKETCH_BUCKET_CAP,
     cache_key: str | None = None,
 ) -> DataFrame:
     """Candidate (d1, d2) pairs from equal-bucket membership with
     BOUNDED per-bucket work: buckets of <= ``cap`` members take the
     all-pairs join (<= cap²/2 pairs), larger buckets take consecutive
-    doc_id-chain pairs (B-1 edges, connectivity preserved for cluster
-    resolution). ``carry`` optionally forwards one column from each
-    side as ``{carry}_1`` / ``{carry}_2`` (SimHash needs both sketches
-    to verify hamming distance).
+    doc_id-chain pairs (B-1 edges — candidate-graph connectivity
+    preserved; see the ``SKETCH_BUCKET_CAP`` note for the verified-pair
+    recall trade this makes inside mixed mega-buckets).
 
     The bucket count/rank windows ride the same (key) shuffle the
     candidate join needs anyway; their output bounds the join instead
@@ -248,7 +254,6 @@ def _capped_bucket_pairs(
     bx = buckets.select(
         "doc_id",
         *key_cols,
-        *([carry] if carry else []),
         F.count("*").over(wc).alias("_bn"),
         F.row_number().over(wr).alias("_rn"),
     )
@@ -266,16 +271,10 @@ def _capped_bucket_pairs(
     big = bx.filter(F.col("_bn") > cap)
 
     def _sel(joined: DataFrame) -> DataFrame:
-        cols = [
+        return joined.select(
             F.col("l.doc_id").alias("d1"),
             F.col("r.doc_id").alias("d2"),
-        ]
-        if carry:
-            cols += [
-                F.col(f"l.{carry}").alias(f"{carry}_1"),
-                F.col(f"r.{carry}").alias(f"{carry}_2"),
-            ]
-        return joined.select(*cols)
+        )
 
     def _same(side_keys):
         cond = None
@@ -489,63 +488,39 @@ def cosine_expr(a, b):
     )
 
 
-#: Max rows of one label block sharing a join task in embedding_pairs
-#: — same skew guard as knn_graph (similarity.py): a dominant label
-#: otherwise degenerates the per-block self-join toward quadratic
-#: inside ONE task.
-EMB_BLOCK_CAP = 4096
-
-
 def embedding_pairs(
     emb: DataFrame,
     threshold: float = COSINE_THRESHOLD,
-    cap: int = EMB_BLOCK_CAP,
+    cap: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (cosine >= threshold), blocked
     by cluster label so the self-join is per-block instead of global —
     the blocking key bounds the quadratic term at scale.
 
-    Skew guard (mirrors ``knn_graph``): each block splits into
-    s = ceil(n/cap) salted sub-blocks per side and the join key becomes
-    (label, salt_a, salt_b) — an s×s grid of ~cap×cap cells, each its
-    own shuffle partition. Every pair meets in exactly one cell
-    ((salt(v1), salt(v2))), so results are exactly invariant to the
-    split (verified in tests with a tiny cap); the LARGEST task
-    concentrates around cap² pairs no matter how skewed the labels.
+    Skew guard: the shared salted sub-block grid
+    (functions/skew.py::salted_block_sides, the same mechanism behind
+    ``knn_graph``) — results exactly invariant to the split (verified
+    in tests with a tiny cap), the largest task bounded at ~cap² pairs
+    no matter how skewed the labels.
     """
-    sizes = emb.groupBy(F.col("label").alias("lbl")).agg(
-        F.ceil(F.count("*") / F.lit(cap)).cast("int").alias("n_sub")
+    from covid_engineering_spark.functions.skew import (
+        BLOCK_CAP,
+        SALTED_JOIN_KEYS,
+        salted_block_sides,
     )
-    salts = F.explode(F.sequence(F.lit(0), F.col("n_sub") - 1))
-    a = (
-        emb.select(
-            F.col("label").alias("lbl"),
-            F.col("vec_id").alias("v1"),
-            F.col("embedding").alias("e1"),
-        )
-        .join(F.broadcast(sizes), "lbl")
-        .withColumn(
-            "salt_a", F.pmod(F.xxhash64("v1"), F.col("n_sub")).cast("int")
-        )
-        .withColumn("salt_b", salts)
+
+    a, b = salted_block_sides(
+        emb, "label", "vec_id", "embedding", cap or BLOCK_CAP
     )
-    b = (
-        emb.select(
-            F.col("label").alias("lbl"),
-            F.col("vec_id").alias("v2"),
-            F.col("embedding").alias("e2"),
-        )
-        .join(F.broadcast(sizes), "lbl")
-        .withColumn(
-            "salt_b", F.pmod(F.xxhash64("v2"), F.col("n_sub")).cast("int")
-        )
-        .withColumn("salt_a", salts)
-    )
-    cos = cosine_expr(F.col("e1"), F.col("e2"))
+    cos = cosine_expr(F.col("pay_a"), F.col("pay_b"))
     return (
-        a.join(b, ["lbl", "salt_a", "salt_b"])
-        .filter(F.col("v1") < F.col("v2"))
-        .select("v1", "v2", cos.alias("cosine"))
+        a.join(b, SALTED_JOIN_KEYS)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.col("id_a").alias("v1"),
+            F.col("id_b").alias("v2"),
+            cos.alias("cosine"),
+        )
         .filter(F.col("cosine") >= threshold)
     )
 

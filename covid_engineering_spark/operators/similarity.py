@@ -287,10 +287,11 @@ def deterministic_codebook(emb: DataFrame) -> DataFrame:
 
     Scale shape: the seed draw is ``orderBy(md5).limit(K)`` — Catalyst
     plans TakeOrderedAndProject (per-partition top-K then a K-row
-    merge), never a global sort; the Lloyd step broadcasts the K-row
-    seed table, scores map-side, and collapses via ``max_by`` partial
-    aggregation; the mean shuffle carries cells × DIM rows regardless
-    of corpus size.
+    merge), never a global sort; the Lloyd step routes through the
+    map-side ``_assign`` (the K-row seed table collapses to one
+    broadcast array row, each vector picks its cell inside a single
+    projection — no shuffle touches the corpus); the mean shuffle
+    carries cells × DIM rows regardless of corpus size.
     """
     key = F.md5(F.col("vec_id").cast("string"))
     seeds0 = (
@@ -384,12 +385,11 @@ def ivf_topk(emb: DataFrame, cent: DataFrame) -> DataFrame:
 
 
 KNN_K = 5
-#: Max rows of a block that share one join task. A block bigger than
-#: this splits into ceil(n/cap) salted sub-blocks, bounding every
-#: task's pair count at ~cap² no matter how skewed the block sizes
-#: are. Sized so a full sub-block's pair scoring (cap² 64-dim dots)
-#: stays a seconds-scale task on one core.
-KNN_BLOCK_CAP = 4096
+#: Max rows of a block that share one join task — the shared default
+#: from functions/skew.py (one constant for every salted self-join).
+from covid_engineering_spark.functions.skew import (  # noqa: E402
+    BLOCK_CAP as KNN_BLOCK_CAP,
+)
 
 
 def knn_graph(
@@ -431,41 +431,22 @@ def knn_graph(
     rows per src_id into the final rank: the partial-then-final
     top-k merge comes from Catalyst, not hand-rolled plumbing.
     """
-    sizes = emb.groupBy(F.col(block).alias("blk")).agg(
-        F.ceil(F.count("*") / F.lit(cap)).cast("int").alias("n_sub")
+    from covid_engineering_spark.functions.skew import (
+        SALTED_JOIN_KEYS,
+        salted_block_sides,
     )
-    salts = F.explode(F.sequence(F.lit(0), F.col("n_sub") - 1))
-    a = (
-        emb.select(
-            F.col("vec_id").alias("src_id"),
-            F.col("embedding").alias("a_emb"),
-            F.col(block).alias("blk"),
-        )
-        .join(F.broadcast(sizes), "blk")
-        .withColumn(
-            "salt_a",
-            F.pmod(F.xxhash64("src_id"), F.col("n_sub")).cast("int"),
-        )
-        .withColumn("salt_b", salts)
-    )
-    b = (
-        emb.select(
-            F.col("vec_id").alias("n_id"),
-            F.col("embedding").alias("b_emb"),
-            F.col(block).alias("blk"),
-        )
-        .join(F.broadcast(sizes), "blk")
-        .withColumn(
-            "salt_b",
-            F.pmod(F.xxhash64("n_id"), F.col("n_sub")).cast("int"),
-        )
-        .withColumn("salt_a", salts)
-    )
-    cos = cosine_expr(F.col("a_emb"), F.col("b_emb"))
+
+    a, b = salted_block_sides(emb, block, "vec_id", "embedding", cap)
+    cos = cosine_expr(F.col("pay_a"), F.col("pay_b"))
     scored = (
-        a.join(b, ["blk", "salt_a", "salt_b"])
-        .filter(F.col("src_id") != F.col("n_id"))
-        .select("blk", "src_id", "n_id", cos.alias("cosine"))
+        a.join(b, SALTED_JOIN_KEYS)
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "blk",
+            F.col("id_a").alias("src_id"),
+            F.col("id_b").alias("n_id"),
+            cos.alias("cosine"),
+        )
     )
     w = Window.partitionBy("src_id").orderBy(F.desc("cosine"), "n_id")
     return (
