@@ -298,6 +298,70 @@ def _capped_bucket_pairs(
     return all_pairs.unionByName(chain_pairs).distinct()
 
 
+def _band_frame(sig: DataFrame, portable: bool) -> DataFrame:
+    """(doc_id, band, bh) bucket membership — one row per (doc, band):
+    the LSH index frame both the candidate join and the bucket-stats
+    pre-flight consume."""
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+
+    def band_hash(bnd: int):
+        members = [
+            F.col(f"m{rows_per_band * bnd + j}") for j in range(rows_per_band)
+        ]
+        if portable:
+            return F.md5(F.concat_ws(",", *members, F.lit(str(bnd))))
+        return F.xxhash64(*members, F.lit(bnd))
+
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bnd).alias("band"),
+                        band_hash(bnd).alias("bh"),
+                    )
+                    for bnd in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bh")
+
+
+def lsh_bucket_stats(
+    docs: DataFrame,
+    portable: bool = False,
+    cap: int = SKETCH_BUCKET_CAP,
+) -> DataFrame:
+    """No silent caps: the pre-flight report for ``minhash_lsh_pairs``'
+    bucket cap. One row — bucket count, max membership, how many
+    buckets exceed the cap, and how many documents sit inside those
+    buckets (i.e. where candidate generation will approximate with
+    chain edges instead of all pairs). Two partial-combined
+    aggregations; the shuffle carries one row per bucket. Run it
+    before a large dedup job — or alongside one — to size the cap
+    deliberately rather than discover it in the output.
+    """
+    sh = shingles_of(docs)
+    per = (
+        _band_frame(
+            _minhash_signatures(sh, MINHASH_K, portable=portable), portable
+        )
+        .groupBy("band", "bh")
+        .agg(F.count("*").alias("n"))
+    )
+    return per.agg(
+        F.count("*").alias("n_buckets"),
+        F.max("n").alias("max_bucket"),
+        F.sum(F.when(F.col("n") > cap, 1).otherwise(0)).alias(
+            "capped_buckets"
+        ),
+        F.sum(F.when(F.col("n") > cap, F.col("n")).otherwise(0)).alias(
+            "docs_in_capped_buckets"
+        ),
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
@@ -322,29 +386,9 @@ def minhash_lsh_pairs(
     from covid_engineering_spark.functions import evicting_cache
 
     sh = evicting_cache(shingles_of(docs), "minhash_shingles")
-    sig = _minhash_signatures(sh, MINHASH_K, portable=portable)
-    rows_per_band = MINHASH_K // MINHASH_BANDS
-
-    def band_hash(bnd: int):
-        members = [F.col(f"m{rows_per_band * bnd + j}") for j in range(rows_per_band)]
-        if portable:
-            return F.md5(F.concat_ws(",", *members, F.lit(str(bnd))))
-        return F.xxhash64(*members, F.lit(bnd))
-
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bnd).alias("band"),
-                        band_hash(bnd).alias("bh"),
-                    )
-                    for bnd in range(MINHASH_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.bh")
+    bands = _band_frame(
+        _minhash_signatures(sh, MINHASH_K, portable=portable), portable
+    )
     cand = _capped_bucket_pairs(
         bands, ["band", "bh"], cache_key="minhash_bands"
     )

@@ -348,3 +348,27 @@ def test_embedding_pairs_salted_split_is_exact_and_cartesian_free(spark):
     salt_rows = sorted(salted.collect(), key=key)
     assert [tuple(r) for r in base_rows] == [tuple(r) for r in salt_rows]
     assert len(base_rows) > 0
+
+
+def test_lsh_bucket_stats_reports_the_cap(spark, docs):
+    # the pre-flight report: zero capped buckets on the normal corpus,
+    # a visibly capped mega-bucket on the identical-docs corpus
+    from covid_engineering_spark.operators.dedup import (
+        SKETCH_BUCKET_CAP,
+        lsh_bucket_stats,
+    )
+
+    normal = lsh_bucket_stats(docs, portable=True).head()
+    assert normal["capped_buckets"] == 0
+    assert normal["max_bucket"] <= SKETCH_BUCKET_CAP
+
+    n = 3 * SKETCH_BUCKET_CAP
+    base = " ".join(f"w{i}" for i in range(30))
+    mega = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(base).alias("text")
+    )
+    row = lsh_bucket_stats(mega, portable=True).head()
+    # all 4 bands collapse to one bucket each, every doc inside
+    assert row["capped_buckets"] == 4
+    assert row["max_bucket"] == n
+    assert row["docs_in_capped_buckets"] == 4 * n
