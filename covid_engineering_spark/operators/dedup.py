@@ -136,6 +136,15 @@ def ngram_jaccard_pairs(
             .select("s")
         )
         sh = sh.join(keep, "s")
+        # Three branches consume the guarded frame (both join sides +
+        # sizes), and each would otherwise recompute the explode AND
+        # the df-guard aggregation. Same evicting-cache discipline as
+        # the minhash path: materialize the shingle index once
+        # (measured ~2x on dedup_clusters/keep_best/curate at sf0.1,
+        # where pair generation dominates).
+        from covid_engineering_spark.functions import evicting_cache
+
+        sh = evicting_cache(sh, "jaccard_shingles")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
