@@ -58,3 +58,25 @@ def test_event_analytics_runs(spark, tmp_path, capsys):
     assert "sessions          : 492" in out
     assert "funnel depth hist : {5: 15}" in out
     assert "hourly rollup rows: 868" in out
+
+
+def test_similarity_search_runs(spark, capsys):
+    mod = runpy.run_path(
+        os.path.join(
+            os.path.dirname(os.path.dirname(__file__)),
+            "examples",
+            "similarity_search.py",
+        ),
+        run_name="similarity_search",
+    )
+    mod["main"]("/root/testdata/sf0.001")
+    out = capsys.readouterr().out
+    # every figure below is deterministic: portable hashes, LCG
+    # planes, md5-sampled codebook, fixed data
+    assert "brute-force top-5 neighbors for 8 queries over 500 vectors: 40 pairs" in out
+    assert "lsh ann recall vs brute force: 0.775" in out
+    assert "ivf ann recall vs brute force: 0.775" in out
+    assert "knn graph: 2500 edges across 10 label blocks" in out
+    assert "nearest-centroid assignment: 500 vectors quantized" in out
+    assert "embedding near-dup pairs at cosine >= 0.4: 5" in out
+    assert "1687 buckets, max membership 5, 0 over the cap" in out
