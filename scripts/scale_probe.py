@@ -112,8 +112,16 @@ def main() -> None:
     spark = get_spark(app_name="scale-probe", shuffle_partitions=256)
     spark.sparkContext.setLogLevel("ERROR")
 
+    import atexit
+    import shutil
+
+    # scratch blowups are ~70 MB per run and were accumulating across
+    # rounds (the same leak class the ingest staging fix closed) —
+    # remove them at exit, success or not
     small = tempfile.mkdtemp(prefix="ces_probe1_")
     big = tempfile.mkdtemp(prefix="ces_probeN_")
+    atexit.register(shutil.rmtree, small, ignore_errors=True)
+    atexit.register(shutil.rmtree, big, ignore_errors=True)
     _blowup(spark, small, 1)
     _blowup(spark, big, REPLICAS)
 
