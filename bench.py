@@ -45,6 +45,13 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "text_token_stats",
+    # Round-4 additions (append-only so the first 17 stay comparable
+    # round-over-round): the flagship LLM-tier composites, the
+    # one-shuffle funnel fold, and the blocked kNN graph.
+    "pipe_curate_corpus",
+    "pipe_dedup_incremental",
+    "ts_funnel_steps",
+    "emb_knn_graph",
 ]
 
 

@@ -30,18 +30,53 @@ from covid_engineering_spark.sources import read_table
 
 FEATURE_SCHEMA = (
     "doc_id long, media_type string, n_bytes long, checksum long, "
-    "width int, height int, feat0 double, feat1 double"
+    "width int, height int, feat0 double, feat1 double, error string"
 )
 
 
 def real_decode(payload: bytes, media_type: str):
-    """The production decode hook — wire PIL / ffmpeg / soundfile here.
-    Deliberately unimplemented in this environment.
+    """The production decode hook. A deployment with media libraries
+    installed replaces this with a dispatch on ``media_type``:
+
+    - ``image/*`` → ``PIL.Image.open(io.BytesIO(payload))``; emit
+      ``width``/``height`` from ``img.size`` and features from the
+      pixel array (or a vision-model embedding).
+    - ``audio/*`` → ``soundfile.read(io.BytesIO(payload))`` (or
+      librosa); emit sample count / channels as the dims and e.g.
+      RMS energy / spectral centroid as the features.
+    - ``video/*`` → ``ffmpeg``/PyAV demux; emit frame dims and
+      per-keyframe features (pair with ``sample_frames`` upstream so
+      one row is one frame, not one file).
+
+    The hook contract: return the ``fake_decode``-shaped dict
+    (n_bytes, checksum, width, height, feat0, feat1 — widen the
+    schema constant alongside), and RAISE on undecodable bytes —
+    ``extract_features`` catches per record and routes the failure to
+    the ``error`` column, so one corrupt file never fails a task.
+    Deliberately unimplemented in this environment (no codec libs).
     """
     raise NotImplementedError(
         "media codecs are not installed in this environment; "
         "fake_decode provides the deterministic test double"
     )
+
+
+#: Minimum payload a 'well-formed' fake media file needs — stands in
+#: for a codec's magic-number/header check.
+STRICT_MIN_BYTES = 8
+
+
+def strict_fake_decode(payload: bytes, media_type: str) -> dict:
+    """``fake_decode`` plus the header validation a real codec does:
+    rejects truncated payloads, exercising the per-record error path
+    in ``extract_features`` without any codec dependency.
+    """
+    if len(payload) < STRICT_MIN_BYTES:
+        raise ValueError(
+            f"truncated {media_type} payload: {len(payload)} bytes "
+            f"< {STRICT_MIN_BYTES}-byte header"
+        )
+    return fake_decode(payload, media_type)
 
 
 def fake_decode(payload: bytes, media_type: str) -> dict:
@@ -82,18 +117,37 @@ def with_media_columns(docs: DataFrame) -> DataFrame:
     )
 
 
+#: Null feature dict emitted for a payload the decoder rejects — the
+#: row survives with its ids plus an ``error`` string instead of
+#: failing the task (one corrupt file out of a billion must cost one
+#: row, not a stage retry).
+_DECODE_FAILED = {
+    "n_bytes": None, "checksum": None, "width": None,
+    "height": None, "feat0": None, "feat1": None,
+}
+
+
 def extract_features(media: DataFrame, decoder=fake_decode) -> DataFrame:
     """mapInPandas feature extraction: iterate Arrow batches, decode
     each payload, emit a fixed-schema feature row. Batch-at-a-time
     keeps peak memory at one Arrow batch regardless of table size.
+
+    Per-record error isolation: a decoder exception becomes a null
+    feature row with the exception text in ``error`` (null on
+    success); successful records in the same batch are unaffected.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                decoder(payload, mt)
-                for payload, mt in zip(pdf["payload"], pdf["media_type"])
-            ]
+            feats = []
+            for payload, mt in zip(pdf["payload"], pdf["media_type"]):
+                try:
+                    feats.append({**decoder(payload, mt), "error": None})
+                except Exception as ex:  # noqa: BLE001 - route to column
+                    feats.append(
+                        {**_DECODE_FAILED,
+                         "error": f"{type(ex).__name__}: {ex}"}
+                    )
             out = pd.DataFrame(feats)
             out.insert(0, "media_type", list(pdf["media_type"]))
             out.insert(0, "doc_id", list(pdf["doc_id"]))
@@ -181,6 +235,11 @@ def q_mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_feat0"),
         F.min("width").alias("min_width"),
         F.max("height").alias("max_height"),
+        # Surface the per-record decode-failure channel in the driver-
+        # checked output: the oracle pins this at 0, so a fake-codec
+        # path that starts throwing (or an error-routing regression
+        # that drops rows) flips the hash, not just a unit test.
+        F.count("error").alias("n_errors"),
     )
 
 
@@ -298,7 +357,8 @@ ORACLES: dict[str, str] = {
                ROUND(SUM(checksum % 1000) / (COUNT(*) * 1000.0), 6)
                    AS avg_feat0,
                CAST(MIN(16 + checksum % 64) AS INT) AS min_width,
-               CAST(MAX(16 + (checksum // 64) % 64) AS INT) AS max_height
+               CAST(MAX(16 + (checksum // 64) % 64) AS INT) AS max_height,
+               CAST(0 AS BIGINT) AS n_errors
         FROM c GROUP BY media_type
     """,
     "mm_frame_sample": f"""

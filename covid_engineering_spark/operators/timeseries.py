@@ -377,6 +377,21 @@ ANOMALY_MIN_HIST = 8
 #: |z| threshold — flagged when (x - mean)^2 > Z^2 * var_pop.
 ANOMALY_Z = 3
 
+#: Environment-proof cents derivation. ``floor(v*100 + 0.5)`` uses
+#: only IEEE-754 double multiply/add (bit-specified) plus ``floor``
+#: (exact on doubles), so Spark and any SQL oracle engine are
+#: bit-identical by construction — unlike ``round(v*100)``, whose
+#: half-way tie-breaking differs between Spark (HALF_UP on a decimal
+#: rendering) and DuckDB (C-library rounding on the binary value) and
+#: produced the one r03 driver hash mismatch on a half-cent boundary.
+#: Semantics: round-half-toward-+inf; values are non-negative in the
+#: feed, where this coincides with round-half-away-from-zero.
+CENTS_SQL = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+
+
+def _cents() -> F.Column:
+    return F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+
 
 def rolling_anomaly(
     ev: DataFrame,
@@ -393,7 +408,8 @@ def rolling_anomaly(
     store alerting query.
 
     Exactness: the whole test runs in integer cents — values enter as
-    ``CAST(round(value*100) AS BIGINT)`` and the flag inequality is
+    ``CAST(floor(value*100 + 0.5) AS BIGINT)`` (see ``CENTS_SQL`` for
+    why floor, not round) and the flag inequality is
     cross-multiplied to clear divisions: with S = Σxᵢ, Q = Σxᵢ², n
     over the frame, ``(x-S/n)² > z²·(Q/n-(S/n)²)`` ⇔
     ``(n·x-S)² > z²·(n·Q-S²)``. No float enters, so Spark and the SQL
@@ -407,7 +423,7 @@ def rolling_anomaly(
     span, never by raw rows. The one low-cardinality shuffle
     (#types keys) moves only the rolled-up rows.
     """
-    cents = F.round(F.col("value") * 100).cast("long")
+    cents = _cents()
     bucketed = ev.groupBy(
         F.date_trunc(every, "ts").alias("bucket"), "event_type"
     ).agg(F.sum(cents).alias("x_cents"))
@@ -517,7 +533,7 @@ def hourly_profile(ev: DataFrame) -> DataFrame:
     dow = F.pmod(
         F.datediff(F.to_date("ts"), F.to_date(F.lit(DOW_ANCHOR))), 7
     )
-    cents = F.round(F.col("value") * 100).cast("long")
+    cents = _cents()
     return (
         ev.groupBy(dow.alias("dow"), F.hour("ts").alias("hour"))
         .agg(
@@ -552,7 +568,7 @@ ORACLES = {
                hour(ts) AS hour,
                COUNT(*) AS n_events,
                COUNT(DISTINCT user_id) AS n_users,
-               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               CAST(SUM({CENTS_SQL}) AS BIGINT)
                    AS sum_cents
         FROM events
         GROUP BY 1, 2
@@ -560,7 +576,7 @@ ORACLES = {
     "ts_anomaly": """
         WITH bucketed AS (
             SELECT date_trunc('hour', ts) AS bucket, event_type,
-                   SUM(CAST(round(value * 100) AS BIGINT)) AS x_cents
+                   SUM({CENTS_SQL}) AS x_cents
             FROM events
             GROUP BY 1, 2
         ),
@@ -582,7 +598,7 @@ ORACLES = {
                ) AS is_anomaly
         FROM rolled
     """.format(ANOMALY_FRAME=ANOMALY_FRAME, ANOMALY_MIN_HIST=ANOMALY_MIN_HIST,
-                z2=ANOMALY_Z * ANOMALY_Z),
+                z2=ANOMALY_Z * ANOMALY_Z, CENTS_SQL=CENTS_SQL),
     "ts_active_users": f"""
         WITH pairs AS (
             SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events

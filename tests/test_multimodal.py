@@ -100,3 +100,48 @@ def test_corpus_is_ascii_the_oracle_byte_equivalence_precondition(spark):
         F.length(F.col("text")) != F.length(F.encode("text", "UTF-8"))
     ).count()
     assert non_ascii == 0
+
+
+def test_corrupt_payload_yields_error_row_not_task_failure(spark):
+    # A truncated payload through a validating codec must cost one
+    # row (ids + error string, null features), never a task failure;
+    # well-formed records in the SAME Arrow batch stay unaffected.
+    from covid_engineering_spark.operators.multimodal import (
+        strict_fake_decode,
+    )
+
+    rows = [
+        (1, b"well-formed payload bytes", "image/png"),
+        (2, b"xx", "audio/wav"),  # truncated: below the header check
+        (3, b"another good payload!!", "video/mp4"),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_type string"
+    ).repartition(1)  # one batch: corrupt + good share a task
+    got = {
+        r.doc_id: r
+        for r in extract_features(media, decoder=strict_fake_decode).collect()
+    }
+    assert len(got) == 3
+    bad = got[2]
+    assert bad.error is not None and "truncated" in bad.error
+    assert bad.n_bytes is None and bad.checksum is None
+    assert bad.feat0 is None and bad.width is None
+    payloads = {d: p for d, p, _ in rows}
+    for ok_id in (1, 3):
+        ok = got[ok_id]
+        assert ok.error is None
+        want = fake_decode(payloads[ok_id], ok.media_type)
+        assert (ok.n_bytes, ok.checksum) == (want["n_bytes"], want["checksum"])
+
+
+def test_strict_decoder_on_wellformed_corpus_has_zero_errors(spark, media):
+    # The synthetic corpus has no sub-header-length payloads, so the
+    # strict codec and the plain fake agree — and the registered
+    # aggregate's n_errors channel reads 0.
+    from covid_engineering_spark.operators.multimodal import (
+        strict_fake_decode,
+    )
+
+    feats = extract_features(media, decoder=strict_fake_decode)
+    assert feats.filter(F.col("error").isNotNull()).count() == 0

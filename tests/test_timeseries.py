@@ -290,3 +290,25 @@ def test_hourly_profile_totals_and_dow_anchor(spark):
     )
     got = hourly_profile(one).collect()
     assert (got[0]["dow"], got[0]["hour"]) == (0, 5)
+
+
+def test_cents_derivation_is_environment_proof_at_driver_scale(spark):
+    # r03's one red driver row: round(value*100) tie-breaking differs
+    # between Spark (HALF_UP on a decimal rendering) and DuckDB
+    # (C-library rounding on the binary value) on a half-cent boundary
+    # that sf0.01 hits. The floor(v*100+0.5) derivation uses only
+    # IEEE-double ops + exact floor, so both engines agree bit-for-bit.
+    # This runs the driver's exact sf0.01 differential for the two
+    # cents-carrying queries so a regression reproduces locally.
+    from covid_engineering_spark.queries import oracles, registry
+    from tests.conftest import SF_ORACLE
+    from tests.oracle_check import compare, duck_con
+
+    reg, orc = registry(), oracles()
+    con = duck_con(SF_ORACLE)
+    try:
+        for name in ("ts_anomaly", "ts_hourly_profile"):
+            res = compare(reg[name](spark, SF_ORACLE), con, orc[name])
+            assert res["match"], (name, res)
+    finally:
+        con.close()
