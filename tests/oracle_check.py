@@ -78,6 +78,29 @@ def _rows(df_pandas) -> list[str]:
     return sorted(out)
 
 
+def compare_frames(a_pandas, b_pandas) -> dict:
+    """Order-insensitive comparison of two already-collected result
+    frames under the driver's canonicalization — used Spark-vs-Spark
+    (DataFrame API vs ``spark.sql`` of the portable twin)."""
+    result: dict = {
+        "a_rows": len(a_pandas),
+        "b_rows": len(b_pandas),
+        "a_cols": sorted(a_pandas.columns),
+        "b_cols": sorted(b_pandas.columns),
+    }
+    result["cols_match"] = result["a_cols"] == result["b_cols"]
+    result["count_match"] = len(a_pandas) == len(b_pandas)
+    if not (result["cols_match"] and result["count_match"]):
+        result["match"] = False
+        return result
+    a, b = _rows(a_pandas), _rows(b_pandas)
+    result["match"] = a == b
+    if not result["match"]:
+        result["sample_a"] = [x for x, y in zip(a, b) if x != y][:3]
+        result["sample_b"] = [y for x, y in zip(a, b) if x != y][:3]
+    return result
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
     sp = spark_df.toPandas()
     du = con.execute(sql).arrow().to_pandas()  # date32 -> datetime.date, like Spark

@@ -3,85 +3,44 @@
 pins the window so a refactor cannot silently push a hard operator out
 of driver verification.
 
-Round-3 state: every round-2 window slot greened in
-CORRECTNESS_r02.json, so the never-driver-checked round-2 tail
-(ROUND3_ROTATED) rotated to the front of the window, followed by the
-operators born during round 3 (ROUND3_NEW); twenty-nine r02-green
-entries were displaced past slot 50 (their history — strict three-axis
-hash matches over non-empty results — is on record; see queries.py for
-the enumeration). dedup_embedding deliberately stays in the window:
-its r02 row was a vacuous 0-row match, so its non-vacuous form still
-needs a driver row. Every tail entry must therefore hold a green row
-in CORRECTNESS_r01 or CORRECTNESS_r02 — after this round there should
-be NO registry entry that was never driver-verified.
+Round-4 onward the bookkeeping is ledger-driven: LEDGER.md is
+regenerated from the driver's CORRECTNESS_r*.json artifacts by
+scripts/verification_ledger.py (no hand-maintained rotation lists),
+and these tests assert the two invariants the rotation policy exists
+for — (a) nothing that lacks a green driver row may hide outside the
+window, and (b) entries whose code or registered output changed after
+their last green row re-enter the window until re-greened.
 """
 
-import json
 import os
+import sys
 
 from covid_engineering_spark.queries import PRIORITY, oracles, registry
 
-#: The round-2 tail — operators that have NEVER had a driver
-#: CORRECTNESS row. Round 3 exists to verify these, so they must all
-#: sit inside the window.
-ROUND3_ROTATED = {
-    "ts_funnel",
-    "ts_cohort",
-    "ts_gapfill",
-    "pipe_cdc_upsert",
-    "pipe_pii_scrub",
-    "pipe_dup_rate",
-    "pipe_stratified_sample",
-    "text_normalize",
-    "emb_knn_graph",
-}
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts")
+)
+from verification_ledger import LEDGER_PATH, ledger, render  # noqa: E402
 
-#: Operators added during round 3 itself (after the rotation): brand
-#: new, so they must also claim a window slot — a new op with no
-#: driver row ever is the strictly worse gap than re-verifying a
-#: green one.
-ROUND3_NEW = {
-    "pipe_curate_corpus",
-    "ts_funnel_steps",
+#: Entries whose operator code or registered output changed AFTER the
+#: last driver round that greened them — they must sit in the window
+#: until a new green row lands, then drop off this list. (The ledger
+#: can't see code changes; this is the one hand-maintained bridge, and
+#: it empties every time the driver re-greens the named entries.)
+CHANGED_SINCE_LAST_GREEN = {
+    # r04: floor-based environment-proof cents derivation
     "ts_anomaly",
-    "ts_active_users",
-    "pipe_snapshot_diff",
-    "pipe_quality_filter",
-    "text_unigram_lm",
-    "pipe_dedup_incremental",
-    "pipe_near_dup_incremental",
-    "pipe_mixture_plan",
     "ts_hourly_profile",
-    "stream_interval_join",
-    "a16_pivot",
-    "a17_unpivot",
-    "emb_assign_nearest",
-    "a18_approx_percentile",
-    "mm_frame_sample",
-    "mm_resize",
-    "q2_min_cost_supplier",
-    "ts_rollup_incremental",
+    # r04: n_errors decode-failure channel added to the aggregate
+    "mm_feature_extract",
+    # late-r03 shingle/bucket-index materialization landed after these
+    # entries' r03 driver rows ran (round-3 verdict item 2)
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "pipe_keep_best",
+    "pipe_curate_corpus",
 }
-
-#: Round-4 rotation queue: if the window saturates with
-#: never-driver-checked entries again, new ops queue here in the tail
-#: (full local oracle coverage via test_oracle.py) exactly as
-#: ROUND3_PENDING did in round 2.
-ROUND4_PENDING = set()
-
-
-def _green(fname):
-    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), fname)
-    with open(path) as f:
-        rows = json.load(f)
-    # STRICT three-axis green only: a rows-only (no_oracle) driver row
-    # is not verification history strong enough to park an entry past
-    # the window — every current tail entry holds a full hash-match.
-    return {
-        k
-        for k, v in rows.items()
-        if v.get("rows_match") and v.get("schema_match") and v.get("hash_match")
-    }
 
 
 def test_priority_is_exactly_the_first_50():
@@ -90,30 +49,33 @@ def test_priority_is_exactly_the_first_50():
     assert list(registry())[:50] == PRIORITY
 
 
-def test_rotated_tail_sits_inside_the_driver_window():
-    assert ROUND3_ROTATED <= set(PRIORITY)
-    assert ROUND3_NEW <= set(PRIORITY)
+def test_never_green_entries_sit_inside_the_window():
+    hist = ledger(list(registry()))
+    never = {n for n, h in hist.items() if h["last_green"] is None}
+    assert never <= set(PRIORITY), sorted(never - set(PRIORITY))
 
 
-def test_everything_after_the_window_has_a_driver_row_on_record():
-    # Entries pushed past slot 50 must hold a green CORRECTNESS row
-    # from an earlier round (their verification history is on record)
-    # or be declared round-4 rotation candidates.
-    green = _green("CORRECTNESS_r01.json") | _green("CORRECTNESS_r02.json")
+def test_changed_since_green_entries_sit_inside_the_window():
+    assert CHANGED_SINCE_LAST_GREEN <= set(PRIORITY), sorted(
+        CHANGED_SINCE_LAST_GREEN - set(PRIORITY)
+    )
+
+
+def test_everything_outside_the_window_holds_a_green_row():
+    hist = ledger(list(registry()))
     tail = list(registry())[50:]
-    unaccounted = [n for n in tail if n not in green and n not in ROUND4_PENDING]
+    unaccounted = [n for n in tail if hist[n]["last_green"] is None]
     assert not unaccounted, unaccounted
 
 
-def test_round4_pending_all_registered_with_oracles():
-    reg, orc = registry(), oracles()
-    missing = [n for n in ROUND4_PENDING if n not in reg]
-    assert not missing, missing
-    # pending entries are exactly the tail's new names — none may hide
-    # inside the window (that would silently displace a never-checked op)
-    assert not (ROUND4_PENDING & set(PRIORITY))
-    no_oracle = [n for n in ROUND4_PENDING if n not in orc]
-    assert not no_oracle, no_oracle
+def test_ledger_artifact_matches_regeneration():
+    # LEDGER.md is generated, committed, and judge-readable; it must
+    # never drift from the artifacts it summarizes.
+    want = render(list(registry()), PRIORITY)
+    with open(LEDGER_PATH) as f:
+        assert f.read() == want, (
+            "LEDGER.md stale — run scripts/verification_ledger.py"
+        )
 
 
 def test_oracle_keys_all_resolve():
