@@ -127,6 +127,22 @@ def ngram_jaccard_pairs(
     unguarded Σ df² which one viral shingle turns quadratic.
     ``max_df=None`` disables the guard (sketch-verification use only).
     """
+    common = _shared_shingle_counts(docs, max_df)
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _shared_shingle_counts(
+    docs: DataFrame, max_df: int | None
+) -> DataFrame:
+    """Shared machinery of the exact shingle-overlap measures
+    (Jaccard, containment): guarded shingle self-join aggregated to
+    one row per candidate pair — (d1, d2, c=|A∩B|, na=|A|, nb=|B|)
+    with d1 < d2. The caller derives its similarity ratio from the
+    three counts."""
     sh = shingles_of(docs)
     if max_df is not None:
         keep = (
@@ -161,17 +177,61 @@ def ngram_jaccard_pairs(
     )
     na = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb"))
-    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
     # NO forced broadcast on the sizes table: it is one row per
     # document — O(corpus) — and a broadcast hint would OOM the build
     # side at scale (measured: a 10x probe died here). AQE broadcasts
     # it automatically while it is actually small.
+    return common.join(na, "d1").join(nb, "d2")
+
+
+#: Containment threshold for the registered query: the fraction of the
+#: SMALLER document's kept shingles that appear in the other document.
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = CONTAINMENT_THRESHOLD,
+    max_df: int | None = NGRAM_MAX_DF,
+) -> DataFrame:
+    """Asymmetric n-gram containment pairs: C(A→B) = |A∩B| / |A|.
+
+    The sub-document duplication detector Jaccard structurally misses:
+    a short document fully quoted inside a long one has
+    J = |A|/|B| ≈ 0 but C(A→B) = 1. The standard corpus-curation
+    companion to near-dup detection (boilerplate, licence blocks,
+    quoted posts, template expansions).
+
+    Emits one row per unordered pair (d1 < d2) with BOTH directions
+    (``cont_1_in_2`` = |∩|/|A₁|, ``cont_2_in_1`` = |∩|/|A₂|), kept
+    when either direction clears the threshold — i.e. when the
+    smaller side is mostly contained in the larger.
+
+    Scale shape: identical to the Jaccard path — the guarded shingle
+    self-join (stop-shingle ``max_df`` bound, shared materialized
+    shingle index) already bounds candidate fan-out; containment is
+    just a different ratio over the same (c, na, nb) counts, so the
+    two measures share one physical pair-generation plan.
+    """
+    common = _shared_shingle_counts(docs, max_df)
+    c1 = F.round(F.col("c") / F.col("na"), 6)
+    c2 = F.round(F.col("c") / F.col("nb"), 6)
     return (
-        common.join(na, "d1")
-        .join(nb, "d2")
-        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        common.select(
+            "d1",
+            "d2",
+            c1.alias("cont_1_in_2"),
+            c2.alias("cont_2_in_1"),
+        )
+        .filter(
+            F.greatest(F.col("cont_1_in_2"), F.col("cont_2_in_1"))
+            >= threshold
+        )
     )
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return containment_pairs(read_table(spark, sf_dir, "documents"))
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -589,6 +649,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_containment": q_dedup_containment,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
@@ -749,6 +810,22 @@ ORACLES = {
         JOIN sizes na ON na.doc_id = d1
         JOIN sizes nb ON nb.doc_id = d2
         WHERE ROUND(c / (na.n + nb.n - c), 6) >= 0.5
+    """,
+    "dedup_containment": f"""
+        WITH {_SHINGLES_SQL},
+        common AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT d1, d2,
+               ROUND(c / na.n, 6) AS cont_1_in_2,
+               ROUND(c / nb.n, 6) AS cont_2_in_1
+        FROM common
+        JOIN sizes na ON na.doc_id = d1
+        JOIN sizes nb ON nb.doc_id = d2
+        WHERE greatest(ROUND(c / na.n, 6), ROUND(c / nb.n, 6))
+                  >= {CONTAINMENT_THRESHOLD}
     """,
     "dedup_embedding": f"""
         SELECT a.vec_id AS v1, b.vec_id AS v2,

@@ -849,6 +849,45 @@ def q_pipe_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dataset_card(docs: DataFrame) -> DataFrame:
+    """Dataset-card profiling rollup: corpus composition at three
+    grains in ONE pass — (source, lang), per-source subtotal, and the
+    corpus total — each cell carrying doc count, token count, char
+    count, and mean document length. The summary table a dataset
+    release ships ("dataset card"), and the first query run against
+    any new corpus drop.
+
+    Scale shape: one ROLLUP — Spark plans a single Expand (3 rows per
+    input group emitted map-side AFTER partial aggregation) feeding
+    one shuffle keyed on (source, lang, grouping_id); cardinality is
+    3 × |source×lang|, independent of corpus size. Token counts come
+    from ``size(split())`` inline — no explode, the scan is the only
+    corpus-sized stage. ``grp_level`` (0 = leaf, 1 = per-source,
+    3 = grand total) disambiguates rolled-up nulls from a literal
+    null group, the standard grouping_id contract.
+    """
+    return (
+        docs.rollup("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split("text", " ")).cast("long")).alias(
+                "n_tokens"
+            ),
+            F.sum(F.col("n_chars").cast("long")).alias("n_chars"),
+            F.round(
+                F.sum(F.size(F.split("text", " ")).cast("long"))
+                / F.count("*"),
+                6,
+            ).alias("avg_tokens"),
+            F.grouping_id().alias("grp_level"),
+        )
+    )
+
+
+def q_pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dataset_card(read_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "pipe_split_hash": q_pipe_split_hash,
     "pipe_quota_source": q_pipe_quota_source,
@@ -868,6 +907,7 @@ QUERIES = {
     "pipe_dedup_incremental": q_pipe_dedup_incremental,
     "pipe_near_dup_incremental": q_pipe_near_dup_incremental,
     "pipe_mixture_plan": q_pipe_mixture_plan,
+    "pipe_dataset_card": q_pipe_dataset_card,
 }
 
 # 4-gram shingle CTE shared by the decontamination oracle.
@@ -1010,6 +1050,18 @@ FROM ranked WHERE rk = 1
 """
 
 ORACLES = {
+    "pipe_dataset_card": """
+        SELECT source, lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                   AS n_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+               ROUND(CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                     / COUNT(*), 6) AS avg_tokens,
+               CAST(GROUPING(source, lang) AS BIGINT) AS grp_level
+        FROM documents
+        GROUP BY ROLLUP (source, lang)
+    """,
     "pipe_mixture_plan": f"""
         WITH per_src AS (
             SELECT source,

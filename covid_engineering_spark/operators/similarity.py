@@ -462,6 +462,241 @@ def q_emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph(read_table(spark, sf_dir, "embeddings"))
 
 
+#: Fixed iteration count for the registered PageRank: enough to
+#: differentiate hub scores on the kNN graph, small enough to unroll
+#: as one lazy plan (and as unrolled CTEs in the SQL twin).
+PAGERANK_ITERS = 3
+#: Rank mass is carried as BIGINT in units of 1e-6 ("micro-rank"), so
+#: every step is exact integer arithmetic — Spark `DIV` and DuckDB
+#: `//` agree bit-for-bit on positive longs, where float damping
+#: would accumulate partition-order-dependent error.
+PAGERANK_SCALE = 1_000_000
+#: Damping factor 0.85 as the integer pair (85, 100).
+PAGERANK_DAMP_NUM = 85
+
+
+def pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
+    """Fixed-iteration integer PageRank over a directed edge list
+    (``src_id`` -> ``n_id``): the graph-centrality companion to the
+    kNN graph — on a near-dup/retrieval graph, high-rank nodes are
+    hub documents (heavily referenced near-duplicates, canonical
+    versions), the usual keep-candidates in graph-based curation.
+
+    Exactness: ranks ride BIGINT micro-units; each step is
+    ``rank DIV out_deg`` per edge, an integer in-sum, then
+    ``0.15·scale + (85·in_sum) DIV 100`` — truncating division on
+    positive longs, identical in Spark (`DIV`) and DuckDB (`//`), so
+    the unrolled SQL twin matches bit-for-bit. (This floor-variant
+    drops ≤1 micro-unit per division vs real PageRank — bounded,
+    deterministic, and irrelevant at rank magnitudes of 1e6.)
+
+    Scale shape per iteration: one equi-join of edges onto the
+    current rank frame (shuffle on src_id, reusable partitioning
+    round to round), one partial-aggregated in-sum (shuffle on
+    n_id), one left join back onto the node list. Nothing collects;
+    node/edge frames never leave the cluster. The fixed-N unrolled
+    plan is deliberate — for convergence-loop use, materialize per
+    round with ``localCheckpoint`` exactly as ``connected_components``
+    does (pipeline.py), which this mirrors minus the loop.
+    """
+    nodes = edges.select(F.col("src_id").alias("node")).distinct()
+    deg = edges.groupBy("src_id").agg(F.count("*").alias("out_deg"))
+    e = edges.select("src_id", "n_id").join(deg, "src_id")
+    base = PAGERANK_SCALE * (100 - PAGERANK_DAMP_NUM) // 100
+    ranks = nodes.select(
+        "node", F.lit(PAGERANK_SCALE).cast("long").alias("rank")
+    )
+    for _ in range(iters):
+        contrib = e.join(ranks, e["src_id"] == ranks["node"]).select(
+            F.col("n_id").alias("node"),
+            F.expr("rank div out_deg").alias("contrib"),
+        )
+        in_sum = contrib.groupBy("node").agg(F.sum("contrib").alias("s"))
+        ranks = nodes.join(in_sum, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"({PAGERANK_DAMP_NUM} * coalesce(s, CAST(0 AS BIGINT)))"
+                    " div 100"
+                )
+            ).cast("long").alias("rank"),
+        )
+    return ranks
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the blocked kNN graph's edges — hub scoring of
+    the embedding corpus."""
+    edges = knn_graph(read_table(spark, sf_dir, "embeddings"))
+    return pagerank(edges.select("src_id", "n_id"))
+
+
+#: Product-quantization geometry: DIM=64 splits into PQ_M=8 subspaces
+#: of PQ_SUB_DIM=8 dims; each subspace gets a PQ_K=16-entry
+#: sub-codebook, so a vector compresses to 8 nibble codes (4 bytes) —
+#: a 64x compression of the float32 vector, the memory ratio that
+#: makes billion-vector ANN indexes fit in RAM.
+PQ_M = 8
+PQ_SUB_DIM = DIM // PQ_M
+PQ_K = 16
+
+
+def pq_codes(emb: DataFrame) -> DataFrame:
+    """Product-quantization encoding: each vector's code per subspace
+    is the L2-nearest entry of that subspace's sub-codebook. The
+    compressed representation behind large-scale ANN (IVF-PQ): search
+    scans codes + a lookup table instead of raw floats.
+
+    Codebook: the PQ_K md5-ranked seed vectors (the same
+    engine-independent draw ``deterministic_codebook`` uses), sliced
+    per subspace — replayable in ANSI SQL, so the whole encode path
+    is driver hash-checked. A production build refines each
+    sub-codebook with per-subspace Lloyd iterations (same mergeable
+    decimal-mean machinery as the IVF codebook); the assignment plan
+    below is identical either way.
+
+    Scale shape: fully map-side — the 16-row seed table collapses to
+    ONE broadcast array row; each vector × subspace row scores all 16
+    sub-centroids inside a projection (exact positional IEEE fold, so
+    Spark and the oracle agree bit-for-bit) and keeps the argmin via
+    ``array_min`` on (d2, s_id) structs. The corpus is scanned once,
+    never shuffled; output is PQ_M rows per vector.
+    """
+    key = F.md5(F.col("vec_id").cast("string"))
+    seeds0 = (
+        emb.select("vec_id", "embedding").orderBy(key, "vec_id").limit(PQ_K)
+    )
+    w = Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    seeds = seeds0.select(
+        (F.row_number().over(w) - 1).alias("s_id"),
+        F.col("embedding").alias("s_emb"),
+    )
+    carr = seeds.agg(
+        F.collect_list(F.struct("s_id", "s_emb")).alias("cents")
+    )
+    best = F.expr(f"""
+        array_min(transform(cents, c -> struct(
+            aggregate(
+                transform(sequence(1, {PQ_SUB_DIM}),
+                    i -> cast(element_at(embedding, sub * {PQ_SUB_DIM} + i)
+                              as double)
+                       - cast(element_at(c.s_emb, sub * {PQ_SUB_DIM} + i)
+                              as double)),
+                cast(0.0 as double), (acc, x) -> acc + x * x) as d2,
+            c.s_id as s_id)))
+    """)
+    return (
+        emb.select("vec_id", "embedding")
+        .join(F.broadcast(carr))
+        .select(
+            "vec_id",
+            "embedding",
+            "cents",
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("sub"),
+        )
+        .select("vec_id", "sub", best.alias("b"))
+        .select(
+            "vec_id",
+            "sub",
+            F.col("b.s_id").alias("code"),
+            F.round("b.d2", 6).alias("dist2"),
+        )
+    )
+
+
+def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq_codes(read_table(spark, sf_dir, "embeddings"))
+
+
+def pq_adc_topk(emb: DataFrame, k: int = TOP_K) -> DataFrame:
+    """ANN search over PQ codes by Asymmetric Distance Computation:
+    each query's approximate L2² to a corpus vector is the sum over
+    subspaces of a precomputed (query sub-vector → sub-centroid)
+    distance table entry picked by the vector's code. The IVF-PQ scan
+    kernel: the corpus side touches only 4-byte codes, never floats.
+
+    Exactness: the per-(query, sub, centroid) lookup table is the
+    same IEEE fold the encoder uses, SNAPPED to integer micro-units
+    (``round(d2·1e6)`` as BIGINT) before the per-vector sum — longs
+    add associatively, so the sum over subspaces is partition-order
+    independent and the SQL twin matches bit-for-bit (an unsnapped
+    double sum would be ordering-dependent).
+
+    Scale shape: LUT is N_QUERIES × PQ_M × PQ_K rows (1024 here) —
+    broadcast; the codes frame joins it map-side on (sub, code),
+    fanning each code row out only by the query count. One shuffle
+    aggregates (q_id, vec_id) partial sums — and because PQ_M rows
+    collapse to 1, partial aggregation shrinks the exchange by 8×
+    before it moves. Top-k per query is the usual rank window with
+    Catalyst's partial WindowGroupLimit below the exchange.
+    """
+    codes = pq_codes(emb).select("vec_id", "sub", "code")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    key = F.md5(F.col("vec_id").cast("string"))
+    seeds0 = (
+        emb.select("vec_id", "embedding").orderBy(key, "vec_id").limit(PQ_K)
+    )
+    w0 = Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    seeds = seeds0.select(
+        (F.row_number().over(w0) - 1).alias("code"),
+        F.col("embedding").alias("s_emb"),
+    )
+    d2 = F.expr(f"""
+        aggregate(
+            transform(sequence(1, {PQ_SUB_DIM}),
+                i -> cast(element_at(q_emb, sub * {PQ_SUB_DIM} + i)
+                          as double)
+                   - cast(element_at(s_emb, sub * {PQ_SUB_DIM} + i)
+                          as double)),
+            cast(0.0 as double), (acc, x) -> acc + x * x)
+    """)
+    lut = (
+        q.crossJoin(F.broadcast(seeds))
+        .select(
+            "q_id",
+            "code",
+            "q_emb",
+            "s_emb",
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("sub"),
+        )
+        .select(
+            "q_id",
+            "sub",
+            "code",
+            # floor(x·1e6 + 0.5), not round(): pure IEEE ops + exact
+            # floor are bit-identical across engines, where round()'s
+            # tie-breaking is not (the ts_anomaly lesson).
+            F.floor(d2 * 1000000 + F.lit(0.5)).cast("long").alias(
+                "d2_micro"
+            ),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .groupBy("q_id", F.col("vec_id").alias("n_id"))
+        .agg(F.sum("d2_micro").alias("adc_micro"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_micro", "n_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "n_id",
+            F.round(F.col("adc_micro") / 1000000.0, 6).alias("adc_d2"),
+            "rank",
+        )
+    )
+
+
+def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq_adc_topk(read_table(spark, sf_dir, "embeddings"))
+
+
 def assign_nearest_centroid(emb: DataFrame) -> DataFrame:
     """Vector quantization / cluster assignment: each embedding is
     assigned to the nearest per-label centroid by cosine — the
@@ -537,7 +772,62 @@ QUERIES = {
     "emb_centroid": q_emb_centroid,
     "emb_knn_graph": q_emb_knn_graph,
     "emb_assign_nearest": q_emb_assign_nearest,
+    "graph_pagerank": q_graph_pagerank,
+    "emb_pq_codes": q_emb_pq_codes,
+    "ann_pq_adc_topk": q_ann_pq_adc_topk,
 }
+
+
+def _pagerank_oracle_sql() -> str:
+    """Unrolled-CTE twin of ``pagerank`` over the kNN edges: r0..rN
+    chained, each iteration the same integer contrib/in-sum/damp
+    steps (DuckDB ``//`` ≡ Spark ``DIV`` on positive longs)."""
+    base = PAGERANK_SCALE * (100 - PAGERANK_DAMP_NUM) // 100
+    its = []
+    for i in range(1, PAGERANK_ITERS + 1):
+        its.append(f"""
+        c{i} AS (
+            SELECT e.n_id AS node, SUM(r.rank // e.out_deg) AS s
+            FROM dedges e JOIN r{i - 1} r ON r.node = e.src_id
+            GROUP BY e.n_id
+        ),
+        r{i} AS (
+            SELECT n.node,
+                   CAST({base} + ({PAGERANK_DAMP_NUM} * COALESCE(c{i}.s, 0))
+                        // 100 AS BIGINT) AS rank
+            FROM nodes n LEFT JOIN c{i} ON c{i}.node = n.node
+        )""")
+    return f"""
+        WITH scored AS (
+            SELECT a.vec_id AS src_id, b.vec_id AS n_id,
+                   ROUND(list_dot_product(
+                       list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                       list_transform(b.embedding, x -> CAST(x AS DOUBLE))
+                   ), 6) AS cosine
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id <> b.vec_id
+        ),
+        edges AS (
+            SELECT src_id, n_id FROM (
+                SELECT src_id, n_id,
+                       ROW_NUMBER() OVER (PARTITION BY src_id
+                                          ORDER BY cosine DESC, n_id) AS rank
+                FROM scored
+            ) t WHERE rank <= {KNN_K}
+        ),
+        nodes AS (SELECT DISTINCT src_id AS node FROM edges),
+        deg AS (
+            SELECT src_id, COUNT(*) AS out_deg FROM edges GROUP BY src_id
+        ),
+        dedges AS (
+            SELECT e.src_id, e.n_id, d.out_deg
+            FROM edges e JOIN deg d ON e.src_id = d.src_id
+        ),
+        r0 AS (
+            SELECT node, CAST({PAGERANK_SCALE} AS BIGINT) AS rank FROM nodes
+        ),{",".join(its)}
+        SELECT node, rank FROM r{PAGERANK_ITERS}
+    """
 
 def _lsh_oracle_sql() -> str:
     """Generated DuckDB twin of ``q_ann_lsh_topk``: the hyperplanes
@@ -675,6 +965,97 @@ def _ivf_oracle_sql() -> str:
 ORACLES = {
     "ann_lsh_topk": _lsh_oracle_sql(),
     "ann_ivf_topk": _ivf_oracle_sql(),
+    "graph_pagerank": _pagerank_oracle_sql(),
+    "emb_pq_codes": f"""
+        WITH seeds0 AS (
+            SELECT vec_id, embedding FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {PQ_K}
+        ),
+        seeds AS (
+            SELECT ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) - 1 AS s_id,
+                   embedding AS s_emb
+            FROM seeds0
+        ),
+        pairs AS (
+            SELECT e.vec_id, t.sub, s.s_id,
+                   list_reduce(
+                       list_prepend(CAST(0 AS DOUBLE),
+                           list_transform(generate_series(1, {PQ_SUB_DIM}),
+                               i -> CAST(e.embedding[t.sub * {PQ_SUB_DIM} + i]
+                                         AS DOUBLE)
+                                  - CAST(s.s_emb[t.sub * {PQ_SUB_DIM} + i]
+                                         AS DOUBLE))),
+                       (a, b) -> a + b * b) AS d2
+            FROM embeddings e
+            CROSS JOIN generate_series(0, {PQ_M - 1}) AS t(sub)
+            CROSS JOIN seeds s
+        )
+        SELECT vec_id, CAST(sub AS INT) AS sub, CAST(s_id AS INT) AS code,
+               ROUND(d2, 6) AS dist2
+        FROM (
+            SELECT vec_id, sub, s_id, d2,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d2, s_id) AS rn
+            FROM pairs
+        ) t WHERE rn = 1
+    """,
+    "ann_pq_adc_topk": f"""
+        WITH seeds0 AS (
+            SELECT vec_id, embedding FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {PQ_K}
+        ),
+        seeds AS (
+            SELECT ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) - 1 AS code,
+                   embedding AS s_emb
+            FROM seeds0
+        ),
+        pairs AS (
+            SELECT e.vec_id, t.sub, s.code,
+                   list_reduce(
+                       list_prepend(CAST(0 AS DOUBLE),
+                           list_transform(generate_series(1, {PQ_SUB_DIM}),
+                               i -> CAST(e.embedding[t.sub * {PQ_SUB_DIM} + i]
+                                         AS DOUBLE)
+                                  - CAST(s.s_emb[t.sub * {PQ_SUB_DIM} + i]
+                                         AS DOUBLE))),
+                       (a, b) -> a + b * b) AS d2
+            FROM embeddings e
+            CROSS JOIN generate_series(0, {PQ_M - 1}) AS t(sub)
+            CROSS JOIN seeds s
+        ),
+        codes AS (
+            SELECT vec_id, sub, code FROM (
+                SELECT vec_id, sub, code, d2,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                          ORDER BY d2, code) AS rn
+                FROM pairs
+            ) t WHERE rn = 1
+        ),
+        lut AS (
+            SELECT vec_id AS q_id, sub, code,
+                   CAST(floor(d2 * 1000000 + 0.5) AS BIGINT) AS d2_micro
+            FROM pairs WHERE vec_id < {N_QUERIES}
+        ),
+        scored AS (
+            SELECT l.q_id, c.vec_id AS n_id,
+                   CAST(SUM(l.d2_micro) AS BIGINT) AS adc_micro
+            FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+            WHERE l.q_id <> c.vec_id
+            GROUP BY 1, 2
+        )
+        SELECT q_id, n_id, ROUND(adc_micro / 1000000.0, 6) AS adc_d2,
+               CAST(rank AS INTEGER) AS rank
+        FROM (
+            SELECT q_id, n_id, adc_micro,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY adc_micro, n_id) AS rank
+            FROM scored
+        ) t WHERE rank <= {TOP_K}
+    """,
     "emb_assign_nearest": f"""
         WITH cent AS (
             SELECT label, i AS pos,

@@ -362,6 +362,49 @@ def q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_lm(read_table(spark, sf_dir, "documents"))
 
 
+def dup_ngram_rate(docs: DataFrame, min_df: int = 2) -> DataFrame:
+    """Corpus-level duplicated-n-gram rate per document: the fraction
+    of a document's distinct word-3-grams that occur in at least
+    ``min_df`` documents corpus-wide. The memorization-risk signal
+    from the dedup literature (a document whose n-grams are mostly
+    shared elsewhere is boilerplate or a near-copy even when no single
+    pair-level match fires) — complements pair dedup exactly where
+    sub-pair-threshold duplication hides.
+
+    Scale shape: shingles collapse to per-gram document frequency at
+    one partial agg; the join back is (doc, gram) ⋈ (gram, df) — one
+    row to one row, NO fan-out regardless of how common a gram is
+    (contrast the pair self-join, which needs its stop-shingle guard).
+    Final per-doc agg is the second and last shuffle. Intermediate
+    cardinality is Σ distinct grams per doc — linear in corpus tokens.
+    """
+    from covid_engineering_spark.operators.dedup import shingles_of
+
+    sh = shingles_of(docs)
+    df_tab = sh.groupBy("s").agg(F.count("*").alias("df"))
+    dup = (F.col("df") >= min_df).cast("long")
+    agg = (
+        sh.join(df_tab, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(dup).alias("n_dup_grams"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        "n_grams",
+        "n_dup_grams",
+        F.round(F.col("n_dup_grams") / F.col("n_grams"), 6).alias(
+            "dup_rate"
+        ),
+    )
+
+
+def q_text_dup_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup_ngram_rate(read_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
     "text_normalize": q_text_normalize,
@@ -372,6 +415,7 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "text_top_terms": q_text_top_terms,
     "text_unigram_lm": q_text_unigram_lm,
+    "text_dup_ngram_rate": q_text_dup_ngram_rate,
 }
 
 
@@ -407,6 +451,25 @@ def _sql_score(stop: tuple[str, ...], markers: tuple[str, ...]) -> str:
 
 
 ORACLES = {
+    "text_dup_ngram_rate": """
+        WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(generate_series(1, len(w) - 2),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+            FROM ws
+        ),
+        dft AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s)
+        SELECT doc_id,
+               COUNT(*) AS n_grams,
+               CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_grams,
+               ROUND(CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END)
+                          AS BIGINT) / COUNT(*), 6) AS dup_rate
+        FROM sh JOIN dft USING (s)
+        GROUP BY doc_id
+    """,
     "text_unigram_lm": f"""
         WITH tf AS (
             SELECT doc_id, tok, COUNT(*) AS c

@@ -69,8 +69,14 @@ DUCKDB_ONLY = {
     "ann_lsh_topk",
     "covid_param_series",
     "covid_transfer_sim",
+    "ann_pq_adc_topk",
     "dedup_clusters",
+    "dedup_containment",
     "dedup_embedding",
+    "emb_pq_codes",
+    "graph_pagerank",
+    "pipe_dataset_card",
+    "text_dup_ngram_rate",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",

@@ -147,6 +147,14 @@ SURVEY_MAP = {
     "TS-ACTIVE": "ts_active_users",
     "TS-PROFILE": "ts_hourly_profile",
     "TXT-UNIGRAM": "text_unigram_lm",
+    # round-4 extensions: containment dedup, corpus dup-ngram rate,
+    # kNN-graph PageRank, dataset-card rollup, PQ encode + ADC search
+    "DD-CONTAIN": "dedup_containment",
+    "TXT-DUPNGRAM": "text_dup_ngram_rate",
+    "GRAPH-PR": "graph_pagerank",
+    "PIPE-CARD": "pipe_dataset_card",
+    "ANN-PQ": "emb_pq_codes",
+    "ANN-PQADC": "ann_pq_adc_topk",
     # ingest extensions (JSONL / ORC / compaction round-trips)
     "ING-JSONL": "s6_jsonl_scan",
     "ING-ORC": "s7_orc_roundtrip",
