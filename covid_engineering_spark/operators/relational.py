@@ -959,6 +959,37 @@ def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite: TPC-H Q4 shape — the EXISTS decorrelation showcase.
+    Orders placed in one quarter that have at least one late-shipping
+    line item (the synthetic schema carries no commit/receipt dates,
+    so "late" is l_shipdate > o_orderdate + 30 days — same correlated
+    EXISTS structure as the TPC-H original), counted per priority.
+
+    Plan: the date window pushes to the orders scan; the EXISTS is a
+    LEFT SEMI join on the order key with the non-equi lateness
+    predicate folded into the join condition — each order emits at
+    most once no matter how many qualifying lines it has (no
+    DISTINCT, no fan-out to collapse), which is why EXISTS-as-semi
+    beats EXISTS-as-inner-join-plus-dedup at scale. The final agg
+    shuffles 5 priority rows.
+    """
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1997-01-01", "1997-03-31")
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(orders.o_orderdate, 30)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
 def q_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite: 5-way star join + per-group revenue (TPC-H Q5 shape).
     Dimensions broadcast; only lineitem⨝orders shuffles.
@@ -1019,6 +1050,7 @@ QUERIES = {
     "str_regex": q_str_regex,
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_top_orders": q_q3_top_orders,
+    "q4_order_priority": q_q4_order_priority,
     "q5_region_revenue": q_q5_region_revenue,
     "q2_min_cost_supplier": q_q2_min_cost_supplier,
     "q6_forecast_revenue": q_q6_forecast_revenue,
@@ -1384,6 +1416,18 @@ ORACLES = {
         GROUP BY l_orderkey, o_orderdate
         ORDER BY revenue DESC, l_orderkey
         LIMIT 10
+    """,
+    "q4_order_priority": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+                              AND TIMESTAMP '1997-03-31 00:00:00'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+          )
+        GROUP BY o_orderpriority
     """,
     "q5_region_revenue": """
         SELECT r_name,

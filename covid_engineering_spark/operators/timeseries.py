@@ -456,6 +456,118 @@ def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_anomaly(read_table(spark, sf_dir, "events"))
 
 
+#: Minimum OTHER members a seasonal cell needs before its points are
+#: judged. Lower than the rolling form's ANOMALY_MIN_HIST by design:
+#: a (dow, hour) cell accrues one member per WEEK, so a rolling-style
+#: floor of 8 would need two months of history before the first flag
+#: (the synthetic feeds span ~5 weeks and produced zero flags at any
+#: scale — a vacuous flag column); 3 members ≈ one month of context,
+#: the practical cold-start point for weekly seasonality.
+SEASONAL_MIN_HIST = 3
+
+
+def seasonal_anomaly(
+    ev: DataFrame,
+    every: str = EVERY,
+    min_hist: int = SEASONAL_MIN_HIST,
+    z: int = ANOMALY_Z,
+) -> DataFrame:
+    """Seasonal z-score anomaly flags: each (event_type, bucket)
+    hourly value is judged against the mean/variance of its OWN
+    seasonal cell — all buckets sharing its (day-of-week,
+    hour-of-day) — rather than a trailing window. Catches "unusual
+    for a Tuesday 3 am" that ``rolling_anomaly`` normalizes away
+    when the preceding 24 h were also night hours, and vice versa;
+    metrics stores run both.
+
+    Leave-one-out exactness: the cell aggregates (n, S=Σx, Q=Σx²)
+    include the judged point, so the baseline subtracts it —
+    n' = n−1, S' = S−x, Q' = Q−x² — and the flag inequality is the
+    same cross-multiplied integer-cents algebra as the rolling form:
+    ``(n'·x−S')² > z²·(n'·Q'−S'²)``, no float anywhere.
+
+    Scale shape: the resample agg collapses raw events to
+    (type, bucket) rows; the cell aggregate collapses those to at
+    most types × 168 rows, joined back BY CELL KEY — one row to one
+    broadcast-sized row, no fan-out. Two bounded shuffles total.
+    """
+    cents = _cents()
+    bucketed = ev.groupBy(
+        F.date_trunc(every, "ts").alias("bucket"), "event_type"
+    ).agg(F.sum(cents).alias("x_cents"))
+    dow = F.pmod(
+        F.datediff(F.to_date("bucket"), F.to_date(F.lit(DOW_ANCHOR))), 7
+    )
+    cells = bucketed.select(
+        "event_type",
+        "bucket",
+        "x_cents",
+        dow.alias("dow"),
+        F.hour("bucket").alias("hour"),
+    )
+    stats = cells.groupBy("event_type", "dow", "hour").agg(
+        F.count("*").alias("n_cell"),
+        F.sum("x_cents").alias("s_cell"),
+        F.sum(F.col("x_cents") * F.col("x_cents")).alias("q_cell"),
+    )
+    j = cells.join(stats, ["event_type", "dow", "hour"])
+    n1 = F.col("n_cell") - 1
+    s1 = F.col("s_cell") - F.col("x_cents")
+    q1 = F.col("q_cell") - F.col("x_cents") * F.col("x_cents")
+    dev = n1 * F.col("x_cents") - s1
+    flag = (n1 >= min_hist) & (dev * dev > F.lit(z * z) * (n1 * q1 - s1 * s1))
+    return j.select(
+        "event_type",
+        "bucket",
+        "x_cents",
+        "dow",
+        "hour",
+        n1.cast("long").alias("n_base"),
+        s1.cast("long").alias("s_base"),
+        q1.cast("long").alias("q_base"),
+        flag.alias("is_anomaly"),
+    )
+
+
+def q_ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return seasonal_anomaly(read_table(spark, sf_dir, "events"))
+
+
+#: Top event types kept per bucket in the trending rollup.
+TRENDING_K = 3
+
+
+def trending(ev: DataFrame, every: str = EVERY, k: int = TRENDING_K) -> DataFrame:
+    """Per-bucket top-k event types by event count (count-desc,
+    type-asc tiebreak) — the "trending now" feed. In Structured
+    Streaming the same plan runs as a windowed agg + rank over the
+    closed window (complete/update mode); the batch face here is the
+    registered, hash-checked form.
+
+    Scale shape: partial-aggregated groupBy to (bucket, type) rows,
+    then the rank window partitioned by bucket — Catalyst plans a
+    partial WindowGroupLimit below the exchange, so each map task
+    ships at most k rows per bucket.
+    """
+    counts = ev.groupBy(
+        F.date_trunc(every, "ts").alias("bucket"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.desc("n_events"), "event_type"
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def q_ts_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return trending(read_table(spark, sf_dir, "events"))
+
+
 #: Rolling-activity window for WAU, in days (inclusive of the day
 #: itself: day-6 .. day).
 WAU_DAYS = 7
@@ -557,6 +669,8 @@ QUERIES = {
     "ts_cohort": q_ts_cohort,
     "ts_gapfill": q_ts_gapfill,
     "ts_anomaly": q_ts_anomaly,
+    "ts_seasonal_anomaly": q_ts_seasonal_anomaly,
+    "ts_trending": q_ts_trending,
     "ts_active_users": q_ts_active_users,
     "ts_hourly_profile": q_ts_hourly_profile,
 }
@@ -599,6 +713,59 @@ ORACLES = {
         FROM rolled
     """.format(ANOMALY_FRAME=ANOMALY_FRAME, ANOMALY_MIN_HIST=ANOMALY_MIN_HIST,
                 z2=ANOMALY_Z * ANOMALY_Z, CENTS_SQL=CENTS_SQL),
+    "ts_seasonal_anomaly": """
+        WITH bucketed AS (
+            SELECT date_trunc('hour', ts) AS bucket, event_type,
+                   SUM({CENTS_SQL}) AS x_cents
+            FROM events
+            GROUP BY 1, 2
+        ),
+        cells AS (
+            SELECT event_type, bucket, x_cents,
+                   ((CAST(bucket AS DATE) - DATE '{DOW_ANCHOR}') % 7 + 7)
+                       % 7 AS dow,
+                   hour(bucket) AS hour
+            FROM bucketed
+        ),
+        stats AS (
+            SELECT event_type, dow, hour,
+                   COUNT(*) AS n_cell,
+                   CAST(SUM(x_cents) AS BIGINT) AS s_cell,
+                   CAST(SUM(x_cents * x_cents) AS BIGINT) AS q_cell
+            FROM cells GROUP BY 1, 2, 3
+        )
+        SELECT c.event_type, c.bucket, c.x_cents, c.dow, c.hour,
+               CAST(n_cell - 1 AS BIGINT) AS n_base,
+               CAST(s_cell - x_cents AS BIGINT) AS s_base,
+               CAST(q_cell - x_cents * x_cents AS BIGINT) AS q_base,
+               (n_cell - 1 >= {SEASONAL_MIN_HIST} AND
+                ((n_cell - 1) * x_cents - (s_cell - x_cents))
+                  * ((n_cell - 1) * x_cents - (s_cell - x_cents))
+                  > {z2} * ((n_cell - 1) * (q_cell - x_cents * x_cents)
+                            - (s_cell - x_cents) * (s_cell - x_cents))
+               ) AS is_anomaly
+        FROM cells c
+        JOIN stats USING (event_type, dow, hour)
+    """.format(CENTS_SQL=CENTS_SQL, DOW_ANCHOR=DOW_ANCHOR,
+                SEASONAL_MIN_HIST=SEASONAL_MIN_HIST,
+                z2=ANOMALY_Z * ANOMALY_Z),
+    "ts_trending": f"""
+        WITH counts AS (
+            SELECT date_trunc('hour', ts) AS bucket, event_type,
+                   COUNT(*) AS n_events,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1, 2
+        )
+        SELECT bucket, event_type, n_events, n_users,
+               CAST(rank AS INTEGER) AS rank
+        FROM (
+            SELECT bucket, event_type, n_events, n_users,
+                   ROW_NUMBER() OVER (PARTITION BY bucket
+                                      ORDER BY n_events DESC, event_type)
+                       AS rank
+            FROM counts
+        ) t WHERE rank <= {TRENDING_K}
+    """,
     "ts_active_users": f"""
         WITH pairs AS (
             SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events

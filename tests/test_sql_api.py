@@ -119,6 +119,7 @@ DUCKDB_ONLY = {
     "ts_hourly_profile",
     "ts_resample",
     "ts_rollup_incremental",
+    "ts_seasonal_anomaly",
     "w6_interpolate",
     "wrangle_clean_complete",
 }

@@ -155,6 +155,9 @@ SURVEY_MAP = {
     "PIPE-CARD": "pipe_dataset_card",
     "ANN-PQ": "emb_pq_codes",
     "ANN-PQADC": "ann_pq_adc_topk",
+    "Q4": "q4_order_priority",
+    "TS-SEASONAL": "ts_seasonal_anomaly",
+    "TS-TRENDING": "ts_trending",
     # ingest extensions (JSONL / ORC / compaction round-trips)
     "ING-JSONL": "s6_jsonl_scan",
     "ING-ORC": "s7_orc_roundtrip",

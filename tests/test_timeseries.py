@@ -312,3 +312,72 @@ def test_cents_derivation_is_environment_proof_at_driver_scale(spark):
             assert res["match"], (name, res)
     finally:
         con.close()
+
+
+def test_seasonal_anomaly_leave_one_out_baseline(spark):
+    # The judged point must be excluded from its own baseline: a cell
+    # whose other members are constant must show zero variance in the
+    # base stats, and a single spike in that cell must be flagged
+    # against the constant baseline (not diluted by itself).
+    import datetime as dt
+
+    from covid_engineering_spark.operators.timeseries import (
+        seasonal_anomaly,
+    )
+
+    rows = []
+    eid = 0
+    # 10 Mondays at 05:00 (same seasonal cell), value 1.00 — plus one
+    # spiked Monday at 1000.00
+    for wk in range(10):
+        val = 1000.0 if wk == 9 else 1.0
+        rows.append(
+            (eid, dt.datetime(2024, 1, 1, 5, 0) + dt.timedelta(weeks=wk),
+             1, "view", val, "{}")
+        )
+        eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r.bucket: r for r in seasonal_anomaly(ev).collect()}
+    assert len(got) == 10
+    spike = [r for r in got.values() if r.x_cents == 100000]
+    flat = [r for r in got.values() if r.x_cents == 100]
+    assert len(spike) == 1 and spike[0].is_anomaly is True
+    # flat points: baseline contains the spike, variance is huge, so
+    # none are flagged — and each baseline excludes the judged point
+    for r in flat:
+        assert r.is_anomaly is False
+        assert r.n_base == 9
+        assert r.s_base == 8 * 100 + 100000
+
+
+def test_seasonal_anomaly_fires_nonvacuously_on_real_feed(spark):
+    from covid_engineering_spark.operators.timeseries import (
+        seasonal_anomaly,
+    )
+
+    rows = seasonal_anomaly(read_table(spark, SF_SMOKE, "events")).collect()
+    assert all(r.is_anomaly is not None for r in rows)
+    assert 0 < sum(r.is_anomaly for r in rows) < len(rows)
+
+
+def test_trending_rank_and_coverage(spark):
+    from covid_engineering_spark.operators.timeseries import (
+        TRENDING_K,
+        trending,
+    )
+
+    rows = trending(read_table(spark, SF_SMOKE, "events")).collect()
+    per_bucket = {}
+    for r in rows:
+        per_bucket.setdefault(r.bucket, []).append(r)
+    for bucket, rs in per_bucket.items():
+        ranks = sorted(x.rank for x in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        assert len(rs) <= TRENDING_K
+        # ranking is by count desc then type asc
+        ordered = sorted(rs, key=lambda x: (-x.n_events, x.event_type))
+        assert [x.rank for x in ordered] == list(range(1, len(rs) + 1))
