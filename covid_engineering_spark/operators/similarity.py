@@ -438,16 +438,34 @@ def knn_graph(
 
     a, b = salted_block_sides(emb, block, "vec_id", "embedding", cap)
     cos = cosine_expr(F.col("pay_a"), F.col("pay_b"))
-    scored = (
+    # Cosine is symmetric, so score each UNORDERED pair once
+    # (id_a < id_b — half the dominant dot-product evaluations) and
+    # fan out to both directed rows map-side with one Generate over an
+    # id-only array: the cosine column is computed in the projection
+    # BEFORE the explode and carried, never re-evaluated. (A union of
+    # the mirrored half would re-execute the whole join+cosine subtree
+    # per branch — Catalyst does not dedupe shared subtrees.)
+    half = (
         a.join(b, SALTED_JOIN_KEYS)
-        .filter(F.col("id_a") != F.col("id_b"))
-        .select(
-            "blk",
-            F.col("id_a").alias("src_id"),
-            F.col("id_b").alias("n_id"),
-            cos.alias("cosine"),
-        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("blk", "id_a", "id_b", cos.alias("cosine"))
     )
+    scored = half.select(
+        "blk",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src_id"),
+                    F.col("id_b").alias("n_id"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("src_id"),
+                    F.col("id_a").alias("n_id"),
+                ),
+            )
+        ).alias("e"),
+        "cosine",
+    ).select("blk", "e.src_id", "e.n_id", "cosine")
     w = Window.partitionBy("src_id").orderBy(F.desc("cosine"), "n_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
