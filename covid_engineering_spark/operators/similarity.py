@@ -730,6 +730,113 @@ def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(read_table(spark, sf_dir, "embeddings"))
 
 
+#: IVF-PQ geometry: the first IVFPQ_COARSE_K entries of the one
+#: md5-ranked seed draw serve as the coarse quantizer (inverted-list
+#: cells); each query probes its IVFPQ_PROBE nearest cells.
+IVFPQ_COARSE_K = 8
+IVFPQ_PROBE = 4
+
+
+def ivfpq_topk(emb: DataFrame, k: int = TOP_K) -> DataFrame:
+    """IVF-PQ: the billion-scale ANN architecture — a coarse
+    quantizer routes each corpus vector into one inverted list, and
+    search runs ADC over PQ codes ONLY inside the query's probed
+    lists. Combines ``ann_ivf_topk``'s pruning (touch PROBE/K of the
+    corpus) with ``ann_pq_adc_topk``'s compression (touch only 4-byte
+    codes): the scan cost per query is (PROBE/K) · N · M code
+    lookups, no floats, which is what fits a billion vectors in RAM.
+
+    Determinism: ONE md5-ranked seed draw supplies both quantizers —
+    its first IVFPQ_COARSE_K entries are the coarse cells, all PQ_K
+    slice into the sub-codebooks — so the whole index derivation
+    replays in the SQL twin. PQ encodes RAW vectors (not residuals
+    x − cell_centroid, the classic refinement): residual encoding
+    needs per-cell LUTs (PROBE× the table mass) and its win shrinks
+    exactly when cells are coarse; documented trade, plumbing
+    identical. Distances ride the same integer micro-unit LUTs as
+    the flat ADC path (partition-order exact).
+
+    Scale shape: cell assignment and PQ encoding are both map-side
+    broadcast passes over one corpus scan, joined on vec_id (at
+    100 TB you'd persist this as the index layout, partitioned by
+    cell — the inverted lists ARE the partitioning). The probe join
+    broadcasts q×PROBE rows, the LUT join broadcasts q·M·K rows, and
+    the only corpus-sized shuffle is the final per-(q, candidate)
+    partial-aggregated sum.
+    """
+    key = F.md5(F.col("vec_id").cast("string"))
+    seeds0 = (
+        emb.select("vec_id", "embedding").orderBy(key, "vec_id").limit(PQ_K)
+    )
+    w0 = Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    seeds = seeds0.select(
+        (F.row_number().over(w0) - 1).alias("s_id"),
+        F.col("embedding").alias("s_emb"),
+    )
+    coarse = seeds.filter(F.col("s_id") < IVFPQ_COARSE_K).select(
+        F.col("s_id").alias("c_id"), F.col("s_emb").alias("c_emb")
+    )
+    cells = _assign(
+        emb.select("vec_id", "embedding"), coarse, "vec_id", "embedding", 1
+    ).select("vec_id", F.col("c_id").alias("cell"))
+    corpus = pq_codes(emb).join(cells, "vec_id")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    probes = _assign(q, coarse, "q_id", "q_emb", IVFPQ_PROBE).select(
+        "q_id", F.col("c_id").alias("cell")
+    )
+    d2 = F.expr(f"""
+        aggregate(
+            transform(sequence(1, {PQ_SUB_DIM}),
+                i -> cast(element_at(q_emb, sub * {PQ_SUB_DIM} + i)
+                          as double)
+                   - cast(element_at(s_emb, sub * {PQ_SUB_DIM} + i)
+                          as double)),
+            cast(0.0 as double), (acc, x) -> acc + x * x)
+    """)
+    lut = (
+        q.crossJoin(F.broadcast(seeds.selectExpr("s_id as code", "s_emb")))
+        .select(
+            "q_id",
+            "code",
+            "q_emb",
+            "s_emb",
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("sub"),
+        )
+        .select(
+            "q_id",
+            "sub",
+            "code",
+            F.floor(d2 * 1000000 + F.lit(0.5)).cast("long").alias(
+                "d2_micro"
+            ),
+        )
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .join(F.broadcast(lut), ["q_id", "sub", "code"])
+        .groupBy("q_id", F.col("vec_id").alias("n_id"))
+        .agg(F.sum("d2_micro").alias("adc_micro"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_micro", "n_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "n_id",
+            F.round(F.col("adc_micro") / 1000000.0, 6).alias("adc_d2"),
+            "rank",
+        )
+    )
+
+
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivfpq_topk(read_table(spark, sf_dir, "embeddings"))
+
+
 def assign_nearest_centroid(emb: DataFrame) -> DataFrame:
     """Vector quantization / cluster assignment: each embedding is
     assigned to the nearest per-label centroid by cosine — the
@@ -808,7 +915,109 @@ QUERIES = {
     "graph_pagerank": q_graph_pagerank,
     "emb_pq_codes": q_emb_pq_codes,
     "ann_pq_adc_topk": q_ann_pq_adc_topk,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
 }
+
+
+def _ivfpq_oracle_sql() -> str:
+    """SQL twin of ``ivfpq_topk``: the same seed draw feeds the
+    coarse cells (first IVFPQ_COARSE_K) and the PQ sub-codebooks;
+    assignment tie-breaks mirror ``_assign`` (6dp cosine DESC, cell
+    ASC); distances ride the shared integer micro-unit LUT."""
+    return f"""
+        WITH seeds0 AS (
+            SELECT vec_id, embedding FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {PQ_K}
+        ),
+        seeds AS (
+            SELECT ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) - 1 AS s_id,
+                   embedding AS s_emb
+            FROM seeds0
+        ),
+        coarse AS (
+            SELECT s_id AS c_id, s_emb AS c_emb FROM seeds
+            WHERE s_id < {IVFPQ_COARSE_K}
+        ),
+        cells AS (
+            SELECT vec_id, c_id AS cell FROM (
+                SELECT e.vec_id, c.c_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY ROUND(list_dot_product(
+                               list_transform(e.embedding,
+                                              x -> CAST(x AS DOUBLE)),
+                               list_transform(c.c_emb,
+                                              x -> CAST(x AS DOUBLE))
+                           ), 6) DESC, c.c_id
+                       ) AS rn
+                FROM embeddings e CROSS JOIN coarse c
+            ) t WHERE rn = 1
+        ),
+        probes AS (
+            SELECT q_id, c_id AS cell FROM (
+                SELECT e.vec_id AS q_id, c.c_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY ROUND(list_dot_product(
+                               list_transform(e.embedding,
+                                              x -> CAST(x AS DOUBLE)),
+                               list_transform(c.c_emb,
+                                              x -> CAST(x AS DOUBLE))
+                           ), 6) DESC, c.c_id
+                       ) AS rn
+                FROM embeddings e CROSS JOIN coarse c
+                WHERE e.vec_id < {N_QUERIES}
+            ) t WHERE rn <= {IVFPQ_PROBE}
+        ),
+        pairs AS (
+            SELECT e.vec_id, t.sub, s.s_id AS code,
+                   list_reduce(
+                       list_prepend(CAST(0 AS DOUBLE),
+                           list_transform(generate_series(1, {PQ_SUB_DIM}),
+                               i -> CAST(e.embedding[t.sub * {PQ_SUB_DIM} + i]
+                                         AS DOUBLE)
+                                  - CAST(s.s_emb[t.sub * {PQ_SUB_DIM} + i]
+                                         AS DOUBLE))),
+                       (a, b) -> a + b * b) AS d2
+            FROM embeddings e
+            CROSS JOIN generate_series(0, {PQ_M - 1}) AS t(sub)
+            CROSS JOIN seeds s
+        ),
+        codes AS (
+            SELECT vec_id, sub, code FROM (
+                SELECT vec_id, sub, code, d2,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                          ORDER BY d2, code) AS rn
+                FROM pairs
+            ) t WHERE rn = 1
+        ),
+        lut AS (
+            SELECT vec_id AS q_id, sub, code,
+                   CAST(floor(d2 * 1000000 + 0.5) AS BIGINT) AS d2_micro
+            FROM pairs WHERE vec_id < {N_QUERIES}
+        ),
+        scored AS (
+            SELECT p.q_id, c.vec_id AS n_id,
+                   CAST(SUM(l.d2_micro) AS BIGINT) AS adc_micro
+            FROM codes c
+            JOIN cells ce ON ce.vec_id = c.vec_id
+            JOIN probes p ON p.cell = ce.cell
+            JOIN lut l ON l.q_id = p.q_id AND l.sub = c.sub
+                      AND l.code = c.code
+            WHERE p.q_id <> c.vec_id
+            GROUP BY 1, 2
+        )
+        SELECT q_id, n_id, ROUND(adc_micro / 1000000.0, 6) AS adc_d2,
+               CAST(rank AS INTEGER) AS rank
+        FROM (
+            SELECT q_id, n_id, adc_micro,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY adc_micro, n_id) AS rank
+            FROM scored
+        ) t WHERE rank <= {TOP_K}
+    """
 
 
 def _pagerank_oracle_sql() -> str:
@@ -999,6 +1208,7 @@ ORACLES = {
     "ann_lsh_topk": _lsh_oracle_sql(),
     "ann_ivf_topk": _ivf_oracle_sql(),
     "graph_pagerank": _pagerank_oracle_sql(),
+    "ann_ivfpq_topk": _ivfpq_oracle_sql(),
     "emb_pq_codes": f"""
         WITH seeds0 AS (
             SELECT vec_id, embedding FROM embeddings

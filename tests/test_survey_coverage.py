@@ -155,6 +155,7 @@ SURVEY_MAP = {
     "PIPE-CARD": "pipe_dataset_card",
     "ANN-PQ": "emb_pq_codes",
     "ANN-PQADC": "ann_pq_adc_topk",
+    "ANN-IVFPQ": "ann_ivfpq_topk",
     "Q4": "q4_order_priority",
     "TS-SEASONAL": "ts_seasonal_anomaly",
     "TS-TRENDING": "ts_trending",
