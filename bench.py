@@ -118,6 +118,26 @@ def main() -> None:
             failed.append(name)
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
 
+    # LSH bucket pre-flight rides along in every bench artifact: a
+    # nonzero capped-bucket count on this data means the band-cap
+    # chain-edge approximation (SKETCH_BUCKET_CAP) is ACTIVE for
+    # dedup_minhash_lsh, which a reader of the timing should know —
+    # surfaced automatically rather than opt-in (round-3 advice).
+    try:
+        from covid_engineering_spark.operators.dedup import lsh_bucket_stats
+        from covid_engineering_spark.sources import read_table
+
+        st = lsh_bucket_stats(
+            read_table(spark, sf_dir, "documents"), portable=True
+        ).head()
+        preflight = {
+            "n_buckets": st["n_buckets"],
+            "max_bucket": st["max_bucket"],
+            "capped_buckets": st["capped_buckets"],
+        }
+    except Exception as exc:  # pragma: no cover - diagnostic only
+        preflight = {"error": repr(exc)[:200]}
+
     out = {
         "metric": "headline_query_wall_time",
         "value": round(total, 3),
@@ -125,6 +145,7 @@ def main() -> None:
         "queries": timings,
         "spread": spread,
         "failed": failed,
+        "lsh_bucket_preflight": preflight,
         "runs": runs,
         "sf": sf,
         "methodology": (

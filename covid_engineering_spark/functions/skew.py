@@ -39,6 +39,11 @@ def salted_block_sides(
 ) -> tuple[DataFrame, DataFrame]:
     """Build the two sides of an exact salted intra-block self-join.
 
+    ``cap`` must be >= 1: a degenerate cap would make n_sub zero (an
+    empty salt sequence drops every row silently). Both callers
+    (knn_graph, embedding_pairs) treat only None as "use the
+    default" — an explicit 0 is a caller bug and fails loudly here.
+
     Returns ``(a, b)`` with columns ``(blk, id_a, pay_a, salt_a,
     salt_b)`` / ``(blk, id_b, pay_b, salt_a, salt_b)``; join them on
     ``SALTED_JOIN_KEYS`` and apply the caller's pair predicate
@@ -46,6 +51,8 @@ def salted_block_sides(
     Per-block s comes from a count aggregate broadcast back onto both
     sides, so the plan stays fully lazy.
     """
+    if cap is None or cap < 1:
+        raise ValueError(f"salted_block_sides cap must be >= 1, got {cap!r}")
     sizes = df.groupBy(F.col(block).alias("blk")).agg(
         F.ceil(F.count("*") / F.lit(cap)).cast("int").alias("n_sub")
     )

@@ -623,7 +623,8 @@ def embedding_pairs(
     )
 
     a, b = salted_block_sides(
-        emb, "label", "vec_id", "embedding", cap or BLOCK_CAP
+        emb, "label", "vec_id", "embedding",
+        BLOCK_CAP if cap is None else cap,
     )
     cos = cosine_expr(F.col("pay_a"), F.col("pay_b"))
     return (

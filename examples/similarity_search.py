@@ -18,7 +18,12 @@ vector-heavy pipeline ships:
    sub-block skew guard;
 5. nearest-centroid assignment — vector quantization against the
    per-label centroids;
-6. embedding near-dup pairs — the cosine dedup path on its salted
+6. product quantization — PQ encode (8x16 deterministic
+   sub-codebooks), the flat ADC scan, and the IVF-PQ composition
+   (coarse-cell pruning + ADC over codes), each with inline recall
+   against the baseline (unit-norm corpus, so L2 == cosine ranking);
+7. integer PageRank over the kNN graph — hub scoring;
+8. embedding near-dup pairs — the cosine dedup path on its salted
    block join, plus the MinHash bucket-stats pre-flight on the
    documents table (the "no silent caps" report).
 
@@ -39,10 +44,15 @@ from covid_engineering_spark.operators.dedup import (
     lsh_bucket_stats,
 )
 from covid_engineering_spark.operators.similarity import (
+    PQ_M,
     assign_nearest_centroid,
     deterministic_codebook,
     ivf_topk,
+    ivfpq_topk,
     knn_graph,
+    pagerank,
+    pq_adc_topk,
+    pq_codes,
     q_ann_cosine_topk,
     q_ann_lsh_topk,
 )
@@ -82,7 +92,24 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     agree = assigned.filter("vec_id >= 0").count()
     print(f"nearest-centroid assignment: {agree} vectors quantized")
 
-    # 6. cosine near-dup pairs + the bucket-cap pre-flight
+    # 6. the compressed tier: PQ encode, flat ADC scan, and the
+    # IVF-PQ composition (coarse-cell pruning + ADC). The corpus is
+    # unit-norm, so L2 ranking == cosine ranking and ADC recall is
+    # measured against the same brute-force baseline.
+    n_codes = pq_codes(emb).count()
+    print(f"pq codes: {n_codes} ({n_vecs} vectors x {PQ_M} subspaces)")
+    adc = _pairs(pq_adc_topk(emb).collect())
+    print(f"flat adc recall vs brute force: {len(adc & brute) / len(brute):.3f}")
+    ivfpq = _pairs(ivfpq_topk(emb).collect())
+    print(f"ivf-pq recall vs brute force: {len(ivfpq & brute) / len(brute):.3f}")
+
+    # 7. hub scoring over the kNN graph (integer PageRank)
+    ranks = pagerank(graph.select("src_id", "n_id"))
+    n_nodes = ranks.count()
+    mass = ranks.agg({"rank": "sum"}).head()[0]
+    print(f"pagerank: {n_nodes} nodes, total mass {mass}")
+
+    # 8. cosine near-dup pairs + the bucket-cap pre-flight
     dups = embedding_pairs(emb, threshold=0.4).count()
     print(f"embedding near-dup pairs at cosine >= 0.4: {dups}")
     docs = read_table(spark, sf_dir, "documents")

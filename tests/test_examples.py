@@ -71,12 +71,33 @@ def test_similarity_search_runs(spark, capsys):
     )
     mod["main"]("/root/testdata/sf0.001")
     out = capsys.readouterr().out
-    # every figure below is deterministic: portable hashes, LCG
-    # planes, md5-sampled codebook, fixed data
+    # Structural figures are deterministic (portable hashes, LCG
+    # planes, md5-sampled codebook, fixed data) and pinned exactly.
     assert "brute-force top-5 neighbors for 8 queries over 500 vectors: 40 pairs" in out
-    assert "lsh ann recall vs brute force: 0.775" in out
-    assert "ivf ann recall vs brute force: 0.775" in out
     assert "knn graph: 2500 edges across 10 label blocks" in out
     assert "nearest-centroid assignment: 500 vectors quantized" in out
+    assert "pq codes: 4000 (500 vectors x 8 subspaces)" in out
+    assert "pagerank: 500 nodes, total mass 500000000" in out
     assert "embedding near-dup pairs at cosine >= 0.4: 5" in out
-    assert "1687 buckets, max membership 5, 0 over the cap" in out
+    # Recall figures assert a tolerance band, not the exact decimal:
+    # a Spark version change in hash/sort-null ordering would shift
+    # the last digit and should read as environment drift, not a
+    # recall regression (round-3 advice). The hash-checked driver
+    # path still pins these computations exactly.
+    def recall_of(prefix: str) -> float:
+        line = next(l for l in out.splitlines() if l.startswith(prefix))
+        return float(line.rsplit(":", 1)[1])
+
+    assert recall_of("lsh ann recall") >= 0.7
+    assert recall_of("ivf ann recall") >= 0.7
+    # coarse-quantizer paths on a near-uniform corpus: far above the
+    # 5/500 = 0.01 random baseline is the honest bar (see
+    # test_round4_ops for the separable-data quality pin)
+    assert recall_of("flat adc recall") >= 0.05
+    assert recall_of("ivf-pq recall") >= 0.05
+    # bucket pre-flight: structure may drift with corpus/hash tweaks;
+    # what must hold is a healthy index (many buckets, none capped)
+    line = next(l for l in out.splitlines() if "bucket pre-flight" in l)
+    assert "0 over the cap" in line
+    n_buckets = int(line.split(":")[1].strip().split(" ")[0])
+    assert n_buckets > 500
