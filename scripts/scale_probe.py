@@ -55,9 +55,21 @@ def _blowup(spark, out_dir: str, replicas: int) -> None:
 
     ev = read_table(spark, BASE, "events")  # normalizes the nanos ts
     docs = read_table(spark, BASE, "documents")
+    emb = read_table(spark, BASE, "embeddings")
     ev_n = None
     doc_n = None
+    emb_n = None
     for i in range(replicas):
+        # embeddings: offset vec_id, replica-suffix the label — 10x the
+        # BLOCKS at constant block size (shard growth, the realistic
+        # shape): the blocked kNN/pagerank pipelines must scale with
+        # block count, never re-quadratically.
+        m = emb.select(
+            (F.col("vec_id") + F.lit(i * 10**9)).alias("vec_id"),
+            "embedding",
+            F.concat(F.col("label"), F.lit(f"r{i}")).alias("label"),
+        )
+        emb_n = m if emb_n is None else emb_n.unionByName(m)
         e = ev.select(
             (F.col("event_id") + F.lit(i * 10**12)).alias("event_id"),
             "ts",
@@ -85,6 +97,9 @@ def _blowup(spark, out_dir: str, replicas: int) -> None:
         doc_n = d if doc_n is None else doc_n.unionByName(d)
     ev_n.write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
     doc_n.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+    emb_n.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
 
 
 def _time(fn) -> float:
@@ -234,6 +249,38 @@ def main() -> None:
             "overwrite"
         ).format("noop").save()
 
+    def knn(sf_dir):
+        # blocked kNN at 10x the BLOCKS (constant block size): cost is
+        # Σ block², so growth must track block count — linear — never
+        # re-quadratic; the half-pair explode and salted grid ride along
+        from covid_engineering_spark.operators.similarity import knn_graph
+
+        knn_graph(read_table(spark, sf_dir, "embeddings")).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+    def pr(sf_dir):
+        # kNN edges + 3 integer PageRank iterations: joins/aggs all
+        # key-partitioned, so 10x nodes/edges should be ~linear
+        from covid_engineering_spark.operators.similarity import (
+            knn_graph,
+            pagerank,
+        )
+
+        edges = knn_graph(
+            read_table(spark, sf_dir, "embeddings")
+        ).select("src_id", "n_id")
+        pagerank(edges).write.mode("overwrite").format("noop").save()
+
+    def ivfpq(sf_dir):
+        # coarse cells are CONSTANT (seed draw), lists grow 10x: probe
+        # cost per query is (PROBE/K)·N·M code lookups — linear in N
+        from covid_engineering_spark.operators.similarity import ivfpq_topk
+
+        ivfpq_topk(read_table(spark, sf_dir, "embeddings")).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
     out: dict = {"metric": "scale_probe", "x": REPLICAS, "base": BASE}
     seen_names: set = set()
     for name, fn in (
@@ -248,6 +295,9 @@ def main() -> None:
         ("ts_anomaly", anomaly),
         ("pipe_snapshot_diff", snapdiff),
         ("pipe_near_dup_incremental", incnear),
+        ("emb_knn_graph", knn),
+        ("graph_pagerank", pr),
+        ("ann_ivfpq_topk", ivfpq),
     ):
         if ONLY and name not in ONLY:
             continue

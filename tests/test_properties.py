@@ -410,3 +410,40 @@ def test_assign_nearest_is_argmax_of_scored_centroids(spark):
         assert got[r["vec_id"]][0] == best[0], r["vec_id"]
         assert abs(got[r["vec_id"]][1] - best[1]) < 1e-9
     emb.unpersist()
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=3, max_size=12
+        ).map(" ".join),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_containment_dominates_jaccard_on_random_docs(spark, texts):
+    # For any pair: J = c/(na+nb-c) <= c/min(na,nb) = max containment,
+    # and both lie in [0, 1]. Run both measures unguarded at threshold
+    # 0 over random word soups and check the dominance per pair.
+    from covid_engineering_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    jac = {
+        (r.d1, r.d2): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.0, max_df=None).collect()
+    }
+    cont = {
+        (r.d1, r.d2): max(r.cont_1_in_2, r.cont_2_in_1)
+        for r in containment_pairs(docs, threshold=0.0, max_df=None).collect()
+    }
+    assert set(jac) == set(cont)  # same candidate pairs (same plan)
+    for pair, j in jac.items():
+        c = cont[pair]
+        assert 0.0 <= j <= c <= 1.0, (pair, j, c)
