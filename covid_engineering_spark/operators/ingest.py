@@ -231,6 +231,33 @@ def q_s9_sink_range_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(schemas.STAR["orders"]).parquet(out)
 
 
+def q_s10_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family extension — schema evolution across file generations:
+    half the customer rows (even keys) are written by an "old
+    producer" WITHOUT the c_mktsegment column, the other half by a
+    "new producer" with it; one scan with the DECLARED full schema
+    reads both generations, filling the missing column with nulls.
+
+    This is the 100 TB reality: a petabyte lake is never rewritten
+    when a column is added, so every reader must handle mixed file
+    schemas forever. The declared-schema read is the scalable form —
+    ``mergeSchema=true`` inference pays an extra footer pass over
+    EVERY file at plan time and widens types silently; the declared
+    StructType is one catalog lookup and pins the contract.
+    """
+    tmp = _staging_dir("s10_", sf_dir)
+    cust = read_table(spark, sf_dir, "customer")
+    old = cust.filter(F.col("c_custkey") % 2 == 0).drop("c_mktsegment")
+    new = cust.filter(F.col("c_custkey") % 2 != 0)
+    old.write.mode("overwrite").parquet(os.path.join(tmp, "gen=0"))
+    new.write.mode("overwrite").parquet(os.path.join(tmp, "gen=1"))
+    return (
+        spark.read.schema(schemas.STAR["customer"])
+        .option("recursiveFileLookup", "true")
+        .parquet(tmp)
+    )
+
+
 QUERIES = {
     "s1_csv_scan": q_s1_csv_scan,
     "s2_sqlite_ingest": q_s2_sqlite_ingest,
@@ -239,6 +266,7 @@ QUERIES = {
     "s7_orc_roundtrip": q_s7_orc_roundtrip,
     "s8_sink_compact": q_s8_sink_compact,
     "s9_sink_range_sorted": q_s9_sink_range_sorted,
+    "s10_schema_evolution": q_s10_schema_evolution,
 }
 
 ORACLES = {
@@ -262,5 +290,11 @@ ORACLES = {
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                o_orderdate, o_orderpriority
         FROM orders
+    """,
+    "s10_schema_evolution": """
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+               CASE WHEN c_custkey % 2 = 0 THEN NULL
+                    ELSE c_mktsegment END AS c_mktsegment
+        FROM customer
     """,
 }

@@ -60,14 +60,16 @@ def _blowup(spark, out_dir: str, replicas: int) -> None:
     doc_n = None
     emb_n = None
     for i in range(replicas):
-        # embeddings: offset vec_id, replica-suffix the label — 10x the
+        # embeddings: offset vec_id AND label per replica — 10x the
         # BLOCKS at constant block size (shard growth, the realistic
         # shape): the blocked kNN/pagerank pipelines must scale with
-        # block count, never re-quadratically.
+        # block count, never re-quadratically. The label stays an
+        # integer (declared schema) — the offset keeps replicas in
+        # disjoint blocks.
         m = emb.select(
             (F.col("vec_id") + F.lit(i * 10**9)).alias("vec_id"),
             "embedding",
-            F.concat(F.col("label"), F.lit(f"r{i}")).alias("label"),
+            (F.col("label") + F.lit(i * 10**6)).alias("label"),
         )
         emb_n = m if emb_n is None else emb_n.unionByName(m)
         e = ev.select(

@@ -164,6 +164,7 @@ SURVEY_MAP = {
     "ING-ORC": "s7_orc_roundtrip",
     "ING-COMPACT": "s8_sink_compact",
     "ING-RANGE": "s9_sink_range_sorted",
+    "ING-EVOLVE": "s10_schema_evolution",
     # real-data covid composites, fixture-backed registry forms
     "COVID-PARAMS": "covid_param_series",
     "COVID-TRANSFER": "covid_transfer_sim",
