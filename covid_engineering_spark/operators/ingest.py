@@ -258,6 +258,51 @@ def q_s10_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_j7_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-family extension — bucketed co-located join, driver-checked:
+    orders and lineitem are persisted bucketed + sorted on the order
+    key (8 buckets each), then equi-joined and aggregated per order
+    priority. With matching bucket layouts the sort-merge join runs
+    with ZERO exchanges on the join sides (pinned by
+    tests/test_bucketing.py on the plan; this query pins the VALUES
+    through the layout round-trip) — at 100 TB this is the layout
+    decision that turns every recurring fact⨝fact join from a full
+    shuffle into a per-bucket merge.
+
+    The revenue sum rides decimals (order-independent) so the result
+    is identical whether the join was co-located or shuffled — which
+    is exactly what lets a lakehouse flip a table to bucketed layout
+    without a correctness review of downstream queries.
+    """
+    from covid_engineering_spark.sources import write_bucketed
+
+    base = _staging_dir("j7_", sf_dir)
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed(
+        orders, "ces_j7_orders_b", "o_orderkey", 8,
+        os.path.join(base, "orders_b"),
+    )
+    write_bucketed(
+        li, "ces_j7_lineitem_b", "o_orderkey", 8,
+        os.path.join(base, "lineitem_b"),
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        spark.table("ces_j7_lineitem_b")
+        .join(spark.table("ces_j7_orders_b"), "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(revenue.cast("decimal(28,6)")).cast("double"), 2
+            ).alias("revenue"),
+        )
+    )
+
+
 QUERIES = {
     "s1_csv_scan": q_s1_csv_scan,
     "s2_sqlite_ingest": q_s2_sqlite_ingest,
@@ -267,6 +312,7 @@ QUERIES = {
     "s8_sink_compact": q_s8_sink_compact,
     "s9_sink_range_sorted": q_s9_sink_range_sorted,
     "s10_schema_evolution": q_s10_schema_evolution,
+    "j7_bucketed_join": q_j7_bucketed_join,
 }
 
 ORACLES = {
@@ -296,5 +342,14 @@ ORACLES = {
                CASE WHEN c_custkey % 2 = 0 THEN NULL
                     ELSE c_mktsegment END AS c_mktsegment
         FROM customer
+    """,
+    "j7_bucketed_join": """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_lines,
+               ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                                   AS DECIMAL(28,6))) AS DOUBLE), 2)
+                   AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
     """,
 }

@@ -468,6 +468,57 @@ def q_a14_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a19_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19 (extension) — DataSketches HLL with explicit sketch UNION,
+    oracle-checked via the a14 pattern: per-source sketches over the
+    document content hashes are merged with ``hll_union_agg`` and the
+    merged estimate is compared against (a) the one-shot global
+    sketch and (b) the exact distinct count. The emitted flags — both
+    estimates within 5% of exact, and union-vs-global within 5% of
+    each other — are pinned TRUE by the oracle alongside the exact
+    count. (The union and global estimates are NOT bit-equal by
+    design: a small sketch answers from exact sparse/coupon mode,
+    while the union gadget promotes to dense HLL mode — measured
+    here: global said exactly 500 where the union estimated ~498 —
+    so the mergeability contract is estimate-level, not
+    register-level.)
+
+    This is the 100 TB distinct-count architecture a14's
+    ``approx_count_distinct`` hints at but doesn't expose: per-shard /
+    per-day sketches persisted as binaries, unioned at query time —
+    count-distinct over any date range without rescanning raw data.
+    The sketches are deterministic (no RNG seed), so the flags are
+    stable, and a silent estimator change fails the driver hash.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("text"))
+    per_src = docs.groupBy("source").agg(
+        F.hll_sketch_agg(h).alias("sk"),
+    )
+    union_est = per_src.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias(
+            "union_est"
+        )
+    )
+    global_est = docs.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg(h)).alias("global_est")
+    )
+    exact = docs.agg(F.count_distinct(h).alias("exact_nd"))
+    one = (
+        exact.join(F.broadcast(union_est))
+        .join(F.broadcast(global_est))
+    )
+    def within(a, b):
+        return F.abs(F.col(a) - F.col(b)) / F.col(b) <= 0.05
+
+    return one.select(
+        "exact_nd",
+        within("union_est", "exact_nd").alias("union_within"),
+        within("global_est", "exact_nd").alias("global_within"),
+        within("union_est", "global_est").alias("merge_consistent"),
+    )
+
+
 def q_a18_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A18 (extension) — approx_percentile (mergeable quantile sketch)
     made oracle-checkable, the a14 pattern: the sketch values are
@@ -1062,6 +1113,7 @@ QUERIES = {
     "a16_pivot": q_a16_pivot,
     "a17_unpivot": q_a17_unpivot,
     "a18_approx_percentile": q_a18_approx_percentile,
+    "a19_hll_union": q_a19_hll_union,
     "j6_asof_join": q_j6_asof_join,
 }
 
@@ -1139,6 +1191,13 @@ ORACLES = {
                TRUE AS p50_within,
                TRUE AS p90_within
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "a19_hll_union": """
+        SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS exact_nd,
+               TRUE AS union_within,
+               TRUE AS global_within,
+               TRUE AS merge_consistent
+        FROM documents
     """,
     "a12_cube": """
         SELECT r_name, c_mktsegment, COUNT(*) AS cnt,

@@ -165,6 +165,8 @@ SURVEY_MAP = {
     "ING-COMPACT": "s8_sink_compact",
     "ING-RANGE": "s9_sink_range_sorted",
     "ING-EVOLVE": "s10_schema_evolution",
+    "J7": "j7_bucketed_join",
+    "A19": "a19_hll_union",
     # real-data covid composites, fixture-backed registry forms
     "COVID-PARAMS": "covid_param_series",
     "COVID-TRANSFER": "covid_transfer_sim",
