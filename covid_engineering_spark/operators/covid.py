@@ -583,9 +583,114 @@ def _oracle_sql() -> dict[str, str]:
     }
 
 
+#: Wave detection: centered smoothing half-width (±3 days = the
+#: 7-day average every COVID dashboard plots) — peaks are flagged
+#: only where the full window exists.
+WAVE_HALF = 3
+
+
+def wave_peaks(cleaned: DataFrame) -> DataFrame:
+    """Epidemic-wave peak detection on the cleaned per-country series
+    — the analysis every reference dashboard eyeballs off its
+    matplotlib curves (main.py's per-country confirmed plots), made a
+    first-class query: per country, the 7-day centered sum of
+    confirmed cases and a flag marking strict local maxima of that
+    smoothed series ("the wave peaked on date D").
+
+    Exactness: the window sum rides DECIMAL(18,6) (order-independent,
+    identical in both engines); peak comparisons happen on the exact
+    decimals via lag/lead over the same per-country ordering, so the
+    flags are deterministic — the reported double is rounded only at
+    the output edge. Edge days without a full 7-day window are never
+    flagged (n_win carried so the oracle replays the rule).
+
+    Scale shape: one shuffle on country_region; three window passes
+    (sum+count, lag, lead) reuse that single partitioning. State per
+    partition is one country's date series.
+    """
+    w = (
+        Window.partitionBy("country_region")
+        .orderBy("date")
+        .rowsBetween(-WAVE_HALF, WAVE_HALF)
+    )
+    seq = Window.partitionBy("country_region").orderBy("date")
+    dec = F.col("confirmed").cast("decimal(18,6)")
+    base = cleaned.select(
+        "country_region",
+        "date",
+        F.sum(dec).over(w).alias("_ma"),
+        F.count("*").over(w).alias("n_win"),
+    )
+    prev = F.lag("_ma").over(seq)
+    nxt = F.lead("_ma").over(seq)
+    prev_n = F.lag("n_win").over(seq)
+    nxt_n = F.lead("n_win").over(seq)
+    full = F.lit(2 * WAVE_HALF + 1)
+    is_peak = (
+        (F.col("n_win") == full)
+        & (prev_n == full)
+        & (nxt_n == full)
+        & (F.col("_ma") > prev)
+        & (F.col("_ma") > nxt)
+    )
+    return base.select(
+        "country_region",
+        "date",
+        F.round(F.col("_ma").cast("double"), 4).alias("ma7_sum"),
+        F.col("n_win").cast("long").alias("n_win"),
+        F.coalesce(is_peak, F.lit(False)).alias("is_peak"),
+    )
+
+
+def q_covid_wave_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from covid_engineering_spark.operators.wrangling import (
+        _synthetic_complete,
+        clean_complete,
+    )
+
+    return wave_peaks(clean_complete(_synthetic_complete(spark, sf_dir)))
+
+
+def _wave_oracle_sql() -> str:
+    from covid_engineering_spark.operators.wrangling import _WRANGLE_SQL
+
+    full = 2 * WAVE_HALF + 1
+    return f"""
+        WITH cleaned AS ({_WRANGLE_SQL}),
+        base AS (
+            SELECT country_region, date,
+                   SUM(CAST(confirmed AS DECIMAL(18,6))) OVER w AS ma,
+                   COUNT(*) OVER w AS n_win
+            FROM cleaned
+            WINDOW w AS (PARTITION BY country_region ORDER BY date
+                         ROWS BETWEEN {WAVE_HALF} PRECEDING
+                                  AND {WAVE_HALF} FOLLOWING)
+        ),
+        seq AS (
+            SELECT country_region, date, ma, n_win,
+                   LAG(ma) OVER s AS prev_ma,
+                   LEAD(ma) OVER s AS next_ma,
+                   LAG(n_win) OVER s AS prev_n,
+                   LEAD(n_win) OVER s AS next_n
+            FROM base
+            WINDOW s AS (PARTITION BY country_region ORDER BY date)
+        )
+        SELECT country_region, date,
+               ROUND(CAST(ma AS DOUBLE), 4) AS ma7_sum,
+               CAST(n_win AS BIGINT) AS n_win,
+               COALESCE(n_win = {full} AND prev_n = {full}
+                        AND next_n = {full}
+                        AND ma > prev_ma AND ma > next_ma,
+                        FALSE) AS is_peak
+        FROM seq
+    """
+
+
 QUERIES = {
     "covid_param_series": q_covid_param_series,
     "covid_transfer_sim": q_covid_transfer_sim,
+    "covid_wave_peaks": q_covid_wave_peaks,
 }
 
 ORACLES = _oracle_sql()
+ORACLES["covid_wave_peaks"] = _wave_oracle_sql()

@@ -69,6 +69,7 @@ DUCKDB_ONLY = {
     "ann_lsh_topk",
     "covid_param_series",
     "covid_transfer_sim",
+    "covid_wave_peaks",
     "ann_ivfpq_topk",
     "ann_pq_adc_topk",
     "dedup_clusters",

@@ -170,6 +170,7 @@ SURVEY_MAP = {
     # real-data covid composites, fixture-backed registry forms
     "COVID-PARAMS": "covid_param_series",
     "COVID-TRANSFER": "covid_transfer_sim",
+    "COVID-WAVES": "covid_wave_peaks",
     # flagship composites (§7.2)
     "Q1": "q1_pricing_summary",
     "Q2": "q2_min_cost_supplier",
