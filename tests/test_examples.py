@@ -101,3 +101,24 @@ def test_similarity_search_runs(spark, capsys):
     assert "0 over the cap" in line
     n_buckets = int(line.split(":")[1].strip().split(" ")[0])
     assert n_buckets > 500
+
+
+def test_sql_interface_runs(spark, capsys):
+    mod = runpy.run_path(
+        os.path.join(
+            os.path.dirname(os.path.dirname(__file__)),
+            "examples",
+            "sql_interface.py",
+        ),
+        run_name="sql_interface",
+    )
+    mod["main"]("/root/testdata/sf0.001")
+    out = capsys.readouterr().out
+    assert "base views: 10 tables; lineitem rows: 6000" in out
+    # view count tracks the registry — derive, don't hard-code
+    from covid_engineering_spark.queries import registry
+
+    assert f"query views: {len(registry())} registered (all lazy)" in out
+    assert "anomalous hourly buckets (via q_ts_anomaly): 16" in out
+    assert "cluster survivors via two-view SQL join: 21 clusters" in out
+    assert "dataframe face and SQL face agree" in out
