@@ -447,3 +447,34 @@ def test_containment_dominates_jaccard_on_random_docs(spark, texts):
     for pair, j in jac.items():
         c = cont[pair]
         assert 0.0 <= j <= c <= 1.0, (pair, j, c)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**7), min_size=4,
+             max_size=30),
+    st.integers(min_value=0, max_value=10**7),
+)
+def test_seasonal_leave_one_out_algebra_equals_float_zscore(cell, x):
+    # The seasonal flag uses leave-one-out stats (n'=n−1, S'=S−x,
+    # Q'=Q−x²) in the same cross-multiplied integer form; it must
+    # agree with the float z-score of x against the OTHER members
+    # whenever the float form is numerically unambiguous.
+    import math
+
+    others = cell  # the judged point is x, appended below
+    full = [*others, x]
+    n = len(full)
+    s = sum(full)
+    q = sum(v * v for v in full)
+    n1, s1, q1 = n - 1, s - x, q - x * x
+    lhs_int = (n1 * x - s1) ** 2
+    rhs_int = 9 * (n1 * q1 - s1 * s1)
+    mean = s1 / n1
+    var = q1 / n1 - mean * mean
+    lhs_f = (x - mean) ** 2
+    rhs_f = 9 * var
+    if not math.isclose(lhs_f, rhs_f, rel_tol=1e-9, abs_tol=1e-9):
+        assert (lhs_int > rhs_int) == (lhs_f > rhs_f)
+    # and the leave-one-out identities themselves
+    assert s1 == sum(others) and q1 == sum(v * v for v in others)
