@@ -500,6 +500,13 @@ def pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
     hub documents (heavily referenced near-duplicates, canonical
     versions), the usual keep-candidates in graph-based curation.
 
+    Vertex set: the distinct SOURCE ids — every kNN-graph vertex has
+    out-edges, so this is total there. A generic edge list with
+    dst-only sinks would drop those sinks from the ranking (they
+    accumulate no out-flow and their in-flow is discarded); route
+    such graphs through a union with a zero-out-degree self-loop
+    convention first if sink ranks are needed.
+
     Exactness: ranks ride BIGINT micro-units; each step is
     ``rank DIV out_deg`` per edge, an integer in-sum, then
     ``0.15·scale + (85·in_sum) DIV 100`` — truncating division on
