@@ -491,6 +491,8 @@ def seasonal_anomaly(
     most types × 168 rows, joined back BY CELL KEY — one row to one
     broadcast-sized row, no fan-out. Two bounded shuffles total.
     """
+    from covid_engineering_spark.functions import evicting_cache
+
     cents = _cents()
     bucketed = ev.groupBy(
         F.date_trunc(every, "ts").alias("bucket"), "event_type"
@@ -498,12 +500,20 @@ def seasonal_anomaly(
     dow = F.pmod(
         F.datediff(F.to_date("bucket"), F.to_date(F.lit(DOW_ANCHOR))), 7
     )
-    cells = bucketed.select(
-        "event_type",
-        "bucket",
-        "x_cents",
-        dow.alias("dow"),
-        F.hour("bucket").alias("hour"),
+    # Two branches read the cell frame (the per-point side and the
+    # cell-stats aggregate); uncached, Catalyst clones the subtree and
+    # the raw feed is SCANNED TWICE — at 100 TB that doubles the only
+    # corpus-sized cost. The cached frame is bounded (buckets × types),
+    # so this trades a tiny memory footprint for half the I/O.
+    cells = evicting_cache(
+        bucketed.select(
+            "event_type",
+            "bucket",
+            "x_cents",
+            dow.alias("dow"),
+            F.hour("bucket").alias("hour"),
+        ),
+        "seasonal_cells",
     )
     stats = cells.groupBy("event_type", "dow", "hour").agg(
         F.count("*").alias("n_cell"),
