@@ -378,9 +378,13 @@ def dup_ngram_rate(docs: DataFrame, min_df: int = 2) -> DataFrame:
     Final per-doc agg is the second and last shuffle. Intermediate
     cardinality is Σ distinct grams per doc — linear in corpus tokens.
     """
+    from covid_engineering_spark.functions import evicting_cache
     from covid_engineering_spark.operators.dedup import shingles_of
 
-    sh = shingles_of(docs)
+    # Both the df aggregate and the join side read the shingle frame;
+    # uncached, the corpus is scanned+exploded twice (same discipline
+    # as the jaccard path's materialized shingle index).
+    sh = evicting_cache(shingles_of(docs), "dup_rate_shingles")
     df_tab = sh.groupBy("s").agg(F.count("*").alias("df"))
     dup = (F.col("df") >= min_df).cast("long")
     agg = (
