@@ -369,30 +369,40 @@ def keep_best(docs: DataFrame, clusters: DataFrame, quality: DataFrame) -> DataF
     survivor per near-dup cluster, best-first by quality score
     (doc_id tiebreak). ``clusters`` holds (doc_id, cluster_id) for
     docs that appear in a dup pair; everything else is its own
-    singleton cluster (cluster_id = doc_id via the left-join
-    coalesce), so the output is a FULL keep-list, not just the
-    contested docs.
+    singleton cluster (cluster_id = doc_id), so the output is a FULL
+    keep-list, not just the contested docs.
+    """
+    scored = docs.select("doc_id").join(
+        quality.select("doc_id", "quality_score"), "doc_id"
+    )
+    return _keep_best_scored(scored, clusters)
 
-    Scale shape: ``clusters`` is tiny relative to the corpus (only
-    docs in dup pairs — AQE broadcasts it), the quality join is
-    doc_id-aligned, and the survivor pick is one ranked window plus a
-    same-partition count — a single shuffle on cluster_id whose
-    partitions are cluster-sized, never corpus-sized.
+
+def _keep_best_scored(scored: DataFrame, clusters: DataFrame) -> DataFrame:
+    """Survivor pick over an already-scored corpus — (doc_id,
+    quality_score) plus the (doc_id, cluster_id) contested set.
+
+    Scale shape (the r05 rewrite): ``clusters`` is tiny relative to
+    the corpus — only docs that appear in a dup pair — so membership
+    is resolved with two broadcast-sized joins (inner for the
+    contested docs, left_anti for the singletons) and the ranked
+    window + cluster count run over the CONTESTED SUBSET ONLY.
+    Singletons (the overwhelming corpus majority) are emitted
+    map-side with n_docs=1 and never shuffle at all. The previous
+    shape windowed the whole corpus by cluster_id — a corpus-wide
+    shuffle+sort whose cost the 100x probe put at the top of the
+    curation composite; this one's window shuffle is bounded by the
+    contested-doc count, independent of corpus size.
     """
     from pyspark.sql import Window
 
-    labeled = (
-        docs.select("doc_id")
-        .join(clusters, "doc_id", "left")
-        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
-        .join(quality.select("doc_id", "quality_score"), "doc_id")
-    )
+    contested = scored.join(clusters, "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("quality_score").desc(), F.col("doc_id")
     )
     size_w = Window.partitionBy("cluster_id")
-    return (
-        labeled.withColumn("rk", F.row_number().over(w))
+    winners = (
+        contested.withColumn("rk", F.row_number().over(w))
         .withColumn("n_docs", F.count("*").over(size_w))
         .filter(F.col("rk") == 1)
         .select(
@@ -402,6 +412,18 @@ def keep_best(docs: DataFrame, clusters: DataFrame, quality: DataFrame) -> DataF
             "quality_score",
         )
     )
+    singles = scored.join(
+        clusters.select("doc_id"), "doc_id", "left_anti"
+    ).select(
+        F.col("doc_id").alias("cluster_id"),
+        F.col("doc_id").alias("kept_doc_id"),
+        F.lit(1).cast("long").alias("n_docs"),
+        "quality_score",
+    )
+    # cluster_id spaces are disjoint (a contested cluster's label is
+    # the min doc_id of a doc that is itself in `clusters`), so this
+    # union is a partition, not a merge.
+    return winners.unionByName(singles)
 
 
 def q_pipe_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -409,7 +431,12 @@ def q_pipe_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     clusters = connected_components(ngram_jaccard_pairs(docs))
-    return keep_best(docs, clusters, quality_frame(docs))
+    # quality_frame covers exactly the corpus doc_ids, so it IS the
+    # scored universe — skipping keep_best's docs⨝quality attach join
+    # (a corpus×corpus doc_id shuffle) without changing one row.
+    return _keep_best_scored(
+        quality_frame(docs).select("doc_id", "quality_score"), clusters
+    )
 
 
 #: Character-length histogram bucket width for corpus profiling.
@@ -589,27 +616,60 @@ def curate_corpus(docs: DataFrame) -> DataFrame:
     4. best-of-cluster retention by quality score
     5. deterministic train/val/test split of the survivors
 
-    Scale shape: every stage is the already-audited operator it names —
-    normalization is scan-side codegen, exact dedup is one partial-agg
-    groupBy on the content hash, the pair join is stop-shingle-guarded,
-    CC is log-diameter label propagation, retention is one cluster_id
-    window, and the split is a pure expression. Stages hand off
-    DataFrames, so Catalyst fuses the whole pipeline into one plan
-    (the CC rounds' localCheckpoints are the one deliberate
-    materialization — the iterative stage truncates its own lineage).
+    Scale shape (r05 rewrite — the 100x probe put this composite's
+    exponent at 0.71, highest on the books, driven by Catalyst
+    re-deriving the normalize→dedup subchain once per consumer and by
+    corpus-wide shuffles in the dedup join and retention window):
+
+    * normalization AND quality scoring are scan-side codegen in one
+      projection — the original plan attached quality via a separate
+      quality_frame scan plus a corpus×corpus doc_id join;
+    * exact dedup is one window (min doc_id per content_hash, no
+      orderBy) over that projection — one shuffle, replacing the
+      groupBy + corpus-sized doc_id re-join (two shuffles and a
+      second derivation of the normalize chain);
+    * the surviving scored frame is cached (``evicting_cache``, the
+      same discipline as the shingle index) because THREE downstream
+      consumers read it — the pair generator and both membership
+      joins of the retention split — and Catalyst does not dedupe
+      shared subtrees;
+    * the pair join is stop-shingle-guarded, CC is log-diameter label
+      propagation (its localCheckpoints are the one deliberate extra
+      materialization), retention windows only the contested subset
+      (``_keep_best_scored``), and the split is a pure expression.
     """
+    from pyspark.sql import Window
+
+    from covid_engineering_spark.functions import evicting_cache
     from covid_engineering_spark.operators.text import (
         normalize,
-        quality_frame,
+        quality_score_col,
     )
 
     nd = normalize(docs)
-    canon = nd.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
-    surv = nd.join(canon.select("doc_id"), "doc_id")
+    # quality is scored on the ORIGINAL text (pre-normalization), on
+    # every row — dup rows score wastefully but map-side, which is
+    # cheaper than shuffling the text column twice to score after.
+    min_id = F.min("doc_id").over(Window.partitionBy("content_hash"))
+    surv = (
+        nd.select(
+            "doc_id",
+            "content_hash",
+            "norm_text",
+            quality_score_col("text").alias("quality_score"),
+        )
+        .withColumn("_canon_id", min_id)
+        .filter(F.col("doc_id") == F.col("_canon_id"))
+        .select("doc_id", "norm_text", "quality_score")
+    )
+    surv = evicting_cache(surv, "curate_surv")
     pairs = ngram_jaccard_pairs(
         surv.select("doc_id", F.col("norm_text").alias("text"))
     )
-    kept = keep_best(surv, connected_components(pairs), quality_frame(docs))
+    kept = _keep_best_scored(
+        surv.select("doc_id", "quality_score"),
+        connected_components(pairs),
+    )
     out = split_assign(kept.withColumnRenamed("kept_doc_id", "doc_id"))
     return out.select(
         "doc_id", "cluster_id", "n_docs", "quality_score", "split"

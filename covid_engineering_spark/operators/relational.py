@@ -1029,10 +1029,14 @@ def q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").between("1997-01-01", "1997-03-31")
     )
     li = read_table(spark, sf_dir, "lineitem")
+    # Timestamp-preserving add: F.date_add would truncate the
+    # TimestampNTZ order date to a DATE before comparing, silently
+    # diverging from the oracle's `+ INTERVAL 30 DAY` the moment an
+    # order date carries a time component (round-4 advice).
     late = orders.join(
         li,
         (orders.o_orderkey == li.l_orderkey)
-        & (li.l_shipdate > F.date_add(orders.o_orderdate, 30)),
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 30 DAYS")),
         "left_semi",
     )
     return (

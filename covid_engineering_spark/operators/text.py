@@ -53,13 +53,11 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def quality_frame(docs: DataFrame) -> DataFrame:
-    """Quality scoring: mean word length, stopword ratio, and
-    non-alnum (punctuation) ratio, combined into a deterministic
-    [0,1]-ish score — the shape of a pretraining quality filter.
-    Reused by ``pipe_keep_best`` as the per-document survivor rank.
-    """
-    ws = F.split(F.col("text"), " ")
+def _quality_parts(col: str = "text"):
+    """The three per-document quality ratios as column expressions
+    over ``col`` — each pre-rounded to the 6-decimal grid (see the
+    rounding note in ``quality_frame``)."""
+    ws = F.split(F.col(col), " ")
     n_words = F.size(ws)
     sum_len = F.aggregate(
         F.transform(ws, lambda w: F.length(w).cast("long")),
@@ -68,10 +66,31 @@ def quality_frame(docs: DataFrame) -> DataFrame:
     )
     avg_word_len = F.round(sum_len / n_words, 6)
     stop_ratio = F.round(_count_in(ws, EN_STOP) / n_words, 6)
-    stripped = F.regexp_replace("text", "[^a-z0-9 ]", "")
+    stripped = F.regexp_replace(col, "[^a-z0-9 ]", "")
     punct_ratio = F.round(
-        (F.length("text") - F.length(stripped)) / F.length("text"), 6
+        (F.length(col) - F.length(stripped)) / F.length(col), 6
     )
+    return avg_word_len, stop_ratio, punct_ratio
+
+
+def quality_score_col(col: str = "text"):
+    """``quality_score`` as a single scan-side column expression —
+    lets composites (``pipe_curate_corpus``) score documents inline on
+    an already-loaded frame instead of building ``quality_frame`` and
+    paying a corpus×corpus doc_id join to attach it. Bit-identical to
+    ``quality_frame``'s column: same pre-rounded parts, same final
+    rounding."""
+    _, stop_ratio, punct_ratio = _quality_parts(col)
+    return F.round(stop_ratio + (F.lit(1.0) - punct_ratio), 6)
+
+
+def quality_frame(docs: DataFrame) -> DataFrame:
+    """Quality scoring: mean word length, stopword ratio, and
+    non-alnum (punctuation) ratio, combined into a deterministic
+    [0,1]-ish score — the shape of a pretraining quality filter.
+    Reused by ``pipe_keep_best`` as the per-document survivor rank.
+    """
+    avg_word_len, stop_ratio, punct_ratio = _quality_parts("text")
     # sum (not average) of the pre-rounded ratios: the exact result
     # stays on the 6-decimal grid, so the final round never sits on a
     # decimal tie where Spark (BigDecimal HALF_UP) and DuckDB (scaled

@@ -700,15 +700,17 @@ ORACLES = {
     "ts_anomaly": """
         WITH bucketed AS (
             SELECT date_trunc('hour', ts) AS bucket, event_type,
-                   SUM({CENTS_SQL}) AS x_cents
+                   CAST(SUM({CENTS_SQL}) AS BIGINT) AS x_cents
             FROM events
             GROUP BY 1, 2
         ),
         rolled AS (
             SELECT event_type, bucket, x_cents,
                    COUNT(x_cents) OVER w AS n_hist,
-                   COALESCE(SUM(x_cents) OVER w, 0) AS s_hist,
-                   COALESCE(SUM(x_cents * x_cents) OVER w, 0) AS q_hist
+                   CAST(COALESCE(SUM(x_cents) OVER w, 0) AS BIGINT)
+                       AS s_hist,
+                   CAST(COALESCE(SUM(x_cents * x_cents) OVER w, 0)
+                        AS BIGINT) AS q_hist
             FROM bucketed
             WINDOW w AS (
                 PARTITION BY event_type ORDER BY bucket
@@ -726,7 +728,7 @@ ORACLES = {
     "ts_seasonal_anomaly": """
         WITH bucketed AS (
             SELECT date_trunc('hour', ts) AS bucket, event_type,
-                   SUM({CENTS_SQL}) AS x_cents
+                   CAST(SUM({CENTS_SQL}) AS BIGINT) AS x_cents
             FROM events
             GROUP BY 1, 2
         ),

@@ -8,11 +8,13 @@ Two layers of views:
 
 1. ``register_star`` — the ten base tables as temp views, so any raw
    ANSI query a reference user brings runs as-is;
-2. ``register_query_views`` — every registered engine query as a lazy
+2. ``register_query_views`` — every pure engine query as a lazy
    ``q_<name>`` view: SELECT from an operator's result, join two
    operators, or re-aggregate one, all in SQL. Views wrap unexecuted
    plans, so Catalyst still prunes columns and pushes filters THROUGH
-   them — registering all of them costs only catalog metadata.
+   them — registering them costs only catalog metadata. The ingest
+   family (staging sinks) is skipped by default because constructing
+   those frames runs write jobs; opt in with ``include_staged=True``.
 
 The script demonstrates both layers plus the composition that makes
 the second one useful: joining one engine query's output
@@ -43,7 +45,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
 
     # layer 2: every engine query as a view
     views = register_query_views(spark, sf_dir)
-    print(f"query views: {len(views)} registered (all lazy)")
+    print(f"query views: {len(views)} registered (all lazy; ingest-"
+          "family staging sinks skipped — include_staged=True to add)")
 
     # a raw ANSI query over a base view
     top = spark.sql(

@@ -7,6 +7,7 @@ names, multiset of canonicalized values).
 from __future__ import annotations
 
 import datetime as dt
+import decimal
 import math
 
 import duckdb
@@ -37,6 +38,14 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def _canon(v):
     if v is None:
         return "NULL"
+    if isinstance(v, decimal.Decimal):
+        # Deliberately DISTINCT from the int rendering: the driver
+        # hashes a DuckDB HUGEINT/decimal128 column differently from
+        # Spark's BIGINT, so the local harness must fail on the same
+        # divergence instead of masking it via str(Decimal('1')) == '1'
+        # (the r03/r04 ts_anomaly incident — see TESTDATA.md, oracle
+        # result type contract).
+        return f"dec:{v}"
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"

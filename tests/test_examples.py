@@ -115,10 +115,12 @@ def test_sql_interface_runs(spark, capsys):
     mod["main"]("/root/testdata/sf0.001")
     out = capsys.readouterr().out
     assert "base views: 10 tables; lineitem rows: 6000" in out
-    # view count tracks the registry — derive, don't hard-code
-    from covid_engineering_spark.queries import registry
+    # view count tracks the registry — derive, don't hard-code; the
+    # default registration excludes the ingest family's staging sinks
+    from covid_engineering_spark.queries import SIDE_EFFECTING, registry
 
-    assert f"query views: {len(registry())} registered (all lazy)" in out
+    n_pure = len(registry()) - len(SIDE_EFFECTING)
+    assert f"query views: {n_pure} registered (all lazy" in out
     assert "anomalous hourly buckets (via q_ts_anomaly): 16" in out
     assert "cluster survivors via two-view SQL join: 21 clusters" in out
     assert "dataframe face and SQL face agree" in out

@@ -20,7 +20,12 @@ from covid_engineering_spark.queries import PRIORITY, oracles, registry
 sys.path.insert(
     0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts")
 )
-from verification_ledger import LEDGER_PATH, ledger, render  # noqa: E402
+from verification_ledger import (  # noqa: E402
+    LEDGER_PATH,
+    committed_max_round,
+    ledger,
+    render,
+)
 
 #: Entries whose operator code or registered output changed AFTER the
 #: last driver round that greened them — they must sit in the window
@@ -28,18 +33,19 @@ from verification_ledger import LEDGER_PATH, ledger, render  # noqa: E402
 #: can't see code changes; this is the one hand-maintained bridge, and
 #: it empties every time the driver re-greens the named entries.)
 CHANGED_SINCE_LAST_GREEN = {
-    # r04: floor-based environment-proof cents derivation
+    # r05: oracle HUGEINT cast fix (never green; the never-green
+    # invariant also pins them, listed here for the audit trail)
     "ts_anomaly",
-    "ts_hourly_profile",
-    # r04: n_errors decode-failure channel added to the aggregate
-    "mm_feature_extract",
-    # late-r03 shingle/bucket-index materialization landed after these
-    # entries' r03 driver rows ran (round-3 verdict item 2)
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
+    "ts_seasonal_anomaly",
+    # r05: curation-composite rewrite (windowed exact dedup, inline
+    # quality scoring, contested-only retention split) — output
+    # verified bit-identical locally at sf0.001+sf0.01, re-enters the
+    # driver window until re-greened
     "pipe_keep_best",
     "pipe_curate_corpus",
+    # r05: quality_frame factored through _quality_parts (same
+    # expressions) — text_quality sits in the r05 window regardless
+    "text_quality",
 }
 
 
@@ -70,12 +76,19 @@ def test_everything_outside_the_window_holds_a_green_row():
 
 def test_ledger_artifact_matches_regeneration():
     # LEDGER.md is generated, committed, and judge-readable; it must
-    # never drift from the artifacts it summarizes.
-    want = render(list(registry()), PRIORITY)
+    # never drift from the artifacts it summarizes. The driver writes
+    # CORRECTNESS_r{N}.json AFTER the round's final commit, so the
+    # comparison is bounded to the rounds the committed ledger could
+    # have seen — a newer driver artifact means "regenerate at round
+    # close", not "the delivered tree is broken".
     with open(LEDGER_PATH) as f:
-        assert f.read() == want, (
-            "LEDGER.md stale — run scripts/verification_ledger.py"
-        )
+        committed = f.read()
+    want = render(
+        list(registry()), PRIORITY, committed_max_round(committed)
+    )
+    assert committed == want, (
+        "LEDGER.md stale — run scripts/verification_ledger.py"
+    )
 
 
 def test_oracle_keys_all_resolve():

@@ -148,8 +148,16 @@ def test_duckdb_only_pins_are_really_dialect_bound(spark, name):
 
 
 def test_every_registered_query_is_reachable_as_sql_view(spark):
+    from covid_engineering_spark.queries import SIDE_EFFECTING
+
+    # Default registration must NOT run the ingest family's staging
+    # writes (r04 advice): it registers every pure query only...
     views = register_query_views(spark, SF_SMOKE)
-    assert len(views) == len(registry())
+    assert len(views) == len(registry()) - len(SIDE_EFFECTING)
+    assert not {f"q_{n}" for n in SIDE_EFFECTING} & set(views)
+    # ...while the opt-in covers the full registry.
+    staged = register_query_views(spark, SF_SMOKE, include_staged=True)
+    assert len(staged) == len(registry())
     for v in views:
         # analysis (schema resolution) through the view must succeed
         assert spark.sql(f"SELECT * FROM {v}").columns
