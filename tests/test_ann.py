@@ -159,3 +159,45 @@ def test_knn_graph_salted_split_is_exact_and_cartesian_free(spark):
     dominant = skewed.groupBy("label").count().agg(F.max("count")).head()[0]
     assert dominant > 10 * cap  # the skew is real
     assert cell_max <= 3 * cap, cell_max
+
+
+def test_semdedup_keeps_cell_minima_and_splits_nontrivially(spark):
+    from covid_engineering_spark.operators.similarity import semdedup
+    from covid_engineering_spark.sources import read_table
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    rows = semdedup(emb).collect()
+    # whole-corpus keep-list: one row per vector
+    assert len(rows) == emb.count()
+    kept = [r for r in rows if r["kept"]]
+    dropped = [r for r in rows if not r["kept"]]
+    assert kept and dropped  # both populations live on the synthetic data
+    # the lowest id of every cell has no lower-id cell-mate to dominate
+    # it, so it must always survive
+    import collections
+
+    min_per_cell = {}
+    for r in rows:
+        c = min_per_cell.setdefault(r["cell"], r)
+        if r["vec_id"] < c["vec_id"]:
+            min_per_cell[r["cell"]] = r
+    assert all(r["kept"] for r in min_per_cell.values())
+    # every cell emits at least its survivor
+    per_cell_kept = collections.Counter(r["cell"] for r in kept)
+    assert set(per_cell_kept) == {r["cell"] for r in rows}
+
+
+def test_semdedup_is_invariant_to_the_salt_split(spark):
+    from covid_engineering_spark.operators.similarity import semdedup
+    from covid_engineering_spark.sources import read_table
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    base = {(r["vec_id"], r["cell"], r["kept"]) for r in semdedup(emb).collect()}
+    # a tiny cap forces many sub-blocks per cell; the epsilon-ball
+    # domination result must be bit-identical (every pair meets in
+    # exactly one grid cell)
+    split = {
+        (r["vec_id"], r["cell"], r["kept"])
+        for r in semdedup(emb, cap=16).collect()
+    }
+    assert base == split

@@ -85,6 +85,7 @@ DUCKDB_ONLY = {
     "emb_assign_nearest",
     "emb_centroid",
     "emb_knn_graph",
+    "emb_semdedup",
     "f5_date_parse",
     "f8_format",
     "j6_asof_join",

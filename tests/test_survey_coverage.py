@@ -156,6 +156,8 @@ SURVEY_MAP = {
     "ANN-PQ": "emb_pq_codes",
     "ANN-PQADC": "ann_pq_adc_topk",
     "ANN-IVFPQ": "ann_ivfpq_topk",
+    # round-5 extension: SemDeDup-style semantic dedup over embeddings
+    "DD-SEMDEDUP": "emb_semdedup",
     "Q4": "q4_order_priority",
     "TS-SEASONAL": "ts_seasonal_anomaly",
     "TS-TRENDING": "ts_trending",
