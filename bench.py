@@ -52,6 +52,8 @@ HEADLINE = [
     "pipe_dedup_incremental",
     "ts_funnel_steps",
     "emb_knn_graph",
+    # Round-5 addition: semantic dedup over embeddings.
+    "emb_semdedup",
 ]
 
 

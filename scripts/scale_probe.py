@@ -59,16 +59,38 @@ def _blowup(spark, out_dir: str, replicas: int) -> None:
     ev_n = None
     doc_n = None
     emb_n = None
+    from covid_engineering_spark.operators.similarity import DIM
+
     for i in range(replicas):
         # embeddings: offset vec_id AND label per replica — 10x the
         # BLOCKS at constant block size (shard growth, the realistic
         # shape): the blocked kNN/pagerank pipelines must scale with
         # block count, never re-quadratically. The label stays an
         # integer (declared schema) — the offset keeps replicas in
-        # disjoint blocks.
+        # disjoint blocks. Each replica's vectors are additionally
+        # dimension-ROTATED (reversed as well past DIM replicas) —
+        # norm- and within-replica-dot-preserving, so every replica
+        # does bit-identical work, but cross-replica centroids are no
+        # longer bit-equal: without this, global nearest-centroid
+        # assignment (emb_semdedup) tie-breaks every replica's
+        # identical centroid onto replica 0's label and cells grow in
+        # SIZE instead of COUNT — the probe would measure the
+        # verbatim-copy artifact (the same class of blowup bug as the
+        # documents suffix note above), not the engine.
+        d = i % DIM
+        rolled = (
+            F.concat(
+                F.slice("embedding", d + 1, DIM - d),
+                F.slice("embedding", 1, d),
+            )
+            if d
+            else F.col("embedding")
+        )
+        if (i // DIM) % 2 == 1:
+            rolled = F.reverse(rolled)
         m = emb.select(
             (F.col("vec_id") + F.lit(i * 10**9)).alias("vec_id"),
-            "embedding",
+            rolled.alias("embedding"),
             (F.col("label") + F.lit(i * 10**6)).alias("label"),
         )
         emb_n = m if emb_n is None else emb_n.unionByName(m)
@@ -283,6 +305,16 @@ def main() -> None:
             "overwrite"
         ).format("noop").save()
 
+    def semd(sf_dir):
+        # SemDeDup: cells grow 10x in COUNT (replica-offset labels) at
+        # constant cell size, so Σ cell² pair work must grow linearly
+        # with the corpus, never re-quadratically
+        from covid_engineering_spark.operators.similarity import semdedup
+
+        semdedup(read_table(spark, sf_dir, "embeddings")).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
     out: dict = {"metric": "scale_probe", "x": REPLICAS, "base": BASE}
     seen_names: set = set()
     for name, fn in (
@@ -300,6 +332,7 @@ def main() -> None:
         ("emb_knn_graph", knn),
         ("graph_pagerank", pr),
         ("ann_ivfpq_topk", ivfpq),
+        ("emb_semdedup", semd),
     ):
         if ONLY and name not in ONLY:
             continue

@@ -243,3 +243,14 @@ def test_assign_nearest_never_shuffles_the_scoring(spark):
     df = q(spark, "emb_assign_nearest")
     assert not has_cartesian(df)
     assert has_broadcast_nested_loop(df)
+
+
+def test_semdedup_broadcast_scoring_no_cartesian(spark):
+    """DD-SEMDEDUP: centroid scoring must stay a broadcast nested loop
+    (bounded build side), the intra-cell pair join an equi-join on the
+    salted grid — never a cartesian anywhere in the plan."""
+    from covid_engineering_spark.plans import has_broadcast_nested_loop
+
+    df = q(spark, "emb_semdedup")
+    assert not has_cartesian(df)
+    assert has_broadcast_nested_loop(df)
