@@ -258,6 +258,57 @@ def q_s10_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Z-order layout parameters: bits per dimension and the date epoch
+#: (synthetic orders start 1995-01-01, span ~2,400 days — comfortably
+#: inside 16 bits; custkey wraps modulo 2^16, the documented policy).
+ZORDER_BITS = 16
+ZORDER_EPOCH = "1995-01-01"
+
+
+def q_s11_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family extension — multi-column Z-ORDER clustering: orders
+    staged range-sorted on the Morton-interleaved key of (o_custkey,
+    days-since-epoch of o_orderdate), then re-read for the identity +
+    key check. Range partitioning on the z-key gives every file a
+    disjoint z-interval — a bounded region of the (customer, date)
+    plane — so predicates on EITHER column skip files on footer
+    min/max stats (pinned by tests/test_partitioned_layout.py reading
+    the footers: per-file area sums to a fraction of files x global
+    area). This is the layout behind Delta/Iceberg ``OPTIMIZE ZORDER
+    BY`` for the two-hot-filter-columns case single-key range sorting
+    (s9) cannot serve; the key is pure integer shift/mask codegen
+    (sources/io.py::zorder_value), bit-identical in the oracle, so the
+    staged layout's sort key is audit-replayable off-cluster.
+    """
+    from covid_engineering_spark.sources import (
+        write_range_sorted,
+        zorder_value,
+    )
+
+    out = os.path.join(_staging_dir("s11_", sf_dir), "orders_z")
+    orders = read_table(spark, sf_dir, "orders")
+    x = F.pmod(F.col("o_custkey"), F.lit(1 << ZORDER_BITS)).cast("long")
+    y = F.datediff(
+        F.to_date("o_orderdate"), F.to_date(F.lit(ZORDER_EPOCH))
+    ).cast("long")
+    staged = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        zorder_value(x, y, ZORDER_BITS).alias("zval"),
+    )
+    write_range_sorted(staged, out, "zval", n_files=8)
+    zschema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            schemas.STAR["orders"]["o_orderdate"],
+            T.StructField("zval", T.LongType()),
+        ]
+    )
+    return spark.read.schema(zschema).parquet(out)
+
+
 def q_j7_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J-family extension — bucketed co-located join, driver-checked:
     orders and lineitem are persisted bucketed + sorted on the order
@@ -312,8 +363,33 @@ QUERIES = {
     "s8_sink_compact": q_s8_sink_compact,
     "s9_sink_range_sorted": q_s9_sink_range_sorted,
     "s10_schema_evolution": q_s10_schema_evolution,
+    "s11_zorder_layout": q_s11_zorder_layout,
     "j7_bucketed_join": q_j7_bucketed_join,
 }
+
+
+def _zorder_oracle_sql() -> str:
+    """Generated twin of ``q_s11_zorder_layout``: replays the Morton
+    interleave with plain bigint shifts/masks over the pristine table
+    (the staged read-back must be value-identical to the source plus
+    the recomputed key — the round-trip + auditability contract)."""
+    x = f"(o_custkey % {1 << ZORDER_BITS})"
+    y = f"(CAST(o_orderdate AS DATE) - DATE '{ZORDER_EPOCH}')"
+    terms = " | ".join(
+        f"(((zx >> {i}) & 1) << {2 * i}) | (((zy >> {i}) & 1) << {2 * i + 1})"
+        for i in range(ZORDER_BITS)
+    )
+    return f"""
+        WITH xy AS (
+            SELECT o_orderkey, o_custkey, o_orderdate,
+                   CAST({x} AS BIGINT) AS zx,
+                   CAST({y} AS BIGINT) AS zy
+            FROM orders
+        )
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               CAST({terms} AS BIGINT) AS zval
+        FROM xy
+    """
 
 ORACLES = {
     "s1_csv_scan": """
@@ -352,4 +428,5 @@ ORACLES = {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
     """,
+    "s11_zorder_layout": _zorder_oracle_sql(),
 }

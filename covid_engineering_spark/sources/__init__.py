@@ -8,6 +8,7 @@ from covid_engineering_spark.sources.io import (
     write_bucketed,
     write_partitioned,
     write_range_sorted,
+    zorder_value,
 )
 
 __all__ = [
@@ -20,4 +21,5 @@ __all__ = [
     "write_bucketed",
     "write_partitioned",
     "write_range_sorted",
+    "zorder_value",
 ]

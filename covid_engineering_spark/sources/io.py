@@ -200,6 +200,32 @@ def write_range_sorted(
     )
 
 
+def zorder_value(x, y, bits: int = 16):
+    """Morton / Z-order interleaved sort key for two non-negative
+    integer columns of ``bits`` each: bit i of ``x`` lands at position
+    2i, bit i of ``y`` at 2i+1. Sorting on the interleaved key gives
+    BOTH dimensions file-level locality at once — the multi-column
+    clustering technique behind Delta/Iceberg ``OPTIMIZE ZORDER BY``,
+    here as a plain column expression over integer shifts/masks: pure
+    whole-stage codegen, no UDF, and bit-identical in any engine, so a
+    z-ordered layout's sort key can be recomputed and audited
+    off-cluster. Callers must reduce inputs to [0, 2^bits) first
+    (modulo, epoch-day, quantile bucket — the reduction choice is the
+    clustering policy). Combine with ``write_range_sorted`` on the
+    returned key: range partitioning then gives every file a disjoint
+    z-interval, i.e. a bounded rectangle-ish region of (x, y) space,
+    and predicates on EITHER column skip files on footer min/max.
+    """
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
 def compact_parquet(
     spark: SparkSession,
     in_path: str,

@@ -45,6 +45,7 @@ from covid_engineering_spark.operators.dedup import (
 )
 from covid_engineering_spark.operators.similarity import (
     PQ_M,
+    SEMDEDUP_TAU,
     assign_nearest_centroid,
     deterministic_codebook,
     ivf_topk,
@@ -55,6 +56,7 @@ from covid_engineering_spark.operators.similarity import (
     pq_codes,
     q_ann_cosine_topk,
     q_ann_lsh_topk,
+    semdedup,
 )
 from covid_engineering_spark.session import get_spark
 from covid_engineering_spark.sources import read_table
@@ -112,6 +114,15 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     # 8. cosine near-dup pairs + the bucket-cap pre-flight
     dups = embedding_pairs(emb, threshold=0.4).count()
     print(f"embedding near-dup pairs at cosine >= 0.4: {dups}")
+    # 8b. SemDeDup-style semantic pruning: one survivor per
+    # epsilon-ball inside each nearest-centroid cell
+    sd = semdedup(emb)
+    n_kept = sd.filter("kept").count()
+    n_cells = sd.select("cell").distinct().count()
+    print(
+        f"semdedup at cosine >= {SEMDEDUP_TAU}: "
+        f"{n_kept} of {n_vecs} kept across {n_cells} cells"
+    )
     docs = read_table(spark, sf_dir, "documents")
     stats = lsh_bucket_stats(docs, portable=True).head()
     print(

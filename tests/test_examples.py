@@ -79,6 +79,10 @@ def test_similarity_search_runs(spark, capsys):
     assert "pq codes: 4000 (500 vectors x 8 subspaces)" in out
     assert "pagerank: 500 nodes, total mass 500000000" in out
     assert "embedding near-dup pairs at cosine >= 0.4: 5" in out
+    # structural figure (cell count) exact; the kept count is a
+    # threshold crossing over 6dp-rounded cosines on fixed data, so it
+    # is deterministic too — pinned exactly, like the pair count above
+    assert "semdedup at cosine >= 0.3: 331 of 500 kept across 10 cells" in out
     # Recall figures assert a tolerance band, not the exact decimal:
     # a Spark version change in hash/sort-null ordering would shift
     # the last digit and should read as environment drift, not a

@@ -90,3 +90,78 @@ def test_range_sorted_files_own_disjoint_key_intervals(spark, tmp_path):
     # values survive the rewrite
     back = spark.read.parquet(out)
     assert back.count() == orders.count()
+
+
+def test_zorder_files_bound_both_dimensions(spark, tmp_path):
+    """write_range_sorted on the Morton key: every file owns a
+    disjoint z-interval, and — the point of z-ordering — each file's
+    (custkey, day) bounding box is a small region of the plane, so
+    predicates on EITHER column skip files on footer stats. A
+    single-key range sort would bound one dimension and leave the
+    other at full span."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from covid_engineering_spark.operators.ingest import (
+        ZORDER_BITS,
+        ZORDER_EPOCH,
+    )
+    from covid_engineering_spark.sources import (
+        write_range_sorted,
+        zorder_value,
+    )
+
+    out = str(tmp_path / "orders_z")
+    orders = read_table(spark, SF_SMOKE, "orders")
+    x = F.pmod(F.col("o_custkey"), F.lit(1 << ZORDER_BITS)).cast("long")
+    y = F.datediff(
+        F.to_date("o_orderdate"), F.to_date(F.lit(ZORDER_EPOCH))
+    ).cast("long")
+    staged = orders.select(
+        "o_orderkey",
+        x.alias("zx"),
+        y.alias("zy"),
+        zorder_value(x, y, ZORDER_BITS).alias("zval"),
+    )
+    write_range_sorted(staged, out, "zval", n_files=8)
+
+    def spans(col_name):
+        got = []
+        for f in sorted(glob.glob(os.path.join(out, "*.parquet"))):
+            md = pq.ParquetFile(f).metadata
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema == col_name and col.statistics:
+                        s = col.statistics
+                        lo = s.min if lo is None else min(lo, s.min)
+                        hi = s.max if hi is None else max(hi, s.max)
+            assert lo is not None, f
+            got.append((lo, hi))
+        return got
+
+    zs = spans("zval")
+    assert len(zs) >= 2
+    for (_, hi_prev), (lo_next, _) in zip(sorted(zs), sorted(zs)[1:]):
+        assert lo_next >= hi_prev, zs  # disjoint z-intervals
+
+    xs, ys = spans("zx"), spans("zy")
+    gx = (min(l for l, _ in xs), max(h for _, h in xs))
+    gy = (min(l for l, _ in ys), max(h for _, h in ys))
+    global_area = (gx[1] - gx[0] + 1) * (gy[1] - gy[0] + 1)
+    total_area = sum(
+        (hx - lx + 1) * (hy - ly + 1) for (lx, hx), (ly, hy) in zip(xs, ys)
+    )
+    # naive (unclustered or single-key-sorted) layout: every file's box
+    # covers ~the whole OTHER dimension, total ~= n_files * global.
+    # z-order must do far better on both dims at once.
+    assert total_area < 0.5 * len(xs) * global_area, (
+        total_area,
+        global_area,
+        len(xs),
+    )
+
+    # values survive the rewrite
+    assert spark.read.parquet(out).count() == orders.count()

@@ -167,6 +167,8 @@ SURVEY_MAP = {
     "ING-COMPACT": "s8_sink_compact",
     "ING-RANGE": "s9_sink_range_sorted",
     "ING-EVOLVE": "s10_schema_evolution",
+    # round-5 extension: multi-column Z-order clustering layout
+    "ING-ZORDER": "s11_zorder_layout",
     "J7": "j7_bucketed_join",
     "A19": "a19_hll_union",
     # real-data covid composites, fixture-backed registry forms
