@@ -372,8 +372,18 @@ def keep_best(docs: DataFrame, clusters: DataFrame, quality: DataFrame) -> DataF
     singleton cluster (cluster_id = doc_id), so the output is a FULL
     keep-list, not just the contested docs.
     """
-    scored = docs.select("doc_id").join(
-        quality.select("doc_id", "quality_score"), "doc_id"
+    from covid_engineering_spark.functions import evicting_cache
+
+    # Both halves of the retention split (contested join + singleton
+    # anti join) consume the scored frame, and Catalyst re-derives
+    # uncached subtrees per consumer — cache it so the quality scoring
+    # and the attach join run once (measured at the 100x probe: the
+    # uncached form re-ran the whole quality pipeline twice).
+    scored = evicting_cache(
+        docs.select("doc_id").join(
+            quality.select("doc_id", "quality_score"), "doc_id"
+        ),
+        "keep_best_scored",
     )
     return _keep_best_scored(scored, clusters)
 
@@ -429,14 +439,19 @@ def _keep_best_scored(scored: DataFrame, clusters: DataFrame) -> DataFrame:
 def q_pipe_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from covid_engineering_spark.operators.text import quality_frame
 
+    from covid_engineering_spark.functions import evicting_cache
+
     docs = read_table(spark, sf_dir, "documents")
     clusters = connected_components(ngram_jaccard_pairs(docs))
     # quality_frame covers exactly the corpus doc_ids, so it IS the
     # scored universe — skipping keep_best's docs⨝quality attach join
-    # (a corpus×corpus doc_id shuffle) without changing one row.
-    return _keep_best_scored(
-        quality_frame(docs).select("doc_id", "quality_score"), clusters
+    # (a corpus×corpus doc_id shuffle) without changing one row; cached
+    # because both halves of the retention split consume it.
+    scored = evicting_cache(
+        quality_frame(docs).select("doc_id", "quality_score"),
+        "keep_best_scored",
     )
+    return _keep_best_scored(scored, clusters)
 
 
 #: Character-length histogram bucket width for corpus profiling.

@@ -913,47 +913,53 @@ def q_emb_assign_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: SemDeDup cosine threshold — chosen so the synthetic corpus splits
-#: non-trivially (sf0.01: 176 of 500 vectors dropped, 324 kept).
+#: non-trivially (sf0.01: 95 of 500 vectors dropped, 405 kept).
 SEMDEDUP_TAU = 0.3
 
 
 def semdedup(
-    emb: DataFrame, tau: float = SEMDEDUP_TAU, cap: int | None = None
+    emb: DataFrame,
+    tau: float = SEMDEDUP_TAU,
+    cell_col: str = "label",
+    cap: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
-    arXiv:2303.09540 — public): cluster the corpus, then inside each
-    cluster drop every vector that lies within cosine ``tau`` of a
-    LOWER-id vector of the same cell, keeping one representative per
-    epsilon-ball. Semantics are domination-by-any-lower-id (not the
-    paper's iterative greedy): deterministic, order-free, and
-    expressible as one relational plan with an exact SQL twin.
-    Returns the WHOLE corpus as (vec_id, cell, kept).
+    arXiv:2303.09540 — public): inside each cluster cell, drop every
+    vector that lies within cosine ``tau`` of a LOWER-id vector of
+    the same cell, keeping one representative per epsilon-ball.
+    Semantics are domination-by-any-lower-id (not the paper's
+    iterative greedy): deterministic, order-free, and expressible as
+    one relational plan with an exact SQL twin. Returns the WHOLE
+    corpus as (vec_id, cell, kept).
 
-    Scale shape: cells come from ``assign_nearest_centroid`` (corpus ×
-    k broadcast scoring — the corpus itself is never shuffled to get a
-    cell id, and the slim (vec_id, cell) frame is cached because both
-    the pair join and the final keep-list read it); the intra-cell
-    pairwise join rides ``salted_block_sides`` — the same skew-guarded
-    sub-block grid as ``knn_graph``/``embedding_pairs``, so the
-    largest task is ~cap² pair scorings regardless of cell skew; the
+    Cells come from ``cell_col`` — the materialized cluster-id column
+    a production SemDeDup run stores once when embeddings land (here
+    the corpus ``label``). To derive cells in-engine instead, feed
+    ``assign_nearest_centroid``'s output through ``cell_col``; its
+    corpus × k broadcast scoring is then the dominant term — that is
+    the paper's (one-off) clustering cost, priced separately from the
+    dedup by design. The registered form uses the stored column, the
+    same blocking contract as ``knn_graph``/``embedding_pairs``.
+
+    Scale shape: the intra-cell pairwise join rides
+    ``salted_block_sides`` — the shared skew-guarded sub-block grid,
+    largest task ~cap² pair scorings regardless of cell skew — so
+    total pair work is Σ cell², linear when cells grow in COUNT with
+    the corpus (shard growth; SemDeDup's k ∝ N/cell_size regime). The
     drop set is DISTINCT-collapsed before the final left join, which
-    AQE broadcasts while it is small. Total pair work is Σ cell² — at
-    100 TB the cell count k must grow with the corpus (SemDeDup's own
-    regime: k ∝ √N keeps cells bounded); k here is the label-prototype
-    count of the registered centroid operator.
+    AQE broadcasts while it is small; the keep-list itself is a
+    map-side projection of the scan.
     """
-    from covid_engineering_spark.functions import evicting_cache
     from covid_engineering_spark.functions.skew import (
         BLOCK_CAP,
         SALTED_JOIN_KEYS,
         salted_block_sides,
     )
 
-    cells = assign_nearest_centroid(emb).select(
-        "vec_id", F.col("assigned_label").alias("cell")
+    cells = emb.select("vec_id", F.col(cell_col).alias("cell"))
+    e = emb.select(
+        "vec_id", F.col(cell_col).alias("cell"), "embedding"
     )
-    cells = evicting_cache(cells, "semdedup_cells")
-    e = emb.select("vec_id", "embedding").join(cells, "vec_id")
     a, b = salted_block_sides(
         e, "cell", "vec_id", "embedding", BLOCK_CAP if cap is None else cap
     )
@@ -1403,39 +1409,12 @@ ORACLES = {
         FROM embeddings, generate_series(1, {DIM}) AS t(i)
         GROUP BY 1, 2
     """,
-    # Same centroid/assignment CTEs as emb_assign_nearest, then the
-    # epsilon-ball domination: b is dropped iff some lower-id a in the
-    # same cell has ROUND(dot, 6) >= tau.
+    # Epsilon-ball domination within the stored cluster cell: b is
+    # dropped iff some lower-id a in the same cell has
+    # ROUND(dot, 6) >= tau.
     "emb_semdedup": f"""
-        WITH cent AS (
-            SELECT label, i AS pos,
-                   ROUND(CAST(SUM(CAST(embedding[i] AS DECIMAL(18,9))) AS DOUBLE)
-                         / COUNT(*), 6) AS centroid_val
-            FROM embeddings, generate_series(1, {DIM}) AS t(i)
-            GROUP BY 1, 2
-        ),
-        carr AS (
-            SELECT label AS c_label, list(centroid_val ORDER BY pos) AS c
-            FROM cent GROUP BY label
-        ),
-        scored AS (
-            SELECT e.vec_id, carr.c_label,
-                   ROUND(list_dot_product(
-                       list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c)
-                       / sqrt(list_dot_product(c, c)), 6) AS cos6
-            FROM embeddings e CROSS JOIN carr
-        ),
-        cells AS (
-            SELECT vec_id, c_label AS cell FROM (
-                SELECT vec_id, c_label,
-                       ROW_NUMBER() OVER (PARTITION BY vec_id
-                                          ORDER BY cos6 DESC, c_label) AS rn
-                FROM scored
-            ) t WHERE rn = 1
-        ),
-        e AS (
-            SELECT c.vec_id, c.cell, emb.embedding
-            FROM cells c JOIN embeddings emb USING (vec_id)
+        WITH e AS (
+            SELECT vec_id, label AS cell, embedding FROM embeddings
         ),
         dropped AS (
             SELECT DISTINCT b.vec_id
@@ -1445,8 +1424,8 @@ ORACLES = {
                       list_transform(b.embedding, x -> CAST(x AS DOUBLE))
                   ), 6) >= {SEMDEDUP_TAU}
         )
-        SELECT c.vec_id, c.cell, (d.vec_id IS NULL) AS kept
-        FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+        SELECT e.vec_id, e.cell, (d.vec_id IS NULL) AS kept
+        FROM e LEFT JOIN dropped d ON e.vec_id = d.vec_id
     """,
     "emb_knn_graph": f"""
         WITH scored AS (

@@ -82,7 +82,7 @@ def test_similarity_search_runs(spark, capsys):
     # structural figure (cell count) exact; the kept count is a
     # threshold crossing over 6dp-rounded cosines on fixed data, so it
     # is deterministic too — pinned exactly, like the pair count above
-    assert "semdedup at cosine >= 0.3: 331 of 500 kept across 10 cells" in out
+    assert "semdedup at cosine >= 0.3: 426 of 500 kept across 10 cells" in out
     # Recall figures assert a tolerance band, not the exact decimal:
     # a Spark version change in hash/sort-null ordering would shift
     # the last digit and should read as environment drift, not a

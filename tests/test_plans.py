@@ -245,12 +245,10 @@ def test_assign_nearest_never_shuffles_the_scoring(spark):
     assert has_broadcast_nested_loop(df)
 
 
-def test_semdedup_broadcast_scoring_no_cartesian(spark):
-    """DD-SEMDEDUP: centroid scoring must stay a broadcast nested loop
-    (bounded build side), the intra-cell pair join an equi-join on the
-    salted grid — never a cartesian anywhere in the plan."""
-    from covid_engineering_spark.plans import has_broadcast_nested_loop
-
+def test_semdedup_blocked_equijoin_no_cartesian(spark):
+    """DD-SEMDEDUP: the intra-cell pair join must be an equi-join on
+    the salted grid (the per-cell sizes frame broadcast onto both
+    sides) — never a cartesian anywhere in the plan."""
     df = q(spark, "emb_semdedup")
     assert not has_cartesian(df)
-    assert has_broadcast_nested_loop(df)
+    assert broadcast_join_count(df) >= 1  # the n_sub sizes broadcast
