@@ -556,6 +556,50 @@ def q_pipe_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_history(
+    changelog: DataFrame, keys: list[str], ts: str = "ts", seq: str | None = None
+) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 history: turn a changelog into
+    one row per VERSION per key with a half-open validity interval
+    [valid_from, valid_to) — valid_to = the NEXT version's timestamp,
+    null while current — plus a version ordinal and ``is_current``
+    flag. The complement of ``cdc_upsert`` (which keeps only the
+    latest state): SCD2 is what an as-of join probes and what every
+    warehouse dimension audit ships.
+
+    Spark-first shape: ONE ranked window per key — lead() for the
+    closing timestamp, row_number() for the ordinal, both riding the
+    same (keys) hash partition and sort, so the only exchange is one
+    shuffle on the key and per-partition state is bounded by versions
+    per key. Determinism requires a total order within a key: pass a
+    unique ``seq`` tiebreak column (event id, LSN) — relying on ``ts``
+    alone silently permutes same-timestamp versions.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts)] + ([F.col(seq)] if seq else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        changelog.withColumn("valid_from", F.col(ts))
+        .withColumn("valid_to", F.lead(ts).over(w))
+        .withColumn("version", F.row_number().over(w).cast("int"))
+        .withColumn("is_current", F.lead(ts).over(w).isNull())
+    )
+
+
+def q_pipe_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full version history of each (user, event type) state stream —
+    the dimension-table audit face of the `pipe_cdc_upsert` compaction
+    (the upsert keeps exactly the rows this query flags is_current).
+    """
+    ev = read_table(spark, sf_dir, "events")
+    return scd2_history(
+        ev.select("user_id", "event_type", "ts", "event_id", "value"),
+        keys=["user_id", "event_type"],
+        seq="event_id",
+    )
+
+
 #: Redaction patterns: regex -> replacement token. Digit runs stand in
 #: for the phone/SSN/account-number patterns a production scrubber
 #: ships; the regex subset used here (character classes, +) compiles
@@ -981,6 +1025,7 @@ QUERIES = {
     "pipe_keep_best": q_pipe_keep_best,
     "pipe_length_hist": q_pipe_length_hist,
     "pipe_cdc_upsert": q_pipe_cdc_upsert,
+    "pipe_scd2_history": q_pipe_scd2_history,
     "pipe_pii_scrub": q_pipe_pii_scrub,
     "pipe_dup_rate": q_pipe_dup_rate,
     "pipe_stratified_sample": q_pipe_stratified_sample,
@@ -1317,6 +1362,17 @@ ORACLES = {
                arg_max(props, CAST(ts AS TIMESTAMP)) AS props
         FROM events
         GROUP BY user_id, event_type
+    """,
+    "pipe_scd2_history": """
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+               event_id, value,
+               CAST(ts AS TIMESTAMP) AS valid_from,
+               LEAD(CAST(ts AS TIMESTAMP)) OVER w AS valid_to,
+               CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+               (LEAD(ts) OVER w IS NULL) AS is_current
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, event_type
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id)
     """,
     "pipe_pii_scrub": """
         SELECT event_id,

@@ -531,3 +531,43 @@ def test_mixture_plan_shares_and_rates_are_consistent(spark):
         assert 0.0 < r["sampling_rate"] <= 1.0
     for cls, total in by_cls.items():
         assert abs(total - MIX_TARGETS[cls]) < 1e-4
+
+
+def test_scd2_history_intervals_tile_each_key_stream(spark):
+    from covid_engineering_spark.queries import registry
+
+    rows = registry()["pipe_scd2_history"](spark, SF_SMOKE).collect()
+    ev = read_table(spark, SF_SMOKE, "events")
+    assert len(rows) == ev.count()  # every version kept, none invented
+    by_key = {}
+    for r in rows:
+        by_key.setdefault((r["user_id"], r["event_type"]), []).append(r)
+    assert any(len(v) > 1 for v in by_key.values())  # real multi-version keys
+    for vers in by_key.values():
+        vers.sort(key=lambda r: r["version"])
+        # ordinals are 1..n and exactly the last version is current
+        assert [r["version"] for r in vers] == list(range(1, len(vers) + 1))
+        assert [r["is_current"] for r in vers] == [False] * (len(vers) - 1) + [True]
+        # intervals tile: each version closes at the next one's start
+        for a, b in zip(vers, vers[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["valid_from"] <= a["valid_to"]
+        assert vers[-1]["valid_to"] is None
+
+
+def test_scd2_current_rows_equal_cdc_upsert_state(spark):
+    # The upsert keeps exactly the rows SCD2 flags current — the two
+    # faces of the same changelog must agree.
+    from covid_engineering_spark.queries import registry
+
+    cur = {
+        (r["user_id"], r["event_type"], r["ts"], r["value"])
+        for r in registry()["pipe_scd2_history"](spark, SF_SMOKE)
+        .filter("is_current")
+        .collect()
+    }
+    upsert = {
+        (r["user_id"], r["event_type"], r["ts"], r["value"])
+        for r in registry()["pipe_cdc_upsert"](spark, SF_SMOKE).collect()
+    }
+    assert cur == upsert

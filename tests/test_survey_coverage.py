@@ -132,6 +132,8 @@ SURVEY_MAP = {
     "PIPE-KEEP": "pipe_keep_best",
     "PIPE-HIST": "pipe_length_hist",
     "PIPE-CDC": "pipe_cdc_upsert",
+    # round-5 extension: SCD Type-2 dimension history
+    "PIPE-SCD2": "pipe_scd2_history",
     "PIPE-PII": "pipe_pii_scrub",
     "PIPE-DUPRATE": "pipe_dup_rate",
     "PIPE-STRAT": "pipe_stratified_sample",
