@@ -94,6 +94,22 @@ def main(
     # 5. anomaly flags over hourly sums
     n_anom = rolling_anomaly(ev).filter(F.col("is_anomaly")).count()
 
+    # 5b. SCD2 version history of each (user, event-type) state stream:
+    # every version with its validity interval; the current rows are
+    # exactly what the cdc_upsert compaction would keep
+    from covid_engineering_spark.operators.pipeline import scd2_history
+
+    hist = scd2_history(
+        ev.select("user_id", "event_type", "ts", "event_id"),
+        keys=["user_id", "event_type"],
+        seq="event_id",
+    )
+    scd = hist.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("is_current").cast("long")).alias("cur"),
+        F.max("version").alias("deepest"),
+    ).first()
+
     # 6. hourly OHLC rollup, partitioned by series for pruned reads —
     # maintained INCREMENTALLY (the driver-verified helper: a standing
     # rollup absorbs an arriving batch by merging partials, refresh
@@ -115,6 +131,10 @@ def main(
     print(f"latest DAU/WAU    : {au['dau']} / {au['wau']} ({au['day']})")
     print(f"peak load cell    : dow={peak['dow']} hour={peak['hour']} n={peak['n_events']}")
     print(f"anomalous buckets : {n_anom}")
+    print(
+        f"scd2 history      : {scd['n']} versions, {scd['cur']} current "
+        f"keys, deepest chain {scd['deepest']}"
+    )
     print(f"hourly rollup rows: {back.count()} -> {out_dir}/hourly")
 
 

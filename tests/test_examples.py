@@ -55,6 +55,7 @@ def test_event_analytics_runs(spark, tmp_path, capsys):
     mod["main"]("/root/testdata/sf0.001", str(tmp_path / "out"))
     out = capsys.readouterr().out
     assert "events            : 1000" in out
+    assert "scd2 history      : 1000 versions, 75 current keys, deepest chain 21" in out
     assert "sessions          : 492" in out
     assert "funnel depth hist : {5: 15}" in out
     assert "hourly rollup rows: 868" in out
