@@ -51,74 +51,85 @@ ONLY = {
 
 
 def _blowup(spark, out_dir: str, replicas: int) -> None:
+    """Key-shifted corpus blowup as ONE generator pass per table:
+    explode a replica-index sequence and apply the per-replica
+    transforms as column arithmetic over it — a single plan node at
+    any depth, where the former per-replica unionByName loop built an
+    N-way union whose analysis cost grows with N (fine at 10-100
+    replicas, prohibitive at 1000). Row content is identical to the
+    loop form; only row order differs, which nothing downstream
+    observes. A repartition ahead of the explode keeps write
+    parallelism: the base files are 1-2 splits, and exploding in
+    place would funnel the full blown-up table through those tasks.
+    """
+    from covid_engineering_spark.operators.similarity import DIM
     from covid_engineering_spark.sources import read_table
 
-    ev = read_table(spark, BASE, "events")  # normalizes the nanos ts
-    docs = read_table(spark, BASE, "documents")
-    emb = read_table(spark, BASE, "embeddings")
-    ev_n = None
-    doc_n = None
-    emb_n = None
-    from covid_engineering_spark.operators.similarity import DIM
+    rep = F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("_rep")
+    i = F.col("_rep")
+    il = i.cast("long")
 
-    for i in range(replicas):
-        # embeddings: offset vec_id AND label per replica — 10x the
-        # BLOCKS at constant block size (shard growth, the realistic
-        # shape): the blocked kNN/pagerank pipelines must scale with
-        # block count, never re-quadratically. The label stays an
-        # integer (declared schema) — the offset keeps replicas in
-        # disjoint blocks. Each replica's vectors are additionally
-        # dimension-ROTATED (reversed as well past DIM replicas) —
-        # norm- and within-replica-dot-preserving, so every replica
-        # does bit-identical work, but cross-replica centroids are no
-        # longer bit-equal: without this, global nearest-centroid
-        # assignment (emb_semdedup) tie-breaks every replica's
-        # identical centroid onto replica 0's label and cells grow in
-        # SIZE instead of COUNT — the probe would measure the
-        # verbatim-copy artifact (the same class of blowup bug as the
-        # documents suffix note above), not the engine.
-        d = i % DIM
-        rolled = (
-            F.concat(
-                F.slice("embedding", d + 1, DIM - d),
-                F.slice("embedding", 1, d),
-            )
-            if d
-            else F.col("embedding")
-        )
-        if (i // DIM) % 2 == 1:
-            rolled = F.reverse(rolled)
-        m = emb.select(
-            (F.col("vec_id") + F.lit(i * 10**9)).alias("vec_id"),
-            rolled.alias("embedding"),
-            (F.col("label") + F.lit(i * 10**6)).alias("label"),
-        )
-        emb_n = m if emb_n is None else emb_n.unionByName(m)
-        e = ev.select(
-            (F.col("event_id") + F.lit(i * 10**12)).alias("event_id"),
-            "ts",
-            (F.col("user_id") + F.lit(i * 10**7)).alias("user_id"),
-            "event_type",
-            "value",
-            "props",
-        )
-        # 'w' -> 'wr{i}': every word (hence every shingle) becomes
-        # replica-unique without changing token count or distribution.
-        d = docs.select(
-            (F.col("doc_id") + F.lit(i * 10**9)).alias("doc_id"),
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.split(F.col("text"), " "),
-                    lambda w: F.concat(w, F.lit(f"r{i}")),
-                ),
-            ).alias("text"),
-            "lang",
-            "source",
-            "n_chars",
-        )
-        ev_n = e if ev_n is None else ev_n.unionByName(e)
-        doc_n = d if doc_n is None else doc_n.unionByName(d)
+    ev = read_table(spark, BASE, "events").repartition(64)
+    # events: each replica offsets user_id (new countries/users) and
+    # event_id — N× the KEYS, the realistic 100 TB shape, so per-key
+    # window partitions stay bounded and parallelism grows with data.
+    ev_n = ev.select(rep, "*").select(
+        (F.col("event_id") + il * F.lit(10**12)).alias("event_id"),
+        "ts",
+        (F.col("user_id") + il * F.lit(10**7)).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+
+    # documents: 'w' -> 'wr{i}': every word (hence every shingle)
+    # becomes replica-unique without changing token count or
+    # distribution (see the module docstring for why a verbatim copy
+    # or a doc-level tweak measures duplication growth, not the
+    # engine).
+    docs = read_table(spark, BASE, "documents").repartition(64)
+    doc_n = docs.select(rep, "*").select(
+        (F.col("doc_id") + il * F.lit(10**9)).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda w: F.concat(w, F.lit("r"), i.cast("string")),
+            ),
+        ).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+
+    # embeddings: offset vec_id AND label per replica — N× the BLOCKS
+    # at constant block size (shard growth): blocked kNN/pagerank/
+    # semdedup pipelines must scale with block count, never
+    # re-quadratically. The label stays an integer (declared schema;
+    # max offset 999*10^6 fits int32). Each replica's vectors are
+    # additionally dimension-ROTATED (reversed as well past DIM
+    # replicas) — norm- and within-replica-dot-preserving, so every
+    # replica does bit-identical work, but cross-replica centroids
+    # are no longer bit-equal: without this, any global
+    # nearest-centroid step tie-breaks every replica's identical
+    # centroid onto replica 0's label and cells grow in SIZE instead
+    # of COUNT — the probe would measure the verbatim-copy artifact,
+    # not the engine.
+    emb = read_table(spark, BASE, "embeddings").repartition(32)
+    d = i % DIM
+    rolled = F.concat(
+        F.slice("embedding", d + F.lit(1), F.lit(DIM) - d),
+        F.slice("embedding", F.lit(1), d),
+    )
+    rolled = F.when(
+        F.floor(i / DIM).cast("int") % 2 == 1, F.reverse(rolled)
+    ).otherwise(rolled)
+    emb_n = emb.select(rep, "*").select(
+        (F.col("vec_id") + il * F.lit(10**9)).alias("vec_id"),
+        rolled.alias("embedding"),
+        (F.col("label") + i * F.lit(10**6)).alias("label"),
+    )
+
     ev_n.write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
     doc_n.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
     emb_n.write.mode("overwrite").parquet(
@@ -147,8 +158,15 @@ def main() -> None:
 
     # 256 initial shuffle partitions: sized for the 10x run (AQE
     # coalesces them back down at 1x) — exactly the knob a real
-    # cluster scales with data volume.
-    spark = get_spark(app_name="scale-probe", shuffle_partitions=256)
+    # cluster scales with data volume. Deeper blowups scale both the
+    # partition count and the local driver heap (local mode hosts
+    # every executor thread + all broadcast builds in one JVM).
+    deep = REPLICAS > 100
+    spark = get_spark(
+        app_name="scale-probe",
+        shuffle_partitions=512 if deep else 256,
+        extra_conf={"spark.driver.memory": "48g"} if deep else None,
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     import atexit
