@@ -519,6 +519,38 @@ def q_a19_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a20_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20 (extension) — arg-max aggregate (``max_by``): per nation,
+    the customer holding the maximum account balance, in ONE
+    hash-aggregate pass — no rank window, no self-join back onto the
+    group maxima (the two shapes it replaces, both of which shuffle
+    the full row payload; ``max_by`` carries one candidate per group
+    per partition through the partial/final merge). The reference's
+    "row of the latest date" idiom (main.py:546-547 uses tail-after-
+    sort) is this aggregate in relational form.
+
+    Determinism: ``max_by`` is tie-nondeterministic, so the ordering
+    value is a composite BIGINT — balance cents (exact
+    ``floor(x*100 + 0.5)``, IEEE-identical in both engines, never at
+    a .5 tie since inputs are 2dp) shifted by 2^32 with ``c_custkey``
+    as tie-break. Monotonic for negative balances too (the +-999.99
+    TPC-H floor), and collision-free while custkey < 2^32 — a 100 TB
+    corpus passes; the cast overflows loudly, not silently, beyond
+    cents > 2^31 dollars.
+    """
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+    ordkey = cents * F.lit(4294967296) + F.col("c_custkey")
+    top = c.groupBy("c_nationkey").agg(
+        F.max_by("c_name", ordkey).alias("top_customer"),
+        F.max(cents).alias("max_acctbal_cents"),
+    )
+    return top.join(
+        F.broadcast(n), top.c_nationkey == n.n_nationkey
+    ).select("n_name", "top_customer", "max_acctbal_cents")
+
+
 def q_a18_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A18 (extension) — approx_percentile (mergeable quantile sketch)
     made oracle-checkable, the a14 pattern: the sketch values are
@@ -1118,10 +1150,21 @@ QUERIES = {
     "a17_unpivot": q_a17_unpivot,
     "a18_approx_percentile": q_a18_approx_percentile,
     "a19_hll_union": q_a19_hll_union,
+    "a20_max_by": q_a20_max_by,
     "j6_asof_join": q_j6_asof_join,
 }
 
 ORACLES = {
+    "a20_max_by": """
+        SELECT n_name,
+               max_by(c_name,
+                      CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+                          * 4294967296 + c_custkey) AS top_customer,
+               MAX(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))
+                   AS max_acctbal_cents
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
     "q2_min_cost_supplier": """
         WITH costs AS (
             SELECT l_partkey, l_suppkey,

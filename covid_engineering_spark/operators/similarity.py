@@ -980,6 +980,108 @@ def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(read_table(spark, sf_dir, "embeddings"))
 
 
+HN_K = 5
+#: Target rows per mining batch — the in-batch negative pool size a
+#: contrastive trainer would see; pair work is N × HN_BATCH_CAP.
+HN_BATCH_CAP = 128
+
+
+def hard_negatives(
+    emb: DataFrame,
+    k: int = HN_K,
+    batch_cap: int = HN_BATCH_CAP,
+    salt_cap: int | None = None,
+) -> DataFrame:
+    """In-batch hard-negative mining for contrastive training: split
+    the corpus into deterministic batches of ~``batch_cap`` vectors
+    (``vec_id % n_batch``), and inside each batch rank every OTHER-
+    label vector by cosine against each anchor — the top-k are the
+    anchor's hard negatives (near in embedding space, different
+    class), the highest-value rows for a triplet/InfoNCE loss. The
+    reference has no training-data tier; this extends its similarity
+    surface (main.py has no analogue) with the standard mining step a
+    large-scale embedding-training pipeline runs over exactly this
+    corpus shape.
+
+    Scale shape: ``n_batch = ceil(N / batch_cap)`` comes from a
+    1-row count aggregate broadcast back onto the scan (the plan
+    stays lazy; the only extra job is the count's scan), so batch
+    size stays ~``batch_cap`` AS N GROWS and total pair work is
+    N × batch_cap — linear in the corpus, never quadratic. The
+    intra-batch self-join rides ``salted_block_sides`` (batch =
+    block), inheriting the skew grid, and scores each UNORDERED pair
+    once before a map-side Generate fans out both anchor directions
+    (label inequality is symmetric, same halving as ``knn_graph``).
+    The final per-anchor top-k plans a partial WindowGroupLimit
+    below the exchange.
+    """
+    from covid_engineering_spark.functions.skew import (
+        SALTED_JOIN_KEYS,
+        salted_block_sides,
+    )
+
+    n_batch = emb.agg(
+        F.ceil(F.count("*") / F.lit(batch_cap)).cast("bigint").alias("nb")
+    )
+    batched = (
+        emb.join(F.broadcast(n_batch))
+        .select(
+            F.pmod(F.col("vec_id"), F.col("nb")).alias("batch"),
+            "vec_id",
+            F.struct("label", "embedding").alias("lp"),
+        )
+    )
+    # The salt grid normally never engages (batches are built AT the
+    # cap), but hash assignment is binomial, not exact — an overfull
+    # batch still splits instead of concentrating in one task.
+    # ``salt_cap`` exists so tests can force a non-trivial grid.
+    a, b = salted_block_sides(
+        batched, "batch", "vec_id", "lp", salt_cap or batch_cap
+    )
+    cos = cosine_expr(F.col("pay_a.embedding"), F.col("pay_b.embedding"))
+    half = (
+        a.join(b, SALTED_JOIN_KEYS)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("pay_a.label") != F.col("pay_b.label"))
+        .select(
+            F.col("id_a"),
+            F.col("pay_a.label").alias("lab_a"),
+            F.col("id_b"),
+            F.col("pay_b.label").alias("lab_b"),
+            cos.alias("cosine"),
+        )
+    )
+    scored = half.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src_id"),
+                    F.col("lab_a").alias("src_label"),
+                    F.col("id_b").alias("neg_id"),
+                    F.col("lab_b").alias("neg_label"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("src_id"),
+                    F.col("lab_b").alias("src_label"),
+                    F.col("id_a").alias("neg_id"),
+                    F.col("lab_a").alias("neg_label"),
+                ),
+            )
+        ).alias("e"),
+        "cosine",
+    ).select("e.src_id", "e.src_label", "e.neg_id", "e.neg_label", "cosine")
+    w = Window.partitionBy("src_id").orderBy(F.desc("cosine"), "neg_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src_id", "src_label", "neg_id", "neg_label", "cosine", "rank")
+    )
+
+
+def q_emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hard_negatives(read_table(spark, sf_dir, "embeddings"))
+
+
 QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -988,6 +1090,7 @@ QUERIES = {
     "emb_knn_graph": q_emb_knn_graph,
     "emb_assign_nearest": q_emb_assign_nearest,
     "emb_semdedup": q_emb_semdedup,
+    "emb_hard_negatives": q_emb_hard_negatives,
     "graph_pagerank": q_graph_pagerank,
     "emb_pq_codes": q_emb_pq_codes,
     "ann_pq_adc_topk": q_ann_pq_adc_topk,
@@ -1444,6 +1547,36 @@ ORACLES = {
                                       ORDER BY cosine DESC, n_id) AS rank
             FROM scored
         ) t WHERE rank <= {KNN_K}
+    """,
+    "emb_hard_negatives": f"""
+        WITH nb AS (
+            SELECT CAST(CEIL(COUNT(*) / CAST({HN_BATCH_CAP} AS DOUBLE))
+                        AS BIGINT) AS n_batch
+            FROM embeddings
+        ),
+        batched AS (
+            SELECT vec_id % (SELECT n_batch FROM nb) AS batch,
+                   vec_id, label, embedding
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT a.vec_id AS src_id, a.label AS src_label,
+                   n.vec_id AS neg_id, n.label AS neg_label,
+                   ROUND(list_dot_product(
+                       list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                       list_transform(n.embedding, x -> CAST(x AS DOUBLE))
+                   ), 6) AS cosine
+            FROM batched a JOIN batched n
+              ON a.batch = n.batch AND a.label <> n.label
+        )
+        SELECT src_id, src_label, neg_id, neg_label, cosine,
+               CAST(rank AS INTEGER) AS rank
+        FROM (
+            SELECT src_id, src_label, neg_id, neg_label, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY src_id
+                                      ORDER BY cosine DESC, neg_id) AS rank
+            FROM scored
+        ) t WHERE rank <= {HN_K}
     """,
     "ann_cosine_topk": f"""
         WITH q AS (

@@ -333,6 +333,18 @@ def main() -> None:
             "overwrite"
         ).format("noop").save()
 
+    def hardneg(sf_dir):
+        # in-batch hard-negative mining: n_batch = ceil(N/cap) grows
+        # with the corpus at CONSTANT batch size, so pair work is
+        # N × cap — the probe must show linear, never re-quadratic
+        from covid_engineering_spark.operators.similarity import (
+            hard_negatives,
+        )
+
+        hard_negatives(read_table(spark, sf_dir, "embeddings")).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
     out: dict = {"metric": "scale_probe", "x": REPLICAS, "base": BASE}
     seen_names: set = set()
     for name, fn in (
@@ -351,6 +363,7 @@ def main() -> None:
         ("graph_pagerank", pr),
         ("ann_ivfpq_topk", ivfpq),
         ("emb_semdedup", semd),
+        ("emb_hard_negatives", hardneg),
     ):
         if ONLY and name not in ONLY:
             continue

@@ -201,3 +201,53 @@ def test_semdedup_is_invariant_to_the_salt_split(spark):
         for r in semdedup(emb, cap=16).collect()
     }
     assert base == split
+
+
+def test_hard_negatives_excludes_own_label_and_ranks_contiguously(spark):
+    import collections
+    import math
+
+    from covid_engineering_spark.operators.similarity import (
+        HN_BATCH_CAP,
+        HN_K,
+        hard_negatives,
+    )
+    from covid_engineering_spark.sources import read_table
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    n_batch = math.ceil(len(labels) / HN_BATCH_CAP)
+    rows = hard_negatives(emb).collect()
+    assert rows
+    by_src = collections.defaultdict(list)
+    for r in rows:
+        # a negative is never the anchor's own class, and both label
+        # columns faithfully echo the corpus
+        assert r["src_label"] != r["neg_label"]
+        assert labels[r["src_id"]] == r["src_label"]
+        assert labels[r["neg_id"]] == r["neg_label"]
+        # mining is strictly in-batch
+        assert r["src_id"] % n_batch == r["neg_id"] % n_batch
+        by_src[r["src_id"]].append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= HN_K
+        cosines = [r["cosine"] for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_hard_negatives_is_invariant_to_the_salt_split(spark):
+    from covid_engineering_spark.operators.similarity import hard_negatives
+    from covid_engineering_spark.sources import read_table
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    key = lambda r: (r["src_id"], r["neg_id"], r["cosine"], r["rank"])  # noqa: E731
+    base = sorted(map(key, hard_negatives(emb, batch_cap=500).collect()))
+    # same batch layout, but a tiny salt cap forces each batch into
+    # many sub-block grid cells; the mined set must be bit-identical
+    # (every pair meets in exactly one cell)
+    split = sorted(
+        map(key, hard_negatives(emb, batch_cap=500, salt_cap=16).collect())
+    )
+    assert base == split

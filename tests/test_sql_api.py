@@ -84,6 +84,7 @@ DUCKDB_ONLY = {
     "dedup_simhash",
     "emb_assign_nearest",
     "emb_centroid",
+    "emb_hard_negatives",
     "emb_knn_graph",
     "emb_semdedup",
     "f5_date_parse",

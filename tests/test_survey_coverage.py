@@ -160,6 +160,8 @@ SURVEY_MAP = {
     "ANN-IVFPQ": "ann_ivfpq_topk",
     # round-5 extension: SemDeDup-style semantic dedup over embeddings
     "DD-SEMDEDUP": "emb_semdedup",
+    # round-5 extension: in-batch hard-negative mining
+    "ANN-HARDNEG": "emb_hard_negatives",
     "Q4": "q4_order_priority",
     "TS-SEASONAL": "ts_seasonal_anomaly",
     "TS-TRENDING": "ts_trending",
@@ -173,6 +175,8 @@ SURVEY_MAP = {
     "ING-ZORDER": "s11_zorder_layout",
     "J7": "j7_bucketed_join",
     "A19": "a19_hll_union",
+    # round-5 extension: arg-max aggregate (max_by, composite-key ties)
+    "A20": "a20_max_by",
     # real-data covid composites, fixture-backed registry forms
     "COVID-PARAMS": "covid_param_series",
     "COVID-TRANSFER": "covid_transfer_sim",
