@@ -52,8 +52,10 @@ HEADLINE = [
     "pipe_dedup_incremental",
     "ts_funnel_steps",
     "emb_knn_graph",
-    # Round-5 addition: semantic dedup over embeddings.
+    # Round-5 additions: semantic dedup over embeddings; in-batch
+    # hard-negative mining (the linear N x batch_cap pair pipeline).
     "emb_semdedup",
+    "emb_hard_negatives",
 ]
 
 

@@ -25,7 +25,10 @@ vector-heavy pipeline ships:
 7. integer PageRank over the kNN graph — hub scoring;
 8. embedding near-dup pairs — the cosine dedup path on its salted
    block join, plus the MinHash bucket-stats pre-flight on the
-   documents table (the "no silent caps" report).
+   documents table (the "no silent caps" report);
+9. in-batch hard-negative mining — per-anchor top-k cross-label
+   cosine inside fixed-size deterministic batches, the triplet/
+   InfoNCE mining step a contrastive-training pipeline feeds on.
 
 Everything is lazy DataFrame composition; the one materialization is
 the LSH bucket index (the production shape: a real pipeline persists
@@ -48,6 +51,7 @@ from covid_engineering_spark.operators.similarity import (
     SEMDEDUP_TAU,
     assign_nearest_centroid,
     deterministic_codebook,
+    hard_negatives,
     ivf_topk,
     ivfpq_topk,
     knn_graph,
@@ -123,6 +127,13 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         f"semdedup at cosine >= {SEMDEDUP_TAU}: "
         f"{n_kept} of {n_vecs} kept across {n_cells} cells"
     )
+    # 9. hard negatives: near-in-cosine, different-label rows per
+    # anchor — what a contrastive trainer samples against
+    hn = hard_negatives(emb)
+    n_mined = hn.count()
+    n_anchors = hn.select("src_id").distinct().count()
+    print(f"hard negatives: {n_mined} mined for {n_anchors} anchors")
+
     docs = read_table(spark, sf_dir, "documents")
     stats = lsh_bucket_stats(docs, portable=True).head()
     print(
