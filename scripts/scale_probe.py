@@ -48,6 +48,18 @@ REPLICAS = int(os.environ.get("SPARK_GRAFT_PROBE_X", "10"))
 ONLY = {
     p for p in os.environ.get("SPARK_GRAFT_PROBE_ONLY", "").split(",") if p
 }
+#: Which tables the blowup materializes (comma list; default all).
+#: A single-tier ONLY run (say, the embedding pipelines at 1000x)
+#: otherwise pays minutes writing a 600M-row events blowup it never
+#: reads — and at deep X the unread tables' scratch competes for the
+#: same disk the probed pipelines spill to.
+TABLES = {
+    t
+    for t in os.environ.get(
+        "SPARK_GRAFT_PROBE_TABLES", "events,documents,embeddings"
+    ).split(",")
+    if t
+}
 
 
 def _blowup(spark, out_dir: str, replicas: int) -> None:
@@ -130,11 +142,18 @@ def _blowup(spark, out_dir: str, replicas: int) -> None:
         (F.col("label") + i * F.lit(10**6)).alias("label"),
     )
 
-    ev_n.write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
-    doc_n.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
-    emb_n.write.mode("overwrite").parquet(
-        os.path.join(out_dir, "embeddings.parquet")
-    )
+    if "events" in TABLES:
+        ev_n.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "events.parquet")
+        )
+    if "documents" in TABLES:
+        doc_n.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "documents.parquet")
+        )
+    if "embeddings" in TABLES:
+        emb_n.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "embeddings.parquet")
+        )
 
 
 def _time(fn) -> float:
