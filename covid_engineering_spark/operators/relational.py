@@ -1099,6 +1099,344 @@ def q_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# TPC-H query-shape completion (round 6). The reference's analytical
+# surface is groupBy/join/window over the COVID frames (main.py:452-650);
+# these composites exercise the same relational algebra on the TPC-H-ish
+# fixtures at the canonical benchmark shapes, so the engine's join
+# strategies, pushdown, and decimal discipline are pinned on shapes every
+# OLAP reader recognizes. Money sums ride decimals (order-independent);
+# quantity/count algebra stays BIGINT; every emitted double is a single
+# final ROUND(CAST(...)) both engines compute identically.
+# ---------------------------------------------------------------------------
+
+
+def q_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite: TPC-H Q7 shape — cross-border trade volume inside a
+    4-nation bloc by ship year (both directions, domestic excluded —
+    the fixture keys trade sparsely, so a single nation PAIR is empty
+    at sf0.001; the bloc keeps the exact Q7 plan shape non-degenerate
+    at every SF). The interesting plan property: nation is joined
+    TWICE (supplier side and customer side) under different aliases,
+    and the bloc/inequality predicate can only be applied after both
+    joins. Both nation copies broadcast (25 rows at every SF);
+    supplier is SF-scaled but small — planner's call; the only real
+    shuffle is lineitem⨝orders on the order key.
+    """
+    trade_bloc = ["NATION_9", "NATION_10", "NATION_11", "NATION_12"]
+    nation_s = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    nation_c = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation_s), supp.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(nation_c), cust.c_nationkey == F.col("cn_key"))
+        .filter(
+            F.col("supp_nation").isin(trade_bloc)
+            & F.col("cust_nation").isin(trade_bloc)
+            & (F.col("supp_nation") != F.col("cust_nation"))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(revenue.cast("decimal(28,6)")).cast("double"), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite: TPC-H Q10 shape — top-20 customers by revenue lost to
+    returns in one quarter. Plan: the quarter predicate pushes to the
+    orders scan and `l_returnflag = 'R'` to the lineitem scan BEFORE
+    the join (the row-reduction that matters at 100 TB); the wide
+    customer attributes ride the groupBy key list so no second join
+    back is needed; TakeOrderedAndProject caps the sort at 20 rows per
+    partition. Tie-determinism: revenue desc, then c_custkey.
+
+    Revenue is emitted in exact BIGINT micro-units, not a rounded
+    double: the sf0.01 fixture actually lands a customer on a
+    half-cent tie (Σ = 307843.595000 exactly), where Spark's
+    ``round(double)`` (BigDecimal.valueOf → shortest decimal repr →
+    HALF_UP → .60) and DuckDB's ``round`` (on the binary double →
+    .59) legitimately disagree — no 2-decimal emission of a tie is
+    engine-independent, so the tie is never created: per-row
+    ``floor(x*1e6+0.5)`` micros (both engines floor the SAME IEEE
+    double) sum losslessly as BIGINT.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1996-01-01", "1996-03-31")
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    rev_micros = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev_micros).alias("revenue_micros"))
+        .orderBy(F.desc("revenue_micros"), "c_custkey")
+        .limit(20)
+    )
+
+
+def q_q13_cust_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite: TPC-H Q13 shape — the order-count-per-customer
+    histogram, the canonical OUTER-join-then-double-aggregate: the
+    left outer join keeps zero-order customers (their count must land
+    in the c_count=0 bucket, which an inner join silently drops), the
+    non-urgent predicate lives in the JOIN CONDITION (not a WHERE,
+    which would turn the outer join back into an inner), and the
+    second aggregation collapses |customers| rows to a ~dozen-bucket
+    histogram. Both shuffles are on low-skew keys (custkey, then the
+    tiny count domain).
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (~orders.o_orderpriority.startswith("1-")),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite: TPC-H Q14 shape — promo revenue share for one month:
+    100 * Σ(promo revenue) / Σ(revenue). Both sums accumulate as
+    decimals in ONE aggregate pass (a conditional sum, not two scans),
+    and the division happens exactly once on the two final decimal
+    totals cast to double — so the emitted ratio is bit-identical
+    regardless of partitioning. part⨝lineitem joins on the part key;
+    part is SF-scaled, broadcast is the planner's size-based call.
+    """
+    part = read_table(spark, sf_dir, "part")
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-03-01", "1996-03-31")
+    )
+    revenue = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(28,6)")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", revenue)).alias("_promo"),
+            F.sum(revenue).alias("_total"),
+        )
+        .select(
+            F.round(
+                F.lit(100.0)
+                * F.col("_promo").cast("double")
+                / F.col("_total").cast("double"),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite: TPC-H Q15 shape — the supplier(s) with maximum
+    quarterly revenue. The original is a VIEW + scalar subquery
+    (`= (SELECT MAX(...) FROM revenue_view)`); decorrelated here the
+    same way as Q2: one per-supplier partial-aggregated groupBy, a
+    1-row global max broadcast back, equality filter keeps ALL tied
+    maxima (deterministic — no argmax). The revenue frame is
+    |suppliers| rows, so the max join is trivially broadcast.
+    """
+    supp = read_table(spark, sf_dir, "supplier")
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1996-03-31")
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(revenue.cast("decimal(28,6)")).cast("double"), 2
+        ).alias("total_revenue")
+    )
+    mx = per_supp.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        per_supp.join(F.broadcast(mx), per_supp.total_revenue == F.col("_mx"))
+        .join(F.broadcast(supp), per_supp.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite: TPC-H Q17 shape — revenue from small-quantity orders
+    of one brand: lines with `l_quantity < 0.2 * avg(l_quantity)` for
+    their part. The correlated AVG subquery decorrelates to a per-part
+    aggregate joined back on the part key — both sides shuffle on
+    l_partkey so AQE reuses one exchange layout. The threshold test is
+    EXACT integer algebra: quantities are integral, so
+    `qty < 0.2 * sum/n  ⇔  5 * qty * n < sum` — no float division
+    enters the predicate (the cents discipline from the ts_* family
+    applied to quantities).
+    """
+    part = read_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#13"
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long")
+    per_part = li.groupBy(F.col("l_partkey").alias("pp_key")).agg(
+        F.sum(qty).alias("sum_qty"), F.count("*").alias("n_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == F.col("pp_key"))
+        .filter(qty * F.col("n_qty") * 5 < F.col("sum_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).cast(
+                    "double"
+                )
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite: TPC-H Q18 shape — large-volume orders: orders whose
+    total line quantity exceeds a threshold, with customer attributes.
+    The original's `o_orderkey IN (SELECT ... HAVING SUM > t)` becomes
+    a per-order BIGINT quantity rollup filtered by the HAVING, joined
+    back to orders (the IN-as-join decorrelation); the qualifying set
+    is tiny (~top 1% of orders at threshold 250), so both enrichment
+    joins broadcast the qualifying side under AQE. Quantity algebra is
+    all-BIGINT; o_totalprice passes through untouched (no float math).
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("big_okey"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == F.col("big_okey"))
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+def q_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite: TPC-H Q19 shape — the disjunctive-predicate showcase:
+    revenue over an OR of three (brand, size-band, quantity-band)
+    conjunctions. What the plan must show: Catalyst factors the
+    OR into a partial pushdown — the quantity bounds (l_quantity ≤ 30,
+    the union of the bands) and size bounds reach the scans as
+    PushedFilters even though the full predicate needs the join — and
+    the residual OR evaluates post-join inside codegen. One decimal
+    global sum; part side is prunable by p_size at the footer level.
+    """
+    part = read_table(spark, sf_dir, "part")
+    li = read_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & qty.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & qty.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & qty.between(20, 30)
+        )
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(revenue.cast("decimal(28,6)")).cast("double"), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_q22_global_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite: TPC-H Q22 shape — "global sales opportunity":
+    customers in selected country codes with above-average positive
+    balance and NO URGENT orders. Three classic pieces in one plan: a
+    scalar aggregate (the average) computed once and broadcast back as
+    a 1-row frame; the above-average test in EXACT cents algebra
+    (`bal_cents * n > sum_cents` — no float division, the a20/ts
+    cents discipline); and a LEFT ANTI join against the filtered
+    orders for the NOT EXISTS. Two documented fixture adaptations:
+    the schema has no phone column, so the country code is
+    `c_nationkey % 5` (same substring-bucketing role as TPC-H's phone
+    prefix), and every fixture customer has SOME order at every SF,
+    so the anti-join target is the urgent-priority subset (same
+    decorrelated NOT-EXISTS plan, non-degenerate complement).
+    """
+    cust = read_table(spark, sf_dir, "customer").withColumn(
+        "cntrycode", F.col("c_nationkey") % 5
+    )
+    urgent = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    pool = cust.filter(F.col("cntrycode").isin(0, 1, 2))
+    bal_cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    avg_frame = pool.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(bal_cents).alias("sum_cents"), F.count("*").alias("n_pos")
+    )
+    return (
+        pool.crossJoin(F.broadcast(avg_frame))
+        .filter(bal_cents * F.col("n_pos") > F.col("sum_cents"))
+        .join(urgent, pool.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum(bal_cents) / 100.0, 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
 QUERIES = {
     "p1_project": q_p1_project,
     "p2_filter_eq": q_p2_filter_eq,
@@ -1141,6 +1479,15 @@ QUERIES = {
     "q5_region_revenue": q_q5_region_revenue,
     "q2_min_cost_supplier": q_q2_min_cost_supplier,
     "q6_forecast_revenue": q_q6_forecast_revenue,
+    "q7_nation_volume": q_q7_nation_volume,
+    "q10_returned_items": q_q10_returned_items,
+    "q13_cust_distribution": q_q13_cust_distribution,
+    "q14_promo_effect": q_q14_promo_effect,
+    "q15_top_supplier": q_q15_top_supplier,
+    "q17_small_quantity": q_q17_small_quantity,
+    "q18_large_orders": q_q18_large_orders,
+    "q19_disjunctive": q_q19_disjunctive,
+    "q22_global_balance": q_q22_global_balance,
     "a11_percentile": q_a11_percentile,
     "a12_cube": q_a12_cube,
     "a13_salted_agg": q_a13_salted_agg,
@@ -1189,6 +1536,144 @@ ORACLES = {
         WHERE l_shipdate BETWEEN '1995-01-01' AND '1995-12-31'
           AND l_discount BETWEEN 0.05 AND 0.07
           AND l_quantity < 24
+    """,
+    "q7_nation_volume": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                   AS DECIMAL(28,6))) AS DOUBLE), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate BETWEEN '1996-01-01' AND '1997-12-31'
+          AND n1.n_name IN ('NATION_9','NATION_10','NATION_11','NATION_12')
+          AND n2.n_name IN ('NATION_9','NATION_10','NATION_11','NATION_12')
+          AND n1.n_name <> n2.n_name
+        GROUP BY 1, 2, 3
+    """,
+    "q10_returned_items": """
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                   * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_micros
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate BETWEEN '1996-01-01' AND '1996-03-31'
+          AND l_returnflag = 'R'
+        GROUP BY 1, 2, 3, 4
+        ORDER BY revenue_micros DESC, c_custkey
+        LIMIT 20
+    """,
+    "q13_cust_distribution": """
+        WITH per_cust AS (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer
+            LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey
+             AND o_orderpriority NOT LIKE '1-%'
+            GROUP BY c_custkey
+        )
+        SELECT c_count, COUNT(*) AS custdist
+        FROM per_cust
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "q14_promo_effect": """
+        SELECT ROUND(100.0
+               * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice * (1.0 - l_discount)
+                          AS DECIMAL(28,6)) END) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                     AS DECIMAL(28,6))) AS DOUBLE), 4) AS promo_pct
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate BETWEEN '1996-03-01' AND '1996-03-31'
+    """,
+    "q15_top_supplier": """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                       AS DECIMAL(28,6))) AS DOUBLE), 2) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate BETWEEN '1996-01-01' AND '1996-03-31'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        ORDER BY s_suppkey
+    """,
+    "q17_small_quantity": """
+        WITH per_part AS (
+            SELECT l_partkey AS pp_key,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   COUNT(*) AS n_qty
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6)))
+                   AS DOUBLE) / 7.0, 2) AS avg_yearly
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN per_part ON l_partkey = pp_key
+        WHERE p_brand = 'Brand#13'
+          AND CAST(l_quantity AS BIGINT) * n_qty * 5 < sum_qty
+    """,
+    "q18_large_orders": """
+        WITH big AS (
+            SELECT l_orderkey AS big_okey,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS BIGINT)) > 250
+        )
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+               o_totalprice, sum_qty
+        FROM orders
+        JOIN big ON o_orderkey = big_okey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+    """,
+    "q19_disjunctive": """
+        SELECT ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                   AS DECIMAL(28,6))) AS DOUBLE), 2) AS revenue
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "q22_global_balance": """
+        WITH pool AS (
+            SELECT c_custkey, c_acctbal, c_nationkey % 5 AS cntrycode,
+                   CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+            FROM customer
+            WHERE c_nationkey % 5 IN (0, 1, 2)
+        ),
+        avg_frame AS (
+            SELECT CAST(SUM(bal_cents) AS BIGINT) AS sum_cents,
+                   COUNT(*) AS n_pos
+            FROM pool WHERE c_acctbal > 0.0
+        )
+        SELECT cntrycode, COUNT(*) AS numcust,
+               -- CAST ... AS DOUBLE before the division: Spark SQL
+               -- types the literal 100.0 as DECIMAL(4,1) (BIGINT /
+               -- DECIMAL -> DECIMAL), DuckDB's `/` is always float —
+               -- the explicit double keeps the twin portable.
+               ROUND(CAST(CAST(SUM(bal_cents) AS BIGINT) AS DOUBLE) / 100.0, 2)
+                   AS totacctbal
+        FROM pool, avg_frame
+        WHERE bal_cents * n_pos > sum_cents
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        GROUP BY cntrycode
+        ORDER BY cntrycode
     """,
     "a14_approx_distinct": """
         SELECT l_returnflag,

@@ -187,6 +187,19 @@ SURVEY_MAP = {
     "Q3": "q3_top_orders",
     "Q5": "q5_region_revenue",
     "Q6": "q6_forecast_revenue",
+    # round-6 extension: TPC-H query-shape completion (double nation
+    # join, outer-join histogram, conditional-ratio, scalar-max view,
+    # correlated-AVG decorrelation, HAVING-IN, disjunctive pushdown,
+    # scalar-avg + anti-join)
+    "Q7": "q7_nation_volume",
+    "Q10": "q10_returned_items",
+    "Q13": "q13_cust_distribution",
+    "Q14": "q14_promo_effect",
+    "Q15": "q15_top_supplier",
+    "Q17": "q17_small_quantity",
+    "Q18": "q18_large_orders",
+    "Q19": "q19_disjunctive",
+    "Q22": "q22_global_balance",
 }
 
 # Rows-only by design: EMPTY — every registered query now carries a
