@@ -37,24 +37,7 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     5 nearest others. The query side is broadcast; ranking is one
     window per query partition with deterministic tie-breaks.
     """
-    emb = read_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
-    )
-    c = emb.select(
-        F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb")
-    )
-    cos = cosine_expr(F.col("q_emb"), F.col("n_emb"))
-    scored = (
-        c.join(F.broadcast(q))
-        .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", cos.alias("cosine"))
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "n_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-    )
+    return q_cosine_frame(read_table(spark, sf_dir, "embeddings"))
 
 
 def centroids_by_label(emb: DataFrame) -> DataFrame:
@@ -1082,6 +1065,193 @@ def q_emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negatives(read_table(spark, sf_dir, "embeddings"))
 
 
+def dim_stats(emb: DataFrame) -> DataFrame:
+    """Per-dimension corpus profile over the embedding column — the
+    whitening/normalization prep every embedding pipeline runs before
+    quantization or PCA: for each of the DIM dimensions, the count,
+    sum, sum-of-squares, min and max in exact integer micro-units
+    (``floor(x*1e6+0.5)``, the repo's cents discipline applied to
+    floats — both engines floor the same IEEE double, and BIGINT sums
+    are partition-order independent where double sums are not).
+
+    Scale shape: ``posexplode`` fans each vector to DIM rows, but the
+    hash aggregate is PARTIAL — each map task collapses its slice to
+    at most DIM rows before the exchange, so the shuffle carries
+    |dims| × |tasks| rows regardless of corpus size, and the final
+    frame is DIM rows. The sum-of-squares accumulates as
+    DECIMAL(38,0) (micro² ≈ 1e12 per row would overflow BIGINT at
+    ~9e6 corpus rows per dimension) and snaps to BIGINT only at the
+    final DIM-row emission; a 100 TB corpus emits the decimal
+    directly.
+    """
+    ex = emb.select(F.posexplode("embedding").alias("pos", "val"))
+    micro = F.floor(F.col("val").cast("double") * 1000000 + F.lit(0.5)).cast(
+        "long"
+    )
+    return (
+        ex.select((F.col("pos") + 1).alias("dim"), micro.alias("micro"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").alias("n_vals"),
+            F.sum("micro").alias("sum_micro"),
+            F.sum(
+                (F.col("micro") * F.col("micro")).cast("decimal(38,0)")
+            )
+            .cast("long")
+            .alias("sumsq_micro"),
+            F.min("micro").alias("min_micro"),
+            F.max("micro").alias("max_micro"),
+        )
+    )
+
+
+def q_emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dim_stats(read_table(spark, sf_dir, "embeddings"))
+
+
+def sq8_encode(emb: DataFrame) -> DataFrame:
+    """Scalar (int8) quantization — the 4×-compression baseline every
+    vector store ships (FAISS ``SQ8``, Milvus/pgvector scalar quant):
+    per dimension, codes are ``floor((x - min) * 255 / (max - min) +
+    0.5)`` clamped to [0, 255], with per-dimension min/max taken from
+    the corpus profile (``dim_stats``). Emitted per vector: the code
+    sum, a position-weighted checksum (Σ code·dim — order-sensitive,
+    so any transposition is caught), and the total reconstruction
+    error in micro-units — making quantization LOSS a first-class
+    queryable quantity rather than an offline eyeball.
+
+    Exactness: min/max enter as integer micro-units and re-enter
+    float-land through the SAME ``micro/1e6`` double both engines
+    compute; the code and the reconstruction re-snap to integers
+    before any aggregation, so every emitted column is BIGINT algebra.
+
+    Scale shape: the DIM-row stats frame collapses to ONE broadcast
+    array row (sorted collect_list — DIM ≈ 64 entries); encoding is
+    then pure map-side projection work over a single corpus scan —
+    no shuffle at all on the encode path (the final frame is one row
+    per vector, same partitioning as the scan).
+    """
+    stats = dim_stats(emb).select(
+        F.struct("dim", "min_micro", "max_micro").alias("s")
+    )
+    stats_row = stats.agg(
+        F.array_sort(F.collect_list("s")).alias("dstats")
+    )
+    per_dim = f"""
+        transform(sequence(1, {DIM}), i -> struct(
+            i as dim,
+            least(255, greatest(0, CASE
+                WHEN element_at(dstats, i).max_micro
+                     = element_at(dstats, i).min_micro THEN 0
+                ELSE cast(floor(
+                    (cast(element_at(embedding, i) as double)
+                     - cast(element_at(dstats, i).min_micro as double) / 1000000.0)
+                    * 255.0
+                    / ((cast(element_at(dstats, i).max_micro as double)
+                        - cast(element_at(dstats, i).min_micro as double))
+                       / 1000000.0)
+                    + 0.5) as bigint)
+            END)) as code,
+            element_at(dstats, i).min_micro as mn,
+            element_at(dstats, i).max_micro as mx))
+    """
+    recon_err = f"""
+        aggregate(codes, cast(0 as bigint), (acc, c) -> acc + abs(
+            cast(floor(cast(element_at(embedding, c.dim) as double)
+                       * 1000000 + 0.5) as bigint)
+            - cast(floor(
+                  (cast(c.mn as double) / 1000000.0
+                   + cast(c.code as double)
+                     * ((cast(c.mx as double) - cast(c.mn as double))
+                        / 1000000.0)
+                     / 255.0) * 1000000 + 0.5) as bigint)))
+    """
+    return (
+        emb.select("vec_id", "embedding")
+        .join(F.broadcast(stats_row))
+        .withColumn("codes", F.expr(per_dim))
+        .select(
+            "vec_id",
+            F.expr(
+                "aggregate(codes, cast(0 as bigint), (acc, c) -> acc + c.code)"
+            ).alias("code_sum"),
+            F.expr(
+                "aggregate(codes, cast(0 as bigint),"
+                " (acc, c) -> acc + c.code * c.dim)"
+            ).alias("code_checksum"),
+            F.expr(recon_err).alias("err_micro"),
+        )
+    )
+
+
+def q_emb_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sq8_encode(read_table(spark, sf_dir, "embeddings"))
+
+
+def recall_eval(emb: DataFrame) -> DataFrame:
+    """Recall@k of the IVF index against brute-force ground truth —
+    IN-ENGINE: the standard ANN quality metric (recall@k over a query
+    sample) as one lazy plan instead of an offline notebook, so an
+    index-parameter change (probe count, codebook size) is judged by
+    a driver-checked query. Per query: the exact top-k (brute-force
+    cosine), the IVF top-k through the identical scoring plan, and
+    |exact ∩ approx| / k.
+
+    Scale shape: both sides produce N_QUERIES × k tiny frames; the
+    overlap join and the per-query count are broadcast-trivial. The
+    expensive inputs (one corpus scan each) are exactly the two
+    registered pipelines — nothing new shuffles; the LEFT join keeps
+    queries with zero overlap (recall 0 must be a row, not an
+    absence).
+    """
+    exact = q_cosine_frame(emb).select(
+        F.col("q_id").alias("e_qid"), F.col("n_id").alias("e_nid")
+    )
+    approx = ivf_topk(emb, deterministic_codebook(emb)).select(
+        F.col("q_id").alias("a_qid"), F.col("n_id").alias("a_nid")
+    )
+    hits = exact.join(
+        approx,
+        (F.col("e_qid") == F.col("a_qid")) & (F.col("e_nid") == F.col("a_nid")),
+        "left_outer",
+    )
+    return (
+        hits.groupBy(F.col("e_qid").alias("q_id"))
+        .agg(F.count("a_nid").alias("n_hits"))
+        .select(
+            "q_id",
+            "n_hits",
+            F.round(F.col("n_hits") / float(TOP_K), 4).alias("recall_at_k"),
+        )
+    )
+
+
+def q_cosine_frame(emb: DataFrame) -> DataFrame:
+    """The brute-force cosine top-k over an explicit frame (factored
+    from ``q_ann_cosine_topk`` so ``recall_eval`` composes it)."""
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb")
+    )
+    cos = cosine_expr(F.col("q_emb"), F.col("n_emb"))
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "n_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return recall_eval(read_table(spark, sf_dir, "embeddings"))
+
+
 QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -1095,6 +1265,9 @@ QUERIES = {
     "emb_pq_codes": q_emb_pq_codes,
     "ann_pq_adc_topk": q_ann_pq_adc_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    "emb_dim_stats": q_emb_dim_stats,
+    "emb_sq8": q_emb_sq8,
+    "ann_recall_eval": q_ann_recall_eval,
 }
 
 
@@ -1599,4 +1772,74 @@ ORACLES = {
             FROM scored
         ) t WHERE rank <= {TOP_K}
     """,
+    "emb_dim_stats": f"""
+        WITH ex AS (
+            SELECT g.i AS dim,
+                   CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * 1000000 + 0.5)
+                        AS BIGINT) AS micro
+            FROM embeddings CROSS JOIN generate_series(1, {DIM}) AS g(i)
+        )
+        SELECT dim, COUNT(*) AS n_vals,
+               CAST(SUM(micro) AS BIGINT) AS sum_micro,
+               CAST(SUM(CAST(micro AS HUGEINT) * micro) AS BIGINT)
+                   AS sumsq_micro,
+               MIN(micro) AS min_micro,
+               MAX(micro) AS max_micro
+        FROM ex GROUP BY dim
+    """,
+    "emb_sq8": f"""
+        WITH stats AS (
+            SELECT dim, MIN(micro) AS mn, MAX(micro) AS mx FROM (
+                SELECT g.i AS dim,
+                       CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * 1000000
+                                  + 0.5) AS BIGINT) AS micro
+                FROM embeddings
+                CROSS JOIN generate_series(1, {DIM}) AS g(i)
+            ) t GROUP BY dim
+        ),
+        enc AS (
+            SELECT e.vec_id, s.dim, s.mn, s.mx,
+                   CAST(e.embedding[s.dim] AS DOUBLE) AS x,
+                   LEAST(255, GREATEST(0, CASE WHEN s.mx = s.mn THEN 0
+                       ELSE CAST(FLOOR(
+                           (CAST(e.embedding[s.dim] AS DOUBLE)
+                            - CAST(s.mn AS DOUBLE) / 1000000.0)
+                           * 255.0
+                           / ((CAST(s.mx AS DOUBLE)
+                               - CAST(s.mn AS DOUBLE)) / 1000000.0)
+                           + 0.5) AS BIGINT)
+                   END)) AS code
+            FROM embeddings e CROSS JOIN stats s
+        )
+        SELECT vec_id,
+               CAST(SUM(code) AS BIGINT) AS code_sum,
+               CAST(SUM(code * dim) AS BIGINT) AS code_checksum,
+               CAST(SUM(ABS(
+                   CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)
+                   - CAST(FLOOR(
+                         (CAST(mn AS DOUBLE) / 1000000.0
+                          + CAST(code AS DOUBLE)
+                            * ((CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE))
+                               / 1000000.0)
+                            / 255.0) * 1000000 + 0.5) AS BIGINT)
+               )) AS BIGINT) AS err_micro
+        FROM enc GROUP BY vec_id
+    """,
 }
+
+# recall@k composes the two registered index twins verbatim — exact
+# ground truth and the IVF path — so the metric's oracle can never
+# drift from the index oracles it judges.
+ORACLES["ann_recall_eval"] = f"""
+    WITH exact AS (
+        SELECT q_id, n_id FROM ({ORACLES["ann_cosine_topk"]}) t
+    ),
+    approx AS (
+        SELECT q_id, n_id FROM ({ORACLES["ann_ivf_topk"]}) t
+    )
+    SELECT e.q_id, COUNT(a.n_id) AS n_hits,
+           ROUND(COUNT(a.n_id) / {float(TOP_K)}, 4) AS recall_at_k
+    FROM exact e
+    LEFT JOIN approx a ON e.q_id = a.q_id AND e.n_id = a.n_id
+    GROUP BY e.q_id
+"""

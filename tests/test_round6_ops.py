@@ -1,0 +1,152 @@
+"""Semantic tests for the round-6 operators, beyond the oracle
+differential (tests/test_oracle.py already hash-checks every
+registered query against DuckDB): bound and invariant properties the
+differential can't express — quantization-error bounds, recall
+bracketing, TPC-H shape cross-checks against their naive forms.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from covid_engineering_spark.operators import relational as R
+from covid_engineering_spark.operators import similarity as S
+from covid_engineering_spark.sources import read_table
+
+from tests.conftest import SF_SMOKE
+
+
+# ---------------------------------------------------------------------------
+# embedding tier
+# ---------------------------------------------------------------------------
+
+
+def test_dim_stats_shape_and_moments(spark):
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    rows = S.dim_stats(emb).collect()
+    assert len(rows) == S.DIM
+    assert {r.dim for r in rows} == set(range(1, S.DIM + 1))
+    for r in rows:
+        assert r.n_vals == n
+        assert r.min_micro <= r.max_micro
+        # Cauchy–Schwarz on integers: n·Σx² ≥ (Σx)².
+        assert r.n_vals * r.sumsq_micro >= r.sum_micro**2
+
+
+def test_sq8_codes_bounded_and_error_within_half_step(spark):
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    stats = {r.dim: r for r in S.dim_stats(emb).collect()}
+    # Per-dim reconstruction error of round-to-nearest-code is at most
+    # half a quantization step (+1 micro for the two float→micro
+    # round-trips); the per-vector total is the sum of those bounds.
+    bound = sum(
+        (stats[d].max_micro - stats[d].min_micro) / (2 * 255) + 1.0
+        for d in stats
+    )
+    out = S.sq8_encode(emb).collect()
+    assert len(out) == emb.count()
+    for r in out:
+        assert 0 <= r.code_sum <= 255 * S.DIM
+        assert r.err_micro >= 0
+        assert r.err_micro <= bound + 1e-6, (r.vec_id, r.err_micro, bound)
+
+
+def test_sq8_constant_dimension_codes_zero(spark):
+    # A degenerate (min == max) dimension must encode as code 0 with
+    # zero reconstruction error, not divide by zero.
+    df = spark.createDataFrame(
+        [(i, [0.5] * S.DIM) for i in range(4)], "vec_id: long, embedding: array<float>"
+    )
+    out = S.sq8_encode(df).collect()
+    for r in out:
+        assert r.code_sum == 0
+        assert r.err_micro == 0
+
+
+def test_recall_eval_brackets_and_matches_direct_overlap(spark):
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    rows = S.recall_eval(emb).collect()
+    assert len(rows) == S.N_QUERIES
+    for r in rows:
+        assert 0 <= r.n_hits <= S.TOP_K
+        assert abs(r.recall_at_k - r.n_hits / S.TOP_K) < 1e-9
+    # Cross-check one query's overlap against collected sets.
+    exact = {
+        (r.q_id, r.n_id)
+        for r in S.q_cosine_frame(emb).collect()
+    }
+    approx = {
+        (r.q_id, r.n_id)
+        for r in S.ivf_topk(emb, S.deterministic_codebook(emb)).collect()
+    }
+    got = {r.q_id: r.n_hits for r in rows}
+    for q in got:
+        want = len({p for p in exact if p[0] == q} & approx)
+        assert got[q] == want
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes: cross-checks against the naive/alternative formulation
+# ---------------------------------------------------------------------------
+
+
+def test_q13_buckets_cover_every_customer(spark):
+    rows = R.QUERIES["q13_cust_distribution"](spark, SF_SMOKE).collect()
+    n_cust = read_table(spark, SF_SMOKE, "customer").count()
+    assert sum(r.custdist for r in rows) == n_cust
+
+
+def test_q18_threshold_agrees_with_window_formulation(spark):
+    # The rollup-join decorrelation must agree with a windowed SUM
+    # OVER (PARTITION BY order) formulation of the same HAVING.
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey")
+    alt = (
+        li.withColumn(
+            "sum_qty", F.sum(F.col("l_quantity").cast("long")).over(w)
+        )
+        .filter(F.col("sum_qty") > 250)
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    got = R.QUERIES["q18_large_orders"](spark, SF_SMOKE).count()
+    assert got == alt
+
+
+def test_q15_revenue_is_the_global_max(spark):
+    rows = R.QUERIES["q15_top_supplier"](spark, SF_SMOKE).collect()
+    assert len(rows) >= 1
+    li = read_table(spark, SF_SMOKE, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1996-03-31")
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(revenue.cast("decimal(28,6)")).cast("double"), 2
+        ).alias("total_revenue")
+    )
+    mx = per_supp.agg(F.max("total_revenue")).first()[0]
+    for r in rows:
+        assert r.total_revenue == mx
+
+
+def test_q22_every_result_customer_lacks_urgent_orders(spark):
+    out = R.QUERIES["q22_global_balance"](spark, SF_SMOKE)
+    total = out.agg(F.sum("numcust")).first()[0]
+    cust = read_table(spark, SF_SMOKE, "customer")
+    urgent_cust = (
+        read_table(spark, SF_SMOKE, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    no_urgent = (
+        cust.join(urgent_cust, cust.c_custkey == F.col("o_custkey"), "left_anti")
+        .count()
+    )
+    # The no-urgent pool upper-bounds the result (the balance filter
+    # and cntrycode subset only shrink it).
+    assert total is not None and 0 < total <= no_urgent

@@ -72,6 +72,9 @@ DUCKDB_ONLY = {
     "covid_wave_peaks",
     "ann_ivfpq_topk",
     "ann_pq_adc_topk",
+    "ann_recall_eval",
+    "emb_dim_stats",
+    "emb_sq8",
     "dedup_clusters",
     "dedup_containment",
     "dedup_embedding",

@@ -162,6 +162,12 @@ SURVEY_MAP = {
     "DD-SEMDEDUP": "emb_semdedup",
     # round-5 extension: in-batch hard-negative mining
     "ANN-HARDNEG": "emb_hard_negatives",
+    # round-6 extensions: per-dimension corpus profile, int8 scalar
+    # quantization with queryable reconstruction loss, in-engine
+    # recall@k of the IVF index against brute-force ground truth
+    "ANN-DIMSTATS": "emb_dim_stats",
+    "ANN-SQ8": "emb_sq8",
+    "ANN-RECALL": "ann_recall_eval",
     "Q4": "q4_order_priority",
     "TS-SEASONAL": "ts_seasonal_anomaly",
     "TS-TRENDING": "ts_trending",
