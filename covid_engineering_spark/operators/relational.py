@@ -1437,6 +1437,121 @@ def q_q22_global_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic marketing-analytics
+    rollup (recency / frequency / monetary quintiles): one orders
+    aggregate per customer, then three NTILE(5) windows with full
+    deterministic ordering (metric, then custkey — ntile is a
+    row-position function, so the tiebreak IS the determinism
+    contract). Monetary rides exact cents; recency counts days to a
+    fixed anchor date (no "now()" — the query must be replayable).
+
+    Scale shape: the orders scan collapses to |customers| rows in one
+    partial-aggregated shuffle; the three global ntile windows then
+    sort that frame (a single-partition sort of the SMALL aggregate,
+    same regime as o1_sort_limit). At 100 TB |customers| is still
+    window-able (~10⁸ rows); past that the quintile cut-points come
+    from approx_percentile and the scores become a map-side join —
+    same output contract.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2002-01-01").cast("date"), F.max(F.col("o_orderdate").cast("date"))
+        ).alias("recency_days"),
+        F.count("*").alias("n_orders"),
+        F.sum(cents).alias("monetary_cents"),
+    )
+    w_r = Window.orderBy("recency_days", "o_custkey")
+    w_f = Window.orderBy(F.desc("n_orders"), "o_custkey")
+    w_m = Window.orderBy(F.desc("monetary_cents"), "o_custkey")
+    return (
+        per_cust.withColumn("r_score", F.ntile(5).over(w_r))
+        .withColumn("f_score", F.ntile(5).over(w_f))
+        .withColumn("m_score", F.ntile(5).over(w_m))
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "recency_days",
+            "n_orders",
+            "monetary_cents",
+            "r_score",
+            "f_score",
+            "m_score",
+            (
+                F.col("r_score") * 100
+                + F.col("f_score") * 10
+                + F.col("m_score")
+            ).alias("rfm_segment"),
+        )
+    )
+
+
+def q_w9_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9 — the remaining ranking-window family in one pass: NTILE
+    (equi-height bucketing), PERCENT_RANK ((rank−1)/(n−1)) and
+    CUME_DIST (rank_last/n), partitioned by order priority and fully
+    tie-broken (price, then key). All three ride ONE window exchange;
+    the rank fractions are single divisions of the same integers in
+    both engines, so the doubles agree bit-for-bit.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("price_cents"), "o_orderkey"
+    )
+    return (
+        orders.select(
+            "o_orderkey", "o_orderpriority", cents.alias("price_cents")
+        )
+        .withColumn("quartile", F.ntile(4).over(w))
+        .withColumn("pct_rank", F.round(F.percent_rank().over(w), 6))
+        .withColumn("cume", F.round(F.cume_dist().over(w), 6))
+    )
+
+
+#: Fan-out factor of the explicit salted join — the number of
+#: sub-partitions a hot key is spread across.
+JOIN_SALT = 8
+
+
+def q_j8_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 — explicit skew-salted shuffle join, result bit-equal to the
+    plain equi-join (which IS the oracle: salting is a physical-plan
+    decision, invisible in the answer). The fact side (lineitem) gets
+    a salt from a hash of its line number; the dim side (orders) is
+    replicated across all JOIN_SALT salts via explode(sequence) —
+    the join key becomes (orderkey, salt), so a hot order key's rows
+    land in 8 different reduce tasks instead of one straggler.
+
+    When: AQE's skew-join handles this adaptively when runtime stats
+    see the skew; the explicit form is for layouts AQE can't touch —
+    pre-bucketed tables (exchange reuse pins the partitioning),
+    broadcast-disabled sides, or a key whose skew hides under the
+    stats floor. Cost model: dim side ×SALT replication (broadcast-
+    sized frames only), fact side untouched.
+    """
+    orders = read_table(spark, sf_dir, "orders").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(JOIN_SALT - 1)))
+    )
+    li = read_table(spark, sf_dir, "lineitem").withColumn(
+        "salt",
+        F.pmod(F.xxhash64("l_linenumber"), F.lit(JOIN_SALT)).cast("int"),
+    )
+    return (
+        li.join(
+            orders,
+            (li.l_orderkey == orders.o_orderkey)
+            & (li.salt == orders.salt),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+    )
+
+
 QUERIES = {
     "p1_project": q_p1_project,
     "p2_filter_eq": q_p2_filter_eq,
@@ -1488,6 +1603,9 @@ QUERIES = {
     "q18_large_orders": q_q18_large_orders,
     "q19_disjunctive": q_q19_disjunctive,
     "q22_global_balance": q_q22_global_balance,
+    "rfm_segments": q_rfm_segments,
+    "w9_ntile_cume": q_w9_ntile_cume,
+    "j8_salted_join": q_j8_salted_join,
     "a11_percentile": q_a11_percentile,
     "a12_cube": q_a12_cube,
     "a13_salted_agg": q_a13_salted_agg,
@@ -1647,6 +1765,48 @@ ORACLES = {
                AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
                AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "rfm_segments": """
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   CAST(DATE '2002-01-01' - MAX(CAST(o_orderdate AS DATE))
+                        AS BIGINT) AS recency_days,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS monetary_cents
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT o_custkey AS c_custkey, recency_days, n_orders,
+               monetary_cents,
+               NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+               NTILE(5) OVER (ORDER BY n_orders DESC, o_custkey) AS f_score,
+               NTILE(5) OVER (ORDER BY monetary_cents DESC, o_custkey)
+                   AS m_score,
+               NTILE(5) OVER (ORDER BY recency_days, o_custkey) * 100
+               + NTILE(5) OVER (ORDER BY n_orders DESC, o_custkey) * 10
+               + NTILE(5) OVER (ORDER BY monetary_cents DESC, o_custkey)
+                   AS rfm_segment
+        FROM per_cust
+    """,
+    "w9_ntile_cume": """
+        SELECT o_orderkey, o_orderpriority,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS price_cents,
+               NTILE(4) OVER w AS quartile,
+               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 6) AS cume
+        FROM orders
+        WINDOW w AS (
+            PARTITION BY o_orderpriority
+            ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) DESC,
+                     o_orderkey
+        )
+    """,
+    "j8_salted_join": """
+        SELECT o_orderpriority, COUNT(*) AS n_lines,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
     """,
     "q22_global_balance": """
         WITH pool AS (

@@ -670,6 +670,125 @@ def q_ts_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly_profile(read_table(spark, sf_dir, "events"))
 
 
+#: Truncated-EWMA window width (buckets). α = 1/2 with dyadic weights:
+#: the newest bucket weighs 2^(W-1), each older one half that — so the
+#: whole smoother is exact BIGINT algebra (weights are powers of two,
+#: no float decay factor ever materializes).
+EWMA_W = 16
+
+
+def ewma(ev: DataFrame, every: str = EVERY) -> DataFrame:
+    """Truncated exponentially-weighted moving average per event_type
+    over the resampled cents feed — the metrics-store smoother
+    (Prometheus/Graphite `ewma`, pandas `ewm(alpha=.5)`) in EXACT
+    integer form: weights are powers of two over a 16-bucket window,
+    so the weighted numerator and denominator are BIGINTs and the
+    smoothed value is one truncating division (Spark ``DIV`` ≡ DuckDB
+    ``//`` on the non-negative sums — the pagerank convention).
+
+    Truncation is the scale decision: a true infinite-history EWMA is
+    a sequential recursion (s_t = (x_t + s_{t-1})/2) no parallel
+    window can evaluate without a prefix pass, while the 16-bucket
+    tail it drops carries < 2^-16 of the mass. The collect_list
+    window rides the same event_type partitioning every other ts_*
+    window uses, over the bucket-cardinality frame — never raw
+    events.
+    """
+    cents = _cents()
+    bucketed = ev.groupBy(
+        F.date_trunc(every, "ts").alias("bucket"), "event_type"
+    ).agg(F.sum(cents).alias("x_cents"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-(EWMA_W - 1), 0)
+    )
+    lst = F.collect_list("x_cents").over(w)
+    num = F.expr(f"""
+        aggregate(
+            transform(sequence(1, size(lst)),
+                j -> element_at(lst, j)
+                     * shiftleft(cast(1 as bigint),
+                                 {EWMA_W - 1} - size(lst) + j)),
+            cast(0 as bigint), (a, x) -> a + x)
+    """)
+    den = F.expr(
+        f"shiftleft(cast(1 as bigint), {EWMA_W})"
+        f" - shiftleft(cast(1 as bigint), {EWMA_W} - size(lst))"
+    )
+    return (
+        bucketed.withColumn("lst", lst)
+        .select(
+            "event_type",
+            "bucket",
+            "x_cents",
+            num.alias("ewma_num"),
+            den.alias("ewma_den"),
+        )
+        .withColumn("ewma_cents", F.expr("ewma_num DIV ewma_den"))
+    )
+
+
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ewma(read_table(spark, sf_dir, "events"))
+
+
+#: CUSUM drift threshold, in multiples of the per-type mean bucket
+#: value: flag when the accumulated positive drift exceeds 4 average
+#: buckets' worth of cents.
+CUSUM_H_MEANS = 4
+
+
+def cusum_changepoint(ev: DataFrame, every: str = EVERY) -> DataFrame:
+    """One-sided CUSUM drift detection per event_type — the classic
+    changepoint statistic (Page 1954): s_t = max(0, s_{t-1} + (x_t −
+    ref)). The textbook form is a sequential recursion; the engine
+    uses the exact prefix identity ``s_t = cum_t − min(0, min_{i≤t}
+    cum_i)`` where cum is the running sum of deviations — two plain
+    window aggregates over ONE event_type shuffle, no recursion, no
+    iteration, bit-equal to the sequential fold.
+
+    All-integer: deviations are cents minus the per-type mean-floor
+    (``total DIV n``, truncating division both engines share), so
+    cum/runmin/s_t never touch a float. The drift flag compares s_t
+    against CUSUM_H_MEANS per-type mean buckets. Windows run over the
+    bucket-cardinality frame (buckets × types), never raw events.
+    """
+    cents = _cents()
+    bucketed = ev.groupBy(
+        F.date_trunc(every, "ts").alias("bucket"), "event_type"
+    ).agg(F.sum(cents).alias("x_cents"))
+    wtype = Window.partitionBy("event_type")
+    wcum = wtype.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    with_ref = (
+        bucketed.withColumn("total", F.sum("x_cents").over(wtype))
+        .withColumn("n_b", F.count("*").over(wtype))
+        .withColumn("ref_cents", F.expr("total DIV n_b"))
+    )
+    cum = F.sum(F.col("x_cents") - F.col("ref_cents")).over(wcum)
+    return (
+        with_ref.withColumn("cum", cum)
+        .withColumn("runmin", F.least(F.lit(0), F.min("cum").over(wcum)))
+        .select(
+            "event_type",
+            "bucket",
+            "x_cents",
+            "ref_cents",
+            (F.col("cum") - F.col("runmin")).alias("cusum_cents"),
+            (
+                F.col("cum") - F.col("runmin")
+                > F.lit(CUSUM_H_MEANS) * F.col("ref_cents")
+            ).alias("drift_flag"),
+        )
+    )
+
+
+def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cusum_changepoint(read_table(spark, sf_dir, "events"))
+
+
 QUERIES = {
     "ts_resample": q_ts_resample,
     "ts_rollup_incremental": q_ts_rollup_incremental,
@@ -683,9 +802,79 @@ QUERIES = {
     "ts_trending": q_ts_trending,
     "ts_active_users": q_ts_active_users,
     "ts_hourly_profile": q_ts_hourly_profile,
+    "ts_ewma": q_ts_ewma,
+    "ts_changepoint": q_ts_changepoint,
 }
 
 ORACLES = {
+    "ts_ewma": f"""
+        WITH bucketed AS (
+            SELECT date_trunc('hour', ts) AS bucket, event_type,
+                   CAST(SUM({CENTS_SQL}) AS BIGINT) AS x_cents
+            FROM events GROUP BY 1, 2
+        ),
+        lsts AS (
+            SELECT event_type, bucket, x_cents,
+                   list(x_cents) OVER (
+                       PARTITION BY event_type ORDER BY bucket
+                       ROWS BETWEEN {EWMA_W - 1} PRECEDING AND CURRENT ROW
+                   ) AS lst
+            FROM bucketed
+        )
+        SELECT event_type, bucket, x_cents,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(generate_series(1, len(lst)),
+                       j -> lst[j] * (CAST(1 AS BIGINT)
+                                      << ({EWMA_W - 1} - len(lst) + j)))),
+                   (a, b) -> a + b) AS BIGINT) AS ewma_num,
+               CAST((CAST(1 AS BIGINT) << {EWMA_W})
+                    - (CAST(1 AS BIGINT) << ({EWMA_W} - len(lst)))
+                    AS BIGINT) AS ewma_den,
+               CAST(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(generate_series(1, len(lst)),
+                       j -> lst[j] * (CAST(1 AS BIGINT)
+                                      << ({EWMA_W - 1} - len(lst) + j)))),
+                   (a, b) -> a + b) AS BIGINT)
+                   // ((CAST(1 AS BIGINT) << {EWMA_W})
+                       - (CAST(1 AS BIGINT) << ({EWMA_W} - len(lst))))
+                   AS BIGINT) AS ewma_cents
+        FROM lsts
+    """,
+    "ts_changepoint": f"""
+        WITH bucketed AS (
+            SELECT date_trunc('hour', ts) AS bucket, event_type,
+                   CAST(SUM({CENTS_SQL}) AS BIGINT) AS x_cents
+            FROM events GROUP BY 1, 2
+        ),
+        with_ref AS (
+            SELECT event_type, bucket, x_cents,
+                   CAST(CAST(SUM(x_cents) OVER (PARTITION BY event_type)
+                             AS BIGINT)
+                        // COUNT(*) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS ref_cents
+            FROM bucketed
+        ),
+        cums AS (
+            SELECT event_type, bucket, x_cents, ref_cents,
+                   CAST(SUM(x_cents - ref_cents) OVER (
+                       PARTITION BY event_type ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum
+            FROM with_ref
+        ),
+        runs AS (
+            SELECT event_type, bucket, x_cents, ref_cents, cum,
+                   LEAST(CAST(0 AS BIGINT), MIN(cum) OVER (
+                       PARTITION BY event_type ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )) AS runmin
+            FROM cums
+        )
+        SELECT event_type, bucket, x_cents, ref_cents,
+               CAST(cum - runmin AS BIGINT) AS cusum_cents,
+               (cum - runmin) > {CUSUM_H_MEANS} * ref_cents AS drift_flag
+        FROM runs
+    """,
     "ts_hourly_profile": f"""
         SELECT ((CAST(ts AS DATE) - DATE '{DOW_ANCHOR}') % 7 + 7) % 7
                    AS dow,

@@ -86,6 +86,93 @@ def test_recall_eval_brackets_and_matches_direct_overlap(spark):
 
 
 # ---------------------------------------------------------------------------
+# time-series tier: window identities vs the sequential textbook folds
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_matches_sequential_truncated_fold(spark):
+    from covid_engineering_spark.operators import timeseries as T
+
+    ev = read_table(spark, SF_SMOKE, "events")
+    rows = T.ewma(ev).orderBy("event_type", "bucket").collect()
+    # Rebuild per-type series and fold sequentially with dyadic weights.
+    series = {}
+    for r in rows:
+        series.setdefault(r.event_type, []).append(r)
+    for typ, rs in series.items():
+        xs = [r.x_cents for r in rs]
+        for t, r in enumerate(rs):
+            tail = xs[max(0, t - (T.EWMA_W - 1)) : t + 1]
+            k = len(tail)
+            num = sum(
+                v * (1 << (T.EWMA_W - 1 - k + j + 1))
+                for j, v in enumerate(tail)
+            )
+            den = (1 << T.EWMA_W) - (1 << (T.EWMA_W - k))
+            assert r.ewma_num == num and r.ewma_den == den, (typ, t)
+            assert r.ewma_cents == num // den
+    # The smoother must damp: ewma range within the raw range.
+    for typ, rs in series.items():
+        lo, hi = min(r.x_cents for r in rs), max(r.x_cents for r in rs)
+        for r in rs:
+            assert lo - 1 <= r.ewma_cents <= hi + 1
+
+
+def test_cusum_matches_sequential_page_fold(spark):
+    from covid_engineering_spark.operators import timeseries as T
+
+    ev = read_table(spark, SF_SMOKE, "events")
+    rows = T.cusum_changepoint(ev).orderBy("event_type", "bucket").collect()
+    series = {}
+    for r in rows:
+        series.setdefault(r.event_type, []).append(r)
+    for typ, rs in series.items():
+        ref = rs[0].ref_cents
+        s = 0
+        for r in rs:
+            assert r.ref_cents == ref  # one reference per type
+            s = max(0, s + (r.x_cents - ref))
+            assert r.cusum_cents == s, (typ, r.bucket)
+            assert r.drift_flag == (s > T.CUSUM_H_MEANS * ref)
+
+
+def test_rfm_scores_are_quintiles_and_segment_decomposes(spark):
+    out = R.QUERIES["rfm_segments"](spark, SF_SMOKE).collect()
+    n = len(out)
+    for col in ("r_score", "f_score", "m_score"):
+        vals = [getattr(r, col) for r in out]
+        assert set(vals) <= set(range(1, 6))
+        # ntile balance: bucket sizes differ by at most 1
+        from collections import Counter
+
+        c = Counter(vals)
+        assert max(c.values()) - min(c.values()) <= 1
+        assert sum(c.values()) == n
+    for r in out:
+        assert r.rfm_segment == r.r_score * 100 + r.f_score * 10 + r.m_score
+
+
+def test_salted_join_is_bit_equal_to_plain_join(spark):
+    got = {
+        r.o_orderpriority: (r.n_lines, r.sum_qty)
+        for r in R.QUERIES["j8_salted_join"](spark, SF_SMOKE).collect()
+    }
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    orders = read_table(spark, SF_SMOKE, "orders")
+    want = {
+        r.o_orderpriority: (r.n_lines, r.sum_qty)
+        for r in li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
 # TPC-H shapes: cross-checks against the naive/alternative formulation
 # ---------------------------------------------------------------------------
 

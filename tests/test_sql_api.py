@@ -121,7 +121,9 @@ DUCKDB_ONLY = {
     "text_token_stats",
     "text_top_terms",
     "text_unigram_lm",
+    "ts_changepoint",
     "ts_cohort",
+    "ts_ewma",
     "ts_gapfill",
     "ts_hourly_profile",
     "ts_resample",

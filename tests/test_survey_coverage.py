@@ -168,6 +168,14 @@ SURVEY_MAP = {
     "ANN-DIMSTATS": "emb_dim_stats",
     "ANN-SQ8": "emb_sq8",
     "ANN-RECALL": "ann_recall_eval",
+    # round-6 extensions: integer EWMA smoother, CUSUM changepoint,
+    # RFM segmentation, ranking-window completion, explicit skew-salted
+    # join (bit-equal to its plain twin)
+    "TS-EWMA": "ts_ewma",
+    "TS-CUSUM": "ts_changepoint",
+    "RFM": "rfm_segments",
+    "W9": "w9_ntile_cume",
+    "J8": "j8_salted_join",
     "Q4": "q4_order_priority",
     "TS-SEASONAL": "ts_seasonal_anomaly",
     "TS-TRENDING": "ts_trending",
