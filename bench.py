@@ -56,6 +56,13 @@ HEADLINE = [
     # hard-negative mining (the linear N x batch_cap pair pipeline).
     "emb_semdedup",
     "emb_hard_negatives",
+    # Round-6 additions: the widest new TPC-H shapes (double nation
+    # join; outer-join histogram), the integer EWMA window, and the
+    # map-side int8 quantization encode.
+    "q7_nation_volume",
+    "q13_cust_distribution",
+    "ts_ewma",
+    "emb_sq8",
 ]
 
 
