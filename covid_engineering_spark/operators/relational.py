@@ -1510,6 +1510,54 @@ def q_w9_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a21_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21 — Pearson correlation and OLS slope per group via exact
+    integer MOMENTS: built-in ``corr()`` accumulates running float
+    means whose result depends on partition merge order, so the
+    engine instead sums the five raw moments (Σx, Σy, Σxy, Σx², Σy²)
+    as BIGINTs — quantity is integral, price enters as cents — and
+    assembles r and β in ONE final double expression per group:
+
+        r = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²) · (n·Σy² − (Σy)²))
+
+    Both engines combine identical integers with the identical
+    operator tree, so the doubles agree bit-for-bit — the same
+    mergeable-moments trick as the a8/a9 least-squares aggregates,
+    extended to the bivariate statistics. At 100 TB the moment sums
+    promote to DECIMAL(38,0); the assembly expression is unchanged.
+    (The final n·Σxy product is assembled in doubles deliberately:
+    at sf0.1 it already exceeds BIGINT range — the moments stay
+    exact, the assembly is one deterministic rounding.)
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    cov_n = nd * sxy - sx * sy
+    var_x = nd * sxx - sx * sx
+    var_y = nd * syy - sy * sy
+    return m.select(
+        "l_returnflag",
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        F.round(cov_n / F.sqrt(var_x * var_y), 6).alias("corr_qty_price"),
+        F.round(cov_n / var_x, 6).alias("beta_cents_per_qty"),
+    )
+
+
 #: Fan-out factor of the explicit salted join — the number of
 #: sub-partitions a hot key is spread across.
 JOIN_SALT = 8
@@ -1606,6 +1654,7 @@ QUERIES = {
     "rfm_segments": q_rfm_segments,
     "w9_ntile_cume": q_w9_ntile_cume,
     "j8_salted_join": q_j8_salted_join,
+    "a21_corr_moments": q_a21_corr_moments,
     "a11_percentile": q_a11_percentile,
     "a12_cube": q_a12_cube,
     "a13_salted_agg": q_a13_salted_agg,
@@ -1801,6 +1850,37 @@ ORACLES = {
             ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) DESC,
                      o_orderkey
         )
+    """,
+    "a21_corr_moments": """
+        WITH m AS (
+            SELECT l_returnflag, COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS sy,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)
+                            * CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS sxy,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)
+                            * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                            * CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS syy
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n, sx, sy, sxy,
+               ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                     6) AS corr_qty_price,
+               ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                     6) AS beta_cents_per_qty
+        FROM m
     """,
     "j8_salted_join": """
         SELECT o_orderpriority, COUNT(*) AS n_lines,

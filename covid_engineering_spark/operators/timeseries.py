@@ -789,6 +789,58 @@ def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_changepoint(read_table(spark, sf_dir, "events"))
 
 
+def snaive_backtest(ev: DataFrame, every: str = EVERY) -> DataFrame:
+    """Seasonal-naive forecast backtest — the capacity-planning
+    baseline every forecasting pipeline is judged against (M4's
+    sNaive): each (type, bucket) value is "forecast" by the value one
+    season earlier (same hour, 7 days back), and the per-type error
+    profile is emitted in exact cents: pair count, MAE numerator
+    (Σ|actual − forecast|), bias numerator (Σ(actual − forecast)),
+    and the truncating-division MAE (``DIV`` ≡ ``//``).
+
+    The season lookup is a CALENDAR join (bucket − 7 days), not a
+    168-row lag: the resampled feed only has buckets where events
+    occurred, so a row-offset lag would silently compare misaligned
+    hours across gaps. A self-join on the shifted bucket key is exact
+    under gaps — missing seasonals simply drop the pair (INNER join;
+    the error profile only judges aligned hours).
+
+    Scale shape: both sides are the bucket-cardinality frame sharing
+    one (event_type) exchange layout; the final agg is |types| rows.
+    """
+    cents = _cents()
+    bucketed = ev.groupBy(
+        F.date_trunc(every, "ts").alias("bucket"), "event_type"
+    ).agg(F.sum(cents).alias("x_cents"))
+    prior = bucketed.select(
+        F.col("event_type").alias("p_type"),
+        (F.col("bucket") + F.expr("INTERVAL 7 DAYS")).alias("p_bucket"),
+        F.col("x_cents").alias("forecast_cents"),
+    )
+    return (
+        bucketed.join(
+            prior,
+            (F.col("event_type") == F.col("p_type"))
+            & (F.col("bucket") == F.col("p_bucket")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(
+                F.abs(F.col("x_cents") - F.col("forecast_cents"))
+            ).alias("abs_err_cents"),
+            F.sum(F.col("x_cents") - F.col("forecast_cents")).alias(
+                "bias_cents"
+            ),
+        )
+        .withColumn("mae_cents", F.expr("abs_err_cents DIV n_pairs"))
+    )
+
+
+def q_ts_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return snaive_backtest(read_table(spark, sf_dir, "events"))
+
+
 QUERIES = {
     "ts_resample": q_ts_resample,
     "ts_rollup_incremental": q_ts_rollup_incremental,
@@ -804,9 +856,28 @@ QUERIES = {
     "ts_hourly_profile": q_ts_hourly_profile,
     "ts_ewma": q_ts_ewma,
     "ts_changepoint": q_ts_changepoint,
+    "ts_snaive_backtest": q_ts_snaive_backtest,
 }
 
 ORACLES = {
+    "ts_snaive_backtest": f"""
+        WITH bucketed AS (
+            SELECT date_trunc('hour', ts) AS bucket, event_type,
+                   CAST(SUM({CENTS_SQL}) AS BIGINT) AS x_cents
+            FROM events GROUP BY 1, 2
+        )
+        SELECT b.event_type, COUNT(*) AS n_pairs,
+               CAST(SUM(ABS(b.x_cents - p.x_cents)) AS BIGINT)
+                   AS abs_err_cents,
+               CAST(SUM(b.x_cents - p.x_cents) AS BIGINT) AS bias_cents,
+               CAST(CAST(SUM(ABS(b.x_cents - p.x_cents)) AS BIGINT)
+                    // COUNT(*) AS BIGINT) AS mae_cents
+        FROM bucketed b
+        JOIN bucketed p
+          ON b.event_type = p.event_type
+         AND b.bucket = p.bucket + INTERVAL 7 DAY
+        GROUP BY b.event_type
+    """,
     "ts_ewma": f"""
         WITH bucketed AS (
             SELECT date_trunc('hour', ts) AS bucket, event_type,

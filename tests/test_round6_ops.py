@@ -172,6 +172,51 @@ def test_salted_join_is_bit_equal_to_plain_join(spark):
     assert got == want
 
 
+def test_corr_moments_match_pandas(spark):
+    import math
+
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    pdf = li.select("l_returnflag", "l_quantity", "l_extendedprice").toPandas()
+    pdf["x"] = pdf.l_quantity.astype("int64")
+    pdf["y"] = (pdf.l_extendedprice * 100 + 0.5).apply(math.floor).astype("int64")
+    rows = R.QUERIES["a21_corr_moments"](spark, SF_SMOKE).collect()
+    for r in rows:
+        g = pdf[pdf.l_returnflag == r.l_returnflag]
+        want = g.x.corr(g.y)
+        assert abs(r.corr_qty_price - want) < 1e-4, (r.l_returnflag,)
+        # Slope: cov/var in cents per quantity unit.
+        beta = g.x.cov(g.y) / g.x.var()
+        assert abs(r.beta_cents_per_qty - beta) < 1e-2
+
+
+def test_snaive_pairs_align_exactly_one_week(spark):
+    from covid_engineering_spark.operators import timeseries as T
+    import datetime as dt
+
+    ev = read_table(spark, SF_SMOKE, "events")
+    rows = T.snaive_backtest(ev).collect()
+    assert len(rows) >= 1
+    # Rebuild the aligned-pair count per type directly.
+    cents = {}
+    for r in (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+        )
+        .agg(F.sum(T._cents()).alias("x"))
+        .collect()
+    ):
+        cents[(r.event_type, r.bucket)] = r.x
+    for r in rows:
+        pairs = [
+            (v, cents[(t, b - dt.timedelta(days=7))])
+            for (t, b), v in cents.items()
+            if t == r.event_type and (t, b - dt.timedelta(days=7)) in cents
+        ]
+        assert r.n_pairs == len(pairs)
+        assert r.abs_err_cents == sum(abs(a - f) for a, f in pairs)
+        assert r.mae_cents == r.abs_err_cents // r.n_pairs
+
+
 # ---------------------------------------------------------------------------
 # TPC-H shapes: cross-checks against the naive/alternative formulation
 # ---------------------------------------------------------------------------

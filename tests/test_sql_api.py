@@ -123,6 +123,7 @@ DUCKDB_ONLY = {
     "text_unigram_lm",
     "ts_changepoint",
     "ts_cohort",
+    "ts_snaive_backtest",
     "ts_ewma",
     "ts_gapfill",
     "ts_hourly_profile",

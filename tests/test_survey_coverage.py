@@ -173,6 +173,8 @@ SURVEY_MAP = {
     # join (bit-equal to its plain twin)
     "TS-EWMA": "ts_ewma",
     "TS-CUSUM": "ts_changepoint",
+    "TS-SNAIVE": "ts_snaive_backtest",
+    "A21": "a21_corr_moments",
     "RFM": "rfm_segments",
     "W9": "w9_ntile_cume",
     "J8": "j8_salted_join",
