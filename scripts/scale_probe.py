@@ -56,7 +56,7 @@ ONLY = {
 TABLES = {
     t
     for t in os.environ.get(
-        "SPARK_GRAFT_PROBE_TABLES", "events,documents,embeddings"
+        "SPARK_GRAFT_PROBE_TABLES", "events,documents,embeddings,tpch"
     ).split(",")
     if t
 }
@@ -141,6 +141,75 @@ def _blowup(spark, out_dir: str, replicas: int) -> None:
         rolled.alias("embedding"),
         (F.col("label") + i * F.lit(10**6)).alias("label"),
     )
+
+    # TPC-H star tier ("tpch"): key-shifted replicas of the fact and
+    # dimension tables TOGETHER — orderkeys, custkeys, suppkeys and
+    # partkeys offset consistently on both sides of every join, so
+    # referential structure (orders per customer, lines per order,
+    # suppliers per part) is preserved exactly while the KEY SPACE
+    # grows N×. nation/region are fixed-cardinality dimensions at
+    # every SF and copy through verbatim (c_nationkey/s_nationkey are
+    # untouched, so the nation joins keep their fan-in).
+    if "tpch" in TABLES:
+        orders = read_table(spark, BASE, "orders").repartition(32)
+        ord_n = orders.select(rep, "*").select(
+            (F.col("o_orderkey") + il * F.lit(10**9)).alias("o_orderkey"),
+            (F.col("o_custkey") + il * F.lit(10**7)).alias("o_custkey"),
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        li = read_table(spark, BASE, "lineitem").repartition(64)
+        li_n = li.select(rep, "*").select(
+            (F.col("l_orderkey") + il * F.lit(10**9)).alias("l_orderkey"),
+            (F.col("l_partkey") + il * F.lit(10**7)).alias("l_partkey"),
+            (F.col("l_suppkey") + il * F.lit(10**5)).alias("l_suppkey"),
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+        )
+        cust = read_table(spark, BASE, "customer").repartition(8)
+        cust_n = cust.select(rep, "*").select(
+            (F.col("c_custkey") + il * F.lit(10**7)).alias("c_custkey"),
+            "c_name",
+            "c_nationkey",
+            "c_acctbal",
+            "c_mktsegment",
+        )
+        supp = read_table(spark, BASE, "supplier").repartition(4)
+        supp_n = supp.select(rep, "*").select(
+            (F.col("s_suppkey") + il * F.lit(10**5)).alias("s_suppkey"),
+            "s_name",
+            "s_nationkey",
+            "s_acctbal",
+        )
+        part = read_table(spark, BASE, "part").repartition(4)
+        part_n = part.select(rep, "*").select(
+            (F.col("p_partkey") + il * F.lit(10**7)).alias("p_partkey"),
+            "p_name",
+            "p_brand",
+            "p_type",
+            "p_size",
+            "p_retailprice",
+        )
+        for name, frame in (
+            ("orders", ord_n),
+            ("lineitem", li_n),
+            ("customer", cust_n),
+            ("supplier", supp_n),
+            ("part", part_n),
+            ("nation", read_table(spark, BASE, "nation")),
+            ("region", read_table(spark, BASE, "region")),
+        ):
+            frame.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"{name}.parquet")
+            )
 
     if "events" in TABLES:
         ev_n.write.mode("overwrite").parquet(
@@ -364,6 +433,51 @@ def main() -> None:
             "overwrite"
         ).format("noop").save()
 
+    def q7(sf_dir):
+        # TPC-H star-join spine at N× keys: the lineitem⨝orders
+        # shuffle scales with the facts while both nation broadcasts
+        # stay 25 rows — wall time must track the fact side linearly
+        from covid_engineering_spark.operators.relational import (
+            q_q7_nation_volume,
+        )
+
+        q_q7_nation_volume(spark, sf_dir).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+    def rfm(sf_dir):
+        # |customers| grows N× and the three global NTILE windows
+        # sort that aggregate on one partition — the probe watches
+        # exactly the piece the docstring flags as the 100 TB swap
+        # point (approx-quantile cut-points past ~10^8 customers)
+        from covid_engineering_spark.operators.relational import (
+            q_rfm_segments,
+        )
+
+        q_rfm_segments(spark, sf_dir).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+    def ewma(sf_dir):
+        # bucket×type cardinality is CONSTANT under the blowup (same
+        # calendar span, denser buckets), so the 16-bucket list
+        # window must stay flat and only the pre-agg scan scales —
+        # the rolling_anomaly regime with a collect_list frame
+        from covid_engineering_spark.operators.timeseries import ewma
+
+        ewma(read_table(spark, sf_dir, "events")).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+    def sq8(sf_dir):
+        # map-side encode against a broadcast stats row: N× vectors,
+        # zero shuffles on the encode path — must be flat-linear
+        from covid_engineering_spark.operators.similarity import sq8_encode
+
+        sq8_encode(read_table(spark, sf_dir, "embeddings")).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
     out: dict = {"metric": "scale_probe", "x": REPLICAS, "base": BASE}
     seen_names: set = set()
     for name, fn in (
@@ -383,6 +497,10 @@ def main() -> None:
         ("ann_ivfpq_topk", ivfpq),
         ("emb_semdedup", semd),
         ("emb_hard_negatives", hardneg),
+        ("q7_nation_volume", q7),
+        ("rfm_segments", rfm),
+        ("ts_ewma", ewma),
+        ("emb_sq8", sq8),
     ):
         if ONLY and name not in ONLY:
             continue
