@@ -663,6 +663,89 @@ def q_pipe_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_rate(read_table(spark, sf_dir, "documents"))
 
 
+#: Dup gate: a source fails if more than half its docs are exact
+#: duplicates of something in the corpus.
+GATE_MAX_DUP_HALVES = 2  # n_dup_docs * 2 <= n_docs
+
+
+def source_gate(docs: DataFrame) -> DataFrame:
+    """Per-source admission gate — the crawl-level go/no-go every
+    corpus refresh runs before paying for full curation: combine the
+    per-source duplication rate (the ``dup_rate`` machinery) with a
+    SELF-CALIBRATING quality bar — a source passes quality iff its
+    mean document score is at or above the corpus-wide mean — and
+    emit PASS/FAIL plus the doc count a gated corpus would retain.
+    Failing a whole SOURCE is the cheap first filter: it prunes
+    entire partitions before any pair-generation (near-dup) cost is
+    spent on them, and the relative bar means the gate discriminates
+    on ANY corpus rather than depending on a tuned constant.
+
+    Exactness: each document's pre-rounded score enters as micro-units
+    (``floor(q*1e6+0.5)``, exact on the 6-decimal grid); the
+    above-corpus-mean test is the CROSS-MULTIPLIED integer form
+    ``sum_q_src · n_total ≥ sum_q_total · n_src`` (the ts_anomaly
+    trick — no division, no float, no rounding boundary), and the dup
+    gate is ``n_dup·2 ≤ n_docs``. The emitted per-source mean is one
+    truncating display division (``DIV`` ≡ ``//``). At 100 TB the
+    cross-product promotes to DECIMAL(38,0); predicates unchanged.
+
+    Scale shape: ONE corpus scan computes hash + score side by side;
+    the hash-count join carries group-sized rows; the corpus totals
+    collapse to a 1-row broadcast; the final frame is |sources| rows,
+    broadcast-joinable against the corpus for the actual gating
+    anti-join.
+    """
+    from covid_engineering_spark.operators.text import quality_score_col
+
+    q_micro = F.floor(quality_score_col("text") * 1000000 + F.lit(0.5)).cast(
+        "long"
+    )
+    hashed = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text")).alias("h"),
+        q_micro.alias("q_micro"),
+    )
+    counts = hashed.groupBy("h").agg(F.count("*").alias("n_copies"))
+    per_source = (
+        hashed.join(counts, "h")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("n_copies") > 1).cast("long")).alias("n_dup_docs"),
+            F.sum("q_micro").alias("sum_q_micro"),
+        )
+        .withColumn("mean_q_micro", F.expr("sum_q_micro DIV n_docs"))
+    )
+    totals = per_source.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.sum("sum_q_micro").alias("q_total"),
+    )
+    pass_dup = (
+        F.col("n_dup_docs") * GATE_MAX_DUP_HALVES <= F.col("n_docs")
+    )
+    pass_q = (
+        F.col("sum_q_micro") * F.col("n_total")
+        >= F.col("q_total") * F.col("n_docs")
+    )
+    return per_source.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "n_dup_docs",
+        "mean_q_micro",
+        pass_dup.alias("pass_dup"),
+        pass_q.alias("pass_quality"),
+        (pass_dup & pass_q).alias("admitted"),
+        F.when(pass_dup & pass_q, F.col("n_docs"))
+        .otherwise(F.lit(0))
+        .alias("retained_docs"),
+    )
+
+
+def q_pipe_source_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_gate(read_table(spark, sf_dir, "documents"))
+
+
 def curate_corpus(docs: DataFrame) -> DataFrame:
     """The flagship end-to-end curation composite — the full sequence
     a pretraining corpus actually runs, as ONE lazy plan:
@@ -1028,6 +1111,7 @@ QUERIES = {
     "pipe_scd2_history": q_pipe_scd2_history,
     "pipe_pii_scrub": q_pipe_pii_scrub,
     "pipe_dup_rate": q_pipe_dup_rate,
+    "pipe_source_gate": q_pipe_source_gate,
     "pipe_stratified_sample": q_pipe_stratified_sample,
     "pipe_curate_corpus": q_pipe_curate_corpus,
     "pipe_snapshot_diff": q_pipe_snapshot_diff,
@@ -1380,6 +1464,38 @@ ORACLES = {
                CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT)
                    AS n_redactions
         FROM events
+    """,
+    "pipe_source_gate": f"""
+        WITH hashed AS (
+            SELECT doc_id, source, md5(text) AS h,
+                   CAST(FLOOR({_sql_quality_score("text")} * 1000000 + 0.5)
+                        AS BIGINT) AS q_micro
+            FROM documents
+        ),
+        counts AS (SELECT h, COUNT(*) AS n_copies FROM hashed GROUP BY h),
+        per_source AS (
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM((n_copies > 1)::INT) AS BIGINT) AS n_dup_docs,
+                   CAST(SUM(q_micro) AS BIGINT) AS sum_q_micro,
+                   CAST(CAST(SUM(q_micro) AS BIGINT) // COUNT(*) AS BIGINT)
+                       AS mean_q_micro
+            FROM hashed JOIN counts USING (h)
+            GROUP BY source
+        ),
+        totals AS (
+            SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+                   CAST(SUM(sum_q_micro) AS BIGINT) AS q_total
+            FROM per_source
+        )
+        SELECT source, n_docs, n_dup_docs, mean_q_micro,
+               n_dup_docs * {GATE_MAX_DUP_HALVES} <= n_docs AS pass_dup,
+               sum_q_micro * n_total >= q_total * n_docs AS pass_quality,
+               (n_dup_docs * {GATE_MAX_DUP_HALVES} <= n_docs)
+               AND (sum_q_micro * n_total >= q_total * n_docs) AS admitted,
+               CASE WHEN (n_dup_docs * {GATE_MAX_DUP_HALVES} <= n_docs)
+                     AND (sum_q_micro * n_total >= q_total * n_docs)
+                    THEN n_docs ELSE 0 END AS retained_docs
+        FROM per_source, totals
     """,
     "pipe_dup_rate": """
         WITH hashed AS (

@@ -1558,6 +1558,30 @@ def q_a21_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a22_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A22 — exact MODE per group (the most frequent quantity per
+    return flag), as two partial-aggregated hash aggregates: count per
+    (group, value), then ``max_by`` over a composite BIGINT ordering
+    key — ``count·1000 − value`` — so ties on count break to the
+    SMALLEST value deterministically (the a20 composite-key
+    discipline; the key is collision-free because value < 1000).
+    No window, no self-join back onto per-group maxima, no sort:
+    the classic mode-via-argmax shape that scales as two shuffles
+    whose row counts are |group × distinct-value| then |groups|.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long")
+    counts = li.groupBy("l_returnflag", qty.alias("q")).agg(
+        F.count("*").alias("n")
+    )
+    key = F.col("n") * 1000 - F.col("q")
+    return counts.groupBy("l_returnflag").agg(
+        F.max_by("q", key).alias("mode_qty"),
+        F.max_by("n", key).alias("mode_count"),
+        F.count("*").alias("n_distinct_qty"),
+    )
+
+
 #: Fan-out factor of the explicit salted join — the number of
 #: sub-partitions a hot key is spread across.
 JOIN_SALT = 8
@@ -1655,6 +1679,7 @@ QUERIES = {
     "w9_ntile_cume": q_w9_ntile_cume,
     "j8_salted_join": q_j8_salted_join,
     "a21_corr_moments": q_a21_corr_moments,
+    "a22_mode": q_a22_mode,
     "a11_percentile": q_a11_percentile,
     "a12_cube": q_a12_cube,
     "a13_salted_agg": q_a13_salted_agg,
@@ -1850,6 +1875,18 @@ ORACLES = {
             ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) DESC,
                      o_orderkey
         )
+    """,
+    "a22_mode": """
+        WITH c AS (
+            SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY 1, 2
+        )
+        SELECT l_returnflag,
+               MAX_BY(q, n * 1000 - q) AS mode_qty,
+               MAX_BY(n, n * 1000 - q) AS mode_count,
+               COUNT(*) AS n_distinct_qty
+        FROM c GROUP BY l_returnflag
     """,
     "a21_corr_moments": """
         WITH m AS (

@@ -172,6 +172,35 @@ def test_salted_join_is_bit_equal_to_plain_join(spark):
     assert got == want
 
 
+def test_mode_agrees_with_pandas_and_breaks_ties_low(spark):
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    pdf = li.select("l_returnflag", "l_quantity").toPandas()
+    rows = {r.l_returnflag: r for r in R.QUERIES["a22_mode"](spark, SF_SMOKE).collect()}
+    for flag, g in pdf.groupby("l_returnflag"):
+        vc = g.l_quantity.astype("int64").value_counts()
+        top = vc.max()
+        want_qty = min(q for q, n in vc.items() if n == top)
+        r = rows[flag]
+        assert (r.mode_qty, r.mode_count) == (want_qty, top)
+        assert r.n_distinct_qty == vc.size
+
+
+def test_source_gate_is_relative_and_conserves_docs(spark):
+    from covid_engineering_spark.operators import pipeline as P
+
+    out = P.QUERIES["pipe_source_gate"](spark, SF_SMOKE).collect()
+    n_docs_total = read_table(spark, SF_SMOKE, "documents").count()
+    assert sum(r.n_docs for r in out) == n_docs_total
+    # Self-calibrating bar: unless quality is perfectly uniform, both
+    # verdicts must occur (some sources above the corpus mean, some
+    # below) — the gate can never be vacuous.
+    verdicts = {r.pass_quality for r in out}
+    assert verdicts == {True, False}
+    for r in out:
+        assert r.admitted == (r.pass_dup and r.pass_quality)
+        assert r.retained_docs == (r.n_docs if r.admitted else 0)
+
+
 def test_corr_moments_match_pandas(spark):
     import math
 

@@ -108,6 +108,7 @@ DUCKDB_ONLY = {
     "pipe_pack_chunks",
     "pipe_pii_scrub",
     "pipe_quality_filter",
+    "pipe_source_gate",
     "pipe_split_hash",
     "pipe_stratified_sample",
     "stream_slide",

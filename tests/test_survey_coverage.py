@@ -175,6 +175,8 @@ SURVEY_MAP = {
     "TS-CUSUM": "ts_changepoint",
     "TS-SNAIVE": "ts_snaive_backtest",
     "A21": "a21_corr_moments",
+    "A22": "a22_mode",
+    "PIPE-GATE": "pipe_source_gate",
     "RFM": "rfm_segments",
     "W9": "w9_ntile_cume",
     "J8": "j8_salted_join",
