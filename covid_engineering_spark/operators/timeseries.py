@@ -749,10 +749,15 @@ def cusum_changepoint(ev: DataFrame, every: str = EVERY) -> DataFrame:
     iteration, bit-equal to the sequential fold.
 
     All-integer: deviations are cents minus the per-type mean-floor
-    (``total DIV n``, truncating division both engines share), so
-    cum/runmin/s_t never touch a float. The drift flag compares s_t
-    against CUSUM_H_MEANS per-type mean buckets. Windows run over the
-    bucket-cardinality frame (buckets × types), never raw events.
+    (``total DIV n``, truncating division both engines share) minus a
+    SLACK of half the mean — the textbook allowance k (set to half
+    the shift worth detecting): without it, any seasonal series
+    accumulates "drift" during every above-mean stretch and the flag
+    is noise (the first cut flagged 61% of buckets; with slack, only
+    sustained >1.5×-mean regimes accumulate). cum/runmin/s_t never
+    touch a float. The drift flag compares s_t against CUSUM_H_MEANS
+    per-type mean buckets. Windows run over the bucket-cardinality
+    frame (buckets × types), never raw events.
     """
     cents = _cents()
     bucketed = ev.groupBy(
@@ -766,8 +771,11 @@ def cusum_changepoint(ev: DataFrame, every: str = EVERY) -> DataFrame:
         bucketed.withColumn("total", F.sum("x_cents").over(wtype))
         .withColumn("n_b", F.count("*").over(wtype))
         .withColumn("ref_cents", F.expr("total DIV n_b"))
+        .withColumn("slack_cents", F.expr("ref_cents DIV 2"))
     )
-    cum = F.sum(F.col("x_cents") - F.col("ref_cents")).over(wcum)
+    cum = F.sum(
+        F.col("x_cents") - F.col("ref_cents") - F.col("slack_cents")
+    ).over(wcum)
     return (
         with_ref.withColumn("cum", cum)
         .withColumn("runmin", F.least(F.lit(0), F.min("cum").over(wcum)))
@@ -927,7 +935,7 @@ ORACLES = {
         ),
         cums AS (
             SELECT event_type, bucket, x_cents, ref_cents,
-                   CAST(SUM(x_cents - ref_cents) OVER (
+                   CAST(SUM(x_cents - ref_cents - (ref_cents // 2)) OVER (
                        PARTITION BY event_type ORDER BY bucket
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS BIGINT) AS cum

@@ -116,6 +116,17 @@ def main(
     print(f"split sizes: {dict(sorted(by_split.items()))}")
     print(f"packed into {n_chunks} chunks")
 
+    # 8. the crawl-level gate a refresh would run BEFORE this funnel:
+    # per-source dup rate + above-corpus-mean quality, as one report
+    from covid_engineering_spark.operators.pipeline import source_gate
+
+    gate = source_gate(read_table(spark, sf_dir, "documents")).collect()
+    admitted = [r for r in gate if r["admitted"]]
+    print(
+        f"source gate: {len(admitted)}/{len(gate)} sources admitted "
+        f"({sum(r['retained_docs'] for r in admitted)} docs retained)"
+    )
+
 
 if __name__ == "__main__":
     main(*sys.argv[1:3])

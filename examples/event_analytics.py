@@ -94,6 +94,22 @@ def main(
     # 5. anomaly flags over hourly sums
     n_anom = rolling_anomaly(ev).filter(F.col("is_anomaly")).count()
 
+    # 5a. the rest of the monitoring stack on the same hourly feed:
+    # integer EWMA smoothing, CUSUM drift detection, and the
+    # seasonal-naive forecast backtest (per-type MAE in cents)
+    from covid_engineering_spark.operators.timeseries import (
+        cusum_changepoint,
+        ewma,
+        snaive_backtest,
+    )
+
+    n_smoothed = ewma(ev).count()
+    n_drift = cusum_changepoint(ev).filter(F.col("drift_flag")).count()
+    mae = {
+        r["event_type"]: r["mae_cents"]
+        for r in snaive_backtest(ev).collect()
+    }
+
     # 5b. SCD2 version history of each (user, event-type) state stream:
     # every version with its validity interval; the current rows are
     # exactly what the cdc_upsert compaction would keep
@@ -131,6 +147,9 @@ def main(
     print(f"latest DAU/WAU    : {au['dau']} / {au['wau']} ({au['day']})")
     print(f"peak load cell    : dow={peak['dow']} hour={peak['hour']} n={peak['n_events']}")
     print(f"anomalous buckets : {n_anom}")
+    print(f"ewma smoothed     : {n_smoothed} buckets")
+    print(f"drift buckets     : {n_drift}")
+    print(f"snaive MAE cents  : {dict(sorted(mae.items()))}")
     print(
         f"scd2 history      : {scd['n']} versions, {scd['cur']} current "
         f"keys, deepest chain {scd['deepest']}"

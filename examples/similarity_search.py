@@ -134,6 +134,25 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     n_anchors = hn.select("src_id").distinct().count()
     print(f"hard negatives: {n_mined} mined for {n_anchors} anchors")
 
+    # 10. the scalar-quantized tier: int8 encode with its loss as a
+    # queryable column, and the registered recall@k evaluation (the
+    # same exact-vs-IVF overlap step 3 measured, as an engine query)
+    from covid_engineering_spark.operators.similarity import (
+        recall_eval,
+        sq8_encode,
+    )
+    from pyspark.sql import functions as F
+
+    sq = sq8_encode(emb).agg(
+        F.count("*").alias("n"), F.sum("err_micro").alias("err")
+    ).first()
+    print(
+        f"sq8: {sq['n']} vectors encoded, "
+        f"mean reconstruction error {sq['err'] // sq['n']} micro"
+    )
+    rec = recall_eval(emb).agg(F.avg("recall_at_k").alias("r")).first()["r"]
+    print(f"registered recall@5 query (ivf vs exact): {rec:.3f}")
+
     docs = read_table(spark, sf_dir, "documents")
     stats = lsh_bucket_stats(docs, portable=True).head()
     print(

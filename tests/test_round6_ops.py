@@ -131,7 +131,7 @@ def test_cusum_matches_sequential_page_fold(spark):
         s = 0
         for r in rs:
             assert r.ref_cents == ref  # one reference per type
-            s = max(0, s + (r.x_cents - ref))
+            s = max(0, s + (r.x_cents - ref - ref // 2))
             assert r.cusum_cents == s, (typ, r.bucket)
             assert r.drift_flag == (s > T.CUSUM_H_MEANS * ref)
 
