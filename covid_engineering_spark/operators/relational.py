@@ -1463,9 +1463,13 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.sum(cents).alias("monetary_cents"),
     )
-    w_r = Window.orderBy("recency_days", "o_custkey")
-    w_f = Window.orderBy(F.desc("n_orders"), "o_custkey")
-    w_m = Window.orderBy(F.desc("monetary_cents"), "o_custkey")
+    # A NULL custkey group survives the aggregate (NULL FK rows are
+    # legal input); Spark's ASC default is NULLS FIRST while DuckDB's
+    # is NULLS LAST, so the tiebreak pins NULLS LAST on both sides.
+    key = F.asc_nulls_last("o_custkey")
+    w_r = Window.orderBy(F.asc("recency_days"), key)
+    w_f = Window.orderBy(F.desc("n_orders"), key)
+    w_m = Window.orderBy(F.desc("monetary_cents"), key)
     return (
         per_cust.withColumn("r_score", F.ntile(5).over(w_r))
         .withColumn("f_score", F.ntile(5).over(w_f))
@@ -1852,15 +1856,16 @@ ORACLES = {
         )
         SELECT o_custkey AS c_custkey, recency_days, n_orders,
                monetary_cents,
-               NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
-               NTILE(5) OVER (ORDER BY n_orders DESC, o_custkey) AS f_score,
-               NTILE(5) OVER (ORDER BY monetary_cents DESC, o_custkey)
-                   AS m_score,
-               NTILE(5) OVER (ORDER BY recency_days, o_custkey) * 100
-               + NTILE(5) OVER (ORDER BY n_orders DESC, o_custkey) * 10
-               + NTILE(5) OVER (ORDER BY monetary_cents DESC, o_custkey)
-                   AS rfm_segment
+               NTILE(5) OVER wr AS r_score,
+               NTILE(5) OVER wf AS f_score,
+               NTILE(5) OVER wm AS m_score,
+               NTILE(5) OVER wr * 100 + NTILE(5) OVER wf * 10
+               + NTILE(5) OVER wm AS rfm_segment
         FROM per_cust
+        WINDOW
+            wr AS (ORDER BY recency_days, o_custkey NULLS LAST),
+            wf AS (ORDER BY n_orders DESC, o_custkey NULLS LAST),
+            wm AS (ORDER BY monetary_cents DESC, o_custkey NULLS LAST)
     """,
     "w9_ntile_cume": """
         SELECT o_orderkey, o_orderpriority,
