@@ -1437,6 +1437,308 @@ def q_q22_global_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite: TPC-H Q8 shape — one nation's market share of a
+    region's imports of one part type, by order year. The plan joins
+    SEVEN tables (lineitem at the center; part and supplier on the
+    line keys; orders→customer→nation→region on the demand side; a
+    second nation copy on the supply side) and the share is a
+    conditional-sum ratio: numerator and denominator accumulate in
+    the SAME aggregate pass, so there is exactly one scan and one
+    shuffle no matter how the ratio is framed. Revenue rides per-row
+    BIGINT micros (the q10 discipline: both engines floor the same
+    IEEE double, sums are order-independent), and the share is one
+    BIGINT÷BIGINT double division rounded once — bit-identical
+    across partitionings. Nation/region broadcast (25/5 rows); the
+    part-type filter prunes the part side before its join.
+    """
+    part = read_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    nation_s = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    nation_c = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_regionkey").alias("cn_region"),
+    )
+    region = read_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1996-01-01", "1997-12-31")
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    rev_micros = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation_c), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == region.r_regionkey)
+        .join(F.broadcast(nation_s), supp.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", rev_micros).otherwise(
+                    F.lit(0)
+                )
+            ).alias("_nation"),
+            F.sum(rev_micros).alias("_all"),
+        )
+        .select(
+            "o_year",
+            F.round(
+                F.col("_nation").cast("double") / F.col("_all").cast("double"),
+                6,
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite: TPC-H Q9 shape — profit by supplier nation and order
+    year over a part-name pattern. Fixture adaptation (documented):
+    the schema carries no partsupp table, so unit cost is
+    ``p_retailprice`` (the only per-part money column) in place of
+    ``ps_supplycost`` — the amount expression keeps the original's
+    exact form: revenue minus cost·quantity. Per-row amounts floor to
+    BIGINT micros before summing (negative amounts are legal — floor
+    is identical in both engines on either sign), so the group sums
+    are order-independent. The LIKE filter prunes part before its
+    join; nation broadcasts; the center scan joins on the line keys.
+    """
+    part = read_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    amount_micros = F.floor(
+        (
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            - F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(amount_micros).alias("profit_micros"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite: TPC-H Q11 shape — parts representing an outsized
+    share of a nation bloc's traded value: a per-part aggregate
+    HAVING-filtered against a scalar fraction of the global total.
+    Fixture adaptation (documented): with no partsupp, "stock value"
+    is the summed extended price of the bloc's lineitems per part.
+    The original's scalar subquery decorrelates exactly like q22's
+    average: a 1-row total broadcast back, and the threshold test is
+    EXACT integer algebra — ``value_cents * 1000 > total_cents``
+    (fraction 0.001) — no float division enters the predicate. Both
+    groupBys partial-aggregate; the only full shuffle is on
+    l_partkey.
+    """
+    supp = read_table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey").isin(0, 1, 2)
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    bloc = li.join(
+        F.broadcast(supp), li.l_suppkey == supp.s_suppkey, "left_semi"
+    )
+    per_part = bloc.groupBy("l_partkey").agg(
+        F.sum(cents).alias("value_cents")
+    )
+    total = per_part.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * 1000 > F.col("total_cents"))
+        .select("l_partkey", "value_cents")
+        .orderBy(F.desc("value_cents"), "l_partkey")
+    )
+
+
+def q_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite: TPC-H Q12 shape — order-priority mix per shipping
+    class for one year of late shipments. Fixture adaptations
+    (documented): no l_shipmode column, so the class is
+    ``l_returnflag`` (same small-domain categorical role); no
+    commit/receipt dates, so "late" is l_shipdate > o_orderdate + 60
+    days (the q4 lateness surrogate). The signature plan property
+    survives intact: the priority split is a CONDITIONAL COUNT inside
+    one aggregate pass (CASE WHEN folded into SUM), not two scans,
+    and the year window pushes to the lineitem scan. All-BIGINT
+    count algebra.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1997-01-01", "1997-12-31")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            orders,
+            (li.l_orderkey == orders.o_orderkey)
+            & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        )
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+def q_q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite: TPC-H Q16 shape — how many suppliers can furnish
+    each (brand, type, size) bucket, excluding a supplier blocklist.
+    Fixture adaptations (documented): the part↔supplier relation is
+    the DISTINCT (l_partkey, l_suppkey) pairs observed in lineitem
+    (no partsupp table), and the blocklist is suppliers with negative
+    account balance (no comment column to pattern-match). The
+    signature pieces survive: a NOT-IN-subquery expressed as a LEFT
+    ANTI join (never a filter on a collected list), and a COUNT
+    DISTINCT per group over the deduplicated pair set. The pair
+    distinct and the count-distinct both shuffle on the part key.
+    """
+    part = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad_supp = read_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    )
+    pairs = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == bad_supp.s_suppkey,
+            "left_anti",
+        )
+    )
+    return (
+        pairs.join(part, pairs.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q_q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite: TPC-H Q20 shape — the nested semi-join chain:
+    suppliers (in a nation bloc) who qualify on a per-part quantity
+    condition over a name-filtered part subset and a one-year window.
+    Fixture adaptation (documented): with no ps_availqty, the
+    condition "availqty > half the shipped quantity" becomes "this
+    supplier shipped more than half the part's total quantity in the
+    window" — a dominance test with the same decorrelated structure:
+    per-(part, supplier) sums, per-part totals joined back on the
+    part key, and the threshold as EXACT integer algebra
+    (``2 * supp_qty > total_qty``; quantities are integral). The
+    qualifying (part, supplier) set reduces to a DISTINCT supplier
+    list that LEFT SEMI joins supplier — each supplier emits once no
+    matter how many parts qualify.
+    """
+    part = read_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    )
+    supp = read_table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") < 8
+    )
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate").between("1996-01-01", "1996-12-31"))
+        .join(part, F.col("l_partkey") == part.p_partkey, "left_semi")
+    )
+    qty = F.col("l_quantity").cast("long")
+    per_pair = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(qty).alias("supp_qty")
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("pp_key")).agg(
+        F.sum(qty).alias("total_qty")
+    )
+    dominant = (
+        per_pair.join(per_part, per_pair.l_partkey == F.col("pp_key"))
+        .filter(F.col("supp_qty") * 2 > F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite: TPC-H Q21 shape — suppliers who single-handedly held
+    up multi-supplier orders. Fixture adaptation (documented): "late"
+    is l_shipdate > o_orderdate + 60 days (no commit/receipt dates).
+    The original's EXISTS (another supplier in the order) + NOT
+    EXISTS (another LATE supplier) pair decorrelates into ONE
+    per-order aggregate — distinct-supplier count, distinct-LATE-
+    supplier count, and (via the a20 max_by discipline: MAX over a
+    CASE) the sole late supplier key when that count is exactly 1 —
+    followed by a filter ``n_supp > 1 AND n_late = 1``. One shuffle
+    on the order key replaces two correlated subqueries; the blamed-
+    supplier rollup then counts orders per supplier (all-BIGINT) and
+    top-20s with full tie-break determinism.
+    """
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    li = read_table(spark, sf_dir, "lineitem")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    per_order = joined.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late"),
+        F.max(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "late_supp"
+        ),
+    )
+    blamed = per_order.filter(
+        (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+    )
+    return (
+        blamed.groupBy("late_supp")
+        .agg(F.count("*").alias("numwait"))
+        .join(supp, F.col("late_supp") == supp.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation — the classic marketing-analytics
     rollup (recency / frequency / monetary quintiles): one orders
@@ -1679,6 +1981,13 @@ QUERIES = {
     "q18_large_orders": q_q18_large_orders,
     "q19_disjunctive": q_q19_disjunctive,
     "q22_global_balance": q_q22_global_balance,
+    "q8_market_share": q_q8_market_share,
+    "q9_product_profit": q_q9_product_profit,
+    "q11_important_stock": q_q11_important_stock,
+    "q12_shipmode_priority": q_q12_shipmode_priority,
+    "q16_parts_supplier": q_q16_parts_supplier,
+    "q20_dominant_supplier": q_q20_dominant_supplier,
+    "q21_suppliers_waiting": q_q21_suppliers_waiting,
     "rfm_segments": q_rfm_segments,
     "w9_ntile_cume": q_w9_ntile_cume,
     "j8_salted_join": q_j8_salted_join,
@@ -1843,6 +2152,140 @@ ORACLES = {
                AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
                AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "q8_market_share": """
+        SELECT year(o_orderdate) AS o_year,
+               ROUND(
+                   CAST(SUM(CASE WHEN n1.n_name = 'NATION_3'
+                       THEN CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                           * 1000000 + 0.5) AS BIGINT) ELSE 0 END) AS DOUBLE)
+                   / CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                       * 1000000 + 0.5) AS BIGINT)) AS DOUBLE),
+                   6) AS mkt_share
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region   ON n2.n_regionkey = r_regionkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+          AND o_orderdate BETWEEN '1996-01-01' AND '1997-12-31'
+        GROUP BY 1 ORDER BY 1
+    """,
+    "q9_product_profit": """
+        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+               CAST(SUM(CAST(FLOOR(
+                   (l_extendedprice * (1.0 - l_discount)
+                    - p_retailprice * l_quantity) * 1000000 + 0.5
+               ) AS BIGINT)) AS BIGINT) AS profit_micros
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY 1, 2 ORDER BY nation, o_year DESC
+    """,
+    "q11_important_stock": """
+        WITH bloc AS (
+            SELECT l_partkey,
+                   CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS cents
+            FROM lineitem
+            WHERE l_suppkey IN (
+                SELECT s_suppkey FROM supplier WHERE s_nationkey IN (0, 1, 2)
+            )
+        ),
+        per_part AS (
+            SELECT l_partkey, CAST(SUM(cents) AS BIGINT) AS value_cents
+            FROM bloc GROUP BY l_partkey
+        )
+        SELECT l_partkey, value_cents
+        FROM per_part
+        WHERE value_cents * 1000 > (
+            SELECT CAST(SUM(value_cents) AS BIGINT) FROM per_part
+        )
+        ORDER BY value_cents DESC, l_partkey
+    """,
+    "q12_shipmode_priority": """
+        SELECT l_returnflag AS ship_class,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+                   AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        WHERE l_shipdate BETWEEN '1997-01-01' AND '1997-12-31'
+        GROUP BY 1 ORDER BY 1
+    """,
+    "q16_parts_supplier": """
+        WITH pairs AS (
+            SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            WHERE l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+            )
+        )
+        SELECT p_brand, p_type, p_size,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM pairs JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+          AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    "q20_dominant_supplier": """
+        WITH li AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(l_quantity AS BIGINT) AS qty
+            FROM lineitem
+            WHERE l_shipdate BETWEEN '1996-01-01' AND '1996-12-31'
+              AND l_partkey IN (
+                  SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+              )
+        ),
+        per_pair AS (
+            SELECT l_partkey, l_suppkey, CAST(SUM(qty) AS BIGINT) AS supp_qty
+            FROM li GROUP BY 1, 2
+        ),
+        per_part AS (
+            SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS total_qty
+            FROM li GROUP BY 1
+        )
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_nationkey < 8
+          AND s_suppkey IN (
+              SELECT pp.l_suppkey
+              FROM per_pair pp JOIN per_part pt ON pp.l_partkey = pt.l_partkey
+              WHERE pp.supp_qty * 2 > pt.total_qty
+          )
+        ORDER BY s_suppkey
+    """,
+    "q21_suppliers_waiting": """
+        WITH joined AS (
+            SELECT l_orderkey, l_suppkey,
+                   l_shipdate > o_orderdate + INTERVAL 60 DAY AS is_late
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+        ),
+        per_order AS (
+            SELECT l_orderkey,
+                   COUNT(DISTINCT l_suppkey) AS n_supp,
+                   COUNT(DISTINCT CASE WHEN is_late THEN l_suppkey END)
+                       AS n_late,
+                   MAX(CASE WHEN is_late THEN l_suppkey END) AS late_supp
+            FROM joined GROUP BY 1
+        )
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM per_order JOIN supplier ON late_supp = s_suppkey
+        WHERE n_supp > 1 AND n_late = 1
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
     """,
     "rfm_segments": """
         WITH per_cust AS (

@@ -210,13 +210,20 @@ SURVEY_MAP = {
     # correlated-AVG decorrelation, HAVING-IN, disjunctive pushdown,
     # scalar-avg + anti-join)
     "Q7": "q7_nation_volume",
+    "Q8": "q8_market_share",
+    "Q9": "q9_product_profit",
     "Q10": "q10_returned_items",
+    "Q11": "q11_important_stock",
+    "Q12": "q12_shipmode_priority",
     "Q13": "q13_cust_distribution",
     "Q14": "q14_promo_effect",
     "Q15": "q15_top_supplier",
+    "Q16": "q16_parts_supplier",
     "Q17": "q17_small_quantity",
     "Q18": "q18_large_orders",
     "Q19": "q19_disjunctive",
+    "Q20": "q20_dominant_supplier",
+    "Q21": "q21_suppliers_waiting",
     "Q22": "q22_global_balance",
 }
 
