@@ -63,6 +63,11 @@ HEADLINE = [
     "q13_cust_distribution",
     "ts_ewma",
     "emb_sq8",
+    # Round-6 late additions: the heaviest of the TPC-H completion
+    # batch — Q9's five-table profit rollup and Q21's distinct-heavy
+    # per-order EXISTS/NOT-EXISTS collapse.
+    "q9_product_profit",
+    "q21_suppliers_waiting",
 ]
 
 

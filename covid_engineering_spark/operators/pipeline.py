@@ -746,6 +746,54 @@ def q_pipe_source_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_gate(read_table(spark, sf_dir, "documents"))
 
 
+#: Blocklisted terms for the density gate. Mixed on purpose: one term
+#: the fixture corpus actually uses (non-degenerate blocked set) and
+#: two it never does (the common case for a real blocklist — most
+#: entries match nothing, and the scan must stay cheap anyway).
+BLOCKLIST_TERMS = ("slow", "spam", "exploit")
+#: Density threshold as an exact cross-multiplication: blocked iff
+#: hits * BLOCK_DENSITY_DIV > n_tokens (i.e. share > 1/12 ≈ 8.3%).
+BLOCK_DENSITY_DIV = 12
+
+
+def blocklist_filter(docs: DataFrame) -> DataFrame:
+    """Term-blocklist density gate — the C4/RefinedWeb-style wordlist
+    filter: a document is blocked when blocklisted terms make up more
+    than ``1/BLOCK_DENSITY_DIV`` of its tokens (density, not
+    any-occurrence — one stray term in a long document is noise; a
+    term cluster is signal). Emits every document with its token
+    count, hit count, and verdict, so the downstream gate is a
+    trivial ``filter(~blocked)`` and the blocked mass is auditable
+    per source.
+
+    Exactness: counts are integers off one tokenize pass; the
+    threshold is the cross-multiplied integer form ``hits * DIV >
+    n_tokens`` — no float division anywhere.
+
+    Scale shape: PURE MAP-SIDE — one scan, one `filter()` over the
+    token array per blocklist bucket, no shuffle, no join (the
+    blocklist is a literal; at 10⁵+ terms it would become a
+    broadcast-joined token set instead — same output contract). At
+    100 TB this is the cheapest gate in the stack and runs first.
+    """
+    ws = F.split(F.col("text"), " ")
+    hits = F.size(
+        F.filter(ws, lambda w: w.isin(*BLOCKLIST_TERMS))
+    ).cast("long")
+    n_tokens = F.size(ws).cast("long")
+    return docs.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        hits.alias("block_hits"),
+        (hits * BLOCK_DENSITY_DIV > n_tokens).alias("blocked"),
+    )
+
+
+def q_pipe_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return blocklist_filter(read_table(spark, sf_dir, "documents"))
+
+
 def curate_corpus(docs: DataFrame) -> DataFrame:
     """The flagship end-to-end curation composite — the full sequence
     a pretraining corpus actually runs, as ONE lazy plan:
@@ -1112,6 +1160,7 @@ QUERIES = {
     "pipe_pii_scrub": q_pipe_pii_scrub,
     "pipe_dup_rate": q_pipe_dup_rate,
     "pipe_source_gate": q_pipe_source_gate,
+    "pipe_blocklist_filter": q_pipe_blocklist_filter,
     "pipe_stratified_sample": q_pipe_stratified_sample,
     "pipe_curate_corpus": q_pipe_curate_corpus,
     "pipe_snapshot_diff": q_pipe_snapshot_diff,
@@ -1464,6 +1513,19 @@ ORACLES = {
                CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT)
                    AS n_redactions
         FROM events
+    """,
+    "pipe_blocklist_filter": f"""
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(string_split(text, ' '),
+                   w -> w IN ({", ".join(f"'{t}'" for t in BLOCKLIST_TERMS)})
+               )) AS BIGINT) AS block_hits,
+               CAST(len(list_filter(string_split(text, ' '),
+                   w -> w IN ({", ".join(f"'{t}'" for t in BLOCKLIST_TERMS)})
+               )) AS BIGINT) * {BLOCK_DENSITY_DIV}
+                   > CAST(len(string_split(text, ' ')) AS BIGINT)
+                   AS blocked
+        FROM documents
     """,
     "pipe_source_gate": f"""
         WITH hashed AS (

@@ -1252,6 +1252,79 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recall_eval(read_table(spark, sf_dir, "embeddings"))
 
 
+def bq_encode(emb: DataFrame) -> DataFrame:
+    """1-bit binary quantization — the cheapest vector compression in
+    production use (FAISS ``LSH``/binary indexes, the BQ tier in
+    Vespa/Weaviate): each dimension collapses to its sign bit, the
+    64-dim vector to exactly TWO BIGINT words (dims 1–32 → ``lo``,
+    33–64 → ``hi``; 32 bits per word keeps every partial sum far from
+    the signed-64 boundary, so no engine's overflow semantics are ever
+    in play). 256× smaller than float32 — at 100 TB of embeddings the
+    binary sketch is ~0.4 TB, small enough to brute-force scan where
+    the float corpus needs an index.
+
+    Pure map-side projection: no shuffle, no stats pass (unlike sq8
+    there is no codebook — the sign IS the code).
+    """
+
+    def word(lo_dim: int, hi_dim: int) -> str:
+        return f"""
+            aggregate(sequence({lo_dim}, {hi_dim}), cast(0 as bigint),
+                (acc, i) -> acc + CASE
+                    WHEN cast(element_at(embedding, i) as double) > 0
+                    THEN shiftleft(cast(1 as bigint), i - {lo_dim})
+                    ELSE cast(0 as bigint) END)
+        """
+
+    return emb.select(
+        "vec_id",
+        F.expr(word(1, 32)).alias("lo"),
+        F.expr(word(33, 64)).alias("hi"),
+    )
+
+
+def hamming_topk(emb: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Brute-force Hamming top-k over the binary-quantized corpus —
+    the BQ retrieval pattern: distance is two XOR+popcount pairs on
+    BIGINT words (pure whole-stage-codegen integer ops, no float
+    math anywhere), so the "brute force" scan touches 16 bytes per
+    corpus vector. The query codes broadcast; ranking is the same
+    per-query window as the cosine baseline with full tie-break
+    determinism (hamming ASC, then n_id — Hamming ties are COMMON at
+    64 bits, so the tiebreak carries real weight here).
+
+    Scale shape: identical plan to ``q_cosine_frame`` but the scan
+    and the score are ~100× cheaper; at 100 TB this is the
+    first-stage filter whose survivors get exact re-scoring.
+    """
+    codes = bq_encode(emb)
+    q = codes.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("lo").alias("q_lo"),
+        F.col("hi").alias("q_hi"),
+    )
+    c = codes.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("lo").alias("n_lo"),
+        F.col("hi").alias("n_hi"),
+    )
+    hamming = F.expr("bit_count(q_lo ^ n_lo) + bit_count(q_hi ^ n_hi)")
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", hamming.cast("long").alias("hamming"))
+    )
+    w = Window.partitionBy("q_id").orderBy("hamming", "n_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def q_ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hamming_topk(read_table(spark, sf_dir, "embeddings"))
+
+
 QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -1268,6 +1341,7 @@ QUERIES = {
     "emb_dim_stats": q_emb_dim_stats,
     "emb_sq8": q_emb_sq8,
     "ann_recall_eval": q_ann_recall_eval,
+    "ann_hamming_topk": q_ann_hamming_topk,
 }
 
 
@@ -1769,6 +1843,37 @@ ORACLES = {
             SELECT q_id, n_id, cosine,
                    ROW_NUMBER() OVER (PARTITION BY q_id
                                       ORDER BY cosine DESC, n_id) AS rank
+            FROM scored
+        ) t WHERE rank <= {TOP_K}
+    """,
+    "ann_hamming_topk": f"""
+        WITH codes AS (
+            SELECT vec_id,
+                   CAST(list_sum(list_transform(range(1, 33), i ->
+                       CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+                            THEN (1::BIGINT << (i - 1))
+                            ELSE 0::BIGINT END)) AS BIGINT) AS lo,
+                   CAST(list_sum(list_transform(range(33, 65), i ->
+                       CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+                            THEN (1::BIGINT << (i - 33))
+                            ELSE 0::BIGINT END)) AS BIGINT) AS hi
+            FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id AS q_id, lo AS q_lo, hi AS q_hi FROM codes
+            WHERE vec_id < {N_QUERIES}
+        ),
+        scored AS (
+            SELECT q_id, c.vec_id AS n_id,
+                   CAST(bit_count(xor(q_lo, c.lo))
+                        + bit_count(xor(q_hi, c.hi)) AS BIGINT) AS hamming
+            FROM codes c CROSS JOIN q
+            WHERE q_id <> c.vec_id
+        )
+        SELECT q_id, n_id, hamming, CAST(rank AS INTEGER) AS rank FROM (
+            SELECT q_id, n_id, hamming,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY hamming, n_id) AS rank
             FROM scored
         ) t WHERE rank <= {TOP_K}
     """,

@@ -381,6 +381,88 @@ def q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_lm(read_table(spark, sf_dir, "documents"))
 
 
+def bigram_lm(docs: DataFrame) -> DataFrame:
+    """Corpus bigram-model scoring — the phrase-level complement to
+    ``unigram_lm``: per document, total and distinct bigram counts
+    plus the RARE-phrase share (bigrams holding < 1/BIGRAM_RARE_DIV
+    of the corpus bigram mass — a corpus-relative bar, like the
+    unigram model's, so the signal survives vocabulary saturation; an
+    absolute hapax rule reads identically-zero once every plausible
+    pair has been seen somewhere). A low rare share means the
+    document is built from phrases the corpus recycles — the signal
+    behind boilerplate and template detection, where unigram stats
+    look normal but phrasing is stock.
+
+    Scale shape: bigram construction is MAP-SIDE array algebra
+    (slice+concat over the token array — no window, no per-token
+    shuffle for sequencing); tokens collapse to per-(doc, bigram)
+    counts at the first partial agg. The tf frame is cached (two
+    readers: vocabulary and the scoring join). The vocabulary join is
+    one ordinary shuffle join WITHOUT the unigram hot/cold split: a
+    bigram's corpus share is bounded by its rarer word's share, so
+    the Zipf head that forces the unigram skew guard is structurally
+    flattened here (verified: max bigram df ≪ 1/20 of mass on the
+    fixture corpus at every SF).
+
+    Docs with < 2 tokens have no bigrams and emit no row — same
+    contract as ``text_repetition``'s trigram branch, and the same
+    rows the oracle produces.
+    """
+    from covid_engineering_spark.functions import evicting_cache
+
+    ws = F.split(F.col("text"), " ")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(ws) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(ws) - 2),
+                    lambda i: F.concat_ws(" ", F.slice(ws, i + 1, 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bg"),
+    )
+    tf = evicting_cache(
+        grams.groupBy("doc_id", "bg").agg(F.count("*").alias("c")),
+        "bigram_tf",
+    )
+    vocab = tf.groupBy("bg").agg(F.sum("c").alias("bf"))
+    total = vocab.agg(F.sum("bf").alias("total"))
+    rare = (F.col("bf") * BIGRAM_RARE_DIV < F.col("total")).cast("long")
+    return (
+        tf.join(vocab, "bg")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.count("*").alias("distinct_bigrams"),
+            F.sum(F.col("c") * rare).alias("rare_count"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "distinct_bigrams",
+            "rare_count",
+            (F.col("rare_count") / F.col("n_bigrams")).alias(
+                "novelty_ratio"
+            ),
+        )
+    )
+
+
+#: A bigram is RARE when it holds < 1/BIGRAM_RARE_DIV of the corpus
+#: bigram mass (exact integer cross-multiplication, no float
+#: threshold). 1500 keeps the rare set non-trivial at every fixture
+#: SF — the saturated ~900-pair vocabulary still spreads enough mass
+#: for ~30 tail pairs to sit under 1/1500.
+BIGRAM_RARE_DIV = 1500
+
+
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_lm(read_table(spark, sf_dir, "documents"))
+
+
 def dup_ngram_rate(docs: DataFrame, min_df: int = 2) -> DataFrame:
     """Corpus-level duplicated-n-gram rate per document: the fraction
     of a document's distinct word-3-grams that occur in at least
@@ -439,6 +521,7 @@ QUERIES = {
     "text_top_terms": q_text_top_terms,
     "text_unigram_lm": q_text_unigram_lm,
     "text_dup_ngram_rate": q_text_dup_ngram_rate,
+    "text_bigram_lm": q_text_bigram_lm,
 }
 
 
@@ -515,6 +598,34 @@ ORACLES = {
                              THEN c ELSE 0 END) AS BIGINT)
                  / CAST(SUM(c) AS BIGINT) AS rare_ratio
         FROM tf JOIN vocab USING (tok) CROSS JOIN tot
+        GROUP BY doc_id
+    """,
+    "text_bigram_lm": f"""
+        WITH ws AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i + 1])) AS bg
+            FROM ws
+        ),
+        tf AS (
+            SELECT doc_id, bg, COUNT(*) AS c FROM grams GROUP BY 1, 2
+        ),
+        vocab AS (
+            SELECT bg, CAST(SUM(c) AS BIGINT) AS bf FROM tf GROUP BY bg
+        ),
+        tot AS (SELECT CAST(SUM(bf) AS BIGINT) AS total FROM vocab)
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_bigrams,
+               CAST(COUNT(*) AS BIGINT) AS distinct_bigrams,
+               CAST(SUM(CASE WHEN bf * {BIGRAM_RARE_DIV} < total
+                             THEN c ELSE 0 END) AS BIGINT) AS rare_count,
+               CAST(SUM(CASE WHEN bf * {BIGRAM_RARE_DIV} < total
+                             THEN c ELSE 0 END) AS BIGINT)
+                   / CAST(SUM(c) AS BIGINT) AS novelty_ratio
+        FROM tf JOIN vocab USING (bg) CROSS JOIN tot
         GROUP BY doc_id
     """,
     "text_normalize": """

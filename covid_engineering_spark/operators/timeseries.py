@@ -849,6 +849,65 @@ def q_ts_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snaive_backtest(read_table(spark, sf_dir, "events"))
 
 
+def autocorr(ev: DataFrame, every: str = EVERY) -> DataFrame:
+    """Lag-1 autocorrelation of the hourly feed per event type — the
+    one-number answer to "is this metric momentum or noise": r near 1
+    means load persists bucket-to-bucket (capacity planning regime),
+    near 0 means white noise (alert on points, not trends). Computed
+    over the OBSERVED bucket sequence (a gap pairs the buckets on
+    either side — for calendar-strict lags, run ``gapfill`` first;
+    documented contract, same as ``ts_resample``'s).
+
+    Exactness: the a21 moment discipline on the time axis — pairs
+    (x_t, x_{{t-1}}) come from one LAG over the bucket-cardinality
+    frame, the five moments (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as
+    BIGINTs from integer cents, and r assembles in ONE final double
+    expression both engines compute identically. At 100 TB the moment
+    sums promote to DECIMAL(38,0); the assembly is unchanged.
+
+    Scale shape: raw events partial-aggregate to (type, bucket) rows
+    before the window; the LAG and the moment agg both run at bucket
+    cardinality partitioned by type — the shuffle moves rolled-up
+    rows only, and the result is |types| rows.
+    """
+    from pyspark.sql import Window
+
+    cents = _cents()
+    bucketed = ev.groupBy(
+        F.date_trunc(every, "ts").alias("bucket"), "event_type"
+    ).agg(F.sum(cents).alias("x_cents"))
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    pairs = bucketed.withColumn(
+        "prev_cents", F.lag("x_cents").over(w)
+    ).filter(F.col("prev_cents").isNotNull())
+    x, y = F.col("x_cents"), F.col("prev_cents")
+    m = pairs.groupBy("event_type").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    nd = F.col("n_pairs").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    return m.select(
+        "event_type",
+        "n_pairs",
+        F.round(
+            (nd * sxy - sx * sy)
+            / F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)),
+            6,
+        ).alias("autocorr_lag1"),
+    )
+
+
+def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return autocorr(read_table(spark, sf_dir, "events"))
+
+
 QUERIES = {
     "ts_resample": q_ts_resample,
     "ts_rollup_incremental": q_ts_rollup_incremental,
@@ -865,9 +924,48 @@ QUERIES = {
     "ts_ewma": q_ts_ewma,
     "ts_changepoint": q_ts_changepoint,
     "ts_snaive_backtest": q_ts_snaive_backtest,
+    "ts_autocorr": q_ts_autocorr,
 }
 
 ORACLES = {
+    "ts_autocorr": f"""
+        WITH bucketed AS (
+            SELECT date_trunc('hour', ts) AS bucket, event_type,
+                   CAST(SUM({CENTS_SQL}) AS BIGINT) AS x_cents
+            FROM events GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT event_type, x_cents,
+                   LAG(x_cents) OVER (
+                       PARTITION BY event_type ORDER BY bucket
+                   ) AS prev_cents
+            FROM bucketed
+        ),
+        m AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(x_cents) AS BIGINT) AS sx,
+                   CAST(SUM(prev_cents) AS BIGINT) AS sy,
+                   CAST(SUM(x_cents * prev_cents) AS BIGINT) AS sxy,
+                   CAST(SUM(x_cents * x_cents) AS BIGINT) AS sxx,
+                   CAST(SUM(prev_cents * prev_cents) AS BIGINT) AS syy
+            FROM pairs WHERE prev_cents IS NOT NULL
+            GROUP BY 1
+        )
+        SELECT event_type, n_pairs,
+               ROUND(
+                   (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / sqrt(
+                       (CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                   ),
+                   6
+               ) AS autocorr_lag1
+        FROM m
+    """,
     "ts_snaive_backtest": f"""
         WITH bucketed AS (
             SELECT date_trunc('hour', ts) AS bucket, event_type,

@@ -311,3 +311,117 @@ def test_q22_every_result_customer_lacks_urgent_orders(spark):
     # The no-urgent pool upper-bounds the result (the balance filter
     # and cntrycode subset only shrink it).
     assert total is not None and 0 < total <= no_urgent
+
+
+# ---------------------------------------------------------------------------
+# round-6 late tier: Hamming ANN, bigram LM, blocklist gate, autocorr
+# ---------------------------------------------------------------------------
+
+
+def test_bq_encode_is_the_sign_bit_in_two_words(spark):
+    """Known-sign vector: dims 1..64 alternate +/-, so lo == hi ==
+    the 0101... 32-bit mask; an all-negative vector codes (0, 0)."""
+    alt = [0.5 if i % 2 == 0 else -0.5 for i in range(64)]
+    neg = [-1.0] * 64
+    emb = spark.createDataFrame(
+        [(0, alt), (1, neg)], "vec_id long, embedding array<float>"
+    )
+    rows = {r.vec_id: (r.lo, r.hi) for r in S.bq_encode(emb).collect()}
+    mask = sum(1 << i for i in range(0, 32, 2))  # bits 0,2,...,30
+    assert rows[0] == (mask, mask)
+    assert rows[1] == (0, 0)
+
+
+def test_hamming_topk_matches_python_bruteforce(spark):
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    codes = {r.vec_id: (r.lo, r.hi) for r in S.bq_encode(emb).collect()}
+
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    got = [
+        (r.q_id, r.n_id, r.hamming, r.rank)
+        for r in S.hamming_topk(emb).collect()
+    ]
+    for q in range(S.N_QUERIES):
+        scored = sorted(
+            (ham(codes[q], c), n)
+            for n, c in codes.items()
+            if n != q
+        )
+        want = [
+            (q, n, h, i + 1)
+            for i, (h, n) in enumerate(scored[: S.TOP_K])
+        ]
+        mine = sorted((t for t in got if t[0] == q), key=lambda t: t[3])
+        assert mine == want
+
+
+def test_bigram_lm_counts_and_short_doc_contract(spark):
+    from covid_engineering_spark.operators.text import bigram_lm
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x", "a b a b c"),   # bigrams: ab ba ab bc -> 4 total, 3 distinct
+            (2, "x", "a b"),         # 1 bigram
+            (3, "x", "loner"),       # < 2 tokens: NO row
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {r.doc_id: r for r in bigram_lm(docs).collect()}
+    assert set(rows) == {1, 2}
+    assert (rows[1].n_bigrams, rows[1].distinct_bigrams) == (4, 3)
+    assert (rows[2].n_bigrams, rows[2].distinct_bigrams) == (1, 1)
+    # integer conservation: rare_count never exceeds n_bigrams
+    for r in rows.values():
+        assert 0 <= r.rare_count <= r.n_bigrams
+        assert abs(r.novelty_ratio - r.rare_count / r.n_bigrams) < 1e-12
+
+
+def test_blocklist_density_boundary_is_exact(spark):
+    """hits * 12 > n_tokens: 1 hit in 11 tokens blocks (12 > 11);
+    1 hit in 12 tokens does NOT (12 > 12 is false)."""
+    from covid_engineering_spark.operators.pipeline import (
+        blocklist_filter,
+    )
+
+    pad = lambda n: " ".join(["ok"] * n)
+    docs = spark.createDataFrame(
+        [
+            (1, "x", "spam " + pad(10)),  # 1/11 -> blocked
+            (2, "x", "spam " + pad(11)),  # 1/12 -> clean
+            (3, "x", pad(5)),             # 0 hits -> clean
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {r.doc_id: r for r in blocklist_filter(docs).collect()}
+    assert rows[1].blocked and rows[1].block_hits == 1
+    assert not rows[2].blocked and rows[2].block_hits == 1
+    assert not rows[3].blocked and rows[3].block_hits == 0
+
+
+def test_autocorr_matches_numpy_corrcoef(spark):
+    import numpy as np
+    import pandas as pd
+
+    from covid_engineering_spark.operators.timeseries import autocorr
+
+    ev = read_table(spark, SF_SMOKE, "events")
+    got = {
+        r.event_type: (r.n_pairs, r.autocorr_lag1)
+        for r in autocorr(ev).collect()
+    }
+    pdf = ev.toPandas()
+    pdf["bucket"] = pdf["ts"].dt.floor("h")
+    pdf["cents"] = np.floor(pdf["value"] * 100 + 0.5).astype("int64")
+    for et, g in pdf.groupby("event_type"):
+        s = (
+            g.groupby("bucket")["cents"].sum().sort_index().to_numpy(
+                dtype="float64"
+            )
+        )
+        x, y = s[1:], s[:-1]
+        want = float(np.corrcoef(x, y)[0, 1])
+        n_pairs, r_got = got[et]
+        assert n_pairs == len(x)
+        assert abs(r_got - round(want, 6)) <= 1e-6

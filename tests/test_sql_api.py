@@ -63,6 +63,9 @@ _ORC = oracles()
 
 DUCKDB_ONLY = {
     "a11_percentile",
+    "ann_hamming_topk",
+    "pipe_blocklist_filter",
+    "text_bigram_lm",
     "a18_approx_percentile",
     "ann_cosine_topk",
     "ann_ivf_topk",

@@ -183,6 +183,13 @@ SURVEY_MAP = {
     "Q4": "q4_order_priority",
     "TS-SEASONAL": "ts_seasonal_anomaly",
     "TS-TRENDING": "ts_trending",
+    # round-6 late extensions: 1-bit binary quantization + Hamming
+    # top-k, bigram-LM phrase novelty, blocklist density gate, lag-1
+    # autocorrelation in exact moment space
+    "ANN-HAMMING": "ann_hamming_topk",
+    "TXT-BIGRAM": "text_bigram_lm",
+    "PIPE-BLOCK": "pipe_blocklist_filter",
+    "TS-AUTOCORR": "ts_autocorr",
     # ingest extensions (JSONL / ORC / compaction round-trips)
     "ING-JSONL": "s6_jsonl_scan",
     "ING-ORC": "s7_orc_roundtrip",
