@@ -1888,6 +1888,50 @@ def q_a22_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: A user is a HEAVY HITTER for an event type when its count exceeds
+#: HH_NUM/HH_DEN × the type's mean count per active user — a
+#: self-calibrating bar (the pipe_source_gate discipline): a fixed
+#: support fraction φ empties as user cardinality grows with the
+#: corpus, while "1.5× the mean" keeps firing at every scale.
+HH_NUM = 3
+HH_DEN = 2
+
+
+def q_a23_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A23 — per-group heavy hitters (frequent items): the users whose
+    activity in an event type exceeds 1.5× that type's mean count per
+    active user. Two partial-aggregated hash aggs — count per
+    (type, user), then per-type totals — joined back and tested in
+    the CROSS-MULTIPLIED integer form ``HH_DEN·c·n_users >
+    HH_NUM·total`` (no division, no float boundary; the a22/
+    pipe_source_gate discipline).
+
+    Scale shape: the first shuffle carries |type × active-user| rows
+    (partial agg collapses raw events map-side), the totals frame is
+    |types| rows and broadcasts. This exact form is the ground truth
+    the sketched path approximates — at streaming 100 TB swap in
+    Misra-Gries/SpaceSaving per partition and merge summaries, with
+    THIS query as its accuracy oracle (the a14/a18 sketch-vs-exact
+    pattern).
+    """
+    ev = read_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("cnt")
+    )
+    totals = counts.groupBy("event_type").agg(
+        F.sum("cnt").alias("total"),
+        F.count("*").alias("n_users"),
+    )
+    return (
+        counts.join(F.broadcast(totals), "event_type")
+        .filter(
+            F.col("cnt") * F.col("n_users") * HH_DEN
+            > F.col("total") * HH_NUM
+        )
+        .select("event_type", "user_id", "cnt", "total", "n_users")
+    )
+
+
 #: Fan-out factor of the explicit salted join — the number of
 #: sub-partitions a hot key is spread across.
 JOIN_SALT = 8
@@ -1993,6 +2037,7 @@ QUERIES = {
     "j8_salted_join": q_j8_salted_join,
     "a21_corr_moments": q_a21_corr_moments,
     "a22_mode": q_a22_mode,
+    "a23_heavy_hitters": q_a23_heavy_hitters,
     "a11_percentile": q_a11_percentile,
     "a12_cube": q_a12_cube,
     "a13_salted_agg": q_a13_salted_agg,
@@ -2323,6 +2368,20 @@ ORACLES = {
             ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) DESC,
                      o_orderkey
         )
+    """,
+    "a23_heavy_hitters": f"""
+        WITH c AS (
+            SELECT event_type, user_id, COUNT(*) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        t AS (
+            SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS total,
+                   COUNT(*) AS n_users
+            FROM c GROUP BY event_type
+        )
+        SELECT event_type, user_id, cnt, total, n_users
+        FROM c JOIN t USING (event_type)
+        WHERE cnt * n_users * {HH_DEN} > total * {HH_NUM}
     """,
     "a22_mode": """
         WITH c AS (

@@ -1325,6 +1325,60 @@ def q_ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_topk(read_table(spark, sf_dir, "embeddings"))
 
 
+#: Cosine radius for the range search — calibrated so the epsilon-ball
+#: is non-empty for every fixture query at every SF (random 64-dim
+#: unit vectors concentrate near cosine 0; 0.30 is ~2.4σ out).
+RANGE_TAU = 0.30
+
+
+def range_search(emb: DataFrame, tau: float = RANGE_TAU) -> DataFrame:
+    """LSH-indexed RANGE search (epsilon-ball retrieval): every corpus
+    vector within cosine ``tau`` of each query — the "find everything
+    this similar" primitive behind radius dedup, near-duplicate audit,
+    and contamination sweeps, where top-k's fixed k either truncates
+    dense neighborhoods or pads sparse ones.
+
+    Same multi-table sign-random-projection index as ``ann_lsh_topk``
+    — candidates are same-bucket pairs in ANY table (equi-join on the
+    integer bucket id, never a cross product), exact-scored, then
+    THRESHOLD-filtered instead of ranked: no window at all, so the
+    result needs one shuffle fewer than top-k and the per-query output
+    is as large as the data demands. Recall is probabilistic (a
+    neighbor sharing no bucket is missed — the standard LSH trade) but
+    the INDEX is deterministic: the LCG hyperplanes replay in the SQL
+    twin, so the driver hash-checks the whole path (the ann_lsh_topk
+    contract).
+    """
+    buckets = F.array(
+        *[bucket_expr(F.col("embedding"), t) for t in range(N_TABLES)]
+    )
+    tabled = emb.select(
+        "vec_id", "embedding", F.explode(buckets).alias("bucket")
+    )
+    q = tabled.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket"),
+    )
+    c = tabled.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("bucket"),
+    )
+    cos = cosine_expr(F.col("q_emb"), F.col("n_emb"))
+    return (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", cos.alias("cosine"))
+        .distinct()  # the same pair can share buckets in several tables
+        .filter(F.col("cosine") >= F.lit(tau))
+    )
+
+
+def q_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return range_search(read_table(spark, sf_dir, "embeddings"))
+
+
 QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -1342,6 +1396,7 @@ QUERIES = {
     "emb_sq8": q_emb_sq8,
     "ann_recall_eval": q_ann_recall_eval,
     "ann_hamming_topk": q_ann_hamming_topk,
+    "ann_range_search": q_ann_range_search,
 }
 
 
@@ -1497,16 +1552,10 @@ def _pagerank_oracle_sql() -> str:
         SELECT node, rank FROM r{PAGERANK_ITERS}
     """
 
-def _lsh_oracle_sql() -> str:
-    """Generated DuckDB twin of ``q_ann_lsh_topk``: the hyperplanes
-    come from the SAME ``_hyperplanes`` LCG, inlined as list literals,
-    so the oracle cannot drift from the implementation. Sign bits are
-    engine-identical because both sides compute the dot product as a
-    sequential in-order fold over the same doubles (the property the
-    6dp-rounded cosine oracles already rely on), so the bucket ids —
-    and therefore the candidate sets — agree exactly, making this
-    'probabilistic' index fully hash-checkable.
-    """
+def _lsh_buckets_sql() -> str:
+    """The per-table LSH bucket-id expressions as a DuckDB list body —
+    shared by the top-k and range-search oracle generators so the two
+    twins can never disagree on the index they replay."""
     per_table = []
     for t in range(N_TABLES):
         bits = [str(t << N_PLANES_PER_TABLE)]
@@ -1517,7 +1566,20 @@ def _lsh_oracle_sql() -> str:
                 f"THEN {1 << i} ELSE 0 END"
             )
         per_table.append("(" + " + ".join(bits) + ")")
-    buckets = ",\n                   ".join(per_table)
+    return ",\n                   ".join(per_table)
+
+
+def _lsh_oracle_sql() -> str:
+    """Generated DuckDB twin of ``q_ann_lsh_topk``: the hyperplanes
+    come from the SAME ``_hyperplanes`` LCG, inlined as list literals,
+    so the oracle cannot drift from the implementation. Sign bits are
+    engine-identical because both sides compute the dot product as a
+    sequential in-order fold over the same doubles (the property the
+    6dp-rounded cosine oracles already rely on), so the bucket ids —
+    and therefore the candidate sets — agree exactly, making this
+    'probabilistic' index fully hash-checkable.
+    """
+    buckets = _lsh_buckets_sql()
     return f"""
         WITH e AS (
             SELECT vec_id,
@@ -1545,6 +1607,34 @@ def _lsh_oracle_sql() -> str:
                                       ORDER BY cosine DESC, n_id) AS rank
             FROM scored
         ) t WHERE rank <= {TOP_K}
+    """
+
+
+def _lsh_range_oracle_sql() -> str:
+    """Generated DuckDB twin of ``q_ann_range_search``: the same
+    ``_lsh_buckets_sql`` index body as the top-k twin, with the final
+    window replaced by the threshold filter."""
+    buckets = _lsh_buckets_sql()
+    return f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        b AS (
+            SELECT vec_id, v,
+                   unnest([{buckets}]) AS bucket
+            FROM e
+        ),
+        q AS (
+            SELECT vec_id AS q_id, v AS q_emb, bucket FROM b
+            WHERE vec_id < {N_QUERIES}
+        )
+        SELECT DISTINCT q_id, c.vec_id AS n_id,
+               ROUND(list_dot_product(q_emb, c.v), 6) AS cosine
+        FROM b c JOIN q USING (bucket)
+        WHERE q_id <> c.vec_id
+          AND ROUND(list_dot_product(q_emb, c.v), 6) >= {RANGE_TAU}
     """
 
 
@@ -1632,6 +1722,7 @@ def _ivf_oracle_sql() -> str:
 
 ORACLES = {
     "ann_lsh_topk": _lsh_oracle_sql(),
+    "ann_range_search": _lsh_range_oracle_sql(),
     "ann_ivf_topk": _ivf_oracle_sql(),
     "graph_pagerank": _pagerank_oracle_sql(),
     "ann_ivfpq_topk": _ivfpq_oracle_sql(),

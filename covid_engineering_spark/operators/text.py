@@ -510,6 +510,100 @@ def q_text_dup_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_ngram_rate(read_table(spark, sf_dir, "documents"))
 
 
+#: The fixed query term set BM25 ranks against — content words present
+#: at every fixture SF. In production the terms arrive as a parameter
+#: (or a broadcast query table); the plan shape is identical.
+BM25_TERMS = ("spark", "join", "window", "vector")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPN = 20
+
+
+def bm25_rank(
+    docs: DataFrame, terms: tuple[str, ...] = BM25_TERMS
+) -> DataFrame:
+    """BM25 document ranking against a fixed query term set — the
+    retrieval-relevance primitive (Robertson–Spärck Jones; the scoring
+    function behind Lucene/Elasticsearch and the lexical half of
+    hybrid search): per matching (doc, term),
+    ``idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`` with
+    ``idf = ln((N − df + ½)/(df + ½) + 1)``, summed per document, top
+    ``BM25_TOPN`` docs returned.
+
+    Determinism: tf/df/dl/N/Σdl all accumulate as exact BIGINTs; the
+    only libm op (``ln``) is rounded to 8dp (the ``text_tfidf``
+    discipline) and every remaining step is an exactly-rounded IEEE
+    op written in the SAME order in both engines, so the per-term
+    score is bit-identical — then it's converted to integer
+    MICRO-units (``floor(score·1e6 + 0.5)``) so the per-document SUM
+    is partition-order independent (floats summed in shuffle order
+    are not). The top-N cut is fully tiebroken (score desc, doc_id).
+
+    Scale shape: tokens are filtered to the query terms MAP-SIDE
+    before the explode, so the tf agg touches only matching tokens;
+    the df/N/Σdl stats collapse to a ≤|terms|-row and a 1-row frame,
+    both broadcast; the final cut is orderBy+limit —
+    TakeOrderedAndProject, each task ships ≤ N rows, no global sort.
+    """
+    ws = F.split(F.col("text"), " ")
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    lengths = docs.select(
+        "doc_id",
+        F.size(ws).alias("dl"),
+        F.filter(ws, lambda w: F.array_contains(term_arr, w)).alias(
+            "hits"
+        ),
+    )
+    tf = (
+        lengths.select("doc_id", "dl", F.explode("hits").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tab = tf.groupBy("term").agg(F.count("*").alias("df"))
+    corpus = lengths.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+    )
+    idf8 = F.round(
+        F.log(
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        ),
+        8,
+    )
+    k1_1 = BM25_K1 + 1.0
+    norm = (
+        F.col("tf")
+        + F.lit(BM25_K1 * (1.0 - BM25_B))
+        + F.lit(BM25_K1 * BM25_B)
+        * (
+            (F.col("dl") * F.col("n_docs")).cast("double")
+            / F.col("total_dl")
+        )
+    )
+    micro = F.floor(
+        idf8 * (F.col("tf") * F.lit(k1_1)) / norm * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        tf.join(F.broadcast(df_tab), "term")
+        .join(F.broadcast(corpus))
+        .select("doc_id", micro.alias("micro"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("micro").alias("bm25_micros"),
+            F.count("*").alias("n_hit_terms"),
+        )
+        .orderBy(F.desc("bm25_micros"), "doc_id")
+        .limit(BM25_TOPN)
+    )
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_rank(read_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
     "text_normalize": q_text_normalize,
@@ -522,6 +616,7 @@ QUERIES = {
     "text_unigram_lm": q_text_unigram_lm,
     "text_dup_ngram_rate": q_text_dup_ngram_rate,
     "text_bigram_lm": q_text_bigram_lm,
+    "text_bm25": q_text_bm25,
 }
 
 
@@ -557,6 +652,50 @@ def _sql_score(stop: tuple[str, ...], markers: tuple[str, ...]) -> str:
 
 
 ORACLES = {
+    # The float constants are emitted with repr() of the SAME Python
+    # expressions the Spark side uses (k1·(1−b) = 0.8999999999999999,
+    # not the literal 0.9) — a literal that LOOKS equal parses to a
+    # different double and the micro-unit conversion diverges.
+    "text_bm25": f"""
+        WITH l AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                   list_filter(string_split(text, ' '),
+                               w -> w IN ({", ".join(f"'{t}'" for t in BM25_TERMS)}))
+                       AS hits
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, dl, unnest(hits) AS term
+            FROM l
+        ),
+        tfc AS (
+            SELECT doc_id, dl, term, COUNT(*) AS tf
+            FROM tf GROUP BY 1, 2, 3
+        ),
+        dft AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY term),
+        corpus AS (
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(dl) AS BIGINT) AS total_dl
+            FROM l
+        ),
+        scored AS (
+            SELECT doc_id,
+                   CAST(FLOOR(
+                       ROUND(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 8)
+                       * (tf * {BM25_K1 + 1.0!r})
+                       / (tf + {BM25_K1 * (1.0 - BM25_B)!r}
+                          + {BM25_K1 * BM25_B!r}
+                            * (CAST(dl * n_docs AS DOUBLE) / total_dl))
+                       * 1000000.0 + 0.5) AS BIGINT) AS micro
+            FROM tfc JOIN dft USING (term) CROSS JOIN corpus
+        )
+        SELECT doc_id,
+               CAST(SUM(micro) AS BIGINT) AS bm25_micros,
+               COUNT(*) AS n_hit_terms
+        FROM scored GROUP BY doc_id
+        ORDER BY bm25_micros DESC, doc_id
+        LIMIT {BM25_TOPN}
+    """,
     "text_dup_ngram_rate": """
         WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
                     FROM documents),

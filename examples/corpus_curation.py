@@ -127,6 +127,17 @@ def main(
         f"({sum(r['retained_docs'] for r in admitted)} docs retained)"
     )
 
+    # 9. lexical retrieval over the raw corpus: BM25 against a fixed
+    # query — the audit query a curator runs to eyeball what the
+    # corpus says about a topic before and after a filter change
+    from covid_engineering_spark.operators.text import BM25_TERMS, bm25_rank
+
+    hits = bm25_rank(read_table(spark, sf_dir, "documents")).collect()
+    print(
+        f"bm25 top-{len(hits)} for {' '.join(BM25_TERMS)!r}: "
+        f"best doc {hits[0]['doc_id']} at {hits[0]['bm25_micros']} micros"
+    )
+
 
 if __name__ == "__main__":
     main(*sys.argv[1:3])

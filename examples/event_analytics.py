@@ -98,8 +98,10 @@ def main(
     # integer EWMA smoothing, CUSUM drift detection, and the
     # seasonal-naive forecast backtest (per-type MAE in cents)
     from covid_engineering_spark.operators.timeseries import (
+        autocorr,
         cusum_changepoint,
         ewma,
+        mad_anomaly,
         snaive_backtest,
     )
 
@@ -108,6 +110,13 @@ def main(
     mae = {
         r["event_type"]: r["mae_cents"]
         for r in snaive_backtest(ev).collect()
+    }
+    # robust (median/MAD) flags alongside the z-score ones — a spike
+    # that inflates the mean/sigma baseline can't hide from these —
+    # and the lag-1 autocorrelation that decides trend vs point alerts
+    n_robust = mad_anomaly(ev).filter(F.col("is_anomaly")).count()
+    ac = {
+        r["event_type"]: r["autocorr_lag1"] for r in autocorr(ev).collect()
     }
 
     # 5b. SCD2 version history of each (user, event-type) state stream:
@@ -150,6 +159,11 @@ def main(
     print(f"ewma smoothed     : {n_smoothed} buckets")
     print(f"drift buckets     : {n_drift}")
     print(f"snaive MAE cents  : {dict(sorted(mae.items()))}")
+    print(f"robust MAD flags  : {n_robust}")
+    print(
+        "lag-1 autocorr    : "
+        + ", ".join(f"{t}={r:.3f}" for t, r in sorted(ac.items()))
+    )
     print(
         f"scd2 history      : {scd['n']} versions, {scd['cur']} current "
         f"keys, deepest chain {scd['deepest']}"

@@ -153,6 +153,26 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     rec = recall_eval(emb).agg(F.avg("recall_at_k").alias("r")).first()["r"]
     print(f"registered recall@5 query (ivf vs exact): {rec:.3f}")
 
+    # 11. the binary tier: 1-bit sign quantization (two BIGINT words
+    # per vector) with XOR+popcount Hamming ranking — the cheapest
+    # first-stage filter — and the LSH radius query (every neighbor
+    # within cosine tau, not a fixed k)
+    from covid_engineering_spark.operators.similarity import (
+        RANGE_TAU,
+        hamming_topk,
+        range_search,
+    )
+
+    bq = _pairs(hamming_topk(emb).collect())
+    print(f"hamming-bq recall vs brute force: {len(bq & brute) / len(brute):.3f}")
+    rs = range_search(emb)
+    n_in_ball = rs.count()
+    n_covered = rs.select("q_id").distinct().count()
+    print(
+        f"range search at cosine >= {RANGE_TAU}: {n_in_ball} neighbors "
+        f"across {n_covered} of 8 queries"
+    )
+
     docs = read_table(spark, sf_dir, "documents")
     stats = lsh_bucket_stats(docs, portable=True).head()
     print(

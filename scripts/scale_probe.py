@@ -478,6 +478,55 @@ def main() -> None:
             "overwrite"
         ).format("noop").save()
 
+    def bm25(sf_dir):
+        # N× docs: tf rows scale with matching tokens only (map-side
+        # term filter before the explode), df/corpus stats stay
+        # ≤|terms| and 1 row, final cut is TakeOrderedAndProject —
+        # must track the scan linearly
+        from covid_engineering_spark.operators.text import bm25_rank
+        from covid_engineering_spark.sources import read_table
+
+        bm25_rank(read_table(spark, sf_dir, "documents")).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+    def rangesearch(sf_dir):
+        # N× corpus vectors against a FIXED query set: candidates are
+        # bucket equi-join rows, queries broadcast — linear in corpus,
+        # never pairwise
+        from covid_engineering_spark.operators.similarity import (
+            range_search,
+        )
+        from covid_engineering_spark.sources import read_table
+
+        range_search(read_table(spark, sf_dir, "embeddings")).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+    def madanom(sf_dir):
+        # same regime as ts_ewma/ts_anomaly: bucket×type cardinality
+        # constant under the blowup, so the two exact-median aggs run
+        # over an unchanging frame and only the pre-agg scan scales
+        from covid_engineering_spark.operators.timeseries import (
+            mad_anomaly,
+        )
+        from covid_engineering_spark.sources import read_table
+
+        mad_anomaly(read_table(spark, sf_dir, "events")).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+    def heavyhitters(sf_dir):
+        # N× users (key-shifted blowup): the (type,user) partial agg
+        # grows linearly, the totals frame stays |types| rows
+        from covid_engineering_spark.operators.relational import (
+            q_a23_heavy_hitters,
+        )
+
+        q_a23_heavy_hitters(spark, sf_dir).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
     out: dict = {"metric": "scale_probe", "x": REPLICAS, "base": BASE}
     seen_names: set = set()
     for name, fn in (
@@ -501,6 +550,10 @@ def main() -> None:
         ("rfm_segments", rfm),
         ("ts_ewma", ewma),
         ("emb_sq8", sq8),
+        ("text_bm25", bm25),
+        ("ann_range_search", rangesearch),
+        ("ts_mad_anomaly", madanom),
+        ("a23_heavy_hitters", heavyhitters),
     ):
         if ONLY and name not in ONLY:
             continue

@@ -425,3 +425,172 @@ def test_autocorr_matches_numpy_corrcoef(spark):
         n_pairs, r_got = got[et]
         assert n_pairs == len(x)
         assert abs(r_got - round(want, 6)) <= 1e-6
+
+
+def test_bm25_matches_python_reference(spark):
+    """Re-derive BM25 in Python over the smoke corpus — same term
+    set, same 8dp-rounded idf, same micro conversion — and check the
+    returned top-N (set, scores, hit counts)."""
+    import math
+    from collections import Counter, defaultdict
+
+    from covid_engineering_spark.operators.text import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+        BM25_TOPN,
+        bm25_rank,
+    )
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    texts = {r.doc_id: r.text.split(" ") for r in docs.collect()}
+    n_docs = len(texts)
+    total_dl = sum(len(ws) for ws in texts.values())
+    tf = {
+        d: Counter(w for w in ws if w in BM25_TERMS)
+        for d, ws in texts.items()
+    }
+    df = Counter(t for c in tf.values() for t in c)
+    k1_1 = BM25_K1 + 1.0
+    c0 = BM25_K1 * (1.0 - BM25_B)
+    c1 = BM25_K1 * BM25_B
+    scores: dict[int, int] = defaultdict(int)
+    hits: dict[int, int] = defaultdict(int)
+    for d, c in tf.items():
+        dl = len(texts[d])
+        for t, f in c.items():
+            idf8 = round(
+                math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0), 8
+            )
+            norm = f + c0 + c1 * ((dl * n_docs) / total_dl)
+            scores[d] += math.floor(idf8 * (f * k1_1) / norm * 1e6 + 0.5)
+            hits[d] += 1
+    want = sorted(
+        ((-s, d) for d, s in scores.items())
+    )[:BM25_TOPN]
+    got = {
+        r.doc_id: (r.bm25_micros, r.n_hit_terms)
+        for r in bm25_rank(docs).collect()
+    }
+    assert set(got) == {d for _, d in want}
+    for neg_s, d in want:
+        # the oracle differential proves engine-exactness; here allow
+        # ±2 micros for Python-vs-JVM round() edge behaviour
+        assert abs(got[d][0] - (-neg_s)) <= 2, (d, got[d][0], -neg_s)
+        assert got[d][1] == hits[d]
+
+
+def test_range_search_is_thresholded_subset_of_bruteforce(spark):
+    """Every returned pair clears tau; every returned pair is a true
+    cosine neighbor (subset of brute force at the same tau); every
+    query keeps at least one neighbor on the fixture (recall sanity,
+    not a guarantee of the method)."""
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    vecs = {r.vec_id: r.embedding for r in emb.collect()}
+
+    def cos(a, b):
+        # mirror the engine's sequential left-fold
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return round(acc, 6)
+
+    brute = {
+        (q, n)
+        for q in range(S.N_QUERIES)
+        for n in vecs
+        if n != q and cos(vecs[q], vecs[n]) >= S.RANGE_TAU
+    }
+    got = [(r.q_id, r.n_id, r.cosine) for r in
+           S.range_search(emb).collect()]
+    assert got, "range search returned nothing on the fixture"
+    for q_id, n_id, c in got:
+        assert c >= S.RANGE_TAU
+        assert (q_id, n_id) in brute
+    # LSH recall is probabilistic: a query whose only tau-neighbors
+    # share no bucket legitimately comes back empty (q=2 at sf0.001).
+    # Most queries must still land.
+    assert len({q for q, _, _ in got}) >= S.N_QUERIES - 2
+
+
+def test_mad_anomaly_flags_injected_spike(spark):
+    """Hand-computable series per type: the spike (and only the
+    spike) flags, including the degenerate mad2 == 0 series where any
+    deviation must flag."""
+    import datetime as dt
+
+    from covid_engineering_spark.operators.timeseries import mad_anomaly
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # type a: five flat buckets + one spike -> mad2 == 0, dev>0 flags
+    for i, v in enumerate([5.0, 5.0, 5.0, 5.0, 5.0, 50.0]):
+        rows.append((t0 + dt.timedelta(hours=i), "a", v))
+    # type b: varied buckets, one spike
+    for i, v in enumerate([1.0, 2.0, 3.0, 4.0, 100.0]):
+        rows.append((t0 + dt.timedelta(hours=i), "b", v))
+    ev = spark.createDataFrame(
+        rows, "ts timestamp, event_type string, value double"
+    )
+    out = {
+        (r.event_type, r.x_cents): (r.med2, r.mad2, r.is_anomaly)
+        for r in mad_anomaly(ev).collect()
+    }
+    # type a: med2 = 2*500, mad2 = 0; only the 5000-cent spike flags
+    assert out[("a", 500)] == (1000, 0, False)
+    assert out[("a", 5000)] == (1000, 0, True)
+    # type b: med = 300 cents, devs |2x-600| = [400,200,0,200,19400],
+    # mad2 = 2*200 = 400; flag iff dev*2 > 400*5 = 2000
+    assert out[("b", 300)] == (600, 400, False)
+    assert out[("b", 400)] == (600, 400, False)
+    assert out[("b", 10000)] == (600, 400, True)
+
+
+def test_heavy_hitters_bar_is_relative_to_group_mean(spark):
+    """One user 5x over the mean flags; a uniform group flags nobody
+    (the self-calibrating property a fixed support phi lacks)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # type a: user 1 has 10 events, users 2-5 have 2 each
+    # mean = 18/5 = 3.6; bar 1.5x -> 5.4: only user 1
+    for i in range(10):
+        rows.append((i, t0, 1, "a", 1.0, "{}"))
+    eid = 10
+    for u in (2, 3, 4, 5):
+        for _ in range(2):
+            rows.append((eid, t0, u, "a", 1.0, "{}"))
+            eid += 1
+    # type b: perfectly uniform -> nobody exceeds 1.5x the mean
+    for u in (1, 2, 3):
+        for _ in range(4):
+            rows.append((eid, t0, u, "b", 1.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    from covid_engineering_spark.operators.relational import (
+        q_a23_heavy_hitters,
+    )
+
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("cnt")
+    )
+    totals = counts.groupBy("event_type").agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("n_users")
+    )
+    got = (
+        counts.join(F.broadcast(totals), "event_type")
+        .filter(
+            F.col("cnt") * F.col("n_users") * R.HH_DEN
+            > F.col("total") * R.HH_NUM
+        )
+        .select("event_type", "user_id", "cnt")
+        .collect()
+    )
+    assert {(r.event_type, r.user_id, r.cnt) for r in got} == {
+        ("a", 1, 10)
+    }

@@ -64,8 +64,11 @@ _ORC = oracles()
 DUCKDB_ONLY = {
     "a11_percentile",
     "ann_hamming_topk",
+    "ann_range_search",
     "pipe_blocklist_filter",
     "text_bigram_lm",
+    "text_bm25",
+    "ts_mad_anomaly",
     "a18_approx_percentile",
     "ann_cosine_topk",
     "ann_ivf_topk",

@@ -190,6 +190,12 @@ SURVEY_MAP = {
     "TXT-BIGRAM": "text_bigram_lm",
     "PIPE-BLOCK": "pipe_blocklist_filter",
     "TS-AUTOCORR": "ts_autocorr",
+    # round-6 final extensions: BM25 ranked retrieval, LSH range
+    # search, MAD robust anomaly, per-group heavy hitters
+    "TXT-BM25": "text_bm25",
+    "ANN-RANGE": "ann_range_search",
+    "TS-MAD": "ts_mad_anomaly",
+    "A23": "a23_heavy_hitters",
     # ingest extensions (JSONL / ORC / compaction round-trips)
     "ING-JSONL": "s6_jsonl_scan",
     "ING-ORC": "s7_orc_roundtrip",
