@@ -1932,6 +1932,106 @@ def q_a23_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Count-Min Sketch geometry: CMS_D independent hash rows of CMS_W
+#: counters each. Error bound: est ≤ exact + (e/CMS_W)·N with
+#: probability 1 − (1/e)^CMS_D per query (Cormode & Muthukrishnan
+#: 2005); the one INVARIANT guarantee — est ≥ exact, always — is
+#: emitted as a checked column.
+CMS_D = 3
+CMS_W = 64
+
+
+def q_a24_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A24 — Count-Min Sketch frequency estimation, judged against
+    the exact heavy hitters (the a14/a18 sketch-vs-exact pattern):
+    build a per-type CMS over the event stream (CMS_D×CMS_W counters
+    per type — fixed memory however many users arrive, each counter a
+    plain SUM so partial aggregation merges sketches map-side: the
+    mergeability that makes CMS the streaming/distributed frequency
+    structure), then point-query it for every exact heavy hitter and
+    emit exact count, estimate, overcount, and the guaranteed
+    ``est ≥ exact`` invariant as a column the oracle checks.
+
+    Hashing rides the md5-derived :func:`portable_hash64` family (the
+    registered-sketch convention, dedup.py:241), so the generated SQL
+    twin replays the exact counters and the driver hash-checks the
+    whole sketch path — estimates included, not just bounds.
+
+    Scale shape: the sketch build is one partial-aggregated hash agg
+    at (type × CMS_D × CMS_W ≤ types×192)-row output; candidates come
+    from the a23 exact pass; the point-query join touches CMS_D
+    sketch rows per candidate against a broadcast sketch frame.
+    """
+    from covid_engineering_spark.operators.dedup import portable_hash64
+
+    ev = read_table(spark, sf_dir, "events")
+    key = F.concat(
+        F.col("event_type"), F.lit(":"), F.col("user_id").cast("string")
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(portable_hash64(key, d), F.lit(CMS_W)).alias(
+                    "bucket"
+                ),
+            )
+            for d in range(CMS_D)
+        ]
+    )
+    sketch = (
+        ev.select("event_type", F.explode(rows).alias("r"))
+        .groupBy("event_type", "r.d", "r.bucket")
+        .agg(F.count("*").alias("counter"))
+    )
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("cnt")
+    )
+    totals = counts.groupBy("event_type").agg(
+        F.sum("cnt").alias("total"),
+        F.count("*").alias("n_users"),
+    )
+    heavy = (
+        counts.join(F.broadcast(totals), "event_type")
+        .filter(
+            F.col("cnt") * F.col("n_users") * HH_DEN
+            > F.col("total") * HH_NUM
+        )
+        .select("event_type", "user_id", "cnt")
+    )
+    ckey = F.concat(
+        F.col("event_type"), F.lit(":"), F.col("user_id").cast("string")
+    )
+    probes = heavy.select(
+        "event_type", "user_id", "cnt", F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.pmod(
+                            portable_hash64(ckey, d), F.lit(CMS_W)
+                        ).alias("bucket"),
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("r"),
+    ).select("event_type", "user_id", "cnt", "r.d", "r.bucket")
+    est = (
+        probes.join(F.broadcast(sketch), ["event_type", "d", "bucket"])
+        .groupBy("event_type", "user_id", "cnt")
+        .agg(F.min("counter").alias("est"))
+    )
+    return est.select(
+        "event_type",
+        "user_id",
+        "cnt",
+        "est",
+        (F.col("est") - F.col("cnt")).alias("overcount"),
+        (F.col("est") >= F.col("cnt")).alias("est_ge_exact"),
+    )
+
+
 #: Fan-out factor of the explicit salted join — the number of
 #: sub-partitions a hot key is spread across.
 JOIN_SALT = 8
@@ -2038,6 +2138,7 @@ QUERIES = {
     "a21_corr_moments": q_a21_corr_moments,
     "a22_mode": q_a22_mode,
     "a23_heavy_hitters": q_a23_heavy_hitters,
+    "a24_cms_heavy": q_a24_cms_heavy,
     "a11_percentile": q_a11_percentile,
     "a12_cube": q_a12_cube,
     "a13_salted_agg": q_a13_salted_agg,
@@ -2815,3 +2916,59 @@ ORACLES = {
         GROUP BY r_name
     """,
 }
+
+
+def _cms_oracle_sql() -> str:
+    """Generated DuckDB twin of ``q_a24_cms_heavy``: the bucket ids
+    come from the SAME md5-derived portable hash family, inlined per
+    depth row, so the twin replays the exact counters (dedup.py's
+    registered-sketch convention)."""
+    from covid_engineering_spark.operators.dedup import (
+        _portable_hash_sql,
+    )
+
+    key = "event_type || ':' || CAST(user_id AS VARCHAR)"
+    bucket_rows = "\n            UNION ALL ".join(
+        f"SELECT event_type, {d} AS d, "
+        f"{_portable_hash_sql(key, d)} % {CMS_W} AS bucket FROM events"
+        for d in range(CMS_D)
+    )
+    probe_rows = "\n            UNION ALL ".join(
+        f"SELECT event_type, user_id, cnt, {d} AS d, "
+        f"{_portable_hash_sql(key, d)} % {CMS_W} AS bucket FROM heavy"
+        for d in range(CMS_D)
+    )
+    return f"""
+        WITH sketch AS (
+            SELECT event_type, d, bucket, COUNT(*) AS counter FROM (
+            {bucket_rows}
+            ) GROUP BY 1, 2, 3
+        ),
+        counts AS (
+            SELECT event_type, user_id, COUNT(*) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        totals AS (
+            SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS total,
+                   COUNT(*) AS n_users
+            FROM counts GROUP BY event_type
+        ),
+        heavy AS (
+            SELECT c.event_type, c.user_id, c.cnt
+            FROM counts c JOIN totals t USING (event_type)
+            WHERE cnt * n_users * {HH_DEN} > total * {HH_NUM}
+        ),
+        probes AS (
+            {probe_rows}
+        )
+        SELECT p.event_type, p.user_id, p.cnt,
+               CAST(MIN(s.counter) AS BIGINT) AS est,
+               CAST(MIN(s.counter) - p.cnt AS BIGINT) AS overcount,
+               MIN(s.counter) >= p.cnt AS est_ge_exact
+        FROM probes p
+        JOIN sketch s USING (event_type, d, bucket)
+        GROUP BY 1, 2, 3
+    """
+
+
+ORACLES["a24_cms_heavy"] = _cms_oracle_sql()

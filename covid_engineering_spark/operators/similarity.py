@@ -1379,6 +1379,67 @@ def q_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_search(read_table(spark, sf_dir, "embeddings"))
 
 
+#: Matryoshka prefix width: retrieval uses only the first MRL_DIM of
+#: DIM dimensions (Kusupati et al. 2022, arXiv:2205.13147 — MRL-trained
+#: embeddings front-load information so a prefix is a usable coarse
+#: representation at 1/4 the scan cost).
+MRL_DIM = 16
+
+
+def prefix_topk(emb: DataFrame, width: int = MRL_DIM) -> DataFrame:
+    """Brute-force top-k over the first ``width`` dimensions only —
+    the Matryoshka coarse pass. Ranking is by prefix DOT PRODUCT
+    (prefixes of unit vectors are not unit; dot ranking is what a
+    truncated-vector index computes), same fold/round/tiebreak
+    discipline as the full-width baseline.
+    """
+    pre = emb.select(
+        "vec_id", F.slice("embedding", 1, width).alias("embedding")
+    )
+    return q_cosine_frame(pre)
+
+
+def mrl_recall(emb: DataFrame, width: int = MRL_DIM) -> DataFrame:
+    """Recall@k of prefix-only retrieval against full-width ground
+    truth, in-engine — the evaluation that decides how far an MRL
+    deployment can truncate before quality pays: per query,
+    |full-dim exact top-k ∩ prefix top-k| / k (the ``recall_eval``
+    composition, LEFT join so recall-0 queries stay rows).
+
+    Scale shape: both sides are the registered brute-force plan; the
+    prefix side scans 16 of 64 dims (the 4× cheaper coarse pass this
+    measures the quality cost of). Overlap join and per-query count
+    are N_QUERIES×k tiny.
+    """
+    exact = q_cosine_frame(emb).select(
+        F.col("q_id").alias("e_qid"), F.col("n_id").alias("e_nid")
+    )
+    approx = prefix_topk(emb, width).select(
+        F.col("q_id").alias("a_qid"), F.col("n_id").alias("a_nid")
+    )
+    hits = exact.join(
+        approx,
+        (F.col("e_qid") == F.col("a_qid"))
+        & (F.col("e_nid") == F.col("a_nid")),
+        "left_outer",
+    )
+    return (
+        hits.groupBy(F.col("e_qid").alias("q_id"))
+        .agg(F.count("a_nid").alias("n_hits"))
+        .select(
+            "q_id",
+            "n_hits",
+            F.round(F.col("n_hits") / float(TOP_K), 4).alias(
+                "recall_at_k"
+            ),
+        )
+    )
+
+
+def q_emb_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mrl_recall(read_table(spark, sf_dir, "embeddings"))
+
+
 QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -1397,6 +1458,7 @@ QUERIES = {
     "ann_recall_eval": q_ann_recall_eval,
     "ann_hamming_topk": q_ann_hamming_topk,
     "ann_range_search": q_ann_range_search,
+    "emb_mrl_recall": q_emb_mrl_recall,
 }
 
 
@@ -2032,6 +2094,43 @@ ORACLES["ann_recall_eval"] = f"""
     ),
     approx AS (
         SELECT q_id, n_id FROM ({ORACLES["ann_ivf_topk"]}) t
+    )
+    SELECT e.q_id, COUNT(a.n_id) AS n_hits,
+           ROUND(COUNT(a.n_id) / {float(TOP_K)}, 4) AS recall_at_k
+    FROM exact e
+    LEFT JOIN approx a ON e.q_id = a.q_id AND e.n_id = a.n_id
+    GROUP BY e.q_id
+"""
+
+# The prefix side re-runs the brute-force twin over the first MRL_DIM
+# dims (DuckDB list slices are 1-based inclusive, matching F.slice).
+ORACLES["emb_mrl_recall"] = f"""
+    WITH pre AS (
+        SELECT vec_id, embedding[1:{MRL_DIM}] AS p FROM embeddings
+    ),
+    pq AS (
+        SELECT vec_id AS q_id, p AS q_emb FROM pre
+        WHERE vec_id < {N_QUERIES}
+    ),
+    pscored AS (
+        SELECT q_id, c.vec_id AS n_id,
+               ROUND(list_dot_product(
+                   list_transform(q_emb, x -> CAST(x AS DOUBLE)),
+                   list_transform(c.p, x -> CAST(x AS DOUBLE))
+               ), 6) AS cosine
+        FROM pre c CROSS JOIN pq
+        WHERE q_id <> c.vec_id
+    ),
+    approx AS (
+        SELECT q_id, n_id FROM (
+            SELECT q_id, n_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cosine DESC, n_id) AS rank
+            FROM pscored
+        ) t WHERE rank <= {TOP_K}
+    ),
+    exact AS (
+        SELECT q_id, n_id FROM ({ORACLES["ann_cosine_topk"]}) t
     )
     SELECT e.q_id, COUNT(a.n_id) AS n_hits,
            ROUND(COUNT(a.n_id) / {float(TOP_K)}, 4) AS recall_at_k

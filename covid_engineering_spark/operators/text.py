@@ -381,6 +381,70 @@ def q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_lm(read_table(spark, sf_dir, "documents"))
 
 
+def perplexity(docs: DataFrame) -> DataFrame:
+    """Per-document cross-entropy under the in-query corpus unigram
+    LM — the CCNet-style LM quality gate (Wenzek et al. 2020): docs
+    whose tokens the corpus model finds surprising (high mean NLL)
+    are noise candidates; docs far below the corpus norm are
+    boilerplate. The standard perplexity-bucketing signal, with the
+    corpus itself as the model.
+
+    Determinism: the per-TYPE negative log-likelihood
+    ``ln(total/cf)`` is rounded to 8dp (one libm op, the tfidf
+    discipline) and converted to integer MICRO-units once per
+    vocabulary entry; each document's total NLL is then an exact
+    BIGINT sum (token count × per-type micros), and the mean NLL is
+    one truncating integer division (Spark ``DIV`` = DuckDB ``//``,
+    the pagerank convention). Perplexity itself is ``exp(mean-NLL)``
+    — monotone in the reported integer, left to the consumer so no
+    second libm op enters the hashed result.
+
+    Scale shape: identical to ``unigram_lm`` (same cached tf/vocab
+    frames, same provably-≤20-row hot-token broadcast split, 1-row
+    total broadcast); the only addition is one more projected column
+    on the vocabulary frame.
+    """
+    from covid_engineering_spark.functions import evicting_cache
+
+    tf = evicting_cache(
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c")),
+        "unigram_tf",
+    )
+    vocab = evicting_cache(
+        tf.groupBy("tok").agg(F.sum("c").alias("cf")), "unigram_vocab"
+    )
+    total = vocab.agg(F.sum("cf").alias("total"))
+    nll_micro = F.floor(
+        F.round(F.log(F.col("total") / F.col("cf")), 8) * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    v = vocab.join(F.broadcast(total)).select(
+        "tok", "cf", "total", nll_micro.alias("nll_micro")
+    )
+    hot = F.col("cf") * UNIGRAM_HOT_DIV >= F.col("total")
+    joined = tf.join(F.broadcast(v.filter(hot)), "tok").unionByName(
+        tf.join(v.filter(~hot), "tok")
+    )
+    agg = joined.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.col("c") * F.col("nll_micro")).alias("nll_micros"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "nll_micros",
+        F.expr("nll_micros DIV n_tokens").alias("mean_nll_micros"),
+    )
+
+
+def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return perplexity(read_table(spark, sf_dir, "documents"))
+
+
 def bigram_lm(docs: DataFrame) -> DataFrame:
     """Corpus bigram-model scoring — the phrase-level complement to
     ``unigram_lm``: per document, total and distinct bigram counts
@@ -617,6 +681,7 @@ QUERIES = {
     "text_dup_ngram_rate": q_text_dup_ngram_rate,
     "text_bigram_lm": q_text_bigram_lm,
     "text_bm25": q_text_bm25,
+    "text_perplexity": q_text_perplexity,
 }
 
 
@@ -652,6 +717,35 @@ def _sql_score(stop: tuple[str, ...], markers: tuple[str, ...]) -> str:
 
 
 ORACLES = {
+    "text_perplexity": """
+        WITH ws AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, tok, COUNT(*) AS c FROM ws GROUP BY 1, 2
+        ),
+        vocab AS (
+            SELECT tok, CAST(SUM(c) AS BIGINT) AS cf FROM tf GROUP BY tok
+        ),
+        tot AS (SELECT CAST(SUM(cf) AS BIGINT) AS total FROM vocab),
+        v AS (
+            SELECT tok,
+                   CAST(FLOOR(ROUND(ln(total / cf), 8) * 1000000.0 + 0.5)
+                        AS BIGINT) AS nll_micro
+            FROM vocab CROSS JOIN tot
+        ),
+        agg AS (
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(SUM(c * nll_micro) AS BIGINT) AS nll_micros
+            FROM tf JOIN v USING (tok)
+            GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, nll_micros,
+               nll_micros // n_tokens AS mean_nll_micros
+        FROM agg
+    """,
     # The float constants are emitted with repr() of the SAME Python
     # expressions the Spark side uses (k1·(1−b) = 0.8999999999999999,
     # not the literal 0.9) — a literal that LOOKS equal parses to a

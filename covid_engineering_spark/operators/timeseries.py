@@ -980,6 +980,40 @@ def q_ts_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_anomaly(read_table(spark, sf_dir, "events"))
 
 
+def percentile_profile(ev: DataFrame, every: str = EVERY) -> DataFrame:
+    """Hour-of-day percentile bands per event type — the SLO band
+    chart: for each (type, hour 0–23), the p50/p90 of that hour's
+    bucket totals across all days. The "what does a normal 3pm look
+    like" profile dashboards draw as shaded bands, and the baseline
+    a static-threshold alert is replaced with.
+
+    Exactness: percentiles interpolate over integer cents (the a11
+    convention — exact ``percentile``, 4dp-rounded so both engines'
+    interpolation agrees on the hashed grid). Exact percentile holds
+    each cell's values in one buffer — bounded by days-per-hour-cell
+    (the time span / 24), never raw events; at raw-scale groups swap
+    in ``approx_percentile`` with this query as the accuracy oracle.
+
+    Scale shape: raw events partial-aggregate to (type, bucket) rows,
+    then one agg over ≤ |types|×24 cells. Two bounded shuffles.
+    """
+    cents = _cents()
+    bucketed = ev.groupBy(
+        F.date_trunc(every, "ts").alias("bucket"), "event_type"
+    ).agg(F.sum(cents).alias("x_cents"))
+    return bucketed.groupBy(
+        "event_type", F.hour("bucket").alias("hour")
+    ).agg(
+        F.count("*").alias("n_buckets"),
+        F.round(F.expr("percentile(x_cents, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(x_cents, 0.9)"), 4).alias("p90"),
+    )
+
+
+def q_ts_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return percentile_profile(read_table(spark, sf_dir, "events"))
+
+
 QUERIES = {
     "ts_resample": q_ts_resample,
     "ts_rollup_incremental": q_ts_rollup_incremental,
@@ -998,9 +1032,23 @@ QUERIES = {
     "ts_snaive_backtest": q_ts_snaive_backtest,
     "ts_autocorr": q_ts_autocorr,
     "ts_mad_anomaly": q_ts_mad_anomaly,
+    "ts_percentile_profile": q_ts_percentile_profile,
 }
 
 ORACLES = {
+    "ts_percentile_profile": f"""
+        WITH b AS (
+            SELECT date_trunc('hour', ts) AS bucket, event_type,
+                   CAST(SUM({CENTS_SQL}) AS BIGINT) AS x_cents
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type,
+               CAST(hour(bucket) AS INTEGER) AS hour,
+               COUNT(*) AS n_buckets,
+               ROUND(quantile_cont(x_cents, 0.5), 4) AS p50,
+               ROUND(quantile_cont(x_cents, 0.9), 4) AS p90
+        FROM b GROUP BY 1, 2
+    """,
     "ts_mad_anomaly": f"""
         WITH b AS (
             SELECT date_trunc('hour', ts) AS bucket, event_type,

@@ -527,6 +527,54 @@ def main() -> None:
             "overwrite"
         ).format("noop").save()
 
+    def perplex(sf_dir):
+        # the unigram_lm regime: tf/vocab cached, hot-token broadcast
+        # split — per-(doc,term) rows scale with corpus tokens, the
+        # vocabulary join must stay skew-free
+        from covid_engineering_spark.operators.text import perplexity
+        from covid_engineering_spark.sources import read_table
+
+        perplexity(read_table(spark, sf_dir, "documents")).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+    def pctl(sf_dir):
+        # cells are capped at types x 24 whatever the feed size; only
+        # the pre-agg scan scales (the ts_ewma/ts_mad regime)
+        from covid_engineering_spark.operators.timeseries import (
+            percentile_profile,
+        )
+        from covid_engineering_spark.sources import read_table
+
+        percentile_profile(
+            read_table(spark, sf_dir, "events")
+        ).write.mode("overwrite").format("noop").save()
+
+    def cms(sf_dir):
+        # sketch build is one partial-aggregated hash agg with a
+        # types x 192-row output however many users arrive — the
+        # fixed-memory property being probed
+        from covid_engineering_spark.operators.relational import (
+            q_a24_cms_heavy,
+        )
+
+        q_a24_cms_heavy(spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+
+    def mrl(sf_dir):
+        # two brute-force passes (full-dim + 16-dim prefix) against a
+        # fixed query set: linear in corpus vectors, prefix side ~4x
+        # cheaper per row
+        from covid_engineering_spark.operators.similarity import (
+            mrl_recall,
+        )
+        from covid_engineering_spark.sources import read_table
+
+        mrl_recall(read_table(spark, sf_dir, "embeddings")).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
     out: dict = {"metric": "scale_probe", "x": REPLICAS, "base": BASE}
     seen_names: set = set()
     for name, fn in (
@@ -554,6 +602,10 @@ def main() -> None:
         ("ann_range_search", rangesearch),
         ("ts_mad_anomaly", madanom),
         ("a23_heavy_hitters", heavyhitters),
+        ("text_perplexity", perplex),
+        ("ts_percentile_profile", pctl),
+        ("a24_cms_heavy", cms),
+        ("emb_mrl_recall", mrl),
     ):
         if ONLY and name not in ONLY:
             continue

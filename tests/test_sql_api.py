@@ -63,12 +63,16 @@ _ORC = oracles()
 
 DUCKDB_ONLY = {
     "a11_percentile",
+    "a24_cms_heavy",
     "ann_hamming_topk",
     "ann_range_search",
+    "emb_mrl_recall",
     "pipe_blocklist_filter",
     "text_bigram_lm",
     "text_bm25",
+    "text_perplexity",
     "ts_mad_anomaly",
+    "ts_percentile_profile",
     "a18_approx_percentile",
     "ann_cosine_topk",
     "ann_ivf_topk",

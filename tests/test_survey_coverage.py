@@ -196,6 +196,12 @@ SURVEY_MAP = {
     "ANN-RANGE": "ann_range_search",
     "TS-MAD": "ts_mad_anomaly",
     "A23": "a23_heavy_hitters",
+    # round-6 batch 2: CMS sketch-vs-exact, Matryoshka prefix recall,
+    # unigram-LM perplexity gate, hour-of-day percentile bands
+    "A24": "a24_cms_heavy",
+    "ANN-MRL": "emb_mrl_recall",
+    "TXT-PPL": "text_perplexity",
+    "TS-PCTL": "ts_percentile_profile",
     # ingest extensions (JSONL / ORC / compaction round-trips)
     "ING-JSONL": "s6_jsonl_scan",
     "ING-ORC": "s7_orc_roundtrip",
