@@ -68,6 +68,10 @@ HEADLINE = [
     # per-order EXISTS/NOT-EXISTS collapse.
     "q9_product_profit",
     "q21_suppliers_waiting",
+    # Round-6 batch-2 representatives: the corpus-scan-heavy LM
+    # quality gate and the CMS sketch build + point-query pass.
+    "text_perplexity",
+    "a24_cms_heavy",
 ]
 
 

@@ -608,15 +608,23 @@ def bm25_rank(
     the df/N/Σdl stats collapse to a ≤|terms|-row and a 1-row frame,
     both broadcast; the final cut is orderBy+limit —
     TakeOrderedAndProject, each task ships ≤ N rows, no global sort.
+    The lengths frame is CACHED (evicting): both the tf explode and
+    the corpus-stats agg read it, and uncached Catalyst re-tokenizes
+    the corpus once per branch.
     """
+    from covid_engineering_spark.functions import evicting_cache
+
     ws = F.split(F.col("text"), " ")
     term_arr = F.array(*[F.lit(t) for t in terms])
-    lengths = docs.select(
-        "doc_id",
-        F.size(ws).alias("dl"),
-        F.filter(ws, lambda w: F.array_contains(term_arr, w)).alias(
-            "hits"
+    lengths = evicting_cache(
+        docs.select(
+            "doc_id",
+            F.size(ws).alias("dl"),
+            F.filter(ws, lambda w: F.array_contains(term_arr, w)).alias(
+                "hits"
+            ),
         ),
+        "bm25_lengths",
     )
     tf = (
         lengths.select("doc_id", "dl", F.explode("hits").alias("term"))

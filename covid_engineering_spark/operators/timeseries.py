@@ -939,16 +939,25 @@ def mad_anomaly(ev: DataFrame, every: str = EVERY) -> DataFrame:
     Scale shape: raw events partial-aggregate to (type, bucket) rows
     first; the two exact-median aggs then run at bucket cardinality
     partitioned by type, and the |types|-row median frames broadcast
-    back. Exact ``percentile`` needs each group's values in one
+    back. The bucketed frame is CACHED (evicting, the curate/shingle
+    discipline): THREE plan branches read it (the median agg, the
+    deviation join side, and through it the MAD agg + final join) and
+    Catalyst clones shared subtrees — uncached, the raw scan ran four
+    times. Exact ``percentile`` needs each group's values in one
     buffer — bounded here by buckets-per-type (time span, never raw
     rows); over raw-event groups at 100 TB swap in
     ``approx_percentile`` (t-digest, mergeable) with THIS query as the
     accuracy oracle (the a11/a18 pattern).
     """
+    from covid_engineering_spark.functions import evicting_cache
+
     cents = _cents()
-    bucketed = ev.groupBy(
-        F.date_trunc(every, "ts").alias("bucket"), "event_type"
-    ).agg(F.sum(cents).alias("x_cents"))
+    bucketed = evicting_cache(
+        ev.groupBy(
+            F.date_trunc(every, "ts").alias("bucket"), "event_type"
+        ).agg(F.sum(cents).alias("x_cents")),
+        "mad_bucketed",
+    )
     med = bucketed.groupBy("event_type").agg(
         (F.expr("2 * percentile(x_cents, 0.5)"))
         .cast("long")
@@ -1014,6 +1023,63 @@ def q_ts_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return percentile_profile(read_table(spark, sf_dir, "events"))
 
 
+def downtime_gaps(ev: DataFrame, every: str = EVERY) -> DataFrame:
+    """Feed-freshness monitor: contiguous runs of MISSING buckets per
+    event type — each type's calendar spine (min..max observed bucket,
+    hourly) anti-joined against the observed buckets, then adjacent
+    missing hours collapsed to (gap_start, gap_end, n_hours) intervals
+    via gaps-and-islands (run id = hour index − row_number: constant
+    exactly along a consecutive missing run). The "did the pipeline
+    stop emitting" report every ingestion SLA dashboard runs — the
+    reporting complement to ``ts_gapfill``, which FILLS these holes.
+
+    A fully dense feed returns zero rows (the healthy answer, and the
+    sf0.1 fixture's — sf0.001/sf0.01 have real gaps).
+
+    Scale shape: observed buckets collapse to bucket×type cardinality
+    at the first agg; the spine is sequence+explode per type (bounded
+    by the time span, no driver loop); the anti-join and the one
+    ranking window both run at spine cardinality partitioned by type.
+    """
+    observed = ev.groupBy(
+        "event_type", F.date_trunc(every, "ts").alias("bucket")
+    ).agg(F.count("*").alias("_n"))
+    span = observed.groupBy("event_type").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    spine = span.select(
+        "event_type",
+        F.explode(
+            F.expr("sequence(lo, hi, interval 1 hour)")
+        ).alias("bucket"),
+    )
+    missing = spine.join(
+        observed, ["event_type", "bucket"], "left_anti"
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    # Hour index via timestampdiff from a fixed origin (tz-free: the
+    # buckets are exact hours, so both engines count identical whole
+    # hours) minus the row number: constant along a consecutive run.
+    hour_idx = F.expr(
+        "timestampdiff(HOUR, timestamp'2000-01-01 00:00:00', bucket)"
+    )
+    run = hour_idx - F.row_number().over(w)
+    return (
+        missing.withColumn("run", run)
+        .groupBy("event_type", "run")
+        .agg(
+            F.min("bucket").alias("gap_start"),
+            F.max("bucket").alias("gap_end"),
+            F.count("*").alias("n_hours"),
+        )
+        .select("event_type", "gap_start", "gap_end", "n_hours")
+    )
+
+
+def q_ts_downtime_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return downtime_gaps(read_table(spark, sf_dir, "events"))
+
+
 QUERIES = {
     "ts_resample": q_ts_resample,
     "ts_rollup_incremental": q_ts_rollup_incremental,
@@ -1033,9 +1099,44 @@ QUERIES = {
     "ts_autocorr": q_ts_autocorr,
     "ts_mad_anomaly": q_ts_mad_anomaly,
     "ts_percentile_profile": q_ts_percentile_profile,
+    "ts_downtime_detect": q_ts_downtime_detect,
 }
 
 ORACLES = {
+    "ts_downtime_detect": """
+        WITH observed AS (
+            SELECT event_type, date_trunc('hour', ts) AS bucket
+            FROM events GROUP BY 1, 2
+        ),
+        span AS (
+            SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+            FROM observed GROUP BY event_type
+        ),
+        spine AS (
+            SELECT event_type,
+                   unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                       AS bucket
+            FROM span
+        ),
+        missing AS (
+            SELECT s.event_type, s.bucket FROM spine s
+            ANTI JOIN observed o
+              ON s.event_type = o.event_type AND s.bucket = o.bucket
+        ),
+        runs AS (
+            SELECT event_type, bucket,
+                   datediff('hour',
+                            TIMESTAMP '2000-01-01 00:00:00', bucket)
+                   - ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY bucket) AS run
+            FROM missing
+        )
+        SELECT event_type,
+               MIN(bucket) AS gap_start,
+               MAX(bucket) AS gap_end,
+               COUNT(*) AS n_hours
+        FROM runs GROUP BY event_type, run
+    """,
     "ts_percentile_profile": f"""
         WITH b AS (
             SELECT date_trunc('hour', ts) AS bucket, event_type,

@@ -119,11 +119,76 @@ def stream_attributed_clicks(
     )
 
 
+def segment_rollup(ev: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static enrichment rollup: the event fact joined to the
+    static ``customer`` dimension on the user key, aggregated to
+    (market segment, event type) — counts plus exact integer-cent
+    sums. The standard streaming enrichment topology: the dimension is
+    broadcast (re-read per micro-batch in the incremental flavor, the
+    Structured Streaming stream-static contract — a dim update is
+    picked up at the next batch without restarting the query).
+
+    Scale shape: the fact side never shuffles for the join (broadcast
+    hash join); the one shuffle is the (segment × type ≤ 5×5)-key
+    aggregation, partial-aggregated map-side.
+    """
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        ev.join(F.broadcast(dim), "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents).alias("sum_cents"),
+        )
+    )
+
+
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return segment_rollup(
+        read_table(spark, sf_dir, "events"),
+        read_table(spark, sf_dir, "customer"),
+    )
+
+
+def stream_segment_rollup(
+    spark: SparkSession,
+    source_dir: str,
+    customer: DataFrame,
+    reader_options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Incremental flavor of :func:`segment_rollup`: a streaming
+    event reader joined to the STATIC customer frame (no watermark
+    needed — stream-static joins carry no cross-stream state; the
+    dimension is re-evaluated per micro-batch) and rolled up in
+    complete mode. Asserted equal to the batch face in tests.
+    """
+    reader = spark.readStream.schema(schemas.STAR["events"])
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)
+    ev = reader.parquet(source_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return segment_rollup(ev, customer)
+
+
 QUERIES = {
     "stream_interval_join": q_stream_interval_join,
+    "stream_static_enrich": q_stream_static_enrich,
 }
 
 ORACLES = {
+    "stream_static_enrich": """
+        SELECT c.c_mktsegment, e.event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(floor(e.value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_cents
+        FROM events e
+        JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1, 2
+    """,
     "stream_interval_join": """
         SELECT v.user_id,
                v.event_id AS view_id,

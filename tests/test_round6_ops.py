@@ -698,3 +698,28 @@ def test_percentile_profile_cells_bounded_and_ordered(spark):
     for r in rows:
         assert 0 <= r.hour <= 23
         assert r.p50 <= r.p90
+
+
+def test_downtime_gaps_rebuilds_known_holes(spark):
+    """Hand-built feed: type 'a' emits hours 0,1,2,5,6,9 -> gaps
+    [3..4] (2h) and [7..8] (2h); type 'b' is dense -> zero rows."""
+    import datetime as dt
+
+    from covid_engineering_spark.operators.timeseries import (
+        downtime_gaps,
+    )
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    for h in (0, 1, 2, 5, 6, 9):
+        rows.append((t0 + dt.timedelta(hours=h), "a", 1.0))
+    for h in range(4):
+        rows.append((t0 + dt.timedelta(hours=h), "b", 1.0))
+    ev = spark.createDataFrame(
+        rows, "ts timestamp, event_type string, value double"
+    )
+    got = {
+        (r.event_type, r.gap_start.hour, r.gap_end.hour, r.n_hours)
+        for r in downtime_gaps(ev).collect()
+    }
+    assert got == {("a", 3, 4, 2), ("a", 7, 8, 2)}

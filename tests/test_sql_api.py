@@ -71,6 +71,7 @@ DUCKDB_ONLY = {
     "text_bigram_lm",
     "text_bm25",
     "text_perplexity",
+    "ts_downtime_detect",
     "ts_mad_anomaly",
     "ts_percentile_profile",
     "a18_approx_percentile",

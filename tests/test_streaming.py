@@ -351,3 +351,38 @@ def test_interval_join_state_is_watermark_bounded(spark, tmp_path):
     # 6 events ingested in total; bounded state must have evicted the
     # day-1 rows once the watermark passed them
     assert n_state < 6, f"state not evicted: {n_state} rows"
+
+
+def test_segment_rollup_streaming_equals_batch(spark, source_dir):
+    """The registered stream-static enrichment (segment_rollup batch
+    face) must equal its incremental flavor over the chunked landing
+    zone — the dimension is re-read per micro-batch, the rollup runs
+    in complete mode."""
+    from covid_engineering_spark.streaming.joins import (
+        segment_rollup,
+        stream_segment_rollup,
+    )
+
+    customer = read_table(spark, SF_SMOKE, "customer")
+    q = (
+        stream_segment_rollup(spark, source_dir, customer)
+        .writeStream.format("memory")
+        .queryName("segment_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.c_mktsegment, r.event_type): (r.n_events, r.sum_cents)
+        for r in spark.sql("SELECT * FROM segment_stream").collect()
+    }
+    ev = spark.read.parquet(source_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    want = {
+        (r.c_mktsegment, r.event_type): (r.n_events, r.sum_cents)
+        for r in segment_rollup(ev, customer).collect()
+    }
+    assert got == want
+    assert len(got) > 0

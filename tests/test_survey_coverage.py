@@ -202,6 +202,9 @@ SURVEY_MAP = {
     "ANN-MRL": "emb_mrl_recall",
     "TXT-PPL": "text_perplexity",
     "TS-PCTL": "ts_percentile_profile",
+    # round-6 overflow queue (window full; first in line for r07)
+    "STR-STATIC": "stream_static_enrich",
+    "TS-GAPS": "ts_downtime_detect",
     # ingest extensions (JSONL / ORC / compaction round-trips)
     "ING-JSONL": "s6_jsonl_scan",
     "ING-ORC": "s7_orc_roundtrip",
