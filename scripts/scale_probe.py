@@ -575,6 +575,32 @@ def main() -> None:
             "overwrite"
         ).format("noop").save()
 
+    def downtime(sf_dir):
+        # spine cardinality is bounded by the time span (constant
+        # under the blowup); only the observed-bucket pre-agg scan
+        # scales
+        from covid_engineering_spark.operators.timeseries import (
+            downtime_gaps,
+        )
+        from covid_engineering_spark.sources import read_table
+
+        downtime_gaps(read_table(spark, sf_dir, "events")).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+    def staticenrich(sf_dir):
+        # broadcast dim join (fact never shuffles for it) + one
+        # (segment x type)-key agg — must track the fact scan
+        from covid_engineering_spark.sources import read_table
+        from covid_engineering_spark.streaming.joins import (
+            segment_rollup,
+        )
+
+        segment_rollup(
+            read_table(spark, sf_dir, "events"),
+            read_table(spark, sf_dir, "customer"),
+        ).write.mode("overwrite").format("noop").save()
+
     out: dict = {"metric": "scale_probe", "x": REPLICAS, "base": BASE}
     seen_names: set = set()
     for name, fn in (
@@ -606,6 +632,8 @@ def main() -> None:
         ("ts_percentile_profile", pctl),
         ("a24_cms_heavy", cms),
         ("emb_mrl_recall", mrl),
+        ("ts_downtime_detect", downtime),
+        ("stream_static_enrich", staticenrich),
     ):
         if ONLY and name not in ONLY:
             continue
