@@ -1912,7 +1912,9 @@ def q_a23_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sketched path approximates — at streaming 100 TB swap in
     Misra-Gries/SpaceSaving per partition and merge summaries, with
     THIS query as its accuracy oracle (the a14/a18 sketch-vs-exact
-    pattern).
+    pattern). Overflow headroom: cnt·n_users·HH_DEN stays in BIGINT
+    while cnt × users < ~4.6e18; past that promote the product to
+    DECIMAL(38,0) (the a21 convention), comparison unchanged.
     """
     ev = read_table(spark, sf_dir, "events")
     counts = ev.groupBy("event_type", "user_id").agg(
