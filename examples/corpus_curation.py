@@ -138,6 +138,21 @@ def main(
         f"best doc {hits[0]['doc_id']} at {hits[0]['bm25_micros']} micros"
     )
 
+    # 10. LM-quality gate: per-doc cross-entropy under the corpus
+    # unigram model — the CCNet-style perplexity bucketing signal
+    from covid_engineering_spark.operators.text import perplexity
+
+    ppl = perplexity(read_table(spark, sf_dir, "documents"))
+    stats = ppl.agg(
+        F.min("mean_nll_micros").alias("lo"),
+        F.expr("percentile(mean_nll_micros, 0.5)").alias("med"),
+        F.max("mean_nll_micros").alias("hi"),
+    ).first()
+    print(
+        f"perplexity gate: mean-NLL micros min/med/max = "
+        f"{stats['lo']}/{int(stats['med'])}/{stats['hi']}"
+    )
+
 
 if __name__ == "__main__":
     main(*sys.argv[1:3])

@@ -126,6 +126,31 @@ def main(
     n_gaps = gaps.count()
     worst = gaps.orderBy(F.desc("n_hours")).first()
 
+    # 5c. who drives the load: exact per-type heavy hitters, the CMS
+    # sketch estimate judged against them, and the hour-of-day SLO
+    # bands a static alert threshold is replaced with
+    from covid_engineering_spark.operators.relational import (
+        q_a23_heavy_hitters,
+        q_a24_cms_heavy,
+    )
+    from covid_engineering_spark.operators.timeseries import (
+        percentile_profile,
+    )
+
+    hh = q_a23_heavy_hitters(spark, sf_dir).count()
+    cms = q_a24_cms_heavy(spark, sf_dir)
+    over = cms.agg(
+        F.count("*").alias("n"), F.sum("overcount").alias("oc")
+    ).first()
+    bands = percentile_profile(ev).count()
+
+    # 5d. stream-static enrichment: the event fact rolled up by the
+    # customer dimension's market segment (broadcast dim join)
+    from covid_engineering_spark.sources import read_table as _rt
+    from covid_engineering_spark.streaming.joins import segment_rollup
+
+    seg = segment_rollup(ev, _rt(spark, sf_dir, "customer")).count()
+
     # 5b. SCD2 version history of each (user, event-type) state stream:
     # every version with its validity interval; the current rows are
     # exactly what the cdc_upsert compaction would keep
@@ -175,6 +200,12 @@ def main(
             else " (feed dense)"
         )
     )
+    print(
+        f"heavy hitters     : {hh} exact; cms est over {over['n']} "
+        f"candidates, total overcount {over['oc']}"
+    )
+    print(f"SLO band cells    : {bands} (type x hour p50/p90)")
+    print(f"segment rollup    : {seg} (mktsegment x type) cells")
     print(
         "lag-1 autocorr    : "
         + ", ".join(f"{t}={r:.3f}" for t, r in sorted(ac.items()))

@@ -173,6 +173,16 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         f"across {n_covered} of 8 queries"
     )
 
+    # 12. Matryoshka truncation: how much recall a 16-of-64-dim
+    # prefix scan (4x cheaper) costs vs full-width ground truth
+    from covid_engineering_spark.operators.similarity import (
+        MRL_DIM,
+        mrl_recall,
+    )
+
+    mrl = mrl_recall(emb).agg(F.avg("recall_at_k").alias("r")).first()["r"]
+    print(f"mrl prefix recall @ {MRL_DIM}/64 dims: {mrl:.3f}")
+
     docs = read_table(spark, sf_dir, "documents")
     stats = lsh_bucket_stats(docs, portable=True).head()
     print(
