@@ -562,6 +562,19 @@ def main() -> None:
             "noop"
         ).save()
 
+    def hamming(sf_dir):
+        # 16 bytes per corpus vector against 8 broadcast query codes:
+        # the cheapest brute-force scan in the engine — must be
+        # flat-linear however deep the corpus goes
+        from covid_engineering_spark.operators.similarity import (
+            hamming_topk,
+        )
+        from covid_engineering_spark.sources import read_table
+
+        hamming_topk(read_table(spark, sf_dir, "embeddings")).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
     def mrl(sf_dir):
         # two brute-force passes (full-dim + 16-dim prefix) against a
         # fixed query set: linear in corpus vectors, prefix side ~4x
@@ -634,6 +647,7 @@ def main() -> None:
         ("emb_mrl_recall", mrl),
         ("ts_downtime_detect", downtime),
         ("stream_static_enrich", staticenrich),
+        ("ann_hamming_topk", hamming),
     ):
         if ONLY and name not in ONLY:
             continue
