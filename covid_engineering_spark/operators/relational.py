@@ -1916,7 +1916,12 @@ def q_a23_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     while cnt × users < ~4.6e18; past that promote the product to
     DECIMAL(38,0) (the a21 convention), comparison unchanged.
     """
-    ev = read_table(spark, sf_dir, "events")
+    return _heavy_hitters(read_table(spark, sf_dir, "events"))
+
+
+def _heavy_hitters(ev: DataFrame) -> DataFrame:
+    """The exact heavy-hitter frame (shared by a23 and the a24 CMS
+    point-query pass)."""
     counts = ev.groupBy("event_type", "user_id").agg(
         F.count("*").alias("cnt")
     )
@@ -1943,6 +1948,28 @@ CMS_D = 3
 CMS_W = 64
 
 
+def _cms_bucket_rows() -> F.Column:
+    """The per-row (d, bucket) CMS coordinates as an explodable array
+    over the (event_type, user_id) key — shared by the sketch build
+    and the point-query probes so the two sides can never hash apart."""
+    from covid_engineering_spark.operators.dedup import portable_hash64
+
+    key = F.concat(
+        F.col("event_type"), F.lit(":"), F.col("user_id").cast("string")
+    )
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(portable_hash64(key, d), F.lit(CMS_W)).alias(
+                    "bucket"
+                ),
+            )
+            for d in range(CMS_D)
+        ]
+    )
+
+
 def q_a24_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A24 — Count-Min Sketch frequency estimation, judged against
     the exact heavy hitters (the a14/a18 sketch-vs-exact pattern):
@@ -1964,60 +1991,16 @@ def q_a24_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the a23 exact pass; the point-query join touches CMS_D
     sketch rows per candidate against a broadcast sketch frame.
     """
-    from covid_engineering_spark.operators.dedup import portable_hash64
-
     ev = read_table(spark, sf_dir, "events")
-    key = F.concat(
-        F.col("event_type"), F.lit(":"), F.col("user_id").cast("string")
-    )
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(d).alias("d"),
-                F.pmod(portable_hash64(key, d), F.lit(CMS_W)).alias(
-                    "bucket"
-                ),
-            )
-            for d in range(CMS_D)
-        ]
-    )
+    rows = _cms_bucket_rows()
     sketch = (
         ev.select("event_type", F.explode(rows).alias("r"))
         .groupBy("event_type", "r.d", "r.bucket")
         .agg(F.count("*").alias("counter"))
     )
-    counts = ev.groupBy("event_type", "user_id").agg(
-        F.count("*").alias("cnt")
-    )
-    totals = counts.groupBy("event_type").agg(
-        F.sum("cnt").alias("total"),
-        F.count("*").alias("n_users"),
-    )
-    heavy = (
-        counts.join(F.broadcast(totals), "event_type")
-        .filter(
-            F.col("cnt") * F.col("n_users") * HH_DEN
-            > F.col("total") * HH_NUM
-        )
-        .select("event_type", "user_id", "cnt")
-    )
-    ckey = F.concat(
-        F.col("event_type"), F.lit(":"), F.col("user_id").cast("string")
-    )
+    heavy = _heavy_hitters(ev).select("event_type", "user_id", "cnt")
     probes = heavy.select(
-        "event_type", "user_id", "cnt", F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("d"),
-                        F.pmod(
-                            portable_hash64(ckey, d), F.lit(CMS_W)
-                        ).alias("bucket"),
-                    )
-                    for d in range(CMS_D)
-                ]
-            )
-        ).alias("r"),
+        "event_type", "user_id", "cnt", F.explode(rows).alias("r")
     ).select("event_type", "user_id", "cnt", "r.d", "r.bucket")
     est = (
         probes.join(F.broadcast(sketch), ["event_type", "d", "bucket"])
