@@ -173,7 +173,30 @@ def main() -> None:
             f"{runs} timed runs per query, noop sink; failures excluded from total"
         ),
     }
-    print(json.dumps(out))
+    # The driver keeps only the TAIL of bench stdout, so the artifact
+    # contract is: full record (with per-query spread + preflight) goes
+    # to BENCH_LOCAL.json next to this script, and the LAST stdout line
+    # is the compact headline (total + per-query medians only, ~1 KB) —
+    # the number can no longer be truncated away (VERDICT r06 #2/#4).
+    try:
+        local_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+        )
+        with open(local_path, "w") as f:
+            json.dump(out, f, indent=1)
+            f.write("\n")
+    except OSError as exc:  # pragma: no cover - diagnostic only
+        print(f"bench: BENCH_LOCAL.json write failed: {exc}", file=sys.stderr)
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "queries": timings,
+        "failed": failed,
+        "runs": runs,
+        "sf": sf,
+    }
+    print(json.dumps(compact))
     spark.stop()
 
 

@@ -1739,22 +1739,102 @@ def q_q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def global_ntile(
+    df: DataFrame, sort_exprs: list, n_buckets: int, out_col: str
+) -> DataFrame:
+    """Exact global NTILE(k) with NO single-partition sort — the scale
+    path for quantile segmentation over frames too large to funnel
+    through ``Window.orderBy()`` (one task sorting everything).
+
+    Plan shape, all fully parallel:
+
+    1. ``repartitionByRange`` on the sort expressions — each output
+       partition holds a contiguous key range (sampled boundaries;
+       boundary placement affects only WHERE a row sorts, never its
+       global rank, so sampling nondeterminism cannot reach the
+       output).
+    2. Per-partition ``row_number`` — the window exchange is
+       hash(partition id), so P tasks each sort N/P rows.
+    3. Global rank = local rank + prefix-sum of per-partition row
+       counts. The counts frame is ≤P rows (P = shuffle partitions,
+       NOT data size): the only ``Window.orderBy`` without
+       ``partitionBy`` in the plan runs over THAT, and it joins back
+       as a broadcast.
+    4. Bucket from (rank, n) with NTILE's exact arithmetic — the
+       first n%k buckets take ceil(n/k) rows, the rest floor(n/k) —
+       in pure BIGINT ops, bit-identical to ``F.ntile(k)`` and to
+       DuckDB's NTILE (pinned by
+       tests/test_relational.py::test_global_ntile_matches_window_ntile).
+
+    ``sort_exprs`` must be a TOTAL order (unique tiebreak column last):
+    row_number inside a range partition is only deterministic under a
+    total order, exactly as with the window form.
+    """
+    part = df.repartitionByRange(*sort_exprs).withColumn(
+        "_gnt_pid", F.spark_partition_id()
+    )
+    counts = part.groupBy("_gnt_pid").agg(F.count("*").alias("_gnt_cnt"))
+    w_off = Window.orderBy("_gnt_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_tot = Window.orderBy("_gnt_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        "_gnt_pid",
+        F.coalesce(F.sum("_gnt_cnt").over(w_off), F.lit(0)).alias(
+            "_gnt_off"
+        ),
+        F.sum("_gnt_cnt").over(w_tot).alias("_gnt_n"),
+    )
+    w_local = Window.partitionBy("_gnt_pid").orderBy(*sort_exprs)
+    ranked = (
+        part.withColumn(
+            "_gnt_lr", F.row_number().over(w_local).cast("long")
+        )
+        .join(F.broadcast(offsets), "_gnt_pid")
+        .withColumn("_gnt_r", F.col("_gnt_off") + F.col("_gnt_lr"))
+    )
+    k = int(n_buckets)
+    # Exact BIGINT arithmetic throughout (integral DIV, no doubles):
+    # base = floor(n/k), rem = n%k; the first rem buckets hold base+1
+    # rows. When n < k every rank satisfies r <= rem*(base+1) = n, so
+    # the divide-by-base branch is unreachable; GREATEST(base, 1)
+    # keeps the expression total anyway.
+    bucket = F.expr(
+        f"""CASE WHEN _gnt_r <= (_gnt_n % {k}) * (_gnt_n DIV {k} + 1)
+             THEN (_gnt_r - 1) DIV (_gnt_n DIV {k} + 1)
+             ELSE _gnt_n % {k}
+                  + (_gnt_r - (_gnt_n % {k}) * (_gnt_n DIV {k} + 1) - 1)
+                    DIV GREATEST(_gnt_n DIV {k}, 1)
+             END + 1"""
+    )
+    return ranked.withColumn(out_col, bucket.cast("int")).drop(
+        "_gnt_pid", "_gnt_lr", "_gnt_off", "_gnt_n", "_gnt_r"
+    )
+
+
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation — the classic marketing-analytics
     rollup (recency / frequency / monetary quintiles): one orders
-    aggregate per customer, then three NTILE(5) windows with full
-    deterministic ordering (metric, then custkey — ntile is a
-    row-position function, so the tiebreak IS the determinism
-    contract). Monetary rides exact cents; recency counts days to a
-    fixed anchor date (no "now()" — the query must be replayable).
+    aggregate per customer, then three exact global quintile
+    assignments with full deterministic ordering (metric, then
+    custkey — ntile is a row-position function, so the tiebreak IS
+    the determinism contract). Monetary rides exact cents; recency
+    counts days to a fixed anchor date (no "now()" — the query must
+    be replayable).
 
     Scale shape: the orders scan collapses to |customers| rows in one
-    partial-aggregated shuffle; the three global ntile windows then
-    sort that frame (a single-partition sort of the SMALL aggregate,
-    same regime as o1_sort_limit). At 100 TB |customers| is still
-    window-able (~10⁸ rows); past that the quintile cut-points come
-    from approx_percentile and the scores become a map-side join —
-    same output contract.
+    partial-aggregated shuffle; each quintile is then assigned by
+    ``global_ntile`` — range-repartition + per-partition row_number +
+    broadcast prefix-sum offsets — so NO stage sorts the full frame
+    in one task (the r06 registered form's three
+    ``Window.orderBy``-without-``partitionBy`` windows died at ~10¹⁰
+    customers; this plan's parallelism grows with the data). The
+    output is bit-identical to the NTILE(5) window form — the window
+    form stays as this query's exactness oracle (DuckDB NTILE in the
+    driver, ``F.ntile`` in
+    tests/test_relational.py::test_rfm_matches_window_ntile_form).
     """
     orders = read_table(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
@@ -1769,14 +1849,17 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # legal input); Spark's ASC default is NULLS FIRST while DuckDB's
     # is NULLS LAST, so the tiebreak pins NULLS LAST on both sides.
     key = F.asc_nulls_last("o_custkey")
-    w_r = Window.orderBy(F.asc("recency_days"), key)
-    w_f = Window.orderBy(F.desc("n_orders"), key)
-    w_m = Window.orderBy(F.desc("monetary_cents"), key)
+    scored = global_ntile(
+        per_cust, [F.asc("recency_days"), key], 5, "r_score"
+    )
+    scored = global_ntile(
+        scored, [F.desc("n_orders"), key], 5, "f_score"
+    )
+    scored = global_ntile(
+        scored, [F.desc("monetary_cents"), key], 5, "m_score"
+    )
     return (
-        per_cust.withColumn("r_score", F.ntile(5).over(w_r))
-        .withColumn("f_score", F.ntile(5).over(w_f))
-        .withColumn("m_score", F.ntile(5).over(w_m))
-        .select(
+        scored.select(
             F.col("o_custkey").alias("c_custkey"),
             "recency_days",
             "n_orders",
@@ -1800,6 +1883,16 @@ def q_w9_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-broken (price, then key). All three ride ONE window exchange;
     the rank fractions are single divisions of the same integers in
     both engines, so the doubles agree bit-for-bit.
+
+    Scale caveat (this is the ranking-family CAPABILITY demo, not a
+    scale pattern): ``o_orderpriority`` has 5 values, so each window
+    partition holds N/5 of the table — one task sorts it, the same
+    regime as a global sort divided by five. At 100 TB a ranking
+    window needs either a HIGH-cardinality partition key (so each
+    partition fits a task) or, for global/low-cardinality quantile
+    assignment, the ``global_ntile`` plan ``rfm_segments`` registers:
+    range-repartition + per-partition row_number + broadcast
+    prefix-sum offsets — no single-task sort at any cardinality.
     """
     orders = read_table(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
