@@ -794,6 +794,59 @@ def q_pipe_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocklist_filter(read_table(spark, sf_dir, "documents"))
 
 
+#: Minimum quasi-identifier group size for release (Sweeney 2002,
+#: "k-Anonymity: a model for protecting privacy"). 5 is the classic
+#: census-style floor; the fixture corpus's (lang, source) tail makes
+#: the gate non-degenerate (both suppressed and released rows exist).
+K_ANON = 5
+
+
+def k_anonymize(docs: DataFrame, k: int = K_ANON) -> DataFrame:
+    """k-anonymity release gate over the corpus metadata — before a
+    dataset (or its datasheet) ships with per-document provenance
+    columns, any quasi-identifier combination shared by fewer than
+    ``k`` documents is suppressed (masked to ``'*'``), so no released
+    row is metadata-unique below the k floor. Quasi-identifiers here
+    are ``(lang, source)`` — the columns a release would carry;
+    ``text`` content is PII-scrubbed separately (``pipe_pii``), this
+    gate is about the JOINABLE attributes.
+
+    Emits every document with its group size, the released (possibly
+    masked) attributes, and the verdict — the downstream release is a
+    trivial projection and the suppressed mass is auditable per
+    source.
+
+    Scale shape: one partial-aggregated shuffle collapses the corpus
+    to |distinct quasi tuples| rows (~10²–10⁴ for metadata columns),
+    which broadcast back onto the scan — the gate itself is map-side.
+    A high-cardinality quasi set (e.g. user ids) would flip the join
+    to shuffle-hash; with AQE on, that flip is automatic, same
+    output.
+    """
+    groups = docs.groupBy("lang", "source").agg(
+        F.count("*").alias("qi_group_n")
+    )
+    ok = F.col("qi_group_n") >= k
+    return (
+        docs.join(F.broadcast(groups), ["lang", "source"])
+        .select(
+            "doc_id",
+            F.col("qi_group_n"),
+            ok.alias("released"),
+            F.when(ok, F.col("lang")).otherwise(F.lit("*")).alias(
+                "release_lang"
+            ),
+            F.when(ok, F.col("source")).otherwise(F.lit("*")).alias(
+                "release_source"
+            ),
+        )
+    )
+
+
+def q_pipe_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return k_anonymize(read_table(spark, sf_dir, "documents"))
+
+
 def curate_corpus(docs: DataFrame) -> DataFrame:
     """The flagship end-to-end curation composite — the full sequence
     a pretraining corpus actually runs, as ONE lazy plan:
@@ -1161,6 +1214,7 @@ QUERIES = {
     "pipe_dup_rate": q_pipe_dup_rate,
     "pipe_source_gate": q_pipe_source_gate,
     "pipe_blocklist_filter": q_pipe_blocklist_filter,
+    "pipe_k_anonymity": q_pipe_k_anonymity,
     "pipe_stratified_sample": q_pipe_stratified_sample,
     "pipe_curate_corpus": q_pipe_curate_corpus,
     "pipe_snapshot_diff": q_pipe_snapshot_diff,
@@ -1526,6 +1580,20 @@ ORACLES = {
                    > CAST(len(string_split(text, ' ')) AS BIGINT)
                    AS blocked
         FROM documents
+    """,
+    "pipe_k_anonymity": f"""
+        WITH groups AS (
+            SELECT lang, source, COUNT(*) AS qi_group_n
+            FROM documents GROUP BY lang, source
+        )
+        SELECT d.doc_id, g.qi_group_n,
+               g.qi_group_n >= {K_ANON} AS released,
+               CASE WHEN g.qi_group_n >= {K_ANON} THEN d.lang
+                    ELSE '*' END AS release_lang,
+               CASE WHEN g.qi_group_n >= {K_ANON} THEN d.source
+                    ELSE '*' END AS release_source
+        FROM documents d
+        JOIN groups g ON d.lang = g.lang AND d.source = g.source
     """,
     "pipe_source_gate": f"""
         WITH hashed AS (

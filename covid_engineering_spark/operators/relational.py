@@ -1814,6 +1814,23 @@ def global_ntile(
     )
 
 
+def _rfm_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RFM per-customer aggregate (one partial-aggregated shuffle
+    collapsing orders to |customers| rows) — shared by the exact
+    segmentation (``rfm_segments``) and the one-pass cut-point audit
+    (``a25_quantile_cuts``)."""
+    orders = read_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2002-01-01").cast("date"),
+            F.max(F.col("o_orderdate").cast("date")),
+        ).alias("recency_days"),
+        F.count("*").alias("n_orders"),
+        F.sum(cents).alias("monetary_cents"),
+    )
+
+
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation — the classic marketing-analytics
     rollup (recency / frequency / monetary quintiles): one orders
@@ -1836,15 +1853,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver, ``F.ntile`` in
     tests/test_relational.py::test_rfm_matches_window_ntile_form).
     """
-    orders = read_table(spark, sf_dir, "orders")
-    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
-    per_cust = orders.groupBy("o_custkey").agg(
-        F.datediff(
-            F.lit("2002-01-01").cast("date"), F.max(F.col("o_orderdate").cast("date"))
-        ).alias("recency_days"),
-        F.count("*").alias("n_orders"),
-        F.sum(cents).alias("monetary_cents"),
-    )
+    per_cust = _rfm_per_customer(spark, sf_dir)
     # A NULL custkey group survives the aggregate (NULL FK rows are
     # legal input); Spark's ASC default is NULLS FIRST while DuckDB's
     # is NULLS LAST, so the tiebreak pins NULLS LAST on both sides.
@@ -1872,6 +1881,61 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.col("f_score") * 10
                 + F.col("m_score")
             ).alias("rfm_segment"),
+        )
+    )
+
+
+def q_a25_quantile_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A25 (extension) — ONE-PASS quantile cut-points for the RFM
+    metrics via ``approx_percentile``, audited a14/a18-style: the
+    mergeable sketch is the cheapest segmentation path at extreme
+    scale (a single partial-aggregated pass, no rank machinery at
+    all — cf. ``global_ntile``'s two extra exchanges), at the price
+    of rank error ≤ n/accuracy. The emitted cut is the EXACT quintile
+    boundary (hash-matched by the DuckDB ``quantile_cont`` twin); the
+    flag pins the sketch value inside the exact ±1%-RANK band — the
+    sketch's actual guarantee (a value-relative bound would flag
+    false on dense integer metrics where adjacent ranks sit >1%
+    apart). accuracy=10000 ⇒ rank error ≤ 0.01% ≪ the 1% band, so
+    the flag is deterministically TRUE and a silently degraded
+    sketch fails the driver hash.
+
+    The two registered quantile-segmentation forms are each other's
+    cross-check: ``rfm_segments`` (exact row-position quintiles, two
+    extra exchanges) and this (value-boundary quintiles, one pass).
+    """
+    per_cust = _rfm_per_customer(spark, sf_dir)
+    m = per_cust.select(
+        F.expr(
+            "stack(3,"
+            " 'frequency', CAST(n_orders AS DOUBLE),"
+            " 'monetary',  CAST(monetary_cents AS DOUBLE),"
+            " 'recency',   CAST(recency_days AS DOUBLE)"
+            ") AS (metric, value)"
+        )
+    )
+    ps = [0.2, 0.4, 0.6, 0.8]
+    lo = [p - 0.01 for p in ps]
+    hi = [p + 0.01 for p in ps]
+    arr = lambda xs: "array(" + ",".join(map(str, xs)) + ")"  # noqa: E731
+    agg = m.groupBy("metric").agg(
+        F.expr(f"percentile(value, {arr(ps)})").alias("_e"),
+        F.expr(f"percentile(value, {arr(lo)})").alias("_lo"),
+        F.expr(f"percentile(value, {arr(hi)})").alias("_hi"),
+        F.expr(f"approx_percentile(value, {arr(ps)}, 10000)").alias("_a"),
+    )
+    z = F.posexplode(F.arrays_zip("_e", "_lo", "_hi", "_a"))
+    qs = F.array(*[F.lit(p) for p in ps])
+    return (
+        agg.select("metric", z.alias("pos", "z"))
+        .select(
+            "metric",
+            F.element_at(qs, F.col("pos") + 1).alias("quantile"),
+            F.round(F.col("z._e"), 4).alias("cut"),
+            (
+                (F.col("z._a") >= F.col("z._lo"))
+                & (F.col("z._a") <= F.col("z._hi"))
+            ).alias("within_rank_band"),
         )
     )
 
@@ -2217,6 +2281,7 @@ QUERIES = {
     "a22_mode": q_a22_mode,
     "a23_heavy_hitters": q_a23_heavy_hitters,
     "a24_cms_heavy": q_a24_cms_heavy,
+    "a25_quantile_cuts": q_a25_quantile_cuts,
     "a11_percentile": q_a11_percentile,
     "a12_cube": q_a12_cube,
     "a13_salted_agg": q_a13_salted_agg,
@@ -2510,6 +2575,41 @@ ORACLES = {
         GROUP BY s_name
         ORDER BY numwait DESC, s_name
         LIMIT 20
+    """,
+    "a25_quantile_cuts": """
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   CAST(DATE '2002-01-01' - MAX(CAST(o_orderdate AS DATE))
+                        AS BIGINT) AS recency_days,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS monetary_cents
+            FROM orders GROUP BY o_custkey
+        ),
+        m AS (
+            SELECT 'frequency' AS metric, CAST(n_orders AS DOUBLE) AS value
+            FROM per_cust
+            UNION ALL
+            SELECT 'monetary', CAST(monetary_cents AS DOUBLE) FROM per_cust
+            UNION ALL
+            SELECT 'recency', CAST(recency_days AS DOUBLE) FROM per_cust
+        ),
+        agg AS (
+            SELECT metric,
+                   quantile_cont(value, 0.2) AS q1,
+                   quantile_cont(value, 0.4) AS q2,
+                   quantile_cont(value, 0.6) AS q3,
+                   quantile_cont(value, 0.8) AS q4
+            FROM m WHERE value IS NOT NULL GROUP BY metric
+        )
+        SELECT metric, CAST(0.2 AS DOUBLE) AS quantile, ROUND(q1, 4) AS cut,
+               TRUE AS within_rank_band FROM agg
+        UNION ALL
+        SELECT metric, CAST(0.4 AS DOUBLE), ROUND(q2, 4), TRUE FROM agg
+        UNION ALL
+        SELECT metric, CAST(0.6 AS DOUBLE), ROUND(q3, 4), TRUE FROM agg
+        UNION ALL
+        SELECT metric, CAST(0.8 AS DOUBLE), ROUND(q4, 4), TRUE FROM agg
     """,
     "rfm_segments": """
         WITH per_cust AS (

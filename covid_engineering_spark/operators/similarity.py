@@ -1440,6 +1440,100 @@ def q_emb_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mrl_recall(read_table(spark, sf_dir, "embeddings"))
 
 
+RP_DIM = 16
+#: Seed offset for the projection matrix LCG — disjoint from the LSH
+#: hyperplane seeds (42 + 1_000_003·table) so no plane is reused.
+_RP_SEED = 42 + 7_777_777
+
+
+def _rp_matrix() -> list[list[float]]:
+    """Deterministic dense random-projection matrix (RP_DIM × DIM),
+    LCG-generated like the LSH hyperplanes — reproducible across runs
+    and engines with no RNG library, entries uniform in [-0.5, 0.5).
+    Johnson–Lindenstrauss (1984) needs only zero-mean i.i.d. entries
+    for distance preservation in expectation (Achlioptas 2003 shows
+    even ±1 works); the global scale factor (√(1/RP_DIM)) is omitted
+    because ranking by dot product is scale-invariant.
+    """
+    state = _RP_SEED
+    rows = []
+    for _ in range(RP_DIM):
+        row = []
+        for _ in range(DIM):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (
+                1 << 64
+            )
+            row.append((state >> 11) / float(1 << 53) - 0.5)
+        rows.append(row)
+    return rows
+
+
+def rp_project(emb: DataFrame, emb_col: str = "embedding") -> DataFrame:
+    """Dense Johnson–Lindenstrauss random projection DIM → RP_DIM:
+    p_j = Σ_i v_i · R_ji, each component the same sequential
+    zip_with/aggregate fold as ``cosine_expr`` (so the DuckDB twin's
+    ``list_dot_product`` reproduces the doubles bit-for-bit). Pure
+    map-side column math — no shuffle, whole-stage codegen, the
+    matrix is 16×64 literal constants folded into the plan.
+
+    Unlike the Matryoshka PREFIX (``prefix_topk``), the projection
+    mixes information from ALL input dimensions, so it degrades
+    gracefully on embeddings that were never MRL-trained — the
+    classic dimensionality-reduction step before clustering or
+    coarse retrieval at 100 TB (4× fewer bytes per vector here;
+    arbitrary ratios by picking RP_DIM).
+    """
+    comps = [
+        F.aggregate(
+            F.zip_with(
+                F.col(emb_col),
+                F.array(*[F.lit(x) for x in row]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for row in _rp_matrix()
+    ]
+    return emb.select("vec_id", F.array(*comps).alias("embedding"))
+
+
+def rp_recall(emb: DataFrame) -> DataFrame:
+    """Recall@k of RP_DIM random-projection retrieval against
+    full-width exact ground truth — the JL quality audit, same
+    LEFT-join composition as ``mrl_recall`` (recall-0 queries stay
+    rows). Both sides are registered brute-force plans; the projected
+    side scans RP_DIM-wide vectors built map-side in the same pass.
+    """
+    exact = q_cosine_frame(emb).select(
+        F.col("q_id").alias("e_qid"), F.col("n_id").alias("e_nid")
+    )
+    approx = q_cosine_frame(rp_project(emb)).select(
+        F.col("q_id").alias("a_qid"), F.col("n_id").alias("a_nid")
+    )
+    hits = exact.join(
+        approx,
+        (F.col("e_qid") == F.col("a_qid"))
+        & (F.col("e_nid") == F.col("a_nid")),
+        "left_outer",
+    )
+    return (
+        hits.groupBy(F.col("e_qid").alias("q_id"))
+        .agg(F.count("a_nid").alias("n_hits"))
+        .select(
+            "q_id",
+            "n_hits",
+            F.round(F.col("n_hits") / float(TOP_K), 4).alias(
+                "recall_at_k"
+            ),
+        )
+    )
+
+
+def q_emb_rp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rp_recall(read_table(spark, sf_dir, "embeddings"))
+
+
 QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -1459,6 +1553,7 @@ QUERIES = {
     "ann_hamming_topk": q_ann_hamming_topk,
     "ann_range_search": q_ann_range_search,
     "emb_mrl_recall": q_emb_mrl_recall,
+    "emb_rp_recall": q_emb_rp_recall,
 }
 
 
@@ -2119,6 +2214,51 @@ ORACLES["emb_mrl_recall"] = f"""
                    list_transform(c.p, x -> CAST(x AS DOUBLE))
                ), 6) AS cosine
         FROM pre c CROSS JOIN pq
+        WHERE q_id <> c.vec_id
+    ),
+    approx AS (
+        SELECT q_id, n_id FROM (
+            SELECT q_id, n_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cosine DESC, n_id) AS rank
+            FROM pscored
+        ) t WHERE rank <= {TOP_K}
+    ),
+    exact AS (
+        SELECT q_id, n_id FROM ({ORACLES["ann_cosine_topk"]}) t
+    )
+    SELECT e.q_id, COUNT(a.n_id) AS n_hits,
+           ROUND(COUNT(a.n_id) / {float(TOP_K)}, 4) AS recall_at_k
+    FROM exact e
+    LEFT JOIN approx a ON e.q_id = a.q_id AND e.n_id = a.n_id
+    GROUP BY e.q_id
+"""
+
+# The projected side re-runs the brute-force twin over the RP_DIM
+# JL-projected vectors. The projection matrix is the same LCG
+# constants the engine folds into its plan (repr round-trips IEEE
+# doubles exactly, and list_dot_product's sequential sum is the same
+# fold as F.aggregate — the bucket_expr/cosine_expr precedent).
+_RP_PROJ_SQL = ",\n               ".join(
+    "list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), ["
+    + ", ".join(repr(x) for x in row)
+    + "])"
+    for row in _rp_matrix()
+)
+ORACLES["emb_rp_recall"] = f"""
+    WITH proj AS (
+        SELECT vec_id,
+               [{_RP_PROJ_SQL}] AS p
+        FROM embeddings
+    ),
+    pq AS (
+        SELECT vec_id AS q_id, p AS q_emb FROM proj
+        WHERE vec_id < {N_QUERIES}
+    ),
+    pscored AS (
+        SELECT q_id, c.vec_id AS n_id,
+               ROUND(list_dot_product(q_emb, c.p), 6) AS cosine
+        FROM proj c CROSS JOIN pq
         WHERE q_id <> c.vec_id
     ),
     approx AS (

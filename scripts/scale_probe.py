@@ -446,10 +446,11 @@ def main() -> None:
         ).format("noop").save()
 
     def rfm(sf_dir):
-        # |customers| grows N× and the three global NTILE windows
-        # sort that aggregate on one partition — the probe watches
-        # exactly the piece the docstring flags as the 100 TB swap
-        # point (approx-quantile cut-points past ~10^8 customers)
+        # |customers| grows N× through the r07 global_ntile plan:
+        # range-repartition + per-partition rank + broadcast offsets,
+        # three times — every stage's parallelism grows with the
+        # data, so the probe must show the single-task sort of the
+        # r06 plan (its fastest-growing term) is gone
         from covid_engineering_spark.operators.relational import (
             q_rfm_segments,
         )

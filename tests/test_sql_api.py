@@ -63,6 +63,9 @@ _ORC = oracles()
 
 DUCKDB_ONLY = {
     "a11_percentile",
+    # r07: quantile_cont / list_dot_product are DuckDB dialect
+    "a25_quantile_cuts",
+    "emb_rp_recall",
     "a24_cms_heavy",
     "ann_hamming_topk",
     "ann_range_search",

@@ -205,6 +205,11 @@ SURVEY_MAP = {
     # round-6 overflow queue (window full; first in line for r07)
     "STR-STATIC": "stream_static_enrich",
     "TS-GAPS": "ts_downtime_detect",
+    # round-7 extensions: one-pass quantile cut-point audit, JL
+    # random-projection recall eval, k-anonymity release gate
+    "A25": "a25_quantile_cuts",
+    "ANN-RP": "emb_rp_recall",
+    "PIPE-KANON": "pipe_k_anonymity",
     # ingest extensions (JSONL / ORC / compaction round-trips)
     "ING-JSONL": "s6_jsonl_scan",
     "ING-ORC": "s7_orc_roundtrip",
