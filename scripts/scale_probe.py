@@ -615,6 +615,44 @@ def main() -> None:
             read_table(spark, sf_dir, "customer"),
         ).write.mode("overwrite").format("noop").save()
 
+    def quantcuts(sf_dir):
+        # one partial-aggregated pass over the per-customer rollup:
+        # twelve quantile sketches + exact buffers over |customers|
+        # rows — must track the orders scan, nothing else grows
+        from covid_engineering_spark.operators.relational import (
+            q_a25_quantile_cuts,
+        )
+
+        q_a25_quantile_cuts(spark, sf_dir).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+    def rprecall(sf_dir):
+        # map-side 16-dim projection + two brute-force passes against
+        # a fixed query set — linear in corpus vectors, projected
+        # side 4x cheaper per row (the mrl_recall regime)
+        from covid_engineering_spark.operators.similarity import (
+            rp_recall,
+        )
+        from covid_engineering_spark.sources import read_table
+
+        rp_recall(read_table(spark, sf_dir, "embeddings")).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+    def kanon(sf_dir):
+        # quasi-tuple agg collapses the corpus to |lang x source|
+        # rows broadcast back onto the scan — the gate itself is
+        # map-side, so growth must track the documents scan
+        from covid_engineering_spark.operators.pipeline import (
+            k_anonymize,
+        )
+        from covid_engineering_spark.sources import read_table
+
+        k_anonymize(read_table(spark, sf_dir, "documents")).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
     out: dict = {"metric": "scale_probe", "x": REPLICAS, "base": BASE}
     seen_names: set = set()
     for name, fn in (
@@ -649,6 +687,9 @@ def main() -> None:
         ("ts_downtime_detect", downtime),
         ("stream_static_enrich", staticenrich),
         ("ann_hamming_topk", hamming),
+        ("a25_quantile_cuts", quantcuts),
+        ("emb_rp_recall", rprecall),
+        ("pipe_k_anonymity", kanon),
     ):
         if ONLY and name not in ONLY:
             continue
