@@ -72,6 +72,15 @@ HEADLINE = [
     # quality gate and the CMS sketch build + point-query pass.
     "text_perplexity",
     "a24_cms_heavy",
+    # Round-7 additions: the rewritten distributed-ntile segmentation
+    # (global_ntile: range-exchange + pid-window + broadcast offsets),
+    # its one-pass approx cut-point audit, the JL projection recall
+    # eval (two brute-force passes), and the k-anonymity release gate.
+    "rfm_segments",
+    "a25_quantile_cuts",
+    "emb_rp_recall",
+    "pipe_k_anonymity",
+    "pipe_weighted_sample",
 ]
 
 

@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from covid_engineering_spark.operators.relational import global_prefix_sum
 from covid_engineering_spark.operators.dedup import (
     _SHINGLES_SQL,
     JACCARD_THRESHOLD,
@@ -847,6 +848,58 @@ def q_pipe_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymize(read_table(spark, sf_dir, "documents"))
 
 
+#: Target PPS sample size. Inclusion probability is ~k·w/W per doc
+#: (docs heavier than W/k are selected with certainty, each counted
+#: once, so the realized size is ≤ k).
+PPS_SAMPLE_K = 100
+
+
+def weighted_sample(docs: DataFrame, k: int = PPS_SAMPLE_K) -> DataFrame:
+    """Systematic PPS (probability-proportional-to-size) sampling
+    without replacement — the corpus-mixing draw that picks documents
+    with probability ∝ length, the classic "sample by token mass, not
+    by document count" step in training-data pipelines (systematic
+    selection after Madow 1949; the fixed-order variant of
+    Efraimidis–Spirakis weighted sampling that needs NO logarithms,
+    so both engines compute it in exact integer arithmetic).
+
+    Mechanics: order the corpus by a content-stable md5 hash (the
+    random permutation), take the inclusive prefix sum W_i of the
+    weights along that order (``global_prefix_sum`` — distributed,
+    no single-partition pass), and select doc i iff the k evenly
+    spaced pointers cross its mass interval:
+
+        floor(W_i · k / W) > floor(W_{i-1} · k / W)
+
+    — pure BIGINT multiply + integral DIV (exact while W·k < 2^63;
+    at char weights that is ~10^17 chars ≈ 100 TB of text, and past
+    it the product widens to DECIMAL(38,0) with the same semantics).
+    Every document is emitted with its weight, cumulative mass and
+    verdict, so the draw is auditable and re-weightable downstream.
+    """
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = F.coalesce(F.col("n_chars").cast("long"), F.lit(0))
+    pref = global_prefix_sum(
+        docs.select(
+            "doc_id", "source", w.alias("weight"), h.alias("_h")
+        ),
+        [F.asc("_h"), F.asc("doc_id")],
+        F.col("weight"),
+        "w_cum",
+        total_col="_w_tot",
+    )
+    sampled = F.expr(
+        f"(w_cum * {int(k)}) DIV GREATEST(_w_tot, 1)"
+    ) > F.expr(f"((w_cum - weight) * {int(k)}) DIV GREATEST(_w_tot, 1)")
+    return pref.select(
+        "doc_id", "source", "weight", "w_cum", sampled.alias("sampled")
+    )
+
+
+def q_pipe_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return weighted_sample(read_table(spark, sf_dir, "documents"))
+
+
 def curate_corpus(docs: DataFrame) -> DataFrame:
     """The flagship end-to-end curation composite — the full sequence
     a pretraining corpus actually runs, as ONE lazy plan:
@@ -1215,6 +1268,7 @@ QUERIES = {
     "pipe_source_gate": q_pipe_source_gate,
     "pipe_blocklist_filter": q_pipe_blocklist_filter,
     "pipe_k_anonymity": q_pipe_k_anonymity,
+    "pipe_weighted_sample": q_pipe_weighted_sample,
     "pipe_stratified_sample": q_pipe_stratified_sample,
     "pipe_curate_corpus": q_pipe_curate_corpus,
     "pipe_snapshot_diff": q_pipe_snapshot_diff,
@@ -1594,6 +1648,28 @@ ORACLES = {
                     ELSE '*' END AS release_source
         FROM documents d
         JOIN groups g ON d.lang = g.lang AND d.source = g.source
+    """,
+    "pipe_weighted_sample": f"""
+        WITH w AS (
+            SELECT doc_id, source,
+                   COALESCE(CAST(n_chars AS BIGINT), 0) AS weight,
+                   md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM documents
+        ),
+        pref AS (
+            SELECT doc_id, source, weight,
+                   CAST(SUM(weight) OVER (ORDER BY h, doc_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS w_cum,
+                   CAST(SUM(weight) OVER () AS BIGINT) AS w_tot
+            FROM w
+        )
+        SELECT doc_id, source, weight, w_cum,
+               FLOOR(CAST(w_cum * {PPS_SAMPLE_K} AS DOUBLE)
+                     / GREATEST(w_tot, 1))
+               > FLOOR(CAST((w_cum - weight) * {PPS_SAMPLE_K} AS DOUBLE)
+                       / GREATEST(w_tot, 1))
+                   AS sampled
+        FROM pref
     """,
     "pipe_source_gate": f"""
         WITH hashed AS (

@@ -1739,61 +1739,122 @@ def q_q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def global_ntile(
-    df: DataFrame, sort_exprs: list, n_buckets: int, out_col: str
+def global_prefix_sum(
+    df: DataFrame,
+    sort_exprs: list,
+    weight,
+    out_col: str,
+    total_col: str | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
-    """Exact global NTILE(k) with NO single-partition sort — the scale
-    path for quantile segmentation over frames too large to funnel
-    through ``Window.orderBy()`` (one task sorting everything).
+    """Distributed INCLUSIVE prefix sum of ``weight`` in a global sort
+    order, with NO single-partition pass over the data — the shared
+    scale primitive under ``global_ntile`` (weight = 1 ⇒ global rank)
+    and ``pipe_weighted_sample`` (weight = size ⇒ the cumulative-mass
+    axis systematic PPS sampling walks).
 
     Plan shape, all fully parallel:
 
     1. ``repartitionByRange`` on the sort expressions — each output
        partition holds a contiguous key range (sampled boundaries;
        boundary placement affects only WHERE a row sorts, never its
-       global rank, so sampling nondeterminism cannot reach the
+       prefix sum, so sampling nondeterminism cannot reach the
        output).
-    2. Per-partition ``row_number`` — the window exchange is
+    2. Per-partition running sum — the window exchange is
        hash(partition id), so P tasks each sort N/P rows.
-    3. Global rank = local rank + prefix-sum of per-partition row
-       counts. The counts frame is ≤P rows (P = shuffle partitions,
-       NOT data size): the only ``Window.orderBy`` without
-       ``partitionBy`` in the plan runs over THAT, and it joins back
-       as a broadcast.
-    4. Bucket from (rank, n) with NTILE's exact arithmetic — the
-       first n%k buckets take ceil(n/k) rows, the rest floor(n/k) —
-       in pure BIGINT ops, bit-identical to ``F.ntile(k)`` and to
-       DuckDB's NTILE (pinned by
-       tests/test_relational.py::test_global_ntile_matches_window_ntile).
+    3. Global prefix = local running sum + prefix-sum of
+       per-partition totals. The totals frame is ≤P rows (P = shuffle
+       partitions, NOT data size): the only ``Window.orderBy``
+       without ``partitionBy`` in the plan runs over THAT, and it
+       joins back as a broadcast.
 
-    ``sort_exprs`` must be a TOTAL order (unique tiebreak column last):
-    row_number inside a range partition is only deterministic under a
-    total order, exactly as with the window form.
+    ``sort_exprs`` must be a TOTAL order (unique tiebreak column
+    last): a running sum inside a range partition is only
+    deterministic under a total order.
+
+    LAZY localCheckpoint at the branch point: the per-partition
+    totals branch and the window branch both consume ``part``, and
+    SPARK_PARTITION_ID() is nondeterminism-tagged, which blocks
+    exchange-reuse canonicalization — without the checkpoint each
+    chained call re-executes its whole upstream once more for the
+    totals branch (measured on rfm's 3 chained stages: ~1.7x wall at
+    sf0.1, 2.2x at 100x). eager=False keeps query CONSTRUCTION
+    job-free (the driver contract); the frame materializes once
+    inside the first action, the same discipline as
+    connected_components' CC rounds. checkpoint=False keeps the
+    fully-lazy single-plan form (used by the plan-shape test; also
+    the right call inside a larger pipeline that checkpoints upstream
+    itself).
     """
-    part = df.repartitionByRange(*sort_exprs).withColumn(
-        "_gnt_pid", F.spark_partition_id()
+    part = (
+        df.withColumn("_gps_w", weight)
+        .repartitionByRange(*sort_exprs)
+        .withColumn("_gps_pid", F.spark_partition_id())
     )
-    counts = part.groupBy("_gnt_pid").agg(F.count("*").alias("_gnt_cnt"))
-    w_off = Window.orderBy("_gnt_pid").rowsBetween(
+    if checkpoint:
+        part = part.localCheckpoint(eager=False)
+    totals = part.groupBy("_gps_pid").agg(
+        F.sum("_gps_w").alias("_gps_cnt")
+    )
+    w_off = Window.orderBy("_gps_pid").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    w_tot = Window.orderBy("_gnt_pid").rowsBetween(
+    w_tot = Window.orderBy("_gps_pid").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    offsets = counts.select(
-        "_gnt_pid",
-        F.coalesce(F.sum("_gnt_cnt").over(w_off), F.lit(0)).alias(
-            "_gnt_off"
+    offsets = totals.select(
+        "_gps_pid",
+        F.coalesce(F.sum("_gps_cnt").over(w_off), F.lit(0)).alias(
+            "_gps_off"
         ),
-        F.sum("_gnt_cnt").over(w_tot).alias("_gnt_n"),
+        F.sum("_gps_cnt").over(w_tot).alias("_gps_tot"),
     )
-    w_local = Window.partitionBy("_gnt_pid").orderBy(*sort_exprs)
-    ranked = (
-        part.withColumn(
-            "_gnt_lr", F.row_number().over(w_local).cast("long")
-        )
-        .join(F.broadcast(offsets), "_gnt_pid")
-        .withColumn("_gnt_r", F.col("_gnt_off") + F.col("_gnt_lr"))
+    w_local = (
+        Window.partitionBy("_gps_pid")
+        .orderBy(*sort_exprs)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        part.withColumn("_gps_lsum", F.sum("_gps_w").over(w_local))
+        .join(F.broadcast(offsets), "_gps_pid")
+        .withColumn(out_col, F.col("_gps_off") + F.col("_gps_lsum"))
+    )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col("_gps_tot"))
+    return out.drop(
+        "_gps_pid", "_gps_w", "_gps_lsum", "_gps_off", "_gps_tot"
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    sort_exprs: list,
+    n_buckets: int,
+    out_col: str,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Exact global NTILE(k) with NO single-partition sort — the scale
+    path for quantile segmentation over frames too large to funnel
+    through ``Window.orderBy()`` (one task sorting everything).
+
+    Global rank = ``global_prefix_sum`` of 1 (see its docstring for
+    the range-repartition + pid-window + broadcast-offsets plan);
+    bucket from (rank, n) with NTILE's exact arithmetic — the first
+    n%k buckets take ceil(n/k) rows, the rest floor(n/k) — in pure
+    BIGINT ops, bit-identical to ``F.ntile(k)`` and to DuckDB's NTILE
+    (pinned by
+    tests/test_relational.py::test_global_ntile_matches_window_ntile).
+
+    ``sort_exprs`` must be a TOTAL order (unique tiebreak column
+    last), exactly as with the window form.
+    """
+    ranked = global_prefix_sum(
+        df,
+        sort_exprs,
+        F.lit(1).cast("long"),
+        "_gnt_r",
+        total_col="_gnt_n",
+        checkpoint=checkpoint,
     )
     k = int(n_buckets)
     # Exact BIGINT arithmetic throughout (integral DIV, no doubles):
@@ -1810,7 +1871,7 @@ def global_ntile(
              END + 1"""
     )
     return ranked.withColumn(out_col, bucket.cast("int")).drop(
-        "_gnt_pid", "_gnt_lr", "_gnt_off", "_gnt_n", "_gnt_r"
+        "_gnt_r", "_gnt_n"
     )
 
 

@@ -653,6 +653,19 @@ def main() -> None:
             "overwrite"
         ).format("noop").save()
 
+    def ppssample(sf_dir):
+        # the global_prefix_sum spine at N x docs: range exchange +
+        # pid-window running sum + broadcast offsets — must track the
+        # documents scan, same regime as rfm's rank stages
+        from covid_engineering_spark.operators.pipeline import (
+            weighted_sample,
+        )
+        from covid_engineering_spark.sources import read_table
+
+        weighted_sample(
+            read_table(spark, sf_dir, "documents")
+        ).write.mode("overwrite").format("noop").save()
+
     out: dict = {"metric": "scale_probe", "x": REPLICAS, "base": BASE}
     seen_names: set = set()
     for name, fn in (
@@ -690,6 +703,7 @@ def main() -> None:
         ("a25_quantile_cuts", quantcuts),
         ("emb_rp_recall", rprecall),
         ("pipe_k_anonymity", kanon),
+        ("pipe_weighted_sample", ppssample),
     ):
         if ONLY and name not in ONLY:
             continue

@@ -64,17 +64,35 @@ def test_global_ntile_handles_n_smaller_than_k(spark):
 def test_global_ntile_plan_has_no_full_frame_global_sort(spark):
     # The data path must be range-exchange + hash(_pid) window — the
     # only SinglePartition exchange allowed is the <=P-row offsets
-    # frame. Assert the RANGE partitioning is present and that the
-    # broadcast of the offsets frame happens (BroadcastExchange).
+    # frame. Assert on the checkpoint=False form (the registered form
+    # truncates the plan at the lazy localCheckpoint): the RANGE
+    # partitioning is present and the offsets frame broadcasts.
     df = spark.range(1000).withColumn("m", F.col("id") % 17)
     plan = (
-        global_ntile(df, [F.asc("m"), F.asc("id")], 5, "b")
+        global_ntile(df, [F.asc("m"), F.asc("id")], 5, "b",
+                     checkpoint=False)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
     assert "rangepartitioning" in plan.lower()
     assert "broadcastexchange" in plan.lower()
+
+
+def test_global_ntile_checkpointed_form_matches_lazy_form(spark):
+    # The registered form (lazy localCheckpoint at the branch point)
+    # must be bit-identical to the fully-lazy plan — the checkpoint is
+    # a physical materialization decision, never a semantics change.
+    df = spark.createDataFrame(
+        [(i, (i * 11) % 7) for i in range(83)], "id long, m int"
+    )
+    exprs = [F.desc("m"), F.asc("id")]
+    a = {r["id"]: r["b"] for r in global_ntile(df, exprs, 5, "b").collect()}
+    b = {
+        r["id"]: r["b"]
+        for r in global_ntile(df, exprs, 5, "b", checkpoint=False).collect()
+    }
+    assert a == b
 
 
 def test_rfm_matches_window_ntile_form(spark):

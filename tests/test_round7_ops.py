@@ -74,6 +74,32 @@ def test_rp_recall_beats_zero_and_matches_hit_counts(spark):
     assert sum(r["n_hits"] for r in rows) > 0
 
 
+def test_weighted_sample_is_pps_exact(spark):
+    from covid_engineering_spark.operators.pipeline import (
+        PPS_SAMPLE_K,
+        q_pipe_weighted_sample,
+    )
+
+    rows = q_pipe_weighted_sample(spark, SF_SMOKE).collect()
+    total = sum(r["weight"] for r in rows)
+    picked = [r for r in rows if r["sampled"]]
+    # systematic PPS: number selected = floor(W*k/W) = k when no doc
+    # carries more than W/k mass (true of the fixture corpus), and
+    # never more than k in general
+    assert len(picked) <= PPS_SAMPLE_K
+    heavy = [r for r in rows if r["weight"] * PPS_SAMPLE_K >= total]
+    assert all(r["sampled"] for r in heavy)
+    # the selection rule is a pure function of (w_cum, weight, total):
+    # recheck every verdict in python integers
+    for r in rows:
+        want = (r["w_cum"] * PPS_SAMPLE_K) // max(total, 1) > (
+            (r["w_cum"] - r["weight"]) * PPS_SAMPLE_K
+        ) // max(total, 1)
+        assert r["sampled"] == want, r
+    # cumulative mass is a permutation-consistent prefix sum
+    assert max(r["w_cum"] for r in rows) == total
+
+
 def test_k_anonymity_gate_is_exact_and_non_degenerate(spark):
     from covid_engineering_spark.operators.pipeline import (
         K_ANON,

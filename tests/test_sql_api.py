@@ -63,9 +63,11 @@ _ORC = oracles()
 
 DUCKDB_ONLY = {
     "a11_percentile",
-    # r07: quantile_cont / list_dot_product are DuckDB dialect
+    # r07: quantile_cont / list_dot_product / the md5(CAST(... AS
+    # VARCHAR)) idiom are DuckDB dialect
     "a25_quantile_cuts",
     "emb_rp_recall",
+    "pipe_weighted_sample",
     "a24_cms_heavy",
     "ann_hamming_topk",
     "ann_range_search",

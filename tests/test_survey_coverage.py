@@ -210,6 +210,7 @@ SURVEY_MAP = {
     "A25": "a25_quantile_cuts",
     "ANN-RP": "emb_rp_recall",
     "PIPE-KANON": "pipe_k_anonymity",
+    "PIPE-PPS": "pipe_weighted_sample",
     # ingest extensions (JSONL / ORC / compaction round-trips)
     "ING-JSONL": "s6_jsonl_scan",
     "ING-ORC": "s7_orc_roundtrip",
