@@ -1954,16 +1954,24 @@ def q_a25_quantile_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     all — cf. ``global_ntile``'s two extra exchanges), at the price
     of rank error ≤ n/accuracy. The emitted cut is the EXACT quintile
     boundary (hash-matched by the DuckDB ``quantile_cont`` twin); the
-    flag pins the sketch value inside the exact ±1%-RANK band — the
-    sketch's actual guarantee (a value-relative bound would flag
-    false on dense integer metrics where adjacent ranks sit >1%
-    apart). accuracy=10000 ⇒ rank error ≤ 0.01% ≪ the 1% band, so
-    the flag is deterministically TRUE and a silently degraded
-    sketch fails the driver hash.
+    flag audits the sketch in RANK space — the sketch's actual
+    guarantee: the approx value's exact rank interval
+    [#(value < a) + 1, #(value ≤ a)] must overlap the ±1% rank band
+    around p·n. (A value-space band fails both ways: dense integer
+    metrics put adjacent ranks >1% apart in VALUE, and sparse data
+    collapses an interpolated p±0.01 band to a sliver between the
+    same two data points that contains NO actual value — the
+    adversarial pathological-data sweep caught exactly that.)
+    accuracy=10000 ⇒ rank error ≤ 0.01% ≪ the 1% band, so the flag is
+    deterministically TRUE and a silently degraded sketch fails the
+    driver hash.
 
     The two registered quantile-segmentation forms are each other's
     cross-check: ``rfm_segments`` (exact row-position quintiles, two
-    extra exchanges) and this (value-boundary quintiles, one pass).
+    extra exchanges) and this (value-boundary quintiles, one pass;
+    the rank audit adds one broadcast of the 12-row cuts frame and a
+    re-aggregation of the metric rows — both trivial beside the
+    scan).
     """
     per_cust = _rfm_per_customer(spark, sf_dir)
     m = per_cust.select(
@@ -1976,28 +1984,42 @@ def q_a25_quantile_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ps = [0.2, 0.4, 0.6, 0.8]
-    lo = [p - 0.01 for p in ps]
-    hi = [p + 0.01 for p in ps]
     arr = lambda xs: "array(" + ",".join(map(str, xs)) + ")"  # noqa: E731
     agg = m.groupBy("metric").agg(
         F.expr(f"percentile(value, {arr(ps)})").alias("_e"),
-        F.expr(f"percentile(value, {arr(lo)})").alias("_lo"),
-        F.expr(f"percentile(value, {arr(hi)})").alias("_hi"),
         F.expr(f"approx_percentile(value, {arr(ps)}, 10000)").alias("_a"),
+        F.count("value").alias("_n"),
     )
-    z = F.posexplode(F.arrays_zip("_e", "_lo", "_hi", "_a"))
+    z = F.posexplode(F.arrays_zip("_e", "_a"))
     qs = F.array(*[F.lit(p) for p in ps])
-    return (
-        agg.select("metric", z.alias("pos", "z"))
-        .select(
-            "metric",
-            F.element_at(qs, F.col("pos") + 1).alias("quantile"),
-            F.round(F.col("z._e"), 4).alias("cut"),
-            (
-                (F.col("z._a") >= F.col("z._lo"))
-                & (F.col("z._a") <= F.col("z._hi"))
-            ).alias("within_rank_band"),
+    cuts = agg.select("metric", "_n", z.alias("pos", "z")).select(
+        "metric",
+        "_n",
+        F.element_at(qs, F.col("pos") + 1).alias("quantile"),
+        F.round(F.col("z._e"), 4).alias("cut"),
+        F.col("z._a").alias("_approx"),
+    )
+    ranked = (
+        m.join(F.broadcast(cuts), "metric")
+        .groupBy("metric", "quantile", "cut", "_n", "_approx")
+        .agg(
+            F.sum(
+                F.when(F.col("value") <= F.col("_approx"), 1).otherwise(0)
+            ).alias("_le"),
+            F.sum(
+                F.when(F.col("value") < F.col("_approx"), 1).otherwise(0)
+            ).alias("_lt"),
         )
+    )
+    band_lo = F.floor((F.col("quantile") - 0.01) * F.col("_n"))
+    band_hi = F.ceil((F.col("quantile") + 0.01) * F.col("_n"))
+    return ranked.select(
+        "metric",
+        "quantile",
+        "cut",
+        (
+            (F.col("_le") >= band_lo) & (F.col("_lt") + 1 <= band_hi)
+        ).alias("within_rank_band"),
     )
 
 

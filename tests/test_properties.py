@@ -478,3 +478,56 @@ def test_seasonal_leave_one_out_algebra_equals_float_zscore(cell, x):
         assert (lhs_int > rhs_int) == (lhs_f > rhs_f)
     # and the leave-one-out identities themselves
     assert s1 == sum(others) and q1 == sum(v * v for v in others)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 1000)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(1, 9),
+)
+def test_global_prefix_and_ntile_match_window_forms_on_random_frames(
+    spark, rows, k
+):
+    # global_prefix_sum / global_ntile (the distributed no-single-sort
+    # forms) must equal the plain Window forms on ANY frame — random
+    # weights (zeros included), heavy ties in the sort key, any k.
+    from covid_engineering_spark.operators.relational import (
+        global_ntile,
+        global_prefix_sum,
+    )
+
+    data = [(i, m, w) for i, (m, w) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, m long, w long")
+    exprs = [F.asc("m"), F.asc("id")]
+
+    got_p = {
+        r["id"]: r["cum"]
+        for r in global_prefix_sum(
+            df, exprs, F.col("w"), "cum"
+        ).collect()
+    }
+    w_win = (
+        Window.orderBy(*exprs)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want_p = {
+        r["id"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("w").over(w_win)).collect()
+    }
+    assert got_p == want_p
+
+    got_n = {
+        r["id"]: r["b"]
+        for r in global_ntile(df, exprs, k, "b").collect()
+    }
+    want_n = {
+        r["id"]: r["b"]
+        for r in df.withColumn(
+            "b", F.ntile(k).over(Window.orderBy(*exprs))
+        ).collect()
+    }
+    assert got_n == want_n
