@@ -142,6 +142,23 @@ def _blowup(spark, out_dir: str, replicas: int) -> None:
         (F.col("label") + i * F.lit(10**6)).alias("label"),
     )
 
+    # Orders-only tier ("orders"): just the orders blowup, for
+    # single-table pipelines (rfm/a25) at depths where the full tpch
+    # blowup's 600M-row lineitem would dominate the probe's cost
+    # without ever being read.
+    if "orders" in TABLES and "tpch" not in TABLES:
+        orders = read_table(spark, BASE, "orders").repartition(64)
+        orders.select(rep, "*").select(
+            (F.col("o_orderkey") + il * F.lit(10**9)).alias("o_orderkey"),
+            (F.col("o_custkey") + il * F.lit(10**7)).alias("o_custkey"),
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "orders.parquet")
+        )
+
     # TPC-H star tier ("tpch"): key-shifted replicas of the fact and
     # dimension tables TOGETHER — orderkeys, custkeys, suppkeys and
     # partkeys offset consistently on both sides of every join, so
