@@ -81,6 +81,7 @@ HEADLINE = [
     "emb_rp_recall",
     "pipe_k_anonymity",
     "pipe_weighted_sample",
+    "text_gopher_rules",
 ]
 
 

@@ -676,6 +676,122 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_rank(read_table(spark, sf_dir, "documents"))
 
 
+#: The Gopher rule thresholds (Rae et al. 2021, arXiv:2112.11446,
+#: §A1.1) — word-count window, mean-word-length window, symbol and
+#: line-shape caps, alpha-word floor, required-word floor. Expressed
+#: as exact integer cross-multiplications so no float division enters
+#: a comparison.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3
+GOPHER_MAX_MEAN_LEN = 10
+#: symbol-to-word ratio ≤ 1/10; bullet lines ≤ 90%-start rule means
+#: ≥90% of lines may NOT start with a bullet (cap 1/10); ellipsis
+#: line cap 3/10; alpha-word floor 4/5.
+GOPHER_SYMBOLS = ("#", "...")
+#: Gopher's published required-word set is English function words
+#: ("the","be","to","of","and","that","have","with" — ≥2 kinds). The
+#: rule is lexicon-parameterized here because the paper's set is
+#: explicitly English-specific; the registered query uses the
+#: fixture corpus's actual function words (it is synthetic
+#: pseudo-English whose only function words are "the"/"a") so the
+#: gate stays non-degenerate — swap the lexicon per corpus/language
+#: exactly as a multilingual deployment would.
+GOPHER_REQUIRED_EN = ("the", "be", "to", "of", "and", "that", "have",
+                      "with")
+GOPHER_REQUIRED_FIXTURE = ("the", "a")
+GOPHER_MIN_REQUIRED_KINDS = 2
+
+
+def gopher_rules(
+    docs: DataFrame,
+    required_words: tuple[str, ...] = GOPHER_REQUIRED_FIXTURE,
+    min_kinds: int = GOPHER_MIN_REQUIRED_KINDS,
+) -> DataFrame:
+    """The Gopher quality-filter rule suite (Rae et al. 2021 §A1.1) —
+    the published heuristic gate most pretraining pipelines start
+    from: per document, every rule's verdict plus the combined gate,
+    so the downstream filter is one ``filter(pass_gopher)`` and the
+    rejection REASONS stay auditable per source (which rule fires
+    where is the first question a corpus audit asks).
+
+    Exactness: every ratio threshold is an integer
+    cross-multiplication (10·symbols ≤ words, 5·alpha ≥ 4·words,
+    3·words ≤ Σlen ≤ 10·words, …) — no float division reaches a
+    comparison, so both engines agree bit-for-bit.
+
+    Scale shape: PURE MAP-SIDE like ``blocklist_filter`` — one scan,
+    per-row array math, no shuffle, no join; runs first in the gate
+    stack alongside it at 100 TB.
+    """
+    ws = F.split(F.col("text"), " ")
+    n_words = F.size(ws).cast("long")
+    sum_len = F.aggregate(
+        F.transform(ws, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_symbols = sum(
+        (_occurrences(F.col("text"), s) for s in GOPHER_SYMBOLS),
+        F.lit(0.0),
+    ).cast("long")
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.size(lines).cast("long")
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda ln: ln.startswith("•") | ln.startswith("- "),
+        )
+    ).cast("long")
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda ln: ln.endswith("..."))
+    ).cast("long")
+    alpha_words = F.size(
+        F.filter(ws, lambda w: w.rlike("[a-zA-Z]"))
+    ).cast("long")
+    kinds = sum(
+        (F.array_contains(ws, w).cast("int") for w in required_words),
+        F.lit(0),
+    )
+    r_words = (n_words >= GOPHER_MIN_WORDS) & (
+        n_words <= GOPHER_MAX_WORDS
+    )
+    r_mean_len = (sum_len >= GOPHER_MIN_MEAN_LEN * n_words) & (
+        sum_len <= GOPHER_MAX_MEAN_LEN * n_words
+    )
+    r_symbols = n_symbols * 10 <= n_words
+    r_bullets = bullet_lines * 10 <= n_lines
+    r_ellipsis = ellipsis_lines * 10 <= n_lines * 3
+    r_alpha = alpha_words * 5 >= n_words * 4
+    r_required = kinds >= min_kinds
+    gate = (
+        r_words
+        & r_mean_len
+        & r_symbols
+        & r_bullets
+        & r_ellipsis
+        & r_alpha
+        & r_required
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        n_words.alias("n_words"),
+        r_words.alias("r_word_count"),
+        r_mean_len.alias("r_mean_word_len"),
+        r_symbols.alias("r_symbol_ratio"),
+        r_bullets.alias("r_bullet_lines"),
+        r_ellipsis.alias("r_ellipsis_lines"),
+        r_alpha.alias("r_alpha_words"),
+        r_required.alias("r_required_words"),
+        gate.alias("pass_gopher"),
+    )
+
+
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_rules(read_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
     "text_normalize": q_text_normalize,
@@ -689,6 +805,7 @@ QUERIES = {
     "text_dup_ngram_rate": q_text_dup_ngram_rate,
     "text_bigram_lm": q_text_bigram_lm,
     "text_bm25": q_text_bm25,
+    "text_gopher_rules": q_text_gopher_rules,
     "text_perplexity": q_text_perplexity,
 }
 
@@ -758,6 +875,55 @@ ORACLES = {
     # expressions the Spark side uses (k1·(1−b) = 0.8999999999999999,
     # not the literal 0.9) — a literal that LOOKS equal parses to a
     # different double and the micro-unit conversion diverges.
+    "text_gopher_rules": f"""
+        WITH m AS (
+            SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT)
+                       AS n_words,
+                   CAST(list_sum(list_transform(string_split(text, ' '),
+                        w -> length(w))) AS BIGINT) AS sum_len,
+                   CAST({" + ".join(_sql_occ(s) for s in GOPHER_SYMBOLS)}
+                        AS BIGINT) AS n_symbols,
+                   CAST(len(string_split(text, chr(10))) AS BIGINT)
+                       AS n_lines,
+                   CAST(len(list_filter(string_split(text, chr(10)),
+                        l -> starts_with(l, '•') OR starts_with(l, '- ')))
+                        AS BIGINT) AS bullet_lines,
+                   CAST(len(list_filter(string_split(text, chr(10)),
+                        l -> ends_with(l, '...'))) AS BIGINT)
+                       AS ellipsis_lines,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT)
+                       AS alpha_words,
+                   ({" + ".join(
+                       f"CASE WHEN list_contains(string_split(text, ' '),"
+                       f" '{w}') THEN 1 ELSE 0 END"
+                       for w in GOPHER_REQUIRED_FIXTURE
+                   )}) AS kinds
+            FROM documents
+        )
+        SELECT doc_id, source, n_words,
+               n_words >= {GOPHER_MIN_WORDS}
+                   AND n_words <= {GOPHER_MAX_WORDS} AS r_word_count,
+               sum_len >= {GOPHER_MIN_MEAN_LEN} * n_words
+                   AND sum_len <= {GOPHER_MAX_MEAN_LEN} * n_words
+                   AS r_mean_word_len,
+               n_symbols * 10 <= n_words AS r_symbol_ratio,
+               bullet_lines * 10 <= n_lines AS r_bullet_lines,
+               ellipsis_lines * 10 <= n_lines * 3 AS r_ellipsis_lines,
+               alpha_words * 5 >= n_words * 4 AS r_alpha_words,
+               kinds >= {GOPHER_MIN_REQUIRED_KINDS} AS r_required_words,
+               (n_words >= {GOPHER_MIN_WORDS}
+                AND n_words <= {GOPHER_MAX_WORDS}
+                AND sum_len >= {GOPHER_MIN_MEAN_LEN} * n_words
+                AND sum_len <= {GOPHER_MAX_MEAN_LEN} * n_words
+                AND n_symbols * 10 <= n_words
+                AND bullet_lines * 10 <= n_lines
+                AND ellipsis_lines * 10 <= n_lines * 3
+                AND alpha_words * 5 >= n_words * 4
+                AND kinds >= {GOPHER_MIN_REQUIRED_KINDS}) AS pass_gopher
+        FROM m
+    """,
     "text_bm25": f"""
         WITH l AS (
             SELECT doc_id, len(string_split(text, ' ')) AS dl,

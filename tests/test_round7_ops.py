@@ -100,6 +100,35 @@ def test_weighted_sample_is_pps_exact(spark):
     assert max(r["w_cum"] for r in rows) == total
 
 
+def test_gopher_rules_are_exact_and_non_degenerate(spark):
+    from covid_engineering_spark.operators.text import (
+        GOPHER_MIN_WORDS,
+        q_text_gopher_rules,
+    )
+
+    rows = q_text_gopher_rules(spark, SF_SMOKE).collect()
+    passed = [r for r in rows if r["pass_gopher"]]
+    failed = [r for r in rows if not r["pass_gopher"]]
+    assert passed and failed  # the gate must actually split the corpus
+    for r in rows:
+        # the combined gate is exactly the AND of the per-rule columns
+        want = all(
+            r[c]
+            for c in (
+                "r_word_count",
+                "r_mean_word_len",
+                "r_symbol_ratio",
+                "r_bullet_lines",
+                "r_ellipsis_lines",
+                "r_alpha_words",
+                "r_required_words",
+            )
+        )
+        assert r["pass_gopher"] == want, r
+        # word-count rule consistent with the emitted count
+        assert r["r_word_count"] == (r["n_words"] >= GOPHER_MIN_WORDS)
+
+
 def test_k_anonymity_gate_is_exact_and_non_degenerate(spark):
     from covid_engineering_spark.operators.pipeline import (
         K_ANON,

@@ -68,6 +68,7 @@ DUCKDB_ONLY = {
     "a25_quantile_cuts",
     "emb_rp_recall",
     "pipe_weighted_sample",
+    "text_gopher_rules",
     "a24_cms_heavy",
     "ann_hamming_topk",
     "ann_range_search",

@@ -211,6 +211,7 @@ SURVEY_MAP = {
     "ANN-RP": "emb_rp_recall",
     "PIPE-KANON": "pipe_k_anonymity",
     "PIPE-PPS": "pipe_weighted_sample",
+    "TXT-GOPHER": "text_gopher_rules",
     # ingest extensions (JSONL / ORC / compaction round-trips)
     "ING-JSONL": "s6_jsonl_scan",
     "ING-ORC": "s7_orc_roundtrip",
