@@ -60,6 +60,24 @@ def main(
     docs = read_table(spark, sf_dir, "documents")
     n_raw = docs.count()
 
+    # 0. the map-side gates run FIRST (cheapest per byte, no shuffle):
+    # the Gopher rule suite + the blocklist density gate — rejection
+    # reasons stay on the report, survivors flow into the funnel
+    from covid_engineering_spark.operators.pipeline import blocklist_filter
+    from covid_engineering_spark.operators.text import gopher_rules
+
+    gop = gopher_rules(docs).select("doc_id", "pass_gopher")
+    blk = blocklist_filter(docs).select("doc_id", "blocked")
+    gated = (
+        docs.join(gop, "doc_id")
+        .join(blk, "doc_id")
+        .filter(F.col("pass_gopher") & ~F.col("blocked"))
+        .drop("pass_gopher", "blocked")
+    )
+    n_gated = gated.count()
+    print(f"map-side gates: {n_raw} raw -> {n_gated} past gopher+blocklist")
+    docs = gated
+
     # 1. exact dedup: keep the smallest doc_id per normalized hash
     keep_exact = (
         docs.groupBy(F.md5(F.lower(F.col("text"))).alias("h"))
@@ -136,6 +154,31 @@ def main(
     print(
         f"bm25 top-{len(hits)} for {' '.join(BM25_TERMS)!r}: "
         f"best doc {hits[0]['doc_id']} at {hits[0]['bm25_micros']} micros"
+    )
+
+    # 10. release checks on the curated corpus: k-anonymity over the
+    # metadata a release ships, and a PPS draw (weight = length) for
+    # the human-review sample — both auditable per document
+    from covid_engineering_spark.operators.pipeline import (
+        k_anonymize,
+        weighted_sample,
+    )
+
+    raw = read_table(spark, sf_dir, "documents")
+    anon = k_anonymize(raw)
+    n_supp = anon.filter(~F.col("released")).count()
+    print(f"k-anonymity: {n_supp}/{n_raw} docs metadata-suppressed")
+    draw = weighted_sample(raw)
+    n_draw = draw.filter("sampled").count()
+    mass = draw.agg(
+        (
+            F.sum(F.when(F.col("sampled"), F.col("weight"))) * 100
+            / F.sum("weight")
+        ).alias("pct")
+    ).first()["pct"]
+    print(
+        f"pps review sample: {n_draw} docs carrying {mass:.1f}% of "
+        f"corpus mass (uniform draw would carry ~{100 * n_draw / n_raw:.1f}%)"
     )
 
     # 10. LM-quality gate: per-doc cross-entropy under the corpus

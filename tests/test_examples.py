@@ -25,9 +25,11 @@ def test_corpus_curation_runs(spark, tmp_path, capsys):
     )
     mod["main"]("/root/testdata/sf0.001", str(tmp_path / "out"))
     out = capsys.readouterr().out
-    assert "curated 500 raw documents -> 300 kept" in out
-    assert "split sizes: {'test': 34, 'train': 238, 'val': 28}" in out
-    assert "packed into 71 chunks" in out
+    assert "map-side gates: 500 raw -> 242 past gopher+blocklist" in out
+    assert "curated 500 raw documents -> 195 kept" in out
+    assert "split sizes: {'test': 16, 'train': 158, 'val': 21}" in out
+    assert "packed into 58 chunks" in out
+    assert "pps review sample: 100 docs" in out
 
 
 def test_quickstart_runs(spark, tmp_path, capsys):
