@@ -683,6 +683,16 @@ def main() -> None:
             read_table(spark, sf_dir, "documents")
         ).write.mode("overwrite").format("noop").save()
 
+    def gopher(sf_dir):
+        # pure map-side rule stack (the blocklist regime): one scan,
+        # per-row array math, no shuffle — must be flat-linear
+        from covid_engineering_spark.operators.text import gopher_rules
+        from covid_engineering_spark.sources import read_table
+
+        gopher_rules(read_table(spark, sf_dir, "documents")).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
     out: dict = {"metric": "scale_probe", "x": REPLICAS, "base": BASE}
     seen_names: set = set()
     for name, fn in (
@@ -721,6 +731,7 @@ def main() -> None:
         ("emb_rp_recall", rprecall),
         ("pipe_k_anonymity", kanon),
         ("pipe_weighted_sample", ppssample),
+        ("text_gopher_rules", gopher),
     ):
         if ONLY and name not in ONLY:
             continue
