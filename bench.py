@@ -82,6 +82,7 @@ HEADLINE = [
     "pipe_k_anonymity",
     "pipe_weighted_sample",
     "text_gopher_rules",
+    "ts_holt",
 ]
 
 

@@ -733,6 +733,113 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma(read_table(spark, sf_dir, "events"))
 
 
+def _holt_coeffs() -> tuple[list[list[int]], list[list[int]]]:
+    """Exact integer coefficient tables for the truncated Holt
+    recursion with α = β = 1/2 (level l_t = (x_t + l_{t-1} +
+    b_{t-1})/2, trend b_t = (l_t − l_{t-1} + b_{t-1})/2, init
+    l_1 = x_1, b_1 = 0): the recursion is LINEAR, so over an n-bucket
+    window l_n = Σ_j CL[n][j]·x_j / 4^(n−1) and likewise b_n with
+    CB — every coefficient an exact integer (max |c| = 2^29 at
+    n = 16), derived once with Fractions and folded into both
+    engines' plans as literals.
+    """
+    from fractions import Fraction as Fr
+
+    cl_all, cb_all = [], []
+    for n in range(1, EWMA_W + 1):
+        l = [Fr(0)] * n
+        b = [Fr(0)] * n
+        for t in range(1, n + 1):
+            if t == 1:
+                l = [Fr(1)] + [Fr(0)] * (n - 1)
+                b = [Fr(0)] * n
+            else:
+                l_new = [(l[j] + b[j]) / 2 for j in range(n)]
+                l_new[t - 1] += Fr(1, 2)
+                b = [(l_new[j] - l[j] + b[j]) / 2 for j in range(n)]
+                l = l_new
+        den = 4 ** (n - 1)
+        cl_all.append([int(c * den) for c in l])
+        cb_all.append([int(c * den) for c in b])
+    return cl_all, cb_all
+
+
+def _floor_div(a: str, b: str) -> str:
+    """Portable FLOOR division of BIGINTs as a SQL fragment: both
+    engines' ``%`` is the truncated remainder (sign of the dividend),
+    so ``((a % b) + b) % b`` is the canonical non-negative mod in
+    both; after subtracting it the division is exact, making Spark's
+    truncating ``DIV`` and DuckDB's flooring ``//`` agree even for
+    NEGATIVE numerators (ewma ducks this by construction — Holt's
+    trend numerator is negative whenever the series falls, so the
+    convention must be pinned, not assumed)."""
+    return f"(({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) DIV ({b})"
+
+
+def holt(ev: DataFrame, every: str = EVERY) -> DataFrame:
+    """Truncated Holt linear-trend smoother per event_type over the
+    resampled cents feed (Holt 1957 double exponential smoothing,
+    α = β = 1/2) in EXACT integer form — the ewma discipline extended
+    to a trend term: level, trend and the one-step forecast
+    (level + trend) are integer-coefficient combinations of the same
+    16-bucket window ewma rides (``_holt_coeffs``; the recursion no
+    parallel window can evaluate is designed out by linearity, not
+    truncated mid-flight), each emitted as numerator over 4^(n−1)
+    with a portable FLOOR division (``_floor_div``).
+
+    Exactness bound: |numerator| ≤ 16 · 2^29 · max|x_cents|, so
+    BIGINT holds while per-bucket cents stay under ~2^29; past that
+    (a 100 TB feed with multi-million-dollar buckets) the fold
+    widens to DECIMAL(38,0) with identical semantics.
+
+    Scale shape: identical to ``ewma`` — one partial-aggregated
+    shuffle to the bucket-cardinality frame, one event_type window.
+    """
+    cl, cb = _holt_coeffs()
+    arr = lambda rows: "array(" + ", ".join(  # noqa: E731
+        "array(" + ", ".join(f"{c}L" for c in r) + ")" for r in rows
+    ) + ")"
+    cents = _cents()
+    bucketed = ev.groupBy(
+        F.date_trunc(every, "ts").alias("bucket"), "event_type"
+    ).agg(F.sum(cents).alias("x_cents"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-(EWMA_W - 1), 0)
+    )
+
+    def num(table: list[list[int]]) -> str:
+        return f"""
+            aggregate(
+                transform(sequence(1, size(lst)),
+                    j -> element_at(element_at({arr(table)}, size(lst)), j)
+                         * element_at(lst, j)),
+                cast(0 as bigint), (a, x) -> a + x)
+        """
+
+    den = "shiftleft(cast(1 as bigint), 2 * (size(lst) - 1))"
+    return (
+        bucketed.withColumn("lst", F.collect_list("x_cents").over(w))
+        .withColumn("_nl", F.expr(num(cl)))
+        .withColumn("_nb", F.expr(num(cb)))
+        .select(
+            "event_type",
+            "bucket",
+            "x_cents",
+            F.expr(_floor_div("_nl", den)).alias("holt_level_cents"),
+            F.expr(_floor_div("_nb", den)).alias("holt_trend_cents"),
+            F.expr(_floor_div("_nl + _nb", den)).alias(
+                "holt_forecast_cents"
+            ),
+        )
+    )
+
+
+def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return holt(read_table(spark, sf_dir, "events"))
+
+
 #: CUSUM drift threshold, in multiples of the per-type mean bucket
 #: value: flag when the accumulated positive drift exceeds 4 average
 #: buckets' worth of cents.
@@ -1094,6 +1201,7 @@ QUERIES = {
     "ts_active_users": q_ts_active_users,
     "ts_hourly_profile": q_ts_hourly_profile,
     "ts_ewma": q_ts_ewma,
+    "ts_holt": q_ts_holt,
     "ts_changepoint": q_ts_changepoint,
     "ts_snaive_backtest": q_ts_snaive_backtest,
     "ts_autocorr": q_ts_autocorr,
@@ -1546,3 +1654,54 @@ ORACLES = {
 # definition, so the two can never diverge — and the shared text is
 # precisely what makes the driver hash-match a losslessness proof.
 ORACLES["ts_rollup_incremental"] = ORACLES["ts_resample"]
+
+
+def _holt_oracle_sql() -> str:
+    """SQL twin of ``holt``: the same literal coefficient tables, the
+    same canonical-mod floor division (``//`` after the mod subtraction
+    is exact, so it equals Spark's ``DIV`` there)."""
+    cl, cb = _holt_coeffs()
+    arr = lambda rows: "[" + ", ".join(  # noqa: E731
+        "[" + ", ".join(f"CAST({c} AS BIGINT)" for c in r) + "]"
+        for r in rows
+    ) + "]"
+
+    def num(table: list[list[int]]) -> str:
+        return f"""CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(generate_series(1, len(lst)),
+                j -> ({arr(table)})[len(lst)][j] * lst[j])),
+            (a, b) -> a + b) AS BIGINT)"""
+
+    def fd(a: str, b: str) -> str:
+        return f"CAST((({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) // ({b}) AS BIGINT)"
+
+    den = "(CAST(1 AS BIGINT) << (2 * (len(lst) - 1)))"
+    return f"""
+        WITH bucketed AS (
+            SELECT date_trunc('hour', ts) AS bucket, event_type,
+                   CAST(SUM({CENTS_SQL}) AS BIGINT) AS x_cents
+            FROM events GROUP BY 1, 2
+        ),
+        lsts AS (
+            SELECT event_type, bucket, x_cents,
+                   list(x_cents) OVER (
+                       PARTITION BY event_type ORDER BY bucket
+                       ROWS BETWEEN {EWMA_W - 1} PRECEDING AND CURRENT ROW
+                   ) AS lst
+            FROM bucketed
+        ),
+        nums AS (
+            SELECT event_type, bucket, x_cents, lst,
+                   {num(cl)} AS nl,
+                   {num(cb)} AS nb
+            FROM lsts
+        )
+        SELECT event_type, bucket, x_cents,
+               {fd("nl", den)} AS holt_level_cents,
+               {fd("nb", den)} AS holt_trend_cents,
+               {fd("nl + nb", den)} AS holt_forecast_cents
+        FROM nums
+    """
+
+
+ORACLES["ts_holt"] = _holt_oracle_sql()

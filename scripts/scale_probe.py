@@ -693,6 +693,17 @@ def main() -> None:
             "overwrite"
         ).format("noop").save()
 
+    def holtp(sf_dir):
+        # the ewma regime with a trend term: bucket x type cardinality
+        # is constant under the blowup, so the coefficient-fold window
+        # stays flat and only the pre-agg scan scales
+        from covid_engineering_spark.operators.timeseries import holt
+        from covid_engineering_spark.sources import read_table
+
+        holt(read_table(spark, sf_dir, "events")).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
     out: dict = {"metric": "scale_probe", "x": REPLICAS, "base": BASE}
     seen_names: set = set()
     for name, fn in (
@@ -732,6 +743,7 @@ def main() -> None:
         ("pipe_k_anonymity", kanon),
         ("pipe_weighted_sample", ppssample),
         ("text_gopher_rules", gopher),
+        ("ts_holt", holtp),
     ):
         if ONLY and name not in ONLY:
             continue

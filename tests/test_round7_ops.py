@@ -129,6 +129,41 @@ def test_gopher_rules_are_exact_and_non_degenerate(spark):
         assert r["r_word_count"] == (r["n_words"] >= GOPHER_MIN_WORDS)
 
 
+def test_holt_equals_textbook_sequential_recursion(spark):
+    # The engine evaluates Holt as integer-coefficient combinations of
+    # the window inputs; the textbook form is a sequential fold. They
+    # must agree bit-for-bit under exact rational arithmetic + floor.
+    import math
+    from fractions import Fraction as Fr
+
+    from covid_engineering_spark.operators.timeseries import (
+        EWMA_W,
+        q_ts_holt,
+    )
+
+    rows = (
+        q_ts_holt(spark, SF_SMOKE)
+        .filter("event_type = 'click'")
+        .orderBy("bucket")
+        .collect()
+    )
+    assert rows
+    xs = [r["x_cents"] for r in rows]
+    for i, r in enumerate(rows):
+        win = xs[max(0, i - EWMA_W + 1) : i + 1]
+        level = trend = None
+        for t, x in enumerate(win, start=1):
+            if t == 1:
+                level, trend = Fr(x), Fr(0)
+            else:
+                new_level = (Fr(x) + level + trend) / 2
+                trend = (new_level - level + trend) / 2
+                level = new_level
+        assert r["holt_level_cents"] == math.floor(level), (i, r)
+        assert r["holt_trend_cents"] == math.floor(trend), (i, r)
+        assert r["holt_forecast_cents"] == math.floor(level + trend)
+
+
 def test_k_anonymity_gate_is_exact_and_non_degenerate(spark):
     from covid_engineering_spark.operators.pipeline import (
         K_ANON,

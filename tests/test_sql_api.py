@@ -69,6 +69,7 @@ DUCKDB_ONLY = {
     "emb_rp_recall",
     "pipe_weighted_sample",
     "text_gopher_rules",
+    "ts_holt",
     "a24_cms_heavy",
     "ann_hamming_topk",
     "ann_range_search",

@@ -212,6 +212,7 @@ SURVEY_MAP = {
     "PIPE-KANON": "pipe_k_anonymity",
     "PIPE-PPS": "pipe_weighted_sample",
     "TXT-GOPHER": "text_gopher_rules",
+    "TS-HOLT": "ts_holt",
     # ingest extensions (JSONL / ORC / compaction round-trips)
     "ING-JSONL": "s6_jsonl_scan",
     "ING-ORC": "s7_orc_roundtrip",
