@@ -817,27 +817,41 @@ def k_anonymize(docs: DataFrame, k: int = K_ANON) -> DataFrame:
     trivial projection and the suppressed mass is auditable per
     source.
 
+    NULL quasi-identifier values are a GROUP, not a gap: the join is
+    null-safe (``<=>`` on both columns, IS NOT DISTINCT FROM in the
+    oracle), so a document with NULL lang/source is counted against
+    the NULL-tuple group and suppressed or released like any other —
+    it can never silently vanish from the audit (a release gate that
+    drops NULL-metadata docs from its own output is worse than
+    suppressing them).
+
     Scale shape: one partial-aggregated shuffle collapses the corpus
     to |distinct quasi tuples| rows (~10²–10⁴ for metadata columns),
-    which broadcast back onto the scan — the gate itself is map-side.
-    A high-cardinality quasi set (e.g. user ids) would flip the join
-    to shuffle-hash; with AQE on, that flip is automatic, same
-    output.
+    which the explicit ``F.broadcast`` hint pins back onto the scan —
+    the gate itself is map-side. The hint is a PIN, not a suggestion:
+    AQE does not override it, so for a high-cardinality quasi set
+    (e.g. user ids) remove the hint and let the size-based planner
+    pick shuffle-hash instead of force-broadcasting a huge frame.
     """
     groups = docs.groupBy("lang", "source").agg(
         F.count("*").alias("qi_group_n")
     )
     ok = F.col("qi_group_n") >= k
+    d, g = docs.alias("_ka_d"), groups.alias("_ka_g")
     return (
-        docs.join(F.broadcast(groups), ["lang", "source"])
+        d.join(
+            F.broadcast(g),
+            F.col("_ka_d.lang").eqNullSafe(F.col("_ka_g.lang"))
+            & F.col("_ka_d.source").eqNullSafe(F.col("_ka_g.source")),
+        )
         .select(
             "doc_id",
             F.col("qi_group_n"),
             ok.alias("released"),
-            F.when(ok, F.col("lang")).otherwise(F.lit("*")).alias(
+            F.when(ok, F.col("_ka_d.lang")).otherwise(F.lit("*")).alias(
                 "release_lang"
             ),
-            F.when(ok, F.col("source")).otherwise(F.lit("*")).alias(
+            F.when(ok, F.col("_ka_d.source")).otherwise(F.lit("*")).alias(
                 "release_source"
             ),
         )
@@ -871,9 +885,16 @@ def weighted_sample(docs: DataFrame, k: int = PPS_SAMPLE_K) -> DataFrame:
 
         floor(W_i · k / W) > floor(W_{i-1} · k / W)
 
-    — pure BIGINT multiply + integral DIV (exact while W·k < 2^63;
-    at char weights that is ~10^17 chars ≈ 100 TB of text, and past
-    it the product widens to DECIMAL(38,0) with the same semantics).
+    — exact integer arithmetic across the full BIGINT mass domain:
+    the cumulative mass is cast to DECIMAL(38,0) before the multiply
+    (a BIGINT ``w_cum * k`` would wrap, not widen, past 2^63 — at
+    char weights that bound sits near 10^17 chars ≈ 100 TB of text,
+    exactly the target scale; pinned by
+    test_weighted_sample_exact_past_int64_product), and the integral
+    DIV of decimals is exact while W·k < 10^38. The remaining bound
+    is the BIGINT prefix sum itself: W < 2^63 ≈ 9 exabytes of chars.
+    The oracle computes the same crossings with HUGEINT ``//`` —
+    both sides are integer-exact, no double rounding.
     Every document is emitted with its weight, cumulative mass and
     verdict, so the draw is auditable and re-weightable downstream.
     """
@@ -889,8 +910,12 @@ def weighted_sample(docs: DataFrame, k: int = PPS_SAMPLE_K) -> DataFrame:
         total_col="_w_tot",
     )
     sampled = F.expr(
-        f"(w_cum * {int(k)}) DIV GREATEST(_w_tot, 1)"
-    ) > F.expr(f"((w_cum - weight) * {int(k)}) DIV GREATEST(_w_tot, 1)")
+        f"CAST(w_cum AS DECIMAL(38,0)) * {int(k)}"
+        " DIV GREATEST(_w_tot, 1)"
+    ) > F.expr(
+        f"CAST(w_cum - weight AS DECIMAL(38,0)) * {int(k)}"
+        " DIV GREATEST(_w_tot, 1)"
+    )
     return pref.select(
         "doc_id", "source", "weight", "w_cum", sampled.alias("sampled")
     )
@@ -1647,7 +1672,8 @@ ORACLES = {
                CASE WHEN g.qi_group_n >= {K_ANON} THEN d.source
                     ELSE '*' END AS release_source
         FROM documents d
-        JOIN groups g ON d.lang = g.lang AND d.source = g.source
+        JOIN groups g ON d.lang IS NOT DISTINCT FROM g.lang
+                     AND d.source IS NOT DISTINCT FROM g.source
     """,
     "pipe_weighted_sample": f"""
         WITH w AS (
@@ -1664,10 +1690,10 @@ ORACLES = {
             FROM w
         )
         SELECT doc_id, source, weight, w_cum,
-               FLOOR(CAST(w_cum * {PPS_SAMPLE_K} AS DOUBLE)
-                     / GREATEST(w_tot, 1))
-               > FLOOR(CAST((w_cum - weight) * {PPS_SAMPLE_K} AS DOUBLE)
-                       / GREATEST(w_tot, 1))
+               (CAST(w_cum AS HUGEINT) * {PPS_SAMPLE_K})
+                   // GREATEST(w_tot, 1)
+               > (CAST(w_cum - weight AS HUGEINT) * {PPS_SAMPLE_K})
+                   // GREATEST(w_tot, 1)
                    AS sampled
         FROM pref
     """,

@@ -1764,9 +1764,14 @@ def global_prefix_sum(
        hash(partition id), so P tasks each sort N/P rows.
     3. Global prefix = local running sum + prefix-sum of
        per-partition totals. The totals frame is ≤P rows (P = shuffle
-       partitions, NOT data size): the only ``Window.orderBy``
-       without ``partitionBy`` in the plan runs over THAT, and it
-       joins back as a broadcast.
+       partitions, NOT data size); its global window partitions by a
+       CONSTANT (``lit(0)``) — semantically identical to an
+       unpartitioned window (one hash partition instead of
+       SinglePartition, same exchange cost on ≤P rows) but it keeps
+       ``WindowExec``'s "No Partition Defined" warning out of the
+       logs, where it reads as exactly the single-partition
+       scale-killer this primitive exists to avoid — and it joins
+       back as a broadcast.
 
     ``sort_exprs`` must be a TOTAL order (unique tiebreak column
     last): a running sum inside a range partition is only
@@ -1781,10 +1786,20 @@ def global_prefix_sum(
     sf0.1, 2.2x at 100x). eager=False keeps query CONSTRUCTION
     job-free (the driver contract); the frame materializes once
     inside the first action, the same discipline as
-    connected_components' CC rounds. checkpoint=False keeps the
-    fully-lazy single-plan form (used by the plan-shape test; also
-    the right call inside a larger pipeline that checkpoints upstream
-    itself).
+    connected_components' CC rounds.
+
+    ``checkpoint=False`` keeps the fully-lazy single-plan form (used
+    by the plan-shape test) — but it is ONLY correct when the
+    upstream is deterministic or already materialized: without the
+    checkpoint, the totals branch and the window branch each
+    re-execute the ``repartitionByRange`` (SPARK_PARTITION_ID blocks
+    exchange reuse), and if the upstream row order is
+    nondeterministic (e.g. fresh off a shuffle) the reservoir-sampled
+    range boundaries can DIFFER between the two executions,
+    misaligning ``_gps_pid`` between offsets and rows and silently
+    corrupting the prefix sums. A larger pipeline that wants the lazy
+    form must checkpoint/cache upstream itself; when in doubt keep
+    the default.
     """
     part = (
         df.withColumn("_gps_w", weight)
@@ -1796,11 +1811,18 @@ def global_prefix_sum(
     totals = part.groupBy("_gps_pid").agg(
         F.sum("_gps_w").alias("_gps_cnt")
     )
-    w_off = Window.orderBy("_gps_pid").rowsBetween(
-        Window.unboundedPreceding, -1
+    # Constant partition key: same single-partition evaluation over
+    # the <=P-row totals frame, without WindowExec's "No Partition
+    # Defined" warning (see docstring step 3).
+    w_off = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("_gps_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    w_tot = Window.orderBy("_gps_pid").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    w_tot = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("_gps_pid")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     offsets = totals.select(
         "_gps_pid",

@@ -38,12 +38,17 @@ from verification_ledger import (  # noqa: E402
 #: can't see code changes; this is the one hand-maintained bridge, and
 #: it empties every time the driver re-greens the named entries.)
 CHANGED_SINCE_LAST_GREEN = {
-    # r07: the global_ntile scale-path rewrite — the three global
-    # single-partition NTILE windows became the distributed
-    # range-repartition + per-partition rank + broadcast-offset plan
-    # (VERDICT r06 "What's wrong" #1). Output verified bit-identical
-    # to the window form locally (tests/test_relational.py); re-enters
-    # the driver window until re-greened.
+    # r08: k_anonymize's quasi-identifier join became null-safe
+    # (ADVICE r07 medium — NULL-metadata docs were silently dropped
+    # from the audit; now counted and suppressed), oracle updated to
+    # IS NOT DISTINCT FROM. Output identical on the NULL-free fixture
+    # (local differential green); re-enters until re-greened.
+    "pipe_k_anonymity",
+    # r08: global_prefix_sum's ≤P-row totals windows now partition by
+    # a constant (silences the WindowExec warning, same plan cost) —
+    # rfm_segments' registered plan changed shape, so it re-enters
+    # even though its r07-greened output is pinned bit-identical
+    # (tests/test_relational.py).
     "rfm_segments",
 }
 

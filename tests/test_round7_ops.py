@@ -100,6 +100,35 @@ def test_weighted_sample_is_pps_exact(spark):
     assert max(r["w_cum"] for r in rows) == total
 
 
+def test_weighted_sample_exact_past_int64_product(spark):
+    """The crossing test widens w_cum to DECIMAL(38,0) before the
+    multiply (ADVICE r07): with BIGINT arithmetic, w_cum * k wraps
+    past 2^63 and the verdicts silently corrupt. Weights of ~4.6e17
+    chars push w_cum * 100 to ~9.2e19 > 2^63 ≈ 9.2e18; the verdicts
+    must still match exact Python big-int division.
+    """
+    from covid_engineering_spark.operators.pipeline import weighted_sample
+
+    # total mass ~3.7e18 stays inside int64 (w_cum is a BIGINT prefix
+    # sum) but w_cum * 100 ~ 3.7e20 overflows the old BIGINT multiply
+    big = 2**62 // 25
+    rows = [(i, "s", big + i) for i in range(20)]
+    docs = spark.createDataFrame(
+        rows, "doc_id BIGINT, source STRING, n_chars BIGINT"
+    )
+    out = weighted_sample(docs, k=100).collect()
+    assert len(out) == 20
+    total = sum(w for _, _, w in rows)
+    assert max(r["w_cum"] for r in out) == total
+    for r in out:
+        want = (r["w_cum"] * 100) // total > (
+            (r["w_cum"] - r["weight"]) * 100
+        ) // total
+        assert r["sampled"] == want, r
+    # every pointer interval is wider than any doc: exactly k picks
+    assert sum(r["sampled"] for r in out) == 20  # 20 docs < k pointers
+
+
 def test_gopher_rules_are_exact_and_non_degenerate(spark):
     from covid_engineering_spark.operators.text import (
         GOPHER_MIN_WORDS,
@@ -195,3 +224,35 @@ def test_k_anonymity_gate_is_exact_and_non_degenerate(spark):
         .count()
     )
     assert small == 0
+
+
+def test_k_anonymity_counts_null_quasi_identifiers(spark):
+    """NULL quasi-identifier values form a group, never a gap: the
+    null-safe join (ADVICE r07, medium) must emit every document —
+    NULL-metadata docs get counted, then suppressed or released like
+    any other tuple, not silently dropped from the audit.
+    """
+    from covid_engineering_spark.operators.pipeline import k_anonymize
+
+    rows = [
+        # 5 docs sharing (NULL, 'web') -> released at k=5
+        *[(i, None, "web") for i in range(5)],
+        # 2 docs with both QI columns NULL -> suppressed, NOT dropped
+        (10, None, None),
+        (11, None, None),
+        # 6 docs of a normal tuple -> released
+        *[(20 + i, "en", "web") for i in range(6)],
+        # 1 rare tuple -> suppressed
+        (30, "fr", None),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id BIGINT, lang STRING, source STRING"
+    )
+    out = {r["doc_id"]: r for r in k_anonymize(docs, k=5).collect()}
+    assert len(out) == len(rows)  # every document emitted, none vanish
+    assert out[0]["released"] and out[0]["qi_group_n"] == 5
+    assert out[0]["release_lang"] is None  # released keeps real (NULL) QI
+    assert not out[10]["released"] and out[10]["qi_group_n"] == 2
+    assert out[10]["release_lang"] == "*"
+    assert out[20]["released"] and out[20]["qi_group_n"] == 6
+    assert not out[30]["released"] and out[30]["qi_group_n"] == 1
