@@ -83,6 +83,9 @@ HEADLINE = [
     "pipe_weighted_sample",
     "text_gopher_rules",
     "ts_holt",
+    # Round-8 addition: the Misra-Gries bounded-state frequency
+    # summary (two WindowGroupLimit-pruned window stages).
+    "a26_mg_heavy",
 ]
 
 
@@ -107,7 +110,41 @@ def main() -> None:
     from covid_engineering_spark.session import get_spark
     from covid_engineering_spark.queries import registry
 
+    # Machine-state stamp (VERDICT r07 "What's wrong" #2): the r06/r07
+    # closing benches were load-contaminated with no way to prove it
+    # from the artifact. loadavg before/after makes contamination
+    # visible IN the JSON — a 1-minute loadavg near/above the CPU
+    # count at start means other work shared the box and the wall
+    # numbers measure contention, not plans.
+    def _loadavg() -> list[float]:
+        try:
+            return [round(x, 2) for x in os.getloadavg()]
+        except OSError:  # pragma: no cover - non-POSIX fallback
+            return []
+
+    load_before = _loadavg()
+
     spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+
+    # Keep the artifact tail readable (VERDICT r07 "What's wrong" #3):
+    # nine registered plans contain Window specs with no partitionBy,
+    # every one over a frame bounded by construction (<=P partition
+    # totals, <=K codebook seeds, one date spine) — the allowlist test
+    # tests/test_plans.py::test_every_unpartitioned_window_is_on_the_
+    # bounded_allowlist re-proves that against the full registry, and
+    # a constant partition key cannot silence the log (Spark's
+    # EliminateWindowPartitions folds it away). So scope ONLY
+    # WindowExec's logger down for this bench process; the warning
+    # stays on everywhere else.
+    try:
+        jvm = spark._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:  # pragma: no cover - log4j internals shifted
+        pass
+
     reg = registry()
 
     # Warm-up: JVM/codegen warm on a small full pass.
@@ -179,6 +216,18 @@ def main() -> None:
         "lsh_bucket_preflight": preflight,
         "runs": runs,
         "sf": sf,
+        "loadavg_before": load_before,
+        "loadavg_after": _loadavg(),
+        "n_cpus": os.cpu_count(),
+        "suppressed_warnings": {
+            "WindowExec_no_partition": (
+                "expected from 9 allowlisted bounded-frame global "
+                "windows (<=P totals / <=K seeds / date spine); "
+                "audited registry-wide by tests/test_plans.py::"
+                "test_every_unpartitioned_window_is_on_the_bounded_"
+                "allowlist"
+            )
+        },
         "methodology": (
             "steady-state: 1 warmup + median of "
             f"{runs} timed runs per query, noop sink; failures excluded from total"
@@ -206,6 +255,9 @@ def main() -> None:
         "failed": failed,
         "runs": runs,
         "sf": sf,
+        "loadavg_before": load_before,
+        "loadavg_after": out["loadavg_after"],
+        "n_cpus": out["n_cpus"],
     }
     print(json.dumps(compact))
     spark.stop()

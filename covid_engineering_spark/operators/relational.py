@@ -1764,14 +1764,17 @@ def global_prefix_sum(
        hash(partition id), so P tasks each sort N/P rows.
     3. Global prefix = local running sum + prefix-sum of
        per-partition totals. The totals frame is ≤P rows (P = shuffle
-       partitions, NOT data size); its global window partitions by a
-       CONSTANT (``lit(0)``) — semantically identical to an
-       unpartitioned window (one hash partition instead of
-       SinglePartition, same exchange cost on ≤P rows) but it keeps
-       ``WindowExec``'s "No Partition Defined" warning out of the
-       logs, where it reads as exactly the single-partition
-       scale-killer this primitive exists to avoid — and it joins
-       back as a broadcast.
+       partitions, NOT data size): the only ``Window.orderBy``
+       without ``partitionBy`` in the plan runs over THAT, and it
+       joins back as a broadcast. ``WindowExec`` logs its blanket
+       "No Partition Defined" warning for this spec — here it is a
+       false alarm (the frame is ≤P rows by construction, not data-
+       sized), and it cannot be silenced in the plan: partitioning
+       by a constant gets folded away by ``EliminateWindowPartitions``
+       before execution. bench.py scopes that logger down so the
+       artifact tail stays readable; the real guard is the PLANS.md
+       audit, which verifies every unpartitioned window in every
+       registered plan sits over a bounded frame.
 
     ``sort_exprs`` must be a TOTAL order (unique tiebreak column
     last): a running sum inside a range partition is only
@@ -1811,18 +1814,15 @@ def global_prefix_sum(
     totals = part.groupBy("_gps_pid").agg(
         F.sum("_gps_w").alias("_gps_cnt")
     )
-    # Constant partition key: same single-partition evaluation over
-    # the <=P-row totals frame, without WindowExec's "No Partition
-    # Defined" warning (see docstring step 3).
-    w_off = (
-        Window.partitionBy(F.lit(0))
-        .orderBy("_gps_pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # Unpartitioned by design over the <=P-row totals frame; the
+    # WindowExec warning this triggers is a false alarm (docstring
+    # step 3) — a constant partition key would not help, Spark's
+    # EliminateWindowPartitions folds it away.
+    w_off = Window.orderBy("_gps_pid").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    w_tot = (
-        Window.partitionBy(F.lit(0))
-        .orderBy("_gps_pid")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_tot = Window.orderBy("_gps_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     offsets = totals.select(
         "_gps_pid",
@@ -2279,6 +2279,121 @@ def q_a24_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Misra–Gries summary size (counters per event type) and the shard
+#: fan-out of the distributed merge. Guarantee at k counters:
+#: cnt − N/(k+1) ≤ mg_est ≤ cnt, and every item with cnt > N/(k+1)
+#: survives the summary (Misra & Gries 1982; merge bound: Agarwal,
+#: Cormode, Huang, Phillips, Wei, Yi — "Mergeable Summaries", PODS
+#: 2012).
+MG_K = 8
+MG_SHARDS = 4
+
+
+def q_a26_mg_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A26 — Misra–Gries/SpaceSaving heavy-hitter summary, the
+    bounded-state sibling of the a23 exact pass and the a24 CMS
+    (completing the frequency family: exact / hash-sketch /
+    counter-summary). k=MG_K counters per event type, built the way a
+    1000-executor deployment would: per-SHARD summaries reduced by
+    the canonical MG decrement (subtract the (k+1)-th largest count,
+    keep positives — at most k survive), then merged and reduced once
+    more. Sharding hashes ``user_id`` (``portable_hash64``, the
+    registered-sketch convention), so shard summaries have disjoint
+    keys and the merge is a union + one re-reduction — exactly the
+    Mergeable Summaries merge, whose theorem gives the DISTRIBUTED
+    summary the same guarantee as a sequential pass:
+
+        cnt − total/(k+1)  ≤  mg_est  ≤  cnt     (per survivor)
+
+    and every item with cnt·(k+1) > total is guaranteed present.
+    Both invariants are emitted as checked columns; the exact a23
+    heavy-hitter verdict rides along (``is_exact_heavy``) so the
+    summary is judged against ground truth in the same frame — the
+    a14/a18 sketch-vs-exact pattern.
+
+    Scale shape: one partial-aggregated shuffle to |type × user|
+    count rows; the rank filter ``rn ≤ k+1`` plants a partial
+    WindowGroupLimit BELOW the (type, shard) window exchange (each
+    map task forwards at most k+1 rows per group — the emb_knn_graph
+    discipline), the second-stage window sees ≤ SHARDS·k rows per
+    type, and the per-type totals broadcast back. Deterministic
+    given the counts (ties break to the smaller user_id), hence
+    SQL-replayable: the oracle re-runs the identical reduction and
+    the driver hash-checks estimates, not just bounds.
+    """
+    from covid_engineering_spark.operators.dedup import portable_hash64
+
+    ev = read_table(spark, sf_dir, "events")
+    shard = F.pmod(
+        portable_hash64(F.col("user_id").cast("string"), 26),
+        F.lit(MG_SHARDS),
+    )
+    counts = ev.groupBy(
+        "event_type", shard.alias("shard"), "user_id"
+    ).agg(F.count("*").alias("cnt"))
+    # stage 1: per-(type, shard) MG reduction to <=k counters
+    w1 = Window.partitionBy("event_type", "shard").orderBy(
+        F.desc("cnt"), F.asc("user_id")
+    )
+    top1 = counts.withColumn("rn", F.row_number().over(w1)).filter(
+        F.col("rn") <= MG_K + 1
+    )
+    g1 = Window.partitionBy("event_type", "shard")
+    t1 = F.coalesce(
+        F.max(F.when(F.col("rn") == MG_K + 1, F.col("cnt"))).over(g1),
+        F.lit(0),
+    )
+    s1 = (
+        top1.withColumn("t1", t1)
+        .filter((F.col("rn") <= MG_K) & (F.col("cnt") > F.col("t1")))
+        .select(
+            "event_type",
+            "user_id",
+            "cnt",
+            (F.col("cnt") - F.col("t1")).alias("dec1"),
+        )
+    )
+    # stage 2: shard keys are disjoint, so the merge is a union of
+    # the <=SHARDS*k survivors + one more canonical reduction
+    w2 = Window.partitionBy("event_type").orderBy(
+        F.desc("dec1"), F.asc("user_id")
+    )
+    top2 = s1.withColumn("rn2", F.row_number().over(w2)).filter(
+        F.col("rn2") <= MG_K + 1
+    )
+    g2 = Window.partitionBy("event_type")
+    t2 = F.coalesce(
+        F.max(F.when(F.col("rn2") == MG_K + 1, F.col("dec1"))).over(g2),
+        F.lit(0),
+    )
+    s2 = (
+        top2.withColumn("t2", t2)
+        .filter((F.col("rn2") <= MG_K) & (F.col("dec1") > F.col("t2")))
+        .select(
+            "event_type",
+            "user_id",
+            "cnt",
+            (F.col("dec1") - F.col("t2")).alias("mg_est"),
+        )
+    )
+    totals = counts.groupBy("event_type").agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("n_users")
+    )
+    err = F.col("cnt") - F.col("mg_est")
+    return s2.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "user_id",
+        "cnt",
+        "mg_est",
+        err.alias("mg_err"),
+        (err * (MG_K + 1) <= F.col("total")).alias("err_within_bound"),
+        (
+            F.col("cnt") * F.col("n_users") * HH_DEN
+            > F.col("total") * HH_NUM
+        ).alias("is_exact_heavy"),
+    )
+
+
 #: Fan-out factor of the explicit salted join — the number of
 #: sub-partitions a hot key is spread across.
 JOIN_SALT = 8
@@ -2386,6 +2501,7 @@ QUERIES = {
     "a22_mode": q_a22_mode,
     "a23_heavy_hitters": q_a23_heavy_hitters,
     "a24_cms_heavy": q_a24_cms_heavy,
+    "a26_mg_heavy": q_a26_mg_heavy,
     "a25_quantile_cuts": q_a25_quantile_cuts,
     "a11_percentile": q_a11_percentile,
     "a12_cube": q_a12_cube,
@@ -2766,6 +2882,58 @@ ORACLES = {
         SELECT event_type, user_id, cnt, total, n_users
         FROM c JOIN t USING (event_type)
         WHERE cnt * n_users * {HH_DEN} > total * {HH_NUM}
+    """,
+    "a26_mg_heavy": f"""
+        WITH c AS (
+            SELECT event_type, user_id,
+                   ('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                        || ':26'), 1, 15))::BIGINT % {MG_SHARDS} AS shard,
+                   COUNT(*) AS cnt
+            FROM events GROUP BY 1, 2, 3
+        ),
+        r1 AS (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY event_type, shard
+                       ORDER BY cnt DESC, user_id) AS rn
+            FROM c
+        ),
+        s1 AS (
+            SELECT event_type, user_id, cnt, cnt - t1 AS dec1
+            FROM (
+                SELECT *, COALESCE(MAX(CASE WHEN rn = {MG_K + 1}
+                               THEN cnt END) OVER (
+                               PARTITION BY event_type, shard), 0) AS t1
+                FROM r1 WHERE rn <= {MG_K + 1}
+            )
+            WHERE rn <= {MG_K} AND cnt > t1
+        ),
+        r2 AS (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY event_type
+                       ORDER BY dec1 DESC, user_id) AS rn2
+            FROM s1
+        ),
+        s2 AS (
+            SELECT event_type, user_id, cnt, dec1 - t2 AS mg_est
+            FROM (
+                SELECT *, COALESCE(MAX(CASE WHEN rn2 = {MG_K + 1}
+                               THEN dec1 END) OVER (
+                               PARTITION BY event_type), 0) AS t2
+                FROM r2 WHERE rn2 <= {MG_K + 1}
+            )
+            WHERE rn2 <= {MG_K} AND dec1 > t2
+        ),
+        t AS (
+            SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS total,
+                   COUNT(*) AS n_users
+            FROM c GROUP BY event_type
+        )
+        SELECT event_type, user_id, cnt, mg_est,
+               cnt - mg_est AS mg_err,
+               (cnt - mg_est) * {MG_K + 1} <= total AS err_within_bound,
+               cnt * n_users * {HH_DEN} > total * {HH_NUM}
+                   AS is_exact_heavy
+        FROM s2 JOIN t USING (event_type)
     """,
     "a22_mode": """
         WITH c AS (

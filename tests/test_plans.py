@@ -252,3 +252,66 @@ def test_semdedup_blocked_equijoin_no_cartesian(spark):
     df = q(spark, "emb_semdedup")
     assert not has_cartesian(df)
     assert broadcast_join_count(df) >= 1  # the n_sub sizes broadcast
+
+
+#: Registered queries whose plans legitimately contain Window specs
+#: with NO partitionBy — each evaluated over a frame that is bounded
+#: by CONSTRUCTION (never data-sized), so WindowExec's "No Partition
+#: Defined" warning is a false alarm for them. This is the guard the
+#: global_prefix_sum docstring points at: a NEW unpartitioned window
+#: anywhere in the 197-query registry fails this test until it is
+#: justified here. Value = max allowed unpartitioned specs.
+BOUNDED_GLOBAL_WINDOWS = {
+    # global_prefix_sum offsets: <=P rows (P = shuffle partitions).
+    "rfm_segments": 2,
+    "pipe_weighted_sample": 2,
+    # deterministic codebook seeds: <=K rows after TakeOrdered.
+    "ann_ivf_topk": 2,
+    "ann_recall_eval": 2,
+    # PQ codebook seeds per subspace: <=K rows each.
+    "emb_pq_codes": 1,
+    "ann_pq_adc_topk": 2,
+    "ann_ivfpq_topk": 4,
+    # mixture plan: ranks the <=|sources| summary frame.
+    "pipe_mixture_plan": 2,
+    # SIRD transfer: the single shared 30-day date spine.
+    "x2_sird_transfer": 8,
+}
+
+
+def test_every_unpartitioned_window_is_on_the_bounded_allowlist(spark):
+    """Scale guard: an unpartitioned Window funnels its whole input
+    through ONE task — the single worst operator to ship at 100 TB.
+    Walk EVERY registered query's optimized plan and assert the only
+    unpartitioned window specs are the allowlisted bounded-frame ones
+    (and no allowlisted query grew more of them)."""
+    import re
+
+    from covid_engineering_spark.queries import SIDE_EFFECTING
+
+    pat = re.compile(r"windowspecdefinition\(([^)]*)\)")
+
+    def n_unpartitioned(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        n = 0
+        for m in pat.finditer(plan):
+            first = m.group(1).split(",")[0].strip()
+            if (
+                " ASC" in first
+                or " DESC" in first
+                or first.startswith("specifiedwindowframe")
+            ):
+                n += 1
+        return n
+
+    offenders = {}
+    for name, fn in REG.items():
+        if name in SIDE_EFFECTING:
+            continue  # construction stages writes; windows covered by kin
+        k = n_unpartitioned(fn(spark, SF_SMOKE))
+        if k > BOUNDED_GLOBAL_WINDOWS.get(name, 0):
+            offenders[name] = k
+    assert not offenders, (
+        f"unlisted/grown unpartitioned windows: {offenders} — "
+        "bound the frame or justify in BOUNDED_GLOBAL_WINDOWS"
+    )

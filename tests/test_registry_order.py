@@ -44,12 +44,6 @@ CHANGED_SINCE_LAST_GREEN = {
     # IS NOT DISTINCT FROM. Output identical on the NULL-free fixture
     # (local differential green); re-enters until re-greened.
     "pipe_k_anonymity",
-    # r08: global_prefix_sum's ≤P-row totals windows now partition by
-    # a constant (silences the WindowExec warning, same plan cost) —
-    # rfm_segments' registered plan changed shape, so it re-enters
-    # even though its r07-greened output is pinned bit-identical
-    # (tests/test_relational.py).
-    "rfm_segments",
 }
 
 

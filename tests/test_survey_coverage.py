@@ -208,6 +208,7 @@ SURVEY_MAP = {
     # round-7 extensions: one-pass quantile cut-point audit, JL
     # random-projection recall eval, k-anonymity release gate
     "A25": "a25_quantile_cuts",
+    "A26": "a26_mg_heavy",
     "ANN-RP": "emb_rp_recall",
     "PIPE-KANON": "pipe_k_anonymity",
     "PIPE-PPS": "pipe_weighted_sample",
