@@ -83,9 +83,12 @@ HEADLINE = [
     "pipe_weighted_sample",
     "text_gopher_rules",
     "ts_holt",
-    # Round-8 addition: the Misra-Gries bounded-state frequency
-    # summary (two WindowGroupLimit-pruned window stages).
+    # Round-8 additions: the Misra-Gries bounded-state frequency
+    # summary (two WindowGroupLimit-pruned window stages) and DSIR
+    # importance-weighted data selection (corpus-wide token explode
+    # collapsed to a 512-bucket broadcast model).
     "a26_mg_heavy",
+    "pipe_dsir_select",
 ]
 
 

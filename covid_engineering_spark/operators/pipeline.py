@@ -757,6 +757,20 @@ BLOCKLIST_TERMS = ("slow", "spam", "exploit")
 BLOCK_DENSITY_DIV = 12
 
 
+def blocklist_col():
+    """The blocklist density verdict as ONE predicate Column over a
+    ``text`` column (True = blocked) — the zero-join form for
+    gate-first funnels, mirroring ``gopher_gate_col``: a funnel
+    filters ``~blocklist_col()`` inside the scan instead of joining
+    :func:`blocklist_filter`'s audit frame back on doc_id (a second
+    scan + corpus-sized shuffle join)."""
+    ws = F.split(F.col("text"), " ")
+    hits = F.size(
+        F.filter(ws, lambda w: w.isin(*BLOCKLIST_TERMS))
+    ).cast("long")
+    return hits * BLOCK_DENSITY_DIV > F.size(ws).cast("long")
+
+
 def blocklist_filter(docs: DataFrame) -> DataFrame:
     """Term-blocklist density gate — the C4/RefinedWeb-style wordlist
     filter: a document is blocked when blocklisted terms make up more
@@ -923,6 +937,129 @@ def weighted_sample(docs: DataFrame, k: int = PPS_SAMPLE_K) -> DataFrame:
 
 def q_pipe_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(read_table(spark, sf_dir, "documents"))
+
+
+#: DSIR feature-space size (hashed n-gram buckets) and selection size.
+#: The paper uses 10^4 buckets at web scale; 512 keeps the fixture's
+#: per-bucket counts non-degenerate while the frame stays broadcast-
+#: sized at ANY corpus scale (the bucket count, not the corpus, bounds
+#: it).
+DSIR_BUCKETS = 512
+DSIR_K = 50
+DSIR_HASH_SEED = 31
+
+
+def dsir_select(docs: DataFrame, target, k: int = DSIR_K) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169) — the importance-weighting step that picks raw
+    documents distributed like a TARGET corpus: hash token features
+    into ``DSIR_BUCKETS`` buckets, fit bag-of-words models to the
+    target and raw sides with Laplace smoothing, and score every raw
+    document by its log importance ratio
+
+        w(x) = Σ_f  c_f(x) · [ log p_target(f) − log p_raw(f) ]
+
+    ``target`` is a boolean Column naming the target distribution
+    (the registered query uses ``lang = 'en'`` — "select raw data
+    that reads like the English target"); the registered selection is
+    the DETERMINISTIC top-k by weight (the paper's Gumbel-noise
+    resampling is one extra column on top — hash-derived noise would
+    drop in the same way the split/mixture samplers draw md5 salt).
+
+    Determinism across engines (the text_perplexity discipline): the
+    per-bucket log-ratio is ONE libm op rounded to 8dp and scaled to
+    integer micro-units; each document's weight is then an exact
+    BIGINT dot product of its bucket counts against those micros. No
+    float ever reaches a comparison, so the DuckDB twin replays the
+    weights bit-for-bit. (No mean column: a truncating division of
+    the possibly-NEGATIVE weight would need the ts_holt canonical-mod
+    dance for nothing — consumers divide.)
+
+    Scale shape: one partial-aggregated shuffle collapses ALL tokens
+    to ≤ DSIR_BUCKETS feature rows (target and raw counted in the
+    same pass) — constant-size however large the corpus — which
+    broadcast back onto the per-document bucket counts (the second
+    shuffle, |doc × distinct-bucket| ≤ |docs|·512 rows, partial-agg
+    collapsed map-side); the top-k is TakeOrderedAndProject (never a
+    global sort) and joins back as a ≤k-row broadcast flag.
+    """
+    from covid_engineering_spark.operators.dedup import portable_hash64
+
+    b = DSIR_BUCKETS
+    toks = docs.select(
+        "doc_id",
+        "source",
+        target.alias("_is_t"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    ).select(
+        "doc_id",
+        "source",
+        "_is_t",
+        F.pmod(
+            portable_hash64(F.col("tok"), DSIR_HASH_SEED), F.lit(b)
+        ).alias("feat"),
+    )
+    fs = toks.groupBy("feat").agg(
+        F.sum(F.col("_is_t").cast("long")).alias("ct"),
+        F.sum((~F.col("_is_t")).cast("long")).alias("cr"),
+    )
+    tot = fs.agg(
+        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
+    )
+    # one libm op per bucket, the perplexity/tfidf convention; FLOOR
+    # of x+0.5 rounds half-up for negative ratios identically in both
+    # engines (both floor toward -inf)
+    lr_micros = F.floor(
+        F.round(
+            F.log(
+                ((F.col("ct") + F.lit(1.0)) / (F.col("nt") + F.lit(float(b))))
+                / (
+                    (F.col("cr") + F.lit(1.0))
+                    / (F.col("nr") + F.lit(float(b)))
+                )
+            ),
+            8,
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    lr = fs.join(F.broadcast(tot)).select(
+        "feat", lr_micros.alias("lr_micros")
+    )
+    docfeat = (
+        toks.filter(~F.col("_is_t"))
+        .groupBy("doc_id", "source", "feat")
+        .agg(F.count("*").alias("c"))
+    )
+    w = (
+        docfeat.join(F.broadcast(lr), "feat")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("c").alias("n_feat_tokens"),
+            F.sum(F.col("c") * F.col("lr_micros")).alias("dsir_micros"),
+        )
+    )
+    topk = (
+        w.orderBy(F.desc("dsir_micros"), F.asc("doc_id"))
+        .limit(int(k))
+        .select("doc_id", F.lit(True).alias("_sel"))
+    )
+    return (
+        w.join(F.broadcast(topk), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_feat_tokens",
+            "dsir_micros",
+            F.coalesce(F.col("_sel"), F.lit(False)).alias("selected"),
+        )
+    )
+
+
+def q_pipe_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dsir_select(
+        read_table(spark, sf_dir, "documents"), F.col("lang") == "en"
+    )
 
 
 def curate_corpus(docs: DataFrame) -> DataFrame:
@@ -1294,6 +1431,7 @@ QUERIES = {
     "pipe_blocklist_filter": q_pipe_blocklist_filter,
     "pipe_k_anonymity": q_pipe_k_anonymity,
     "pipe_weighted_sample": q_pipe_weighted_sample,
+    "pipe_dsir_select": q_pipe_dsir_select,
     "pipe_stratified_sample": q_pipe_stratified_sample,
     "pipe_curate_corpus": q_pipe_curate_corpus,
     "pipe_snapshot_diff": q_pipe_snapshot_diff,
@@ -1696,6 +1834,56 @@ ORACLES = {
                    // GREATEST(w_tot, 1)
                    AS sampled
         FROM pref
+    """,
+    "pipe_dsir_select": f"""
+        WITH toks AS (
+            SELECT doc_id, source, lang = 'en' AS is_t,
+                   ('0x' || substr(md5(tok || ':{DSIR_HASH_SEED}'),
+                        1, 15))::BIGINT % {DSIR_BUCKETS} AS feat
+            FROM (
+                SELECT doc_id, source, lang,
+                       unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            )
+        ),
+        fs AS (
+            SELECT feat,
+                   CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END)
+                        AS BIGINT) AS ct,
+                   CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END)
+                        AS BIGINT) AS cr
+            FROM toks GROUP BY feat
+        ),
+        tot AS (
+            SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+                   CAST(SUM(cr) AS BIGINT) AS nr
+            FROM fs
+        ),
+        lr AS (
+            SELECT feat,
+                   CAST(FLOOR(ROUND(ln(
+                       ((ct + 1.0) / (nt + {DSIR_BUCKETS}.0))
+                       / ((cr + 1.0) / (nr + {DSIR_BUCKETS}.0))
+                   ), 8) * 1000000.0 + 0.5) AS BIGINT) AS lr_micros
+            FROM fs, tot
+        ),
+        docfeat AS (
+            SELECT doc_id, source, feat, COUNT(*) AS c
+            FROM toks WHERE NOT is_t GROUP BY 1, 2, 3
+        ),
+        w AS (
+            SELECT doc_id, source,
+                   CAST(SUM(c) AS BIGINT) AS n_feat_tokens,
+                   CAST(SUM(c * lr_micros) AS BIGINT) AS dsir_micros
+            FROM docfeat JOIN lr USING (feat) GROUP BY 1, 2
+        ),
+        topk AS (
+            SELECT doc_id FROM w
+            ORDER BY dsir_micros DESC, doc_id LIMIT {DSIR_K}
+        )
+        SELECT doc_id, source, n_feat_tokens, dsir_micros,
+               doc_id IN (SELECT doc_id FROM topk) AS selected
+        FROM w
     """,
     "pipe_source_gate": f"""
         WITH hashed AS (

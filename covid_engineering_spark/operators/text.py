@@ -703,27 +703,13 @@ GOPHER_REQUIRED_FIXTURE = ("the", "a")
 GOPHER_MIN_REQUIRED_KINDS = 2
 
 
-def gopher_rules(
-    docs: DataFrame,
-    required_words: tuple[str, ...] = GOPHER_REQUIRED_FIXTURE,
-    min_kinds: int = GOPHER_MIN_REQUIRED_KINDS,
-) -> DataFrame:
-    """The Gopher quality-filter rule suite (Rae et al. 2021 §A1.1) —
-    the published heuristic gate most pretraining pipelines start
-    from: per document, every rule's verdict plus the combined gate,
-    so the downstream filter is one ``filter(pass_gopher)`` and the
-    rejection REASONS stay auditable per source (which rule fires
-    where is the first question a corpus audit asks).
-
-    Exactness: every ratio threshold is an integer
-    cross-multiplication (10·symbols ≤ words, 5·alpha ≥ 4·words,
-    3·words ≤ Σlen ≤ 10·words, …) — no float division reaches a
-    comparison, so both engines agree bit-for-bit.
-
-    Scale shape: PURE MAP-SIDE like ``blocklist_filter`` — one scan,
-    per-row array math, no shuffle, no join; runs first in the gate
-    stack alongside it at 100 TB.
-    """
+def _gopher_rule_cols(
+    required_words: tuple[str, ...], min_kinds: int
+) -> dict:
+    """Named Gopher rule verdicts (plus ``n_words`` and the combined
+    ``pass_gopher``) as expressions over a ``text`` column — shared by
+    the audit frame (:func:`gopher_rules`) and the zero-join gate
+    predicate (:func:`gopher_gate_col`)."""
     ws = F.split(F.col("text"), " ")
     n_words = F.size(ws).cast("long")
     sum_len = F.aggregate(
@@ -773,18 +759,63 @@ def gopher_rules(
         & r_alpha
         & r_required
     )
+    return {
+        "n_words": n_words,
+        "r_word_count": r_words,
+        "r_mean_word_len": r_mean_len,
+        "r_symbol_ratio": r_symbols,
+        "r_bullet_lines": r_bullets,
+        "r_ellipsis_lines": r_ellipsis,
+        "r_alpha_words": r_alpha,
+        "r_required_words": r_required,
+        "pass_gopher": gate,
+    }
+
+
+def gopher_gate_col(
+    required_words: tuple[str, ...] = GOPHER_REQUIRED_FIXTURE,
+    min_kinds: int = GOPHER_MIN_REQUIRED_KINDS,
+):
+    """The combined Gopher gate as ONE predicate Column over a
+    ``text`` column — the zero-join form for gate-first funnels:
+    ``docs.filter(gopher_gate_col())`` evaluates the whole rule suite
+    inside the scan projection (pure map-side, no shuffle). Joining
+    :func:`gopher_rules`' audit frame back on doc_id instead costs a
+    second scan plus a corpus-sized shuffle join for nothing —
+    measured at sf0.1: the join form erased the entire downstream
+    saving of a ~45% gate.
+    """
+    return _gopher_rule_cols(required_words, min_kinds)["pass_gopher"]
+
+
+def gopher_rules(
+    docs: DataFrame,
+    required_words: tuple[str, ...] = GOPHER_REQUIRED_FIXTURE,
+    min_kinds: int = GOPHER_MIN_REQUIRED_KINDS,
+) -> DataFrame:
+    """The Gopher quality-filter rule suite (Rae et al. 2021 §A1.1) —
+    the published heuristic gate most pretraining pipelines start
+    from: per document, every rule's verdict plus the combined gate,
+    so the downstream filter is one ``filter(pass_gopher)`` and the
+    rejection REASONS stay auditable per source (which rule fires
+    where is the first question a corpus audit asks). For gating a
+    frame that still carries its payload columns, prefer
+    :func:`gopher_gate_col` (a predicate, no join).
+
+    Exactness: every ratio threshold is an integer
+    cross-multiplication (10·symbols ≤ words, 5·alpha ≥ 4·words,
+    3·words ≤ Σlen ≤ 10·words, …) — no float division reaches a
+    comparison, so both engines agree bit-for-bit.
+
+    Scale shape: PURE MAP-SIDE like ``blocklist_filter`` — one scan,
+    per-row array math, no shuffle, no join; runs first in the gate
+    stack alongside it at 100 TB.
+    """
+    cols = _gopher_rule_cols(required_words, min_kinds)
     return docs.select(
         "doc_id",
         "source",
-        n_words.alias("n_words"),
-        r_words.alias("r_word_count"),
-        r_mean_len.alias("r_mean_word_len"),
-        r_symbols.alias("r_symbol_ratio"),
-        r_bullets.alias("r_bullet_lines"),
-        r_ellipsis.alias("r_ellipsis_lines"),
-        r_alpha.alias("r_alpha_words"),
-        r_required.alias("r_required_words"),
-        gate.alias("pass_gopher"),
+        *[expr.alias(name) for name, expr in cols.items()],
     )
 
 

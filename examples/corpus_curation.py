@@ -61,19 +61,16 @@ def main(
     n_raw = docs.count()
 
     # 0. the map-side gates run FIRST (cheapest per byte, no shuffle):
-    # the Gopher rule suite + the blocklist density gate — rejection
-    # reasons stay on the report, survivors flow into the funnel
-    from covid_engineering_spark.operators.pipeline import blocklist_filter
-    from covid_engineering_spark.operators.text import gopher_rules
+    # the Gopher rule suite + the blocklist density gate, both as
+    # PREDICATE columns evaluated inside the scan — joining the audit
+    # frames back on doc_id would cost two extra scans + shuffle
+    # joins that erase the gate's downstream saving (measured at
+    # sf0.1). The per-rule audit report (gopher_rules) remains the
+    # tool for REASONS; the funnel wants only the verdict.
+    from covid_engineering_spark.operators.pipeline import blocklist_col
+    from covid_engineering_spark.operators.text import gopher_gate_col
 
-    gop = gopher_rules(docs).select("doc_id", "pass_gopher")
-    blk = blocklist_filter(docs).select("doc_id", "blocked")
-    gated = (
-        docs.join(gop, "doc_id")
-        .join(blk, "doc_id")
-        .filter(F.col("pass_gopher") & ~F.col("blocked"))
-        .drop("pass_gopher", "blocked")
-    )
+    gated = docs.filter(gopher_gate_col() & ~blocklist_col())
     n_gated = gated.count()
     print(f"map-side gates: {n_raw} raw -> {n_gated} past gopher+blocklist")
     docs = gated

@@ -331,6 +331,42 @@ def main() -> None:
             "overwrite"
         ).format("noop").save()
 
+    def curate_gated(sf_dir):
+        # the r07+ funnel shape (examples/corpus_curation.py): the
+        # map-side Gopher gate runs FIRST (cheapest per byte, no
+        # shuffle), so every shuffle-bearing stage downstream sees a
+        # constant fraction of the bytes. The probe question (VERDICT
+        # r07 next-round #6): does gating first pull the composite's
+        # deep-scale wall down proportionally, and does its exponent
+        # stay <= the ungated one?
+        #
+        # Blowup interaction, measured before settling on this form:
+        # the key-shifted corpus suffixes EVERY word ('w' -> 'wr{i}')
+        # to keep cross-replica shingles disjoint, which breaks the
+        # two LEXICON rules — Gopher's required-word floor and the
+        # blocklist term match are suffix-exact, so they kill/clear
+        # everything at every depth and the "gated funnel" probe
+        # degenerates to a gate-scan probe (first attempt measured a
+        # nonsense -0.1 exponent on a near-empty funnel). The probe
+        # therefore gates with the SIZE/SHAPE rules only (word-count
+        # window, mean-word-length window, symbol and bullet caps,
+        # alpha floor — all invariant under the suffix transform,
+        # min_kinds=0 disables just the required-word rule), which
+        # keeps the kill-rate constant across depths — the property
+        # the production gate has on real data.
+        #
+        # The gate is the PREDICATE form (gopher_gate_col), evaluated
+        # inside the scan: the first join-the-audit-frame-back form
+        # cost a second scan + a corpus-sized shuffle join that
+        # erased the entire downstream saving (measured 9.48s vs the
+        # ungated 9.34s at 1x; predicate form ~55% of the wall).
+        from covid_engineering_spark.operators.pipeline import curate_corpus
+        from covid_engineering_spark.operators.text import gopher_gate_col
+
+        docs = read_table(spark, sf_dir, "documents")
+        gated = docs.filter(gopher_gate_col(min_kinds=0))
+        curate_corpus(gated).write.mode("overwrite").format("noop").save()
+
     def sess(sf_dir):
         # window-heavy events path: user keys grow with the data, so
         # per-partition state must stay bounded
@@ -704,6 +740,33 @@ def main() -> None:
             "overwrite"
         ).format("noop").save()
 
+    def mgheavy(sf_dir):
+        # the Misra-Gries summary: the blowup multiplies USERS (keys),
+        # so per-(type, shard) groups get wider while WindowGroupLimit
+        # keeps each map task's forward at k+1 rows per group — the
+        # count shuffle should dominate and scale linearly, the
+        # summary stages stay constant-size
+        from covid_engineering_spark.operators.relational import (
+            q_a26_mg_heavy,
+        )
+
+        q_a26_mg_heavy(spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+
+    def dsir(sf_dir):
+        # corpus-wide token explode collapsed to the <=512-bucket
+        # model (constant-size broadcast at any depth); the per-doc
+        # weight shuffle carries |doc x distinct-bucket| rows and
+        # must scale with the corpus, never faster
+        from covid_engineering_spark.operators.pipeline import (
+            q_pipe_dsir_select,
+        )
+
+        q_pipe_dsir_select(spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+
     out: dict = {"metric": "scale_probe", "x": REPLICAS, "base": BASE}
     seen_names: set = set()
     for name, fn in (
@@ -712,6 +775,7 @@ def main() -> None:
         ("dedup_clusters", clusters),
         ("pipe_keep_best", keep),
         ("pipe_curate_corpus", curate),
+        ("pipe_curate_corpus_gated", curate_gated),
         ("ts_sessionize", sess),
         ("text_unigram_lm", unigram),
         ("ts_active_users", active),
@@ -744,6 +808,8 @@ def main() -> None:
         ("pipe_weighted_sample", ppssample),
         ("text_gopher_rules", gopher),
         ("ts_holt", holtp),
+        ("a26_mg_heavy", mgheavy),
+        ("pipe_dsir_select", dsir),
     ):
         if ONLY and name not in ONLY:
             continue

@@ -5,7 +5,13 @@
   present) must hold on the fixture AND on an adversarially skewed
   synthetic corpus, and the summary must stay inside its k-counter
   budget per group.
+- pipe_dsir_select — DSIR importance weighting: raw documents written
+  in the target's vocabulary must outscore documents written in a
+  disjoint vocabulary (the selection signal), and every weight must
+  replay exactly in Python big-int arithmetic from the corpus counts.
 """
+
+import math
 
 from pyspark.sql import functions as F
 
@@ -139,3 +145,100 @@ def test_mg_heavy_guaranteed_coverage_on_skew(spark):
         assert n - total / (MG_K + 1) <= r["mg_est"] <= n
     # budget: the tail cannot push the summary past k counters
     assert len(got) <= MG_K
+
+
+def test_dsir_separates_target_like_from_alien_vocabulary(spark):
+    """The whole point of DSIR: raw docs drawn from the TARGET's
+    vocabulary must carry higher importance weights than raw docs
+    from a disjoint vocabulary, and the deterministic top-k must pick
+    exactly the target-like ones."""
+    from covid_engineering_spark.operators.pipeline import dsir_select
+
+    tgt_vocab = ["alpha", "beta", "gamma", "delta"]
+    alien_vocab = ["omega", "sigma", "kappa", "lambda"]
+    rows = []
+    # 10 target docs (lang=en) over tgt_vocab
+    for i in range(10):
+        rows.append((i, " ".join(tgt_vocab * 5), "en", "s"))
+    # 5 raw docs in the target vocabulary, 5 in the alien one
+    for i in range(5):
+        rows.append((100 + i, " ".join(tgt_vocab * 5), "de", "s"))
+        rows.append((200 + i, " ".join(alien_vocab * 5), "de", "s"))
+    docs = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dsir_select(
+            docs, F.col("lang") == "en", k=5
+        ).collect()
+    }
+    assert len(out) == 10  # only raw docs are scored
+    like = [out[100 + i] for i in range(5)]
+    alien = [out[200 + i] for i in range(5)]
+    assert min(r["dsir_micros"] for r in like) > max(
+        r["dsir_micros"] for r in alien
+    )
+    assert all(r["selected"] for r in like)
+    assert not any(r["selected"] for r in alien)
+
+
+def test_dsir_weights_replay_exactly_from_counts(spark):
+    """Determinism contract: every emitted weight equals the Python
+    big-int dot product of the doc's bucket counts against per-bucket
+    log-ratio micros recomputed from scratch (same Laplace smoothing,
+    same 8dp rounding, same hash)."""
+    from covid_engineering_spark.operators.dedup import portable_hash64
+    from covid_engineering_spark.operators.pipeline import (
+        DSIR_BUCKETS,
+        DSIR_HASH_SEED,
+        q_pipe_dsir_select,
+    )
+    from covid_engineering_spark.sources import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    # bucket every token the same way the operator does (reuse the
+    # engine hash so the test pins the arithmetic, not the hash)
+    toks = (
+        docs.select(
+            "doc_id",
+            (F.col("lang") == "en").alias("is_t"),
+            F.explode(F.split("text", " ")).alias("tok"),
+        )
+        .select(
+            "doc_id",
+            "is_t",
+            F.pmod(
+                portable_hash64(F.col("tok"), DSIR_HASH_SEED),
+                F.lit(DSIR_BUCKETS),
+            ).alias("feat"),
+        )
+        .collect()
+    )
+    ct: dict = {}
+    cr: dict = {}
+    per_doc: dict = {}
+    for r in toks:
+        if r["is_t"]:
+            ct[r["feat"]] = ct.get(r["feat"], 0) + 1
+        else:
+            cr[r["feat"]] = cr.get(r["feat"], 0) + 1
+            d = per_doc.setdefault(r["doc_id"], {})
+            d[r["feat"]] = d.get(r["feat"], 0) + 1
+    nt, nr = sum(ct.values()), sum(cr.values())
+    b = DSIR_BUCKETS
+
+    def lr_micros(f):
+        x = ((ct.get(f, 0) + 1.0) / (nt + float(b))) / (
+            (cr.get(f, 0) + 1.0) / (nr + float(b))
+        )
+        return math.floor(round(math.log(x), 8) * 1e6 + 0.5)
+
+    out = q_pipe_dsir_select(spark, SF_SMOKE).collect()
+    assert len(out) == len(per_doc)
+    for r in out:
+        want = sum(
+            c * lr_micros(f) for f, c in per_doc[r["doc_id"]].items()
+        )
+        assert r["dsir_micros"] == want, r
+        assert r["n_feat_tokens"] == sum(per_doc[r["doc_id"]].values())

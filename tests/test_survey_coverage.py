@@ -209,6 +209,7 @@ SURVEY_MAP = {
     # random-projection recall eval, k-anonymity release gate
     "A25": "a25_quantile_cuts",
     "A26": "a26_mg_heavy",
+    "PIPE-DSIR": "pipe_dsir_select",
     "ANN-RP": "emb_rp_recall",
     "PIPE-KANON": "pipe_k_anonymity",
     "PIPE-PPS": "pipe_weighted_sample",
