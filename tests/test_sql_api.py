@@ -70,6 +70,11 @@ DUCKDB_ONLY = {
     "pipe_weighted_sample",
     "text_gopher_rules",
     "ts_holt",
+    # r08: the '0x'||substr(md5..)::BIGINT portable-hash idiom (a26)
+    # and string_split/unnest token explosion (dsir) are DuckDB
+    # dialect
+    "a26_mg_heavy",
+    "pipe_dsir_select",
     "a24_cms_heavy",
     "ann_hamming_topk",
     "ann_range_search",
