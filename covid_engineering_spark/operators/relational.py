@@ -2321,61 +2321,8 @@ def q_a26_mg_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-replayable: the oracle re-runs the identical reduction and
     the driver hash-checks estimates, not just bounds.
     """
-    from covid_engineering_spark.operators.dedup import portable_hash64
-
     ev = read_table(spark, sf_dir, "events")
-    shard = F.pmod(
-        portable_hash64(F.col("user_id").cast("string"), 26),
-        F.lit(MG_SHARDS),
-    )
-    counts = ev.groupBy(
-        "event_type", shard.alias("shard"), "user_id"
-    ).agg(F.count("*").alias("cnt"))
-    # stage 1: per-(type, shard) MG reduction to <=k counters
-    w1 = Window.partitionBy("event_type", "shard").orderBy(
-        F.desc("cnt"), F.asc("user_id")
-    )
-    top1 = counts.withColumn("rn", F.row_number().over(w1)).filter(
-        F.col("rn") <= MG_K + 1
-    )
-    g1 = Window.partitionBy("event_type", "shard")
-    t1 = F.coalesce(
-        F.max(F.when(F.col("rn") == MG_K + 1, F.col("cnt"))).over(g1),
-        F.lit(0),
-    )
-    s1 = (
-        top1.withColumn("t1", t1)
-        .filter((F.col("rn") <= MG_K) & (F.col("cnt") > F.col("t1")))
-        .select(
-            "event_type",
-            "user_id",
-            "cnt",
-            (F.col("cnt") - F.col("t1")).alias("dec1"),
-        )
-    )
-    # stage 2: shard keys are disjoint, so the merge is a union of
-    # the <=SHARDS*k survivors + one more canonical reduction
-    w2 = Window.partitionBy("event_type").orderBy(
-        F.desc("dec1"), F.asc("user_id")
-    )
-    top2 = s1.withColumn("rn2", F.row_number().over(w2)).filter(
-        F.col("rn2") <= MG_K + 1
-    )
-    g2 = Window.partitionBy("event_type")
-    t2 = F.coalesce(
-        F.max(F.when(F.col("rn2") == MG_K + 1, F.col("dec1"))).over(g2),
-        F.lit(0),
-    )
-    s2 = (
-        top2.withColumn("t2", t2)
-        .filter((F.col("rn2") <= MG_K) & (F.col("dec1") > F.col("t2")))
-        .select(
-            "event_type",
-            "user_id",
-            "cnt",
-            (F.col("dec1") - F.col("t2")).alias("mg_est"),
-        )
-    )
+    s2, counts = mg_summary(ev, "event_type", "user_id")
     totals = counts.groupBy("event_type").agg(
         F.sum("cnt").alias("total"), F.count("*").alias("n_users")
     )
@@ -2392,6 +2339,79 @@ def q_a26_mg_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("total") * HH_NUM
         ).alias("is_exact_heavy"),
     )
+
+
+def mg_summary(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = MG_K,
+    shards: int = MG_SHARDS,
+    seed: int = 26,
+):
+    """The distributed Misra–Gries reduction on an arbitrary frame —
+    returns ``(summary, counts)`` where ``summary`` holds per
+    ``group_col`` at most ``k`` rows ``(group, key, cnt, mg_est)``
+    with the merged-summary guarantee (see ``q_a26_mg_heavy``), and
+    ``counts`` is the exact per-(group, key) count frame both stages
+    derive from (callers reuse it for totals). Library form so
+    property tests can drive random streams through the exact
+    registered reduction."""
+    from covid_engineering_spark.operators.dedup import portable_hash64
+
+    shard = F.pmod(
+        portable_hash64(F.col(key_col).cast("string"), seed),
+        F.lit(shards),
+    )
+    counts = df.groupBy(
+        group_col, shard.alias("shard"), key_col
+    ).agg(F.count("*").alias("cnt"))
+    # stage 1: per-(group, shard) MG reduction to <=k counters
+    w1 = Window.partitionBy(group_col, "shard").orderBy(
+        F.desc("cnt"), F.asc(key_col)
+    )
+    top1 = counts.withColumn("rn", F.row_number().over(w1)).filter(
+        F.col("rn") <= k + 1
+    )
+    g1 = Window.partitionBy(group_col, "shard")
+    t1 = F.coalesce(
+        F.max(F.when(F.col("rn") == k + 1, F.col("cnt"))).over(g1),
+        F.lit(0),
+    )
+    s1 = (
+        top1.withColumn("t1", t1)
+        .filter((F.col("rn") <= k) & (F.col("cnt") > F.col("t1")))
+        .select(
+            group_col,
+            key_col,
+            "cnt",
+            (F.col("cnt") - F.col("t1")).alias("dec1"),
+        )
+    )
+    # stage 2: shard keys are disjoint, so the merge is a union of
+    # the <=shards*k survivors + one more canonical reduction
+    w2 = Window.partitionBy(group_col).orderBy(
+        F.desc("dec1"), F.asc(key_col)
+    )
+    top2 = s1.withColumn("rn2", F.row_number().over(w2)).filter(
+        F.col("rn2") <= k + 1
+    )
+    g2 = Window.partitionBy(group_col)
+    t2 = F.coalesce(
+        F.max(F.when(F.col("rn2") == k + 1, F.col("dec1"))).over(g2),
+        F.lit(0),
+    )
+    summary = (
+        top2.withColumn("t2", t2)
+        .filter((F.col("rn2") <= k) & (F.col("dec1") > F.col("t2")))
+        .select(
+            group_col,
+            key_col,
+            "cnt",
+            (F.col("dec1") - F.col("t2")).alias("mg_est"),
+        )
+    )
+    return summary, counts
 
 
 #: Fan-out factor of the explicit salted join — the number of

@@ -66,10 +66,9 @@ def test_mg_heavy_guaranteed_coverage_on_skew(spark):
     inside the bound, while the long uniform tail is (correctly)
     summarized away.
     """
-    from covid_engineering_spark.operators.dedup import portable_hash64
     from covid_engineering_spark.operators.relational import (
         MG_K,
-        MG_SHARDS,
+        mg_summary,
     )
 
     raw = []
@@ -80,60 +79,8 @@ def test_mg_heavy_guaranteed_coverage_on_skew(spark):
     total = len([r for r in raw if r[0] == "hot"])
     ev = spark.createDataFrame(raw, "event_type STRING, user_id BIGINT")
 
-    # replicate the registered reduction on an arbitrary frame (the
-    # registered query reads the events table; same operator shape)
-    shard = F.pmod(
-        portable_hash64(F.col("user_id").cast("string"), 26),
-        F.lit(MG_SHARDS),
-    )
-    counts = ev.groupBy(
-        "event_type", shard.alias("shard"), "user_id"
-    ).agg(F.count("*").alias("cnt"))
-    from pyspark.sql import Window
-
-    w1 = Window.partitionBy("event_type", "shard").orderBy(
-        F.desc("cnt"), F.asc("user_id")
-    )
-    top1 = counts.withColumn("rn", F.row_number().over(w1)).filter(
-        F.col("rn") <= MG_K + 1
-    )
-    g1 = Window.partitionBy("event_type", "shard")
-    t1 = F.coalesce(
-        F.max(F.when(F.col("rn") == MG_K + 1, F.col("cnt"))).over(g1),
-        F.lit(0),
-    )
-    s1 = (
-        top1.withColumn("t1", t1)
-        .filter((F.col("rn") <= MG_K) & (F.col("cnt") > F.col("t1")))
-        .select(
-            "event_type",
-            "user_id",
-            "cnt",
-            (F.col("cnt") - F.col("t1")).alias("dec1"),
-        )
-    )
-    w2 = Window.partitionBy("event_type").orderBy(
-        F.desc("dec1"), F.asc("user_id")
-    )
-    top2 = s1.withColumn("rn2", F.row_number().over(w2)).filter(
-        F.col("rn2") <= MG_K + 1
-    )
-    g2 = Window.partitionBy("event_type")
-    t2 = F.coalesce(
-        F.max(F.when(F.col("rn2") == MG_K + 1, F.col("dec1"))).over(g2),
-        F.lit(0),
-    )
-    s2 = (
-        top2.withColumn("t2", t2)
-        .filter((F.col("rn2") <= MG_K) & (F.col("dec1") > F.col("t2")))
-        .select(
-            "event_type",
-            "user_id",
-            "cnt",
-            (F.col("dec1") - F.col("t2")).alias("mg_est"),
-        )
-    )
-    got = {r["user_id"]: r for r in s2.collect()}
+    summary, _ = mg_summary(ev, "event_type", "user_id")
+    got = {r["user_id"]: r for r in summary.collect()}
     exact = _exact_counts(raw)
     # guarantee 1: the three heads all clear cnt*(k+1) > N -> present
     for uid, n in [(1, 400), (2, 300), (3, 200)]:
@@ -242,3 +189,48 @@ def test_dsir_weights_replay_exactly_from_counts(spark):
         )
         assert r["dsir_micros"] == want, r
         assert r["n_feat_tokens"] == sum(per_doc[r["doc_id"]].values())
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),  # group
+            st.integers(0, 30),  # key — small domain forces collisions
+        ),
+        min_size=1,
+        max_size=300,
+    )
+)
+def test_mg_summary_guarantees_on_random_streams(spark, raw):
+    """Misra-Gries on ANY stream: for every group, (1) each summary
+    row underestimates by at most N_group/(k+1); (2) every key with
+    cnt*(k+1) > N_group appears; (3) at most k rows survive per
+    group; (4) emitted counts are exact."""
+    from covid_engineering_spark.operators.relational import (
+        MG_K,
+        mg_summary,
+    )
+
+    ev = spark.createDataFrame(raw, "event_type STRING, user_id BIGINT")
+    summary, _ = mg_summary(ev, "event_type", "user_id")
+    got = [tuple(r) for r in summary.collect()]
+    exact = _exact_counts(raw)
+    totals: dict = {}
+    for (g, _), n in exact.items():
+        totals[g] = totals.get(g, 0) + n
+    per_group: dict = {}
+    present = set()
+    for g, key, cnt, est in got:
+        per_group[g] = per_group.get(g, 0) + 1
+        present.add((g, key))
+        assert cnt == exact[(g, key)]  # (4) exact counts
+        assert 1 <= est <= cnt  # underestimate, positive
+        assert (cnt - est) * (MG_K + 1) <= totals[g]  # (1) bound
+    assert all(n <= MG_K for n in per_group.values())  # (3) budget
+    for (g, key), n in exact.items():  # (2) guaranteed coverage
+        if n * (MG_K + 1) > totals[g]:
+            assert (g, key) in present, (g, key, n, totals[g])
