@@ -131,6 +131,24 @@ def main(
     print(f"split sizes: {dict(sorted(by_split.items()))}")
     print(f"packed into {n_chunks} chunks")
 
+    # 7b. target-distribution selection: DSIR importance weights
+    # against the English slice as the target — the report a curator
+    # reads to see WHICH raw documents a target-matched mixture would
+    # pull in, before committing the mixture weights
+    from covid_engineering_spark.operators.pipeline import dsir_select
+
+    dsir = dsir_select(
+        read_table(spark, sf_dir, "documents"), F.col("lang") == "en"
+    )
+    picked = dsir.filter("selected").agg(
+        F.count("*").alias("n"),
+        F.min("dsir_micros").alias("floor_micros"),
+    ).first()
+    print(
+        f"dsir selection vs the en target: top {picked['n']} raw docs, "
+        f"weight floor {picked['floor_micros']} micros"
+    )
+
     # 8. the crawl-level gate a refresh would run BEFORE this funnel:
     # per-source dup rate + above-corpus-mean quality, as one report
     from covid_engineering_spark.operators.pipeline import source_gate

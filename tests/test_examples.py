@@ -29,6 +29,10 @@ def test_corpus_curation_runs(spark, tmp_path, capsys):
     assert "curated 500 raw documents -> 195 kept" in out
     assert "split sizes: {'test': 16, 'train': 158, 'val': 21}" in out
     assert "packed into 58 chunks" in out
+    assert (
+        "dsir selection vs the en target: top 50 raw docs, "
+        "weight floor -425592 micros" in out
+    )
     assert "pps review sample: 100 docs" in out
 
 
