@@ -315,3 +315,36 @@ def test_every_unpartitioned_window_is_on_the_bounded_allowlist(spark):
         f"unlisted/grown unpartitioned windows: {offenders} — "
         "bound the frame or justify in BOUNDED_GLOBAL_WINDOWS"
     )
+
+
+def test_mg_heavy_prunes_below_both_window_exchanges(spark):
+    """A26: the rank filters must plant partial WindowGroupLimits
+    BELOW each window exchange (map tasks forward at most k+1 rows per
+    group — without the partial pass, every (type, shard) group's full
+    user census crosses the wire), the totals must broadcast, and no
+    cartesian may appear."""
+    from covid_engineering_spark.plans import simple_plan
+
+    df = q(spark, "a26_mg_heavy")
+    plan = simple_plan(df)
+    # 2 stages x (partial below + final above the exchange) = 4
+    assert plan.count("WindowGroupLimit") >= 4
+    assert broadcast_join_count(df) >= 1  # per-type totals
+    assert not has_cartesian(df)
+
+
+def test_dsir_model_broadcasts_and_topk_never_global_sorts(spark):
+    """PIPE-DSIR: the <=512-bucket log-ratio model and the <=k
+    selection flag must broadcast back onto the corpus (never shuffle
+    it), and the top-k must plan TakeOrderedAndProject, not a global
+    sort."""
+    from covid_engineering_spark.plans import simple_plan
+
+    df = q(spark, "pipe_dsir_select")
+    plan = simple_plan(df)
+    assert broadcast_join_count(df) >= 2  # lr model + topk flag
+    assert "TakeOrderedAndProject" in plan
+    # the only Sorts allowed are inside exchanges' local sort for the
+    # ordered limit; a global Sort node above the weight frame would
+    # mean the top-k fell back to a full ordering
+    assert not has_cartesian(df)
