@@ -983,6 +983,28 @@ def dsir_select(docs: DataFrame, target, k: int = DSIR_K) -> DataFrame:
     collapsed map-side); the top-k is TakeOrderedAndProject (never a
     global sort) and joins back as a ≤k-row broadcast flag.
     """
+    w = _dsir_weights(docs, target)
+    topk = (
+        w.orderBy(F.desc("dsir_micros"), F.asc("doc_id"))
+        .limit(int(k))
+        .select("doc_id", F.lit(True).alias("_sel"))
+    )
+    return (
+        w.join(F.broadcast(topk), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_feat_tokens",
+            "dsir_micros",
+            F.coalesce(F.col("_sel"), F.lit(False)).alias("selected"),
+        )
+    )
+
+
+def _dsir_weights(docs: DataFrame, target) -> DataFrame:
+    """The DSIR importance-weight frame (doc_id, source,
+    n_feat_tokens, dsir_micros) both selection rules share — see
+    :func:`dsir_select` for the arithmetic contract."""
     from covid_engineering_spark.operators.dedup import portable_hash64
 
     b = DSIR_BUCKETS
@@ -1031,7 +1053,7 @@ def dsir_select(docs: DataFrame, target, k: int = DSIR_K) -> DataFrame:
         .groupBy("doc_id", "source", "feat")
         .agg(F.count("*").alias("c"))
     )
-    w = (
+    return (
         docfeat.join(F.broadcast(lr), "feat")
         .groupBy("doc_id", "source")
         .agg(
@@ -1039,20 +1061,63 @@ def dsir_select(docs: DataFrame, target, k: int = DSIR_K) -> DataFrame:
             F.sum(F.col("c") * F.col("lr_micros")).alias("dsir_micros"),
         )
     )
+
+
+def dsir_gumbel_topk(
+    docs: DataFrame,
+    target,
+    k: int = DSIR_K,
+    temperature: float = 1.0,
+    seed: int = 7,
+) -> DataFrame:
+    """The paper's actual resampling rule (Xie et al. 2023 §2.3;
+    Gumbel-top-k, Vieira 2014): sample ``k`` raw documents WITHOUT
+    replacement with P(doc) ∝ exp(w/T) by taking the top-k of
+    ``w/T + G_i`` where ``G_i = −ln(−ln(u_i))`` is a standard Gumbel
+    draw. The noise is HASH-derived — ``u_i`` from the md5
+    ``portable_hash64(doc_id, seed)`` mapped into (0,1) — so the draw
+    is deterministic and reproducible given (corpus, seed), the same
+    salted-hash discipline as the split/mixture samplers; re-running
+    the pipeline reproduces the sample bit-for-bit, changing ``seed``
+    redraws it. ``temperature → 0`` recovers :func:`dsir_select`'s
+    deterministic argmax top-k (pinned in tests).
+
+    Library form (not a registered query): the score mixes libm
+    doubles, which is fine for a sampler whose CONSUMER contract is
+    the selected id set, not a hash-stable score column — the
+    registered, oracle-twinned path is :func:`dsir_select`.
+
+    Scale shape: identical to ``dsir_select`` (same weight frame; the
+    noise is one map-side expression) — TakeOrderedAndProject top-k,
+    ≤k-row broadcast flag.
+    """
+    from covid_engineering_spark.operators.dedup import portable_hash64
+
+    w = _dsir_weights(docs, target)
+    # u in (0,1): (h + 1) / (2^60 + 1), h uniform in [0, 2^60)
+    u = (
+        portable_hash64(F.col("doc_id").cast("string"), seed) + F.lit(1.0)
+    ) / F.lit(float(2**60 + 1))
+    gumbel = -F.log(-F.log(u))
+    score = (
+        F.col("dsir_micros").cast("double")
+        / F.lit(1e6)
+        / F.lit(float(temperature))
+        + gumbel
+    )
+    scored = w.withColumn("gumbel_score", score)
     topk = (
-        w.orderBy(F.desc("dsir_micros"), F.asc("doc_id"))
+        scored.orderBy(F.desc("gumbel_score"), F.asc("doc_id"))
         .limit(int(k))
         .select("doc_id", F.lit(True).alias("_sel"))
     )
-    return (
-        w.join(F.broadcast(topk), "doc_id", "left")
-        .select(
-            "doc_id",
-            "source",
-            "n_feat_tokens",
-            "dsir_micros",
-            F.coalesce(F.col("_sel"), F.lit(False)).alias("selected"),
-        )
+    return scored.join(F.broadcast(topk), "doc_id", "left").select(
+        "doc_id",
+        "source",
+        "n_feat_tokens",
+        "dsir_micros",
+        "gumbel_score",
+        F.coalesce(F.col("_sel"), F.lit(False)).alias("selected"),
     )
 
 

@@ -234,3 +234,39 @@ def test_mg_summary_guarantees_on_random_streams(spark, raw):
     for (g, key), n in exact.items():  # (2) guaranteed coverage
         if n * (MG_K + 1) > totals[g]:
             assert (g, key) in present, (g, key, n, totals[g])
+
+
+def test_dsir_gumbel_topk_is_deterministic_and_temperature_limits(spark):
+    """The Gumbel resampler: (a) reproducible given (corpus, seed) and
+    redrawn under a different seed; (b) at temperature -> 0 it
+    recovers dsir_select's deterministic argmax top-k; (c) at moderate
+    temperature the draw is still weight-biased (selected mean weight
+    above unselected mean)."""
+    from covid_engineering_spark.operators.pipeline import (
+        dsir_gumbel_topk,
+        dsir_select,
+    )
+    from covid_engineering_spark.sources import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    tgt = F.col("lang") == "en"
+
+    g1 = {r["doc_id"]: r for r in dsir_gumbel_topk(docs, tgt, k=20).collect()}
+    g2 = {r["doc_id"]: r for r in dsir_gumbel_topk(docs, tgt, k=20).collect()}
+    assert g1 == g2  # (a) same seed -> bit-identical draw
+    g3 = dsir_gumbel_topk(docs, tgt, k=20, seed=99).collect()
+    assert {r["doc_id"] for r in g3 if r["selected"]} != {
+        d for d, r in g1.items() if r["selected"]
+    }  # different seed -> different sample (20 of ~280: collision ~0)
+
+    # (b) T -> 0: noise vanishes relative to w/T; matches the argmax
+    cold = dsir_gumbel_topk(docs, tgt, k=20, temperature=1e-9)
+    argmax = dsir_select(docs, tgt, k=20)
+    assert {r["doc_id"] for r in cold.collect() if r["selected"]} == {
+        r["doc_id"] for r in argmax.collect() if r["selected"]
+    }
+
+    # (c) moderate T: still biased toward heavy weights
+    sel = [r["dsir_micros"] for r in g1.values() if r["selected"]]
+    uns = [r["dsir_micros"] for r in g1.values() if not r["selected"]]
+    assert sum(sel) / len(sel) > sum(uns) / len(uns)
