@@ -113,3 +113,13 @@ def test_oracle_keys_all_resolve():
     reg = registry()
     orc = oracles()
     assert set(orc) <= set(reg)
+
+
+def test_bench_headline_names_all_resolve():
+    """bench.py skips unknown names silently (reg.get) — a typo'd or
+    renamed HEADLINE entry would quietly drop a query from every
+    bench artifact. Pin the whole list to the registry."""
+    import bench
+
+    missing = [n for n in bench.HEADLINE if n not in registry()]
+    assert not missing, missing
