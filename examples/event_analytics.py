@@ -142,6 +142,16 @@ def main(
     over = cms.agg(
         F.count("*").alias("n"), F.sum("overcount").alias("oc")
     ).first()
+    # the bounded-state third leg of the frequency family: the
+    # Misra-Gries k-counter summary, judged in the same frame (its
+    # underestimate bound is the dual of the CMS overestimate)
+    from covid_engineering_spark.operators.relational import q_a26_mg_heavy
+
+    mg = q_a26_mg_heavy(spark, sf_dir).agg(
+        F.count("*").alias("n"),
+        F.sum("mg_err").alias("under"),
+        F.min("err_within_bound").alias("ok"),
+    ).first()
     bands = percentile_profile(ev).count()
 
     # 5d. stream-static enrichment: the event fact rolled up by the
@@ -203,6 +213,10 @@ def main(
     print(
         f"heavy hitters     : {hh} exact; cms est over {over['n']} "
         f"candidates, total overcount {over['oc']}"
+    )
+    print(
+        f"mg summary        : {mg['n']} counters kept, total "
+        f"undercount {mg['under']}, bound held: {bool(mg['ok'])}"
     )
     print(f"SLO band cells    : {bands} (type x hour p50/p90)")
     print(f"segment rollup    : {seg} (mktsegment x type) cells")

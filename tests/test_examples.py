@@ -61,6 +61,10 @@ def test_event_analytics_runs(spark, tmp_path, capsys):
     mod["main"]("/root/testdata/sf0.001", str(tmp_path / "out"))
     out = capsys.readouterr().out
     assert "events            : 1000" in out
+    assert (
+        "mg summary        : 39 counters kept, total undercount 490, "
+        "bound held: True" in out
+    )
     assert "scd2 history      : 1000 versions, 75 current keys, deepest chain 21" in out
     assert "sessions          : 492" in out
     assert "funnel depth hist : {5: 15}" in out

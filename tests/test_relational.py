@@ -146,3 +146,45 @@ def test_rfm_matches_window_ntile_form(spark):
     )
     want = sorted((tuple(r) for r in ref.collect()), key=repr)
     assert got == want
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 50),  # sort key (duplicates force tiebreak)
+            st.integers(-100, 100),  # weight — negative and zero too
+        ),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_global_prefix_sum_matches_python_fold_on_random_frames(
+    spark, raw
+):
+    """The shared primitive under rfm/PPS on ANY frame: the inclusive
+    prefix sum along (key, id) must equal the sequential Python fold —
+    including zero and NEGATIVE weights (a mixing pipeline can carry
+    signed adjustments) — and the emitted total must be the exact sum.
+    """
+    from covid_engineering_spark.operators.relational import (
+        global_prefix_sum,
+    )
+
+    rows = [(i, k, w) for i, (k, w) in enumerate(raw)]
+    df = spark.createDataFrame(rows, "id LONG, k LONG, w LONG")
+    got = {
+        r["id"]: (r["cum"], r["tot"])
+        for r in global_prefix_sum(
+            df, [F.asc("k"), F.asc("id")], F.col("w"), "cum",
+            total_col="tot",
+        ).collect()
+    }
+    assert len(got) == len(rows)
+    run, total = 0, sum(w for _, _, w in rows)
+    for i, _, w in sorted(rows, key=lambda r: (r[1], r[0])):
+        run += w
+        assert got[i] == (run, total), (i, got[i], run, total)
