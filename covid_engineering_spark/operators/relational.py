@@ -1868,7 +1868,10 @@ def global_ntile(
     tests/test_relational.py::test_global_ntile_matches_window_ntile).
 
     ``sort_exprs`` must be a TOTAL order (unique tiebreak column
-    last), exactly as with the window form.
+    last), exactly as with the window form. ``checkpoint`` forwards to
+    ``global_prefix_sum`` — ``False`` carries its determinism
+    precondition (see that docstring: only correct over a
+    deterministic or already-materialized upstream).
     """
     ranked = global_prefix_sum(
         df,
