@@ -270,3 +270,27 @@ def test_dsir_gumbel_topk_is_deterministic_and_temperature_limits(spark):
     sel = [r["dsir_micros"] for r in g1.values() if r["selected"]]
     uns = [r["dsir_micros"] for r in g1.values() if not r["selected"]]
     assert sum(sel) / len(sel) > sum(uns) / len(uns)
+
+
+def test_rank_pipelines_invariant_to_shuffle_partition_count(spark):
+    """The README's 'determinism at any partitioning' claim, tested
+    head-on for the operators whose correctness leans on total orders
+    across range/hash exchanges: the same query under 5 shuffle
+    partitions must return the exact row set it returns under the
+    session default (32). A partition-count-sensitive rank or prefix
+    sum would silently corrupt on any cluster resize."""
+    from covid_engineering_spark.queries import registry
+
+    reg = registry()
+    names = ["rfm_segments", "pipe_weighted_sample", "a26_mg_heavy"]
+    default = spark.conf.get("spark.sql.shuffle.partitions")
+    base = {}
+    for n in names:
+        base[n] = sorted(map(tuple, reg[n](spark, SF_SMOKE).collect()))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        for n in names:
+            got = sorted(map(tuple, reg[n](spark, SF_SMOKE).collect()))
+            assert got == base[n], f"{n} changed under 5 partitions"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", default)
