@@ -960,8 +960,11 @@ def dsir_select(docs: DataFrame, target, k: int = DSIR_K) -> DataFrame:
         w(x) = Σ_f  c_f(x) · [ log p_target(f) − log p_raw(f) ]
 
     ``target`` is a boolean Column naming the target distribution
-    (the registered query uses ``lang = 'en'`` — "select raw data
-    that reads like the English target"); the registered selection is
+    (the registered query uses the NULL-SAFE ``lang <=> 'en'`` —
+    "select raw data that reads like the English target", with
+    NULL-lang docs plain raw-side docs in both engines; a nullable
+    predicate here silently diverges between Spark's NULL-skipping
+    SUM and DuckDB's CASE ELSE); the registered selection is
     the DETERMINISTIC top-k by weight (the paper's Gumbel-noise
     resampling is one extra column on top — hash-derived noise would
     drop in the same way the split/mixture samplers draw md5 salt).
@@ -1122,8 +1125,14 @@ def dsir_gumbel_topk(
 
 
 def q_pipe_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Null-safe target predicate (the k_anonymize lesson): a plain
+    # `lang = 'en'` is NULL for NULL-lang docs, and the two engines
+    # disagree on NULL through their raw-side counters (Spark's SUM
+    # skips the NULL boolean, DuckDB's CASE ELSE counts it) — <=>
+    # makes NULL-lang docs plain raw-side docs in both.
     return dsir_select(
-        read_table(spark, sf_dir, "documents"), F.col("lang") == "en"
+        read_table(spark, sf_dir, "documents"),
+        F.col("lang").eqNullSafe(F.lit("en")),
     )
 
 
@@ -1902,7 +1911,8 @@ ORACLES = {
     """,
     "pipe_dsir_select": f"""
         WITH toks AS (
-            SELECT doc_id, source, lang = 'en' AS is_t,
+            SELECT doc_id, source,
+                   lang IS NOT DISTINCT FROM 'en' AS is_t,
                    ('0x' || substr(md5(tok || ':{DSIR_HASH_SEED}'),
                         1, 15))::BIGINT % {DSIR_BUCKETS} AS feat
             FROM (

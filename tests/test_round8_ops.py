@@ -294,3 +294,31 @@ def test_rank_pipelines_invariant_to_shuffle_partition_count(spark):
             assert got == base[n], f"{n} changed under 5 partitions"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", default)
+
+
+def test_dsir_counts_null_lang_docs_as_raw(spark):
+    """NULL target-predicate inputs must behave as raw-side docs, not
+    vanish: a NULL-lang doc is scored, and its tokens count into the
+    raw model the same way in both engines (the nullable-predicate
+    divergence the registered query's <=> closes)."""
+    from covid_engineering_spark.operators.pipeline import dsir_select
+
+    rows = [
+        (1, "alpha beta alpha beta", "en", "s"),  # target
+        (2, "alpha beta gamma delta", "de", "s"),  # raw
+        (3, "omega sigma kappa tau", None, "s"),  # NULL lang -> raw
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dsir_select(
+            docs, F.col("lang").eqNullSafe(F.lit("en")), k=1
+        ).collect()
+    }
+    assert set(out) == {2, 3}  # the NULL-lang doc is scored, not lost
+    assert out[3]["n_feat_tokens"] == 4
+    # and raw doc 2 (target-vocabulary) outranks the alien doc 3
+    assert out[2]["dsir_micros"] > out[3]["dsir_micros"]
+    assert out[2]["selected"] and not out[3]["selected"]
