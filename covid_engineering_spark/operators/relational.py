@@ -2917,7 +2917,7 @@ ORACLES = {
         r1 AS (
             SELECT *, ROW_NUMBER() OVER (
                        PARTITION BY event_type, shard
-                       ORDER BY cnt DESC, user_id) AS rn
+                       ORDER BY cnt DESC, user_id NULLS FIRST) AS rn
             FROM c
         ),
         s1 AS (
@@ -2933,7 +2933,7 @@ ORACLES = {
         r2 AS (
             SELECT *, ROW_NUMBER() OVER (
                        PARTITION BY event_type
-                       ORDER BY dec1 DESC, user_id) AS rn2
+                       ORDER BY dec1 DESC, user_id NULLS FIRST) AS rn2
             FROM s1
         ),
         s2 AS (

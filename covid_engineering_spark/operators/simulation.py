@@ -71,12 +71,25 @@ def euler_sird(
     return out
 
 
-def _daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _daily_series(
+    spark: SparkSession, sf_dir: str, drop_null_entity: bool = False
+) -> DataFrame:
     """Deterministic per-(country,day) series from events: 7 synthetic
     countries, exact decimal-summed daily values (shared by the Spark
     side and, expression-for-expression, the SQL oracle).
+
+    ``drop_null_entity=True`` excludes events whose ``user_id`` is
+    NULL — an unattributable event belongs to no country, and a NULL
+    entity group reaching the grouped-map SIRD kernel is a NaN key the
+    recurrence cannot integrate (found by the adversarial NULL-key
+    sweep). x1/x3 pass True (their oracles carry the matching WHERE);
+    x2 keeps the unfiltered frame — its parameter/simulation countries
+    are pinned to 0 and 1, so a NULL group can never reach its kernel
+    and its registered plan stays byte-identical.
     """
     ev = read_table(spark, sf_dir, "events")
+    if drop_null_entity:
+        ev = ev.filter(F.col("user_id").isNotNull())
     return ev.groupBy(
         (F.col("user_id") % 7).alias("country"), F.to_date("ts").alias("day")
     ).agg(dsum("value").alias("val"))
@@ -88,7 +101,7 @@ def q_x1_sird_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     steps = n_days − 1. Grouped-map pandas kernel, one group per
     country; oracle = recursive CTE running the identical recurrence.
     """
-    return _x1_from_daily(_daily_series(spark, sf_dir))
+    return _x1_from_daily(_daily_series(spark, sf_dir, drop_null_entity=True))
 
 
 def _x1_from_daily(daily: DataFrame) -> DataFrame:
@@ -204,7 +217,9 @@ def q_x3_sird_mse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from covid_engineering_spark.functions import evicting_cache
 
-    daily = evicting_cache(_daily_series(spark, sf_dir), "daily_series")
+    daily = evicting_cache(
+        _daily_series(spark, sf_dir, drop_null_entity=True), "daily_series"
+    )
     from pyspark.sql import Window
 
     actual = daily.withColumn(
@@ -248,7 +263,7 @@ _DAILY_SQL = """
     daily AS (
         SELECT user_id % 7 AS country, CAST(ts AS DATE) AS day,
                ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS val
-        FROM events GROUP BY 1, 2
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
     ),
     ranked AS (
         SELECT country, val,

@@ -107,7 +107,11 @@ def _pathological_rows():
         # every event at the SAME instant: the worst case for any
         # time-tiebreak assumption
         "events": [
-            (i, D(2024, 1, 1), i % 3,
+            # user_id NULL every 13th row: rank tie-breaks on a NULL
+            # key are where Spark (ASC = NULLS FIRST) and DuckDB
+            # (default NULLS LAST) silently disagree unless the
+            # oracle pins NULLS FIRST — caught a26's ordering gap.
+            (i, D(2024, 1, 1), None if i % 13 == 0 else i % 3,
              None if i % 11 == 0
              else ["view", "click", "purchase", "signup", "error"][i % 5],
              None if i % 4 == 0 else float(i % 7) - 3.0, '{"k":1}')

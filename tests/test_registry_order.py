@@ -44,6 +44,17 @@ CHANGED_SINCE_LAST_GREEN = {
     # IS NOT DISTINCT FROM. Output identical on the NULL-free fixture
     # (local differential green); re-enters until re-greened.
     "pipe_k_anonymity",
+    # NOT listed: x3_sird_mse (r03 green, deferred to r09 on sibling
+    # coverage). Late-r08 it gained the NULL-entity filter on its
+    # daily series — a DOMAIN EXTENSION only: on every input where it
+    # previously produced output, the output is unchanged (NULL-key
+    # corpora previously CRASHED the grouped-map kernel, so no green
+    # result can have silently moved), the identical changed
+    # expressions (_daily_series(drop_null_entity=True) + the shared
+    # _DAILY_SQL WHERE) are exercised IN-WINDOW by x1_sird_sim, and
+    # the local differential + the NULL-key adversarial sweep are
+    # green. x2_sird_transfer's plan is byte-identical (flag defaults
+    # False).
 }
 
 
