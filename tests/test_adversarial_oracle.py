@@ -118,7 +118,15 @@ def _pathological_rows():
             for i in range(30)
         ],
         "documents": [
-            (i, texts[i % len(texts)], "xx", f"src{i % 2}",
+            # NULL lang every 7th / NULL source every 5th doc: NULL
+            # quasi-identifiers and target predicates are where
+            # equi-joins silently drop rows and nullable booleans
+            # diverge between Spark's NULL-skipping SUM and DuckDB's
+            # CASE ELSE (the k-anonymity and DSIR null-safe fixes);
+            # every document oracle must hash-match through them.
+            (i, texts[i % len(texts)],
+             None if i % 7 == 0 else "xx",
+             None if i % 5 == 0 else f"src{i % 2}",
              len(texts[i % len(texts)]))
             for i in range(21)
         ],
