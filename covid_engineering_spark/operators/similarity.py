@@ -11,6 +11,10 @@ Two paths:
   buckets built from deterministic hyperplanes; only same-bucket
   corpus vectors are scored. Sub-linear candidate sets at the cost of
   recall, verified against the brute-force path in tests.
+
+Data contract: ``embeddings.embedding`` is NOT NULL — a vector
+row without a vector is not retrievable and ingest drops it; the
+ANN twins assume a present, DIM-length array.
 """
 
 from __future__ import annotations

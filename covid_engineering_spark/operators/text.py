@@ -7,6 +7,10 @@ array functions / regexp) — no Python in the hot path, so the plans
 whole-stage-codegen and scale with the scan. Each heuristic is
 deterministic and mirrored expression-for-expression in its DuckDB
 oracle.
+
+Data contract: ``documents.text`` is NOT NULL — ingest drops
+payload-less rows (the p4_null_drop discipline); these operators'
+cross-engine twins assume a present (possibly empty) string.
 """
 
 from __future__ import annotations

@@ -44,6 +44,17 @@ PRECONDITION_VIOLATED = {
     "pipe_cdc_upsert",
 }
 
+#: Scouted in round 8 but deliberately NOT in the fixture: NULL
+#: `documents.text` makes 11 text/pipe oracles diverge cross-engine
+#: and NULL `embeddings.embedding` breaks 7 ANN/emb oracles — both
+#: violate the engine's documented NOT-NULL ingest contract (a corpus
+#: row without text is not a document; a vector row without a vector
+#: is not retrievable — ingest drops them, the p4_null_drop
+#: discipline). Left visible here as the r09 hardening candidate:
+#: making each of those 18 operators null-propagation-consistent needs
+#: per-operator semantics decisions plus window budget for the
+#: re-verification.
+
 
 def _arrow_type(t):
     return {
