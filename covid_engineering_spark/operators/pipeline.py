@@ -175,11 +175,17 @@ def pack_chunks(
     partition size. When packing a split corpus, include the split
     column in ``group`` — a chunk must never straddle the train/eval
     firewall.
+
+    NULL ``text``: ``n_tokens`` is NULL and the document rides its
+    group's packing order as a zero-width passenger — window ``SUM``
+    skips NULLs in both engines, so the prefix (and every other
+    document's ``chunk_id``) is unaffected, and the row still gets the
+    chunk assignment its position implies.
     """
     from pyspark.sql import Window
 
     group_cols = [group] if isinstance(group, str) else list(group)
-    n_tokens = F.size(F.split(F.col("text"), " "))
+    n_tokens = F.array_size(F.split(F.col("text"), " "))
     w = (
         Window.partitionBy(*group_cols)
         .orderBy(order)
@@ -251,12 +257,15 @@ def q_pipe_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract(F.col("source"), r"src(\d+)", 1).cast("int"),
         F.lit(3),
     )
+    # NULL text contributes no tokens (array_size is NULL-on-NULL and
+    # SUM skips NULLs in both engines) but still counts in n_docs — a
+    # source whose every document is payload-less plans NULL shares.
     per_src = (
         docs.withColumn("cls", src_num % 4)
         .groupBy("source", "cls")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum(F.size(F.split("text", " ")).cast("long")).alias(
+            F.sum(F.array_size(F.split("text", " ")).cast("long")).alias(
                 "n_tokens"
             ),
         )
@@ -470,6 +479,9 @@ def q_pipe_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``width_bucket`` (identical integer arithmetic in both engines).
     """
     docs = read_table(spark, sf_dir, "documents")
+    # NULL n_chars rows land in one NULL bucket (both engines group
+    # NULL keys together); NULL text contributes nothing to
+    # sum_ws_tokens (NULL-on-NULL array_size + NULL-skipping SUM).
     bucket = F.floor(F.col("n_chars") / HIST_BUCKET_CHARS)
     return (
         docs.withColumn("bucket", bucket)
@@ -477,9 +489,9 @@ def q_pipe_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_chars").alias("sum_chars"),
-            F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias(
-                "sum_ws_tokens"
-            ),
+            F.sum(
+                F.array_size(F.split(F.col("text"), " ")).cast("long")
+            ).alias("sum_ws_tokens"),
             F.min("n_chars").alias("min_chars"),
             F.max("n_chars").alias("max_chars"),
         )
@@ -790,18 +802,27 @@ def blocklist_filter(docs: DataFrame) -> DataFrame:
     blocklist is a literal; at 10⁵+ terms it would become a
     broadcast-joined token set instead — same output contract). At
     100 TB this is the cheapest gate in the stack and runs first.
+
+    NULL ``text``: the counts are NULL and ``blocked`` is literal
+    FALSE — a payload-less document has nothing to block, and the
+    verdict feeds ``filter(~blocked)``, so it must be non-null. (The
+    shared ``blocklist_col`` gate predicate is untouched: in a
+    gate-first funnel its NULL and FALSE filter identically.)
     """
     ws = F.split(F.col("text"), " ")
-    hits = F.size(
+    hits = F.array_size(
         F.filter(ws, lambda w: w.isin(*BLOCKLIST_TERMS))
     ).cast("long")
-    n_tokens = F.size(ws).cast("long")
+    n_tokens = F.array_size(ws).cast("long")
     return docs.select(
         "doc_id",
         "source",
         n_tokens.alias("n_tokens"),
         hits.alias("block_hits"),
-        (hits * BLOCK_DENSITY_DIV > n_tokens).alias("blocked"),
+        # NULL only when text is NULL — coalesce IS the has-text gate.
+        F.coalesce(
+            hits * BLOCK_DENSITY_DIV > n_tokens, F.lit(False)
+        ).alias("blocked"),
     )
 
 
@@ -1286,6 +1307,11 @@ def quality_filter(docs: DataFrame) -> DataFrame:
     folds / array_distinct, no shuffle, no Python; the whole filter
     rides the scan. Ratios are IEEE divisions of exact integer counts,
     so the SQL oracle agrees bit-for-bit.
+
+    NULL ``text``: every flag — and ``keep`` — is literal FALSE. A
+    payload-less document fails the filter rather than "unknown"-ing
+    it; the flags feed ``filter()`` and per-rule rejection counts, so
+    they must be non-null.
     """
     ws = F.split(F.col("text"), " ")
     n_words = F.size(ws)
@@ -1297,10 +1323,19 @@ def quality_filter(docs: DataFrame) -> DataFrame:
     stop_arr = F.array(*[F.lit(s) for s in _QF_STOP])
     n_stop = F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w)))
     n_uniq = F.size(F.array_distinct(ws))
-    len_ok = F.length("text").between(QF_LEN_MIN, QF_LEN_MAX)
-    wlen_ok = (sum_len / n_words).between(QF_WLEN_MIN, QF_WLEN_MAX)
-    stop_ok = (n_stop / n_words) >= QF_STOP_MIN
-    uniq_ok = (n_uniq / n_words) >= QF_UNIQ_MIN
+    present = F.col("text").isNotNull()
+    len_ok = F.when(
+        present, F.length("text").between(QF_LEN_MIN, QF_LEN_MAX)
+    ).otherwise(F.lit(False))
+    wlen_ok = F.when(
+        present, (sum_len / n_words).between(QF_WLEN_MIN, QF_WLEN_MAX)
+    ).otherwise(F.lit(False))
+    stop_ok = F.when(present, (n_stop / n_words) >= QF_STOP_MIN).otherwise(
+        F.lit(False)
+    )
+    uniq_ok = F.when(present, (n_uniq / n_words) >= QF_UNIQ_MIN).otherwise(
+        F.lit(False)
+    )
     return docs.select(
         "doc_id",
         len_ok.alias("len_ok"),
@@ -1465,17 +1500,23 @@ def dataset_card(docs: DataFrame) -> DataFrame:
     corpus-sized stage. ``grp_level`` (0 = leaf, 1 = per-source,
     3 = grand total) disambiguates rolled-up nulls from a literal
     null group, the standard grouping_id contract.
+
+    NULL ``text``: counted in ``n_docs`` (it IS a corpus row the card
+    must disclose) but contributes nothing to the token sums —
+    NULL-on-NULL ``array_size`` + NULL-skipping SUM, identical in both
+    engines; ``avg_tokens`` therefore averages over ALL docs in the
+    cell, payload-less included.
     """
     return (
         docs.rollup("source", "lang")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum(F.size(F.split("text", " ")).cast("long")).alias(
+            F.sum(F.array_size(F.split("text", " ")).cast("long")).alias(
                 "n_tokens"
             ),
             F.sum(F.col("n_chars").cast("long")).alias("n_chars"),
             F.round(
-                F.sum(F.size(F.split("text", " ")).cast("long"))
+                F.sum(F.array_size(F.split("text", " ")).cast("long"))
                 / F.count("*"),
                 6,
             ).alias("avg_tokens"),
@@ -1774,14 +1815,15 @@ ORACLES = {
             FROM base
         )
         SELECT doc_id,
-               (n_chars_m BETWEEN 100 AND 500) AS len_ok,
-               (sum_len / n_words BETWEEN 4.0 AND 5.0) AS wlen_ok,
-               (n_stop / n_words >= 0.03) AS stop_ok,
-               (n_uniq / n_words >= 0.35) AS uniq_ok,
-               ((n_chars_m BETWEEN 100 AND 500)
-                AND (sum_len / n_words BETWEEN 4.0 AND 5.0)
-                AND (n_stop / n_words >= 0.03)
-                AND (n_uniq / n_words >= 0.35)) AS keep
+               COALESCE(n_chars_m BETWEEN 100 AND 500, FALSE) AS len_ok,
+               COALESCE(sum_len / n_words BETWEEN 4.0 AND 5.0, FALSE)
+                   AS wlen_ok,
+               COALESCE(n_stop / n_words >= 0.03, FALSE) AS stop_ok,
+               COALESCE(n_uniq / n_words >= 0.35, FALSE) AS uniq_ok,
+               (COALESCE(n_chars_m BETWEEN 100 AND 500, FALSE)
+                AND COALESCE(sum_len / n_words BETWEEN 4.0 AND 5.0, FALSE)
+                AND COALESCE(n_stop / n_words >= 0.03, FALSE)
+                AND COALESCE(n_uniq / n_words >= 0.35, FALSE)) AS keep
         FROM feat
     """,
     "pipe_split_hash": f"""
@@ -1865,11 +1907,11 @@ ORACLES = {
                CAST(len(list_filter(string_split(text, ' '),
                    w -> w IN ({", ".join(f"'{t}'" for t in BLOCKLIST_TERMS)})
                )) AS BIGINT) AS block_hits,
-               CAST(len(list_filter(string_split(text, ' '),
+               COALESCE(CAST(len(list_filter(string_split(text, ' '),
                    w -> w IN ({", ".join(f"'{t}'" for t in BLOCKLIST_TERMS)})
                )) AS BIGINT) * {BLOCK_DENSITY_DIV}
-                   > CAST(len(string_split(text, ' ')) AS BIGINT)
-                   AS blocked
+                   > CAST(len(string_split(text, ' ')) AS BIGINT),
+                   FALSE) AS blocked
         FROM documents
     """,
     "pipe_k_anonymity": f"""

@@ -44,15 +44,19 @@ def _count_in(ws, words: tuple[str, ...]):
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens and a regex token pattern
     (the BPE-ish lower-alnum runs), plus raw char length.
+
+    NULL ``text`` propagates: all three metrics are NULL
+    (``array_size``, unlike legacy ``size``, is NULL on NULL input —
+    matching DuckDB's ``len(string_split(NULL, ' '))``).
     """
     docs = read_table(spark, sf_dir, "documents")
     ws = F.split(F.col("text"), " ")
     return docs.select(
         "doc_id",
-        F.size(ws).alias("n_ws_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0)).alias(
-            "n_re_tokens"
-        ),
+        F.array_size(ws).alias("n_ws_tokens"),
+        F.array_size(
+            F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0)
+        ).alias("n_re_tokens"),
         F.length("text").alias("n_chars_measured"),
     )
 
@@ -93,8 +97,16 @@ def quality_frame(docs: DataFrame) -> DataFrame:
     non-alnum (punctuation) ratio, combined into a deterministic
     [0,1]-ish score — the shape of a pretraining quality filter.
     Reused by ``pipe_keep_best`` as the per-document survivor rank.
+
+    NULL ``text`` propagates: all four metrics are NULL. (The legacy
+    ``size(NULL) = -1`` would otherwise make ``stop_ratio`` collapse
+    to -1/-1 = 1.0 on a NULL payload; the shared ``_quality_parts`` /
+    ``quality_score_col`` expressions are left untouched — their
+    composite callers' scores are NULL-for-NULL on both engines
+    already via the ``punct_ratio`` term.)
     """
     avg_word_len, stop_ratio, punct_ratio = _quality_parts("text")
+    stop_ratio = F.when(F.col("text").isNotNull(), stop_ratio)
     # sum (not average) of the pre-rounded ratios: the exact result
     # stays on the 6-decimal grid, so the final round never sits on a
     # decimal tie where Spark (BigDecimal HALF_UP) and DuckDB (scaled
@@ -303,9 +315,20 @@ def normalize(docs: DataFrame, col: str = "text") -> DataFrame:
 
 
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL ``text`` propagates: norm_text / content_hash / norm_tokens
+    are all NULL (``normalize``'s legacy-``size`` token count would be
+    -1; re-derive it here with NULL-on-NULL ``array_size``, leaving the
+    shared ``normalize`` expressions byte-identical for the dedup
+    callers, whose downstream grouping drops NULL hashes identically on
+    both engines)."""
     docs = read_table(spark, sf_dir, "documents")
     return normalize(docs).select(
-        "doc_id", "norm_text", "content_hash", "norm_tokens"
+        "doc_id",
+        "norm_text",
+        "content_hash",
+        F.array_size(F.split(F.col("norm_text"), " "))
+        .cast("long")
+        .alias("norm_tokens"),
     )
 
 
@@ -814,12 +837,28 @@ def gopher_rules(
     Scale shape: PURE MAP-SIDE like ``blocklist_filter`` — one scan,
     per-row array math, no shuffle, no join; runs first in the gate
     stack alongside it at 100 TB.
+
+    NULL ``text``: ``n_words`` is NULL and every rule verdict —
+    including ``pass_gopher`` — is literal FALSE (a payload-less
+    document fails the gate, it doesn't "unknown" it; the verdict
+    columns feed ``filter()`` calls and per-source rejection counts,
+    so they must be non-null). The wrap lives HERE at the audit
+    select, leaving the shared ``_gopher_rule_cols`` /
+    ``gopher_gate_col`` expressions byte-identical for the gate-first
+    funnels (a NULL predicate and a FALSE predicate filter the same).
     """
     cols = _gopher_rule_cols(required_words, min_kinds)
+    present = F.col("text").isNotNull()
+
+    def _null_safe(name, expr):
+        if name == "n_words":
+            return F.when(present, expr)
+        return F.when(present, expr).otherwise(F.lit(False))
+
     return docs.select(
         "doc_id",
         "source",
-        *[expr.alias(name) for name, expr in cols.items()],
+        *[_null_safe(name, expr).alias(name) for name, expr in cols.items()],
     )
 
 
@@ -934,21 +973,33 @@ ORACLES = {
                        f"CASE WHEN list_contains(string_split(text, ' '),"
                        f" '{w}') THEN 1 ELSE 0 END"
                        for w in GOPHER_REQUIRED_FIXTURE
-                   )}) AS kinds
+                   )}) AS kinds,
+                   text IS NOT NULL AS has_text
             FROM documents
         )
+        -- NULL text: n_words NULL, every verdict FALSE (matches the
+        -- engine's null-safe audit wrap; the m fields are NULL only
+        -- when text is, so COALESCE(cmp, FALSE) is exactly the
+        -- has_text gate for the simple rules — pass_gopher spells it
+        -- out because a present-text row can still fail early ANDs).
         SELECT doc_id, source, n_words,
-               n_words >= {GOPHER_MIN_WORDS}
-                   AND n_words <= {GOPHER_MAX_WORDS} AS r_word_count,
-               sum_len >= {GOPHER_MIN_MEAN_LEN} * n_words
-                   AND sum_len <= {GOPHER_MAX_MEAN_LEN} * n_words
+               COALESCE(n_words >= {GOPHER_MIN_WORDS}
+                   AND n_words <= {GOPHER_MAX_WORDS}, FALSE)
+                   AS r_word_count,
+               COALESCE(sum_len >= {GOPHER_MIN_MEAN_LEN} * n_words
+                   AND sum_len <= {GOPHER_MAX_MEAN_LEN} * n_words, FALSE)
                    AS r_mean_word_len,
-               n_symbols * 10 <= n_words AS r_symbol_ratio,
-               bullet_lines * 10 <= n_lines AS r_bullet_lines,
-               ellipsis_lines * 10 <= n_lines * 3 AS r_ellipsis_lines,
-               alpha_words * 5 >= n_words * 4 AS r_alpha_words,
-               kinds >= {GOPHER_MIN_REQUIRED_KINDS} AS r_required_words,
-               (n_words >= {GOPHER_MIN_WORDS}
+               COALESCE(n_symbols * 10 <= n_words, FALSE) AS r_symbol_ratio,
+               COALESCE(bullet_lines * 10 <= n_lines, FALSE)
+                   AS r_bullet_lines,
+               COALESCE(ellipsis_lines * 10 <= n_lines * 3, FALSE)
+                   AS r_ellipsis_lines,
+               COALESCE(alpha_words * 5 >= n_words * 4, FALSE)
+                   AS r_alpha_words,
+               (has_text AND kinds >= {GOPHER_MIN_REQUIRED_KINDS})
+                   AS r_required_words,
+               (has_text
+                AND COALESCE(n_words >= {GOPHER_MIN_WORDS}
                 AND n_words <= {GOPHER_MAX_WORDS}
                 AND sum_len >= {GOPHER_MIN_MEAN_LEN} * n_words
                 AND sum_len <= {GOPHER_MAX_MEAN_LEN} * n_words
@@ -956,7 +1007,8 @@ ORACLES = {
                 AND bullet_lines * 10 <= n_lines
                 AND ellipsis_lines * 10 <= n_lines * 3
                 AND alpha_words * 5 >= n_words * 4
-                AND kinds >= {GOPHER_MIN_REQUIRED_KINDS}) AS pass_gopher
+                AND kinds >= {GOPHER_MIN_REQUIRED_KINDS}, FALSE))
+                   AS pass_gopher
         FROM m
     """,
     "text_bm25": f"""
@@ -1153,14 +1205,19 @@ ORACLES = {
                     ELSE 'fr' END AS lang_pred
         FROM documents
     """,
+    # NULL text -> NULL fingerprint (the engine's fold over a NULL
+    # array is NULL; without the guard, list_prepend(0, NULL) = [0]
+    # would reduce to 0 — a VALID fingerprint, colliding with real
+    # content).
     "text_fingerprint": f"""
         SELECT doc_id,
+               CASE WHEN text IS NULL THEN NULL ELSE
                list_reduce(
                    list_prepend(CAST(0 AS BIGINT),
                        list_transform(string_split(text, ''),
                                       c -> CAST(ascii(c) AS BIGINT))),
                    (a, b) -> (a * {FP_BASE} + b) % {FP_MOD}
-               ) AS fingerprint
+               ) END AS fingerprint
         FROM documents
     """,
     "text_top_terms": """
