@@ -165,6 +165,10 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32, decoder=f
     the target size. The real path re-encodes via the codec hook; the
     fake path emits a deterministic byte slice so the Spark plumbing
     (binary in, binary out, constant-memory batches) is fully tested.
+
+    NULL payloads are excluded scan-side: a missing image has no
+    resized output row (the same no-rows semantics the explode-based
+    text ops use for NULL text).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -181,15 +185,19 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32, decoder=f
                 rows, columns=["doc_id", "payload", "width", "height"]
             )
 
-    return media.filter(F.col("media_type") == "image/png").mapInPandas(
-        run, RESIZE_SCHEMA
-    )
+    return media.filter(
+        (F.col("media_type") == "image/png")
+        & F.col("payload").isNotNull()
+    ).mapInPandas(run, RESIZE_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 4) -> DataFrame:
     """Frame-sampling stage: one input video row fans out to N frame
     rows (mapInPandas as a flat-map). The fake 'frame' is a byte window
     at a deterministic stride; a real decoder would seek keyframes.
+
+    NULL payloads are excluded scan-side: a missing video has no
+    frames to sample.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -206,9 +214,10 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 4
                 rows, columns=["doc_id", "frame_idx", "frame_payload"]
             )
 
-    return media.filter(F.col("media_type") == "video/mp4").mapInPandas(
-        run, FRAME_SCHEMA
-    )
+    return media.filter(
+        (F.col("media_type") == "video/mp4")
+        & F.col("payload").isNotNull()
+    ).mapInPandas(run, FRAME_SCHEMA)
 
 
 def q_mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -358,13 +367,17 @@ ORACLES: dict[str, str] = {
                    AS avg_feat0,
                CAST(MIN(16 + checksum % 64) AS INT) AS min_width,
                CAST(MAX(16 + (checksum // 64) % 64) AS INT) AS max_height,
-               CAST(0 AS BIGINT) AS n_errors
+               -- a NULL payload is the one decode the fake codec
+               -- rejects: the engine routes it to the error column
+               -- (per-record isolation), so the twin counts NULL
+               -- texts as errors.
+               CAST(COUNT(*) - COUNT(text) AS BIGINT) AS n_errors
         FROM c GROUP BY media_type
     """,
     "mm_frame_sample": f"""
         WITH v AS (
             SELECT doc_id, text, length(text) AS n
-            FROM documents WHERE doc_id % 3 = 2
+            FROM documents WHERE doc_id % 3 = 2 AND text IS NOT NULL
         ),
         idx AS (
             SELECT doc_id, text,
@@ -386,7 +399,7 @@ ORACLES: dict[str, str] = {
     "mm_resize": f"""
         WITH v AS (
             SELECT doc_id, text, length(text) AS n
-            FROM documents WHERE doc_id % 3 = 0
+            FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL
         ),
         r AS (
             SELECT doc_id,

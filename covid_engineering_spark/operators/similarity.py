@@ -12,9 +12,14 @@ Two paths:
   corpus vectors are scored. Sub-linear candidate sets at the cost of
   recall, verified against the brute-force path in tests.
 
-Data contract: ``embeddings.embedding`` is NOT NULL — a vector
-row without a vector is not retrievable and ingest drops it; the
-ANN twins assume a present, DIM-length array.
+NULL ``embedding`` semantics (round 9): index/train/eval operators
+(PQ / IVF-PQ codebooks, centroids, nearest-centroid assignment, RP
+recall) EXCLUDE NULL vectors on both engine and twin — a vector row
+without a vector is not retrievable, and one NULL seed would poison a
+whole codebook. Pure per-row scoring paths (brute-force cosine,
+SQ8/BQ encodes) propagate NULL scores and rank them after real ones,
+identically in both engines; present vectors are assumed DIM-length.
+The adversarial fixture carries NULL-embedding rows.
 """
 
 from __future__ import annotations
@@ -589,7 +594,13 @@ def pq_codes(emb: DataFrame) -> DataFrame:
     Spark and the oracle agree bit-for-bit) and keeps the argmin via
     ``array_min`` on (d2, s_id) structs. The corpus is scanned once,
     never shuffled; output is PQ_M rows per vector.
+
+    NULL ``embedding`` rows are excluded — from the seed draw (one
+    NULL seed would poison a whole sub-codebook) and from encoding (a
+    vector row without a vector has no code). Same exclusion in the
+    SQL twin.
     """
+    emb = emb.filter(F.col("embedding").isNotNull())
     key = F.md5(F.col("vec_id").cast("string"))
     seeds0 = (
         emb.select("vec_id", "embedding").orderBy(key, "vec_id").limit(PQ_K)
@@ -657,7 +668,12 @@ def pq_adc_topk(emb: DataFrame, k: int = TOP_K) -> DataFrame:
     collapse to 1, partial aggregation shrinks the exchange by 8×
     before it moves. Top-k per query is the usual rank window with
     Catalyst's partial WindowGroupLimit below the exchange.
+
+    NULL ``embedding`` rows are excluded throughout (seeds, queries,
+    corpus) — matching ``pq_codes``; a NULL query vector would yield
+    an all-NULL LUT and rank noise.
     """
+    emb = emb.filter(F.col("embedding").isNotNull())
     codes = pq_codes(emb).select("vec_id", "sub", "code")
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
@@ -757,7 +773,11 @@ def ivfpq_topk(emb: DataFrame, k: int = TOP_K) -> DataFrame:
     broadcasts q×PROBE rows, the LUT join broadcasts q·M·K rows, and
     the only corpus-sized shuffle is the final per-(q, candidate)
     partial-aggregated sum.
+
+    NULL ``embedding`` rows are excluded throughout (seed draw, cell
+    assignment, queries, corpus) — matching ``pq_codes``.
     """
+    emb = emb.filter(F.col("embedding").isNotNull())
     key = F.md5(F.col("vec_id").cast("string"))
     seeds0 = (
         emb.select("vec_id", "embedding").orderBy(key, "vec_id").limit(PQ_K)
@@ -852,7 +872,13 @@ def assign_nearest_centroid(emb: DataFrame) -> DataFrame:
     in-order folds over the same doubles, mirroring the oracle's
     list_dot_product — the same property every cosine oracle here
     relies on.
+
+    NULL ``embedding`` rows are excluded: a vector row without a
+    vector is not assignable (centroid training already skips them —
+    ``posexplode`` of a NULL array emits nothing — so the filter only
+    removes the unassignable rows from the scored output).
     """
+    emb = emb.filter(F.col("embedding").isNotNull())
     cent = centroids_by_label(emb)
     carr = cent.groupBy("label").agg(
         F.transform(
@@ -1565,10 +1591,15 @@ def _ivfpq_oracle_sql() -> str:
     """SQL twin of ``ivfpq_topk``: the same seed draw feeds the
     coarse cells (first IVFPQ_COARSE_K) and the PQ sub-codebooks;
     assignment tie-breaks mirror ``_assign`` (6dp cosine DESC, cell
-    ASC); distances ride the shared integer micro-unit LUT."""
+    ASC); distances ride the shared integer micro-unit LUT.
+
+    NULL embeddings are excluded everywhere (seed draw, cell
+    assignment, queries, corpus scan), mirroring the engine's
+    NOT-NULL filter."""
     return f"""
         WITH seeds0 AS (
             SELECT vec_id, embedding FROM embeddings
+            WHERE embedding IS NOT NULL
             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {PQ_K}
         ),
         seeds AS (
@@ -1595,6 +1626,7 @@ def _ivfpq_oracle_sql() -> str:
                            ), 6) DESC, c.c_id
                        ) AS rn
                 FROM embeddings e CROSS JOIN coarse c
+                WHERE e.embedding IS NOT NULL
             ) t WHERE rn = 1
         ),
         probes AS (
@@ -1611,6 +1643,7 @@ def _ivfpq_oracle_sql() -> str:
                        ) AS rn
                 FROM embeddings e CROSS JOIN coarse c
                 WHERE e.vec_id < {N_QUERIES}
+                  AND e.embedding IS NOT NULL
             ) t WHERE rn <= {IVFPQ_PROBE}
         ),
         pairs AS (
@@ -1626,6 +1659,7 @@ def _ivfpq_oracle_sql() -> str:
             FROM embeddings e
             CROSS JOIN generate_series(0, {PQ_M - 1}) AS t(sub)
             CROSS JOIN seeds s
+            WHERE e.embedding IS NOT NULL
         ),
         codes AS (
             SELECT vec_id, sub, code FROM (
@@ -1890,6 +1924,7 @@ ORACLES = {
     "emb_pq_codes": f"""
         WITH seeds0 AS (
             SELECT vec_id, embedding FROM embeddings
+            WHERE embedding IS NOT NULL
             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {PQ_K}
         ),
         seeds AS (
@@ -1912,6 +1947,7 @@ ORACLES = {
             FROM embeddings e
             CROSS JOIN generate_series(0, {PQ_M - 1}) AS t(sub)
             CROSS JOIN seeds s
+            WHERE e.embedding IS NOT NULL
         )
         SELECT vec_id, CAST(sub AS INT) AS sub, CAST(s_id AS INT) AS code,
                ROUND(d2, 6) AS dist2
@@ -1925,6 +1961,7 @@ ORACLES = {
     "ann_pq_adc_topk": f"""
         WITH seeds0 AS (
             SELECT vec_id, embedding FROM embeddings
+            WHERE embedding IS NOT NULL
             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {PQ_K}
         ),
         seeds AS (
@@ -1947,6 +1984,7 @@ ORACLES = {
             FROM embeddings e
             CROSS JOIN generate_series(0, {PQ_M - 1}) AS t(sub)
             CROSS JOIN seeds s
+            WHERE e.embedding IS NOT NULL
         ),
         codes AS (
             SELECT vec_id, sub, code FROM (
@@ -1983,6 +2021,7 @@ ORACLES = {
                    ROUND(CAST(SUM(CAST(embedding[i] AS DECIMAL(18,9))) AS DOUBLE)
                          / COUNT(*), 6) AS centroid_val
             FROM embeddings, generate_series(1, {DIM}) AS t(i)
+            WHERE embedding IS NOT NULL
             GROUP BY 1, 2
         ),
         carr AS (
@@ -1995,6 +2034,7 @@ ORACLES = {
                        list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c)
                        / sqrt(list_dot_product(c, c)), 6) AS cos6
             FROM embeddings e CROSS JOIN carr
+            WHERE e.embedding IS NOT NULL
         )
         SELECT vec_id, c_label AS assigned_label, cos6 AS cosine FROM (
             SELECT vec_id, c_label, cos6,
@@ -2003,12 +2043,16 @@ ORACLES = {
             FROM scored
         ) t WHERE rn = 1
     """,
+    # NULL embeddings contribute nothing to a mean-pool: the engine's
+    # posexplode emits no rows for them, so the twin's per-dimension
+    # COUNT(*) divisor must see the same universe.
     "emb_centroid": f"""
         SELECT label, i AS pos,
                ROUND(CAST(SUM(CAST(embedding[i] AS DECIMAL(18,9))) AS DOUBLE)
                      / COUNT(*), 6) AS centroid_val,
                COUNT(*) AS n_vecs
         FROM embeddings, generate_series(1, {DIM}) AS t(i)
+        WHERE embedding IS NOT NULL
         GROUP BY 1, 2
     """,
     # Epsilon-ball domination within the stored cluster cell: b is
@@ -2129,12 +2173,15 @@ ORACLES = {
             FROM scored
         ) t WHERE rank <= {TOP_K}
     """,
+    # NULL embeddings profile as absent (the engine's posexplode emits
+    # nothing for them): n_vals counts present vectors per dimension.
     "emb_dim_stats": f"""
         WITH ex AS (
             SELECT g.i AS dim,
                    CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * 1000000 + 0.5)
                         AS BIGINT) AS micro
             FROM embeddings CROSS JOIN generate_series(1, {DIM}) AS g(i)
+            WHERE embedding IS NOT NULL
         )
         SELECT dim, COUNT(*) AS n_vals,
                CAST(SUM(micro) AS BIGINT) AS sum_micro,
@@ -2251,8 +2298,14 @@ _RP_PROJ_SQL = ",\n               ".join(
 )
 ORACLES["emb_rp_recall"] = f"""
     WITH proj AS (
+        -- a NULL vector projects to a NULL vector (not a list OF
+        -- NULLs, which list_dot_product rejects): its cosines are
+        -- NULL, ranked exactly as the exact path ranks NULL
+        -- embeddings — mirroring the engine, whose projected array of
+        -- NULL dots folds to a NULL cosine.
         SELECT vec_id,
-               [{_RP_PROJ_SQL}] AS p
+               CASE WHEN embedding IS NULL THEN NULL
+                    ELSE [{_RP_PROJ_SQL}] END AS p
         FROM embeddings
     ),
     pq AS (

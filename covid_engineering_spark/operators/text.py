@@ -8,9 +8,14 @@ whole-stage-codegen and scale with the scan. Each heuristic is
 deterministic and mirrored expression-for-expression in its DuckDB
 oracle.
 
-Data contract: ``documents.text`` is NOT NULL — ingest drops
-payload-less rows (the p4_null_drop discipline); these operators'
-cross-engine twins assume a present (possibly empty) string.
+NULL ``text`` semantics (round 9 — a real 100 TB corpus contains
+payload-less rows even though ingest's p4_null_drop discipline removes
+most): per-document METRIC columns (token counts, ratios,
+fingerprints, normalized forms) propagate NULL; GATE/keep verdicts
+(gopher rules) are literal FALSE — a payload-less document fails a
+quality gate, it doesn't "unknown" it; explode-based corpus statistics
+(tf-idf, LMs, BM25, top-terms) simply emit no rows for it. Every twin
+mirrors the choice; the adversarial fixture carries NULL-text rows.
 """
 
 from __future__ import annotations

@@ -5,8 +5,12 @@ operators diverge cross-engine (hash mismatch), which break outright
 (exception), and which already hash-match through the NULLs.
 
 Round-8 scouting established the failure set informally; this script
-makes it reproducible so the round-9 hardening can verify each fix
-operator-by-operator:
+made it reproducible, and the round-9 hardening was driven through it
+fix-by-fix (18 operators, all green). The adversarial fixture now
+carries the same NULL cadence natively (text/n_chars every 6th doc,
+embedding every 5th vector — this script's injection is idempotent on
+it), so the committed suite guards the behavior; the script remains
+the standalone reproducer:
 
     python scripts/null_scout.py            # full sweep
     python scripts/null_scout.py text_langid emb_semdedup   # subset

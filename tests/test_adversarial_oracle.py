@@ -1,11 +1,14 @@
 """Adversarial differential sweep: every oracle comparison re-run on
 PATHOLOGICAL data — duplicate timestamps, aggregate ties, negative and
 zero money values, unicode text, zero vectors, empty strings, NULL
-join keys and event types, and a multi-thousand-word document. The
-well-behaved driver testdata never exercises these paths; this net
-caught two real oracle defects on first run (the f8 money formatter
-broke on negative cents, and a18's pure-relative error bound was
-undefined at an exact percentile of 0).
+join keys and event types, NULL document text and NULL embedding
+vectors, and a multi-thousand-word document. The well-behaved driver
+testdata never exercises these paths; this net caught two real oracle
+defects on first run (the f8 money formatter broke on negative cents,
+and a18's pure-relative error bound was undefined at an exact
+percentile of 0), and the round-9 NULL-payload hardening was driven
+through it (18 operators: NULL text diverged 11 text/pipe oracles
+cross-engine, NULL embeddings broke 7 ANN/emb oracles).
 
 Operators whose DOCUMENTED preconditions this data deliberately
 violates are excluded with the reason inline — everything else must
@@ -44,16 +47,17 @@ PRECONDITION_VIOLATED = {
     "pipe_cdc_upsert",
 }
 
-#: Scouted in round 8 but deliberately NOT in the fixture: NULL
-#: `documents.text` makes 11 text/pipe oracles diverge cross-engine
-#: and NULL `embeddings.embedding` breaks 7 ANN/emb oracles — both
-#: violate the engine's documented NOT-NULL ingest contract (a corpus
-#: row without text is not a document; a vector row without a vector
-#: is not retrievable — ingest drops them, the p4_null_drop
-#: discipline). Left visible here as the r09 hardening candidate:
-#: making each of those 18 operators null-propagation-consistent needs
-#: per-operator semantics decisions plus window budget for the
-#: re-verification.
+#: NULL payloads (round 9): NULL `documents.text` and NULL
+#: `embeddings.embedding` rows are baked into the fixture below, and
+#: every twinned oracle must hash-match through them. The per-operator
+#: semantics (decided r09, documented at each operator): per-document
+#: text metrics propagate NULL; gate/keep verdicts are literal FALSE
+#: for a payload-less document; corpus aggregates count payload-less
+#: docs but NULL-skip their token sums; index/train/eval embedding ops
+#: (PQ/IVF-PQ codebooks, centroids, assignment, RP recall) exclude
+#: NULL vectors on both sides — a vector row without a vector is not
+#: retrievable. scripts/null_scout.py reproduces the original failure
+#: sweep against any regression.
 
 
 def _arrow_type(t):
@@ -135,13 +139,21 @@ def _pathological_rows():
             # diverge between Spark's NULL-skipping SUM and DuckDB's
             # CASE ELSE (the k-anonymity and DSIR null-safe fixes);
             # every document oracle must hash-match through them.
-            (i, texts[i % len(texts)],
+            # NULL text (and n_chars) every 6th doc — co-prime with
+            # the lang/source cycles, so payload-less rows carry both
+            # present and NULL metadata (the r09 hardening set).
+            (i,
+             None if i % 6 == 0 else texts[i % len(texts)],
              None if i % 7 == 0 else "xx",
              None if i % 5 == 0 else f"src{i % 2}",
-             len(texts[i % len(texts)]))
+             None if i % 6 == 0 else len(texts[i % len(texts)]))
             for i in range(21)
         ],
-        "embeddings": [(i, _vec(i), i % 2) for i in range(16)],
+        # NULL embedding every 5th vector (offset from the %3 zero
+        # vectors, so zero and absent vectors coexist).
+        "embeddings": [
+            (i, None if i % 5 == 0 else _vec(i), i % 2) for i in range(16)
+        ],
     }
 
 
