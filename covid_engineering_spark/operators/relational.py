@@ -1802,8 +1802,23 @@ def global_prefix_sum(
     misaligning ``_gps_pid`` between offsets and rows and silently
     corrupting the prefix sums. A larger pipeline that wants the lazy
     form must checkpoint/cache upstream itself; when in doubt keep
-    the default.
+    the default. Because the failure is SILENT, opting out emits a
+    ``RuntimeWarning`` naming the precondition — cheap, and it turns
+    "corrupted sums six stages later" into a visible breadcrumb at
+    the call site (all registered call sites use the safe default).
     """
+    if not checkpoint:
+        import warnings
+
+        warnings.warn(
+            "global_prefix_sum(checkpoint=False): caller must guarantee "
+            "the input is deterministic or already materialized — the "
+            "totals and window branches re-execute repartitionByRange, "
+            "and nondeterministic upstream order can draw different "
+            "range boundaries and silently corrupt the prefix sums",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     part = (
         df.withColumn("_gps_w", weight)
         .repartitionByRange(*sort_exprs)

@@ -137,8 +137,12 @@ def main(
     # pull in, before committing the mixture weights
     from covid_engineering_spark.operators.pipeline import dsir_select
 
+    # eqNullSafe, matching the registered q_pipe_dsir_select: a plain
+    # == predicate is NULL for NULL-lang docs and filter(~NULL) would
+    # silently drop them from the raw side of the report.
     dsir = dsir_select(
-        read_table(spark, sf_dir, "documents"), F.col("lang") == "en"
+        read_table(spark, sf_dir, "documents"),
+        F.col("lang").eqNullSafe(F.lit("en")),
     )
     picked = dsir.filter("selected").agg(
         F.count("*").alias("n"),

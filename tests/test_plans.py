@@ -282,39 +282,60 @@ BOUNDED_GLOBAL_WINDOWS = {
 def test_every_unpartitioned_window_is_on_the_bounded_allowlist(spark):
     """Scale guard: an unpartitioned Window funnels its whole input
     through ONE task — the single worst operator to ship at 100 TB.
-    Walk EVERY registered query's optimized plan and assert the only
-    unpartitioned window specs are the allowlisted bounded-frame ones
-    (and no allowlisted query grew more of them)."""
-    import re
+    Walk EVERY registered query's optimized LOGICAL PLAN (the actual
+    Window nodes via the JVM API — ``partitionSpec.isEmpty`` — not a
+    regex over the plan string, which a format change or an ' ASC' in
+    a partition expression name could silently mis-count) and assert
+    the only unpartitioned window specs are the allowlisted
+    bounded-frame ones (and no allowlisted query grew more of them).
 
+    Sentinel: the walk must see a healthy number of window
+    expressions across the registry — if a Spark upgrade renames the
+    node or the traversal breaks, the count collapses and this fails
+    LOUDLY instead of silently allowlisting everything.
+    """
     from covid_engineering_spark.queries import SIDE_EFFECTING
 
-    pat = re.compile(r"windowspecdefinition\(([^)]*)\)")
+    def window_nodes(node, out):
+        if node.getClass().getSimpleName() == "Window":
+            out.append(node)
+        children = node.children()
+        for i in range(children.size()):
+            window_nodes(children.apply(i), out)
+        # windows inside subquery expressions (none today, but a
+        # regression here must not hide)
+        subqueries = node.subqueries()
+        for i in range(subqueries.size()):
+            window_nodes(subqueries.apply(i), out)
+        return out
 
-    def n_unpartitioned(df):
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
-        n = 0
-        for m in pat.finditer(plan):
-            first = m.group(1).split(",")[0].strip()
-            if (
-                " ASC" in first
-                or " DESC" in first
-                or first.startswith("specifiedwindowframe")
-            ):
-                n += 1
-        return n
+    def count_specs(df):
+        plan = df._jdf.queryExecution().optimizedPlan()
+        unpartitioned = total = 0
+        for w in window_nodes(plan, []):
+            k = w.windowExpressions().size()
+            total += k
+            if w.partitionSpec().isEmpty():
+                unpartitioned += k
+        return unpartitioned, total
 
     offenders = {}
+    seen_specs = 0
     for name, fn in REG.items():
         if name in SIDE_EFFECTING:
             continue  # construction stages writes; windows covered by kin
-        k = n_unpartitioned(fn(spark, SF_SMOKE))
+        k, total = count_specs(fn(spark, SF_SMOKE))
+        seen_specs += total
         if k > BOUNDED_GLOBAL_WINDOWS.get(name, 0):
             offenders[name] = k
     assert not offenders, (
         f"unlisted/grown unpartitioned windows: {offenders} — "
         "bound the frame or justify in BOUNDED_GLOBAL_WINDOWS"
     )
+    # dozens of registered queries use partitioned windows; the
+    # allowlist itself pins >=25 unpartitioned specs. A traversal that
+    # suddenly sees almost none is broken, not clean.
+    assert seen_specs >= sum(BOUNDED_GLOBAL_WINDOWS.values()), seen_specs
 
 
 def test_mg_heavy_prunes_below_both_window_exchanges(spark):
