@@ -370,8 +370,8 @@ ORACLES: dict[str, str] = {
                -- a NULL payload is the one decode the fake codec
                -- rejects: the engine routes it to the error column
                -- (per-record isolation), so the twin counts NULL
-               -- texts as errors.
-               CAST(COUNT(*) - COUNT(text) AS BIGINT) AS n_errors
+               -- texts as errors (n_bytes is NULL iff text is).
+               CAST(COUNT(*) - COUNT(n_bytes) AS BIGINT) AS n_errors
         FROM c GROUP BY media_type
     """,
     "mm_frame_sample": f"""
