@@ -267,10 +267,26 @@ def main() -> None:
     # partition count and the local driver heap (local mode hosts
     # every executor thread + all broadcast builds in one JVM).
     deep = REPLICAS > 100
+    # Deep probes also switch shuffle/spill compression to zstd
+    # (default lz4): the 1000x document-tier pair shuffle died on the
+    # box's ~80G scratch under lz4 (PROBE_r08_x1000), and zstd
+    # compresses the suffixed-trigram shuffle blocks ~2x tighter for
+    # CPU this box has idle during a spill-bound stage. This is the
+    # probe config only — exactly the knob a real cluster would set —
+    # and the VERDICT r08 #7 lever; the other lever (narrowing the
+    # pair-stage projection) is a no-op: the shuffle already carries
+    # only (doc_id, shingle) and the shingle IS the join key.
     spark = get_spark(
         app_name="scale-probe",
         shuffle_partitions=512 if deep else 256,
-        extra_conf={"spark.driver.memory": "48g"} if deep else None,
+        extra_conf={
+            "spark.driver.memory": "48g",
+            "spark.io.compression.codec": os.environ.get(
+                "SPARK_GRAFT_PROBE_CODEC", "zstd"
+            ),
+        }
+        if deep
+        else None,
     )
     spark.sparkContext.setLogLevel("ERROR")
 
