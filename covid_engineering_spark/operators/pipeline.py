@@ -1145,6 +1145,72 @@ def dsir_gumbel_topk(
     )
 
 
+def dsir_gumbel_topk_exact(
+    docs: DataFrame, target, k: int = DSIR_K, seed: int = 7
+) -> DataFrame:
+    """:func:`dsir_gumbel_topk` in INTEGER MICRO-UNITS — the paper's
+    Gumbel-top-k resampling rule with a hash-stable score column, so
+    the whole selection (not just the id set) is checkable against an
+    ANSI-SQL twin (:func:`dsir_gumbel_sql`; differential test in
+    tests/test_round9_ops.py — VERDICT r08 next-round #6. Kept
+    library-only THIS round because the r09 window is fully spoken
+    for by the NULL-hardening re-green set; it is the queued first
+    birth of the r10 window).
+
+    The draw: ``u = (h + 1) / 2^60`` from the md5-derived
+    ``portable_hash64(doc_id, seed)`` — one exact int→double convert
+    and one IEEE division, bit-identical in both engines. The Gumbel
+    ``−ln(−ln u)`` takes the repo's 8dp-round convention after EACH
+    libm call (a last-ulp ln divergence cannot move an 8dp-rounded
+    value; the tfidf/perplexity/BM25 precedent), then snaps to BIGINT
+    micro-units via ``floor(x·1e6 + 0.5)``. The inner ``−ln u`` is
+    clamped below at 1e-8 — the rounding grid's smallest positive —
+    so the u→1 tail (which 8dp rounding collapses to exactly 0, and
+    ln would blow to −inf) saturates at Gumbel ≈ 18.42 instead; that
+    caps draws above the 1−e^{-1e-8} quantile, statistically
+    invisible and deterministic in both engines.
+
+    Fixed temperature T = 1 (the exact-integer form: score =
+    dsir_micros + gumbel_micros, associative BIGINT addition); the
+    float :func:`dsir_gumbel_topk` keeps the temperature dial.
+
+    Scale shape: identical to ``dsir_select`` — the noise is one
+    map-side expression over the ≤corpus-row weight frame,
+    TakeOrderedAndProject top-k, ≤k-row broadcast flag.
+    """
+    from covid_engineering_spark.operators.dedup import portable_hash64
+
+    w = _dsir_weights(docs, target)
+    u = (
+        portable_hash64(F.col("doc_id").cast("string"), seed) + F.lit(1.0)
+    ) / F.lit(float(2**60))
+    neg_ln_u = -F.round(F.log(u), 8)
+    gumbel_micros = (
+        F.floor(
+            -F.round(F.log(F.greatest(neg_ln_u, F.lit(1e-8))), 8)
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long")
+    )
+    scored = w.withColumn("gumbel_micros", gumbel_micros).withColumn(
+        "score_micros", F.col("dsir_micros") + F.col("gumbel_micros")
+    )
+    topk = (
+        scored.orderBy(F.desc("score_micros"), F.asc("doc_id"))
+        .limit(int(k))
+        .select("doc_id", F.lit(True).alias("_sel"))
+    )
+    return scored.join(F.broadcast(topk), "doc_id", "left").select(
+        "doc_id",
+        "source",
+        "n_feat_tokens",
+        "dsir_micros",
+        "gumbel_micros",
+        "score_micros",
+        F.coalesce(F.col("_sel"), F.lit(False)).alias("selected"),
+    )
+
+
 def q_pipe_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Null-safe target predicate (the k_anonymize lesson): a plain
     # `lang = 'en'` is NULL for NULL-lang docs, and the two engines
@@ -1696,6 +1762,90 @@ SELECT doc_id, cluster_id, n_docs, quality_score,
 FROM ranked WHERE rk = 1
 """
 
+# DSIR importance-weight CTE chain (through ``w``): defined ONCE so
+# the registered pipe_dsir_select oracle and the Gumbel-top-k twin
+# (:func:`dsir_gumbel_sql`) derive their scores from the same weights.
+_DSIR_W_CTES = f"""toks AS (
+            SELECT doc_id, source,
+                   lang IS NOT DISTINCT FROM 'en' AS is_t,
+                   ('0x' || substr(md5(tok || ':{DSIR_HASH_SEED}'),
+                        1, 15))::BIGINT % {DSIR_BUCKETS} AS feat
+            FROM (
+                SELECT doc_id, source, lang,
+                       unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            )
+        ),
+        fs AS (
+            SELECT feat,
+                   CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END)
+                        AS BIGINT) AS ct,
+                   CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END)
+                        AS BIGINT) AS cr
+            FROM toks GROUP BY feat
+        ),
+        tot AS (
+            SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+                   CAST(SUM(cr) AS BIGINT) AS nr
+            FROM fs
+        ),
+        lr AS (
+            SELECT feat,
+                   CAST(FLOOR(ROUND(ln(
+                       ((ct + 1.0) / (nt + {DSIR_BUCKETS}.0))
+                       / ((cr + 1.0) / (nr + {DSIR_BUCKETS}.0))
+                   ), 8) * 1000000.0 + 0.5) AS BIGINT) AS lr_micros
+            FROM fs, tot
+        ),
+        docfeat AS (
+            SELECT doc_id, source, feat, COUNT(*) AS c
+            FROM toks WHERE NOT is_t GROUP BY 1, 2, 3
+        ),
+        w AS (
+            SELECT doc_id, source,
+                   CAST(SUM(c) AS BIGINT) AS n_feat_tokens,
+                   CAST(SUM(c * lr_micros) AS BIGINT) AS dsir_micros
+            FROM docfeat JOIN lr USING (feat) GROUP BY 1, 2
+        )"""
+
+
+def dsir_gumbel_sql(k: int = DSIR_K, seed: int = 7) -> str:
+    """DuckDB twin of :func:`dsir_gumbel_topk_exact` — the paper's
+    Gumbel-top-k resampling rule in the same integer micro-unit
+    discipline as every other twinned score here (hash-derived u,
+    8dp-rounded ln's, FLOOR micro snap, BIGINT addition), over the
+    SAME weights CTE chain as the registered ``pipe_dsir_select``
+    oracle. Hash-stable end to end; verified against the engine in
+    tests/test_round9_ops.py.
+    """
+    from covid_engineering_spark.operators.dedup import _portable_hash_sql
+
+    h = _portable_hash_sql("CAST(doc_id AS VARCHAR)", seed)
+    return f"""
+        WITH {_DSIR_W_CTES},
+        g AS (
+            SELECT doc_id, source, n_feat_tokens, dsir_micros,
+                   CAST(FLOOR(-ROUND(ln(GREATEST(
+                       -ROUND(ln((({h}) + 1.0)
+                                  / 1152921504606846976.0), 8),
+                       1e-8)), 8) * 1000000.0 + 0.5) AS BIGINT)
+                       AS gumbel_micros
+            FROM w
+        ),
+        s AS (
+            SELECT *, dsir_micros + gumbel_micros AS score_micros FROM g
+        ),
+        topk AS (
+            SELECT doc_id FROM s
+            ORDER BY score_micros DESC, doc_id LIMIT {k}
+        )
+        SELECT doc_id, source, n_feat_tokens, dsir_micros, gumbel_micros,
+               score_micros,
+               doc_id IN (SELECT doc_id FROM topk) AS selected
+        FROM s
+    """
+
+
 ORACLES = {
     "pipe_dataset_card": """
         SELECT source, lang,
@@ -1952,48 +2102,7 @@ ORACLES = {
         FROM pref
     """,
     "pipe_dsir_select": f"""
-        WITH toks AS (
-            SELECT doc_id, source,
-                   lang IS NOT DISTINCT FROM 'en' AS is_t,
-                   ('0x' || substr(md5(tok || ':{DSIR_HASH_SEED}'),
-                        1, 15))::BIGINT % {DSIR_BUCKETS} AS feat
-            FROM (
-                SELECT doc_id, source, lang,
-                       unnest(string_split(text, ' ')) AS tok
-                FROM documents
-            )
-        ),
-        fs AS (
-            SELECT feat,
-                   CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END)
-                        AS BIGINT) AS ct,
-                   CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END)
-                        AS BIGINT) AS cr
-            FROM toks GROUP BY feat
-        ),
-        tot AS (
-            SELECT CAST(SUM(ct) AS BIGINT) AS nt,
-                   CAST(SUM(cr) AS BIGINT) AS nr
-            FROM fs
-        ),
-        lr AS (
-            SELECT feat,
-                   CAST(FLOOR(ROUND(ln(
-                       ((ct + 1.0) / (nt + {DSIR_BUCKETS}.0))
-                       / ((cr + 1.0) / (nr + {DSIR_BUCKETS}.0))
-                   ), 8) * 1000000.0 + 0.5) AS BIGINT) AS lr_micros
-            FROM fs, tot
-        ),
-        docfeat AS (
-            SELECT doc_id, source, feat, COUNT(*) AS c
-            FROM toks WHERE NOT is_t GROUP BY 1, 2, 3
-        ),
-        w AS (
-            SELECT doc_id, source,
-                   CAST(SUM(c) AS BIGINT) AS n_feat_tokens,
-                   CAST(SUM(c * lr_micros) AS BIGINT) AS dsir_micros
-            FROM docfeat JOIN lr USING (feat) GROUP BY 1, 2
-        ),
+        WITH {_DSIR_W_CTES},
         topk AS (
             SELECT doc_id FROM w
             ORDER BY dsir_micros DESC, doc_id LIMIT {DSIR_K}

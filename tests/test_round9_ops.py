@@ -1,0 +1,125 @@
+"""Round-9 library additions.
+
+- dsir_gumbel_topk_exact — the paper's Gumbel-top-k resampling rule
+  (Xie et al. 2023 §2.3) in integer micro-units: the whole selection,
+  score column included, must hash-match its generated DuckDB twin
+  (dsir_gumbel_sql) on the driver fixture AND on the NULL-payload
+  adversarial corpus. Kept library-only this round (the r09 window is
+  fully spoken for by the NULL-hardening re-green set — VERDICT r08
+  #3/#6); this differential is the registration-readiness proof, and
+  registration is the queued first birth of the r10 window.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from conftest import SF_SMOKE
+
+from tests.oracle_check import compare, duck_con
+
+
+def _gumbel_frame(spark, sf_dir, seed=7):
+    from covid_engineering_spark.operators.pipeline import (
+        dsir_gumbel_topk_exact,
+    )
+    from covid_engineering_spark.sources import read_table
+
+    return dsir_gumbel_topk_exact(
+        read_table(spark, sf_dir, "documents"),
+        F.col("lang").eqNullSafe(F.lit("en")),
+        seed=seed,
+    )
+
+
+@pytest.fixture(scope="module")
+def patho_dir(tmp_path_factory):
+    # the same NULL-bearing adversarial corpus the oracle sweep uses
+    from tests.test_adversarial_oracle import (
+        _arrow_type,
+        _pathological_rows,
+    )
+
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from covid_engineering_spark import schemas
+
+    root = str(tmp_path_factory.mktemp("gumbel_star"))
+    rows = _pathological_rows()
+    for name, schema in schemas.STAR.items():
+        arrays, fields = [], []
+        for i, f in enumerate(schema.fields):
+            at = _arrow_type(f.dataType)
+            fields.append(pa.field(f.name, at))
+            arrays.append(pa.array([r[i] for r in rows[name]], type=at))
+        pq.write_table(
+            pa.Table.from_arrays(arrays, schema=pa.schema(fields)),
+            os.path.join(root, f"{name}.parquet"),
+        )
+    return root
+
+
+def test_gumbel_exact_matches_duckdb_twin(spark):
+    from covid_engineering_spark.operators.pipeline import dsir_gumbel_sql
+
+    con = duck_con(SF_SMOKE)
+    try:
+        res = compare(_gumbel_frame(spark, SF_SMOKE), con, dsir_gumbel_sql())
+        assert res["match"], res
+    finally:
+        con.close()
+
+
+def test_gumbel_exact_matches_twin_on_null_payloads(spark, patho_dir):
+    from covid_engineering_spark.operators.pipeline import dsir_gumbel_sql
+
+    con = duck_con(patho_dir)
+    try:
+        res = compare(_gumbel_frame(spark, patho_dir), con, dsir_gumbel_sql())
+        assert res["match"], res
+    finally:
+        con.close()
+
+
+def test_gumbel_exact_selection_contract(spark):
+    from covid_engineering_spark.operators.pipeline import DSIR_K
+
+    out = _gumbel_frame(spark, SF_SMOKE).collect()
+    sel = [r for r in out if r["selected"]]
+    assert len(sel) == min(DSIR_K, len(out))
+    # the score is the exact BIGINT sum of its two parts
+    for r in out:
+        assert r["score_micros"] == r["dsir_micros"] + r["gumbel_micros"]
+    # every selected score >= every unselected score (ties broken by
+    # doc_id, so equality across the cut is allowed)
+    floor = min(r["score_micros"] for r in sel)
+    assert all(
+        r["score_micros"] <= floor
+        for r in out
+        if not r["selected"] and r["score_micros"] != floor
+    )
+
+
+def test_gumbel_exact_seed_redraws(spark):
+    a = {
+        r["doc_id"]
+        for r in _gumbel_frame(spark, SF_SMOKE, seed=7)
+        .filter("selected")
+        .collect()
+    }
+    b7 = {
+        r["doc_id"]
+        for r in _gumbel_frame(spark, SF_SMOKE, seed=7)
+        .filter("selected")
+        .collect()
+    }
+    b11 = {
+        r["doc_id"]
+        for r in _gumbel_frame(spark, SF_SMOKE, seed=11)
+        .filter("selected")
+        .collect()
+    }
+    assert a == b7  # reproducible given (corpus, seed)
+    assert a != b11  # a new seed redraws the sample
