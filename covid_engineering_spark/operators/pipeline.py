@@ -1152,10 +1152,12 @@ def dsir_gumbel_topk_exact(
     Gumbel-top-k resampling rule with a hash-stable score column, so
     the whole selection (not just the id set) is checkable against an
     ANSI-SQL twin (:func:`dsir_gumbel_sql`; differential test in
-    tests/test_round9_ops.py — VERDICT r08 next-round #6. Kept
-    library-only THIS round because the r09 window is fully spoken
-    for by the NULL-hardening re-green set; it is the queued first
-    birth of the r10 window).
+    tests/test_round9_ops.py — VERDICT r08 next-round #6). Registered
+    as ``pipe_dsir_gumbel``, overflow-pinned: the r09 window is fully
+    spoken for by the NULL-hardening re-green set, so the entry sits
+    at the front of the tail (``WINDOW_OVERFLOW``) and is first in
+    line for the r10 window — the #6 "overflow-pinned otherwise"
+    path, locally differential-checked like every oracle meanwhile.
 
     The draw: ``u = (h + 1) / 2^60`` from the md5-derived
     ``portable_hash64(doc_id, seed)`` — one exact int→double convert
@@ -1218,6 +1220,16 @@ def q_pipe_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skips the NULL boolean, DuckDB's CASE ELSE counts it) — <=>
     # makes NULL-lang docs plain raw-side docs in both.
     return dsir_select(
+        read_table(spark, sf_dir, "documents"),
+        F.col("lang").eqNullSafe(F.lit("en")),
+    )
+
+
+def q_pipe_dsir_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same null-safe target predicate as q_pipe_dsir_select — the two
+    # registered DSIR forms share the weights plan; only the selection
+    # rule differs (deterministic top-k vs the paper's Gumbel-top-k).
+    return dsir_gumbel_topk_exact(
         read_table(spark, sf_dir, "documents"),
         F.col("lang").eqNullSafe(F.lit("en")),
     )
@@ -1613,6 +1625,7 @@ QUERIES = {
     "pipe_k_anonymity": q_pipe_k_anonymity,
     "pipe_weighted_sample": q_pipe_weighted_sample,
     "pipe_dsir_select": q_pipe_dsir_select,
+    "pipe_dsir_gumbel": q_pipe_dsir_gumbel,
     "pipe_stratified_sample": q_pipe_stratified_sample,
     "pipe_curate_corpus": q_pipe_curate_corpus,
     "pipe_snapshot_diff": q_pipe_snapshot_diff,
@@ -2111,6 +2124,7 @@ ORACLES = {
                doc_id IN (SELECT doc_id FROM topk) AS selected
         FROM w
     """,
+    "pipe_dsir_gumbel": dsir_gumbel_sql(),
     "pipe_source_gate": f"""
         WITH hashed AS (
             SELECT doc_id, source, md5(text) AS h,

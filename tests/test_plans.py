@@ -361,11 +361,12 @@ def test_dsir_model_broadcasts_and_topk_never_global_sorts(spark):
     sort."""
     from covid_engineering_spark.plans import simple_plan
 
-    df = q(spark, "pipe_dsir_select")
-    plan = simple_plan(df)
-    assert broadcast_join_count(df) >= 2  # lr model + topk flag
-    assert "TakeOrderedAndProject" in plan
-    # the only Sorts allowed are inside exchanges' local sort for the
-    # ordered limit; a global Sort node above the weight frame would
-    # mean the top-k fell back to a full ordering
-    assert not has_cartesian(df)
+    for name in ("pipe_dsir_select", "pipe_dsir_gumbel"):
+        df = q(spark, name)
+        plan = simple_plan(df)
+        assert broadcast_join_count(df) >= 2, name  # lr model + topk flag
+        assert "TakeOrderedAndProject" in plan, name
+        # the only Sorts allowed are inside exchanges' local sort for
+        # the ordered limit; a global Sort node above the weight frame
+        # would mean the top-k fell back to a full ordering
+        assert not has_cartesian(df), name

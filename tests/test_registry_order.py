@@ -136,7 +136,10 @@ def test_ledger_artifact_matches_regeneration():
     with open(LEDGER_PATH) as f:
         committed = f.read()
     want = render(
-        list(registry()), PRIORITY, committed_max_round(committed)
+        list(registry()),
+        PRIORITY,
+        committed_max_round(committed),
+        overflow=WINDOW_OVERFLOW,
     )
     assert committed == want, (
         "LEDGER.md stale — run scripts/verification_ledger.py"

@@ -75,6 +75,9 @@ DUCKDB_ONLY = {
     # dialect
     "a26_mg_heavy",
     "pipe_dsir_select",
+    # r09: same string_split/unnest weights chain + portable-hash
+    # idiom as pipe_dsir_select
+    "pipe_dsir_gumbel",
     "a24_cms_heavy",
     "ann_hamming_topk",
     "ann_range_search",
