@@ -89,6 +89,10 @@ HEADLINE = [
     # collapsed to a 512-bucket broadcast model).
     "a26_mg_heavy",
     "pipe_dsir_select",
+    # Round-9 addition: the paper's Gumbel-top-k DSIR resampling rule
+    # (same weight plan as pipe_dsir_select + one map-side hash+libm
+    # noise expression).
+    "pipe_dsir_gumbel",
 ]
 
 

@@ -153,6 +153,31 @@ def main(
         f"weight floor {picked['floor_micros']} micros"
     )
 
+    # 7c. the paper's actual resampling rule: Gumbel-top-k over the
+    # same weights — a weighted sample WITHOUT replacement in one
+    # pass, so rare-but-relevant documents get a seed-controlled
+    # chance instead of a hard weight cutoff. The overlap with the
+    # deterministic top-k shows how much the noise actually moves
+    # the selection at this corpus size.
+    from covid_engineering_spark.operators.pipeline import (
+        dsir_gumbel_topk_exact,
+    )
+
+    gumbel = dsir_gumbel_topk_exact(
+        read_table(spark, sf_dir, "documents"),
+        F.col("lang").eqNullSafe(F.lit("en")),
+    )
+    overlap = (
+        gumbel.filter("selected")
+        .select("doc_id")
+        .join(dsir.filter("selected").select("doc_id"), "doc_id", "inner")
+        .count()
+    )
+    print(
+        f"gumbel-top-k resample: {overlap}/{picked['n']} picks shared "
+        f"with the deterministic top-k"
+    )
+
     # 8. the crawl-level gate a refresh would run BEFORE this funnel:
     # per-source dup rate + above-corpus-mean quality, as one report
     from covid_engineering_spark.operators.pipeline import source_gate

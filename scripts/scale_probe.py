@@ -783,6 +783,18 @@ def main() -> None:
             "noop"
         ).save()
 
+    def dsir_gumbel(sf_dir):
+        # identical weight plan to dsir; the Gumbel draw adds one
+        # map-side hash+libm expression over the weight frame, so the
+        # exponent must track pipe_dsir_select's
+        from covid_engineering_spark.operators.pipeline import (
+            q_pipe_dsir_gumbel,
+        )
+
+        q_pipe_dsir_gumbel(spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+
     out: dict = {"metric": "scale_probe", "x": REPLICAS, "base": BASE}
     seen_names: set = set()
     for name, fn in (
@@ -826,6 +838,7 @@ def main() -> None:
         ("ts_holt", holtp),
         ("a26_mg_heavy", mgheavy),
         ("pipe_dsir_select", dsir),
+        ("pipe_dsir_gumbel", dsir_gumbel),
     ):
         if ONLY and name not in ONLY:
             continue
