@@ -735,42 +735,57 @@ GOPHER_REQUIRED_FIXTURE = ("the", "a")
 GOPHER_MIN_REQUIRED_KINDS = 2
 
 
-def _gopher_rule_cols(
-    required_words: tuple[str, ...], min_kinds: int
-) -> dict:
-    """Named Gopher rule verdicts (plus ``n_words`` and the combined
-    ``pass_gopher``) as expressions over a ``text`` column — shared by
-    the audit frame (:func:`gopher_rules`) and the zero-join gate
-    predicate (:func:`gopher_gate_col`)."""
+def _gopher_metric_cols(required_words: tuple[str, ...]) -> dict:
+    """The per-document Gopher metrics (word/line array folds) as
+    expressions over a ``text`` column. Kept separate from the verdict
+    comparisons so :func:`gopher_rules` can PROJECT them once and
+    compare cheaply on top — the verdicts' null-safe CASE WHEN wraps
+    would otherwise pull each metric into its own conditional branch,
+    where whole-stage codegen's subexpression elimination cannot share
+    the ``split`` arrays across columns (measured 2.1x on the audit
+    frame at sf0.1)."""
     ws = F.split(F.col("text"), " ")
-    n_words = F.size(ws).cast("long")
-    sum_len = F.aggregate(
-        F.transform(ws, lambda w: F.length(w).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    n_symbols = sum(
-        (_occurrences(F.col("text"), s) for s in GOPHER_SYMBOLS),
-        F.lit(0.0),
-    ).cast("long")
     lines = F.split(F.col("text"), "\n")
-    n_lines = F.size(lines).cast("long")
-    bullet_lines = F.size(
-        F.filter(
-            lines,
-            lambda ln: ln.startswith("•") | ln.startswith("- "),
-        )
-    ).cast("long")
-    ellipsis_lines = F.size(
-        F.filter(lines, lambda ln: ln.endswith("..."))
-    ).cast("long")
-    alpha_words = F.size(
-        F.filter(ws, lambda w: w.rlike("[a-zA-Z]"))
-    ).cast("long")
-    kinds = sum(
-        (F.array_contains(ws, w).cast("int") for w in required_words),
-        F.lit(0),
-    )
+    return {
+        "n_words": F.size(ws).cast("long"),
+        "sum_len": F.aggregate(
+            F.transform(ws, lambda w: F.length(w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+        "n_symbols": sum(
+            (_occurrences(F.col("text"), s) for s in GOPHER_SYMBOLS),
+            F.lit(0.0),
+        ).cast("long"),
+        "n_lines": F.size(lines).cast("long"),
+        "bullet_lines": F.size(
+            F.filter(
+                lines,
+                lambda ln: ln.startswith("•") | ln.startswith("- "),
+            )
+        ).cast("long"),
+        "ellipsis_lines": F.size(
+            F.filter(lines, lambda ln: ln.endswith("..."))
+        ).cast("long"),
+        "alpha_words": F.size(
+            F.filter(ws, lambda w: w.rlike("[a-zA-Z]"))
+        ).cast("long"),
+        "kinds": sum(
+            (F.array_contains(ws, w).cast("int") for w in required_words),
+            F.lit(0),
+        ),
+    }
+
+
+def _gopher_verdicts(m: dict, min_kinds: int) -> dict:
+    """The rule comparisons (integer cross-multiplications) over a
+    metric dict — either :func:`_gopher_metric_cols`' raw expressions
+    (the one-expression gate predicate) or their projected columns
+    (the audit frame)."""
+    n_words, sum_len = m["n_words"], m["sum_len"]
+    n_symbols, n_lines = m["n_symbols"], m["n_lines"]
+    bullet_lines, ellipsis_lines = m["bullet_lines"], m["ellipsis_lines"]
+    alpha_words, kinds = m["alpha_words"], m["kinds"]
     r_words = (n_words >= GOPHER_MIN_WORDS) & (
         n_words <= GOPHER_MAX_WORDS
     )
@@ -802,6 +817,16 @@ def _gopher_rule_cols(
         "r_required_words": r_required,
         "pass_gopher": gate,
     }
+
+
+def _gopher_rule_cols(
+    required_words: tuple[str, ...], min_kinds: int
+) -> dict:
+    """Named Gopher rule verdicts (plus ``n_words`` and the combined
+    ``pass_gopher``) as expressions over a ``text`` column — the
+    inline form behind the zero-join gate predicate
+    (:func:`gopher_gate_col`)."""
+    return _gopher_verdicts(_gopher_metric_cols(required_words), min_kinds)
 
 
 def gopher_gate_col(
@@ -848,19 +873,37 @@ def gopher_rules(
     document fails the gate, it doesn't "unknown" it; the verdict
     columns feed ``filter()`` calls and per-source rejection counts,
     so they must be non-null). The wrap lives HERE at the audit
-    select, leaving the shared ``_gopher_rule_cols`` /
-    ``gopher_gate_col`` expressions byte-identical for the gate-first
-    funnels (a NULL predicate and a FALSE predicate filter the same).
+    select, leaving the shared ``gopher_gate_col`` expression
+    byte-identical for the gate-first funnels (a NULL predicate and a
+    FALSE predicate filter the same).
+
+    Two-stage select: the metric folds project ONCE (stage 1 shares
+    the ``split`` arrays across all eight metrics via codegen
+    subexpression elimination), the comparisons + null-safe wraps read
+    the projected columns (stage 2, cheap). CollapseProject leaves the
+    boundary alone — every metric feeds ≥2 verdicts, and duplicating a
+    non-cheap higher-order fold is exactly what the rule refuses to
+    do. Folding the wraps into one select instead re-measured at 2.1x:
+    each CASE WHEN branch re-derived its own copy of the arrays.
     """
-    cols = _gopher_rule_cols(required_words, min_kinds)
-    present = F.col("text").isNotNull()
+    metrics = _gopher_metric_cols(required_words)
+    staged = docs.select(
+        "doc_id",
+        "source",
+        F.col("text").isNotNull().alias("_has_text"),
+        *[expr.alias(f"_m_{name}") for name, expr in metrics.items()],
+    )
+    cols = _gopher_verdicts(
+        {name: F.col(f"_m_{name}") for name in metrics}, min_kinds
+    )
+    present = F.col("_has_text")
 
     def _null_safe(name, expr):
         if name == "n_words":
             return F.when(present, expr)
         return F.when(present, expr).otherwise(F.lit(False))
 
-    return docs.select(
+    return staged.select(
         "doc_id",
         "source",
         *[_null_safe(name, expr).alias(name) for name, expr in cols.items()],
