@@ -354,6 +354,26 @@ def test_mg_heavy_prunes_below_both_window_exchanges(spark):
     assert not has_cartesian(df)
 
 
+def test_gopher_metric_projection_boundary_survives(spark):
+    """TXT-GOPHER: the audit frame's metric folds must project ONCE
+    below the null-safe verdict wraps. If CollapseProject (or a
+    refactor) merges the two selects, every CASE WHEN verdict branch
+    re-derives its own copy of the split() arrays — codegen
+    subexpression elimination cannot share across conditional
+    branches; measured 2.1x at sf0.1 when this boundary was folded."""
+    df = q(spark, "text_gopher_rules")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # the staged metric attributes survive into the optimized plan...
+    assert "_m_n_words" in plan
+    # ...and the verdict project derives them by reference, not by
+    # re-splitting: every split() lives in the metric project, none
+    # inside a CASE WHEN branch.
+    for line in plan.splitlines():
+        if "CASE WHEN" in line:
+            assert "split(" not in line.split("CASE WHEN", 1)[1], line[:200]
+    assert shuffle_count(df) == 0  # still pure map-side
+
+
 def test_dsir_model_broadcasts_and_topk_never_global_sorts(spark):
     """PIPE-DSIR: the <=512-bucket log-ratio model and the <=k
     selection flag must broadcast back onto the corpus (never shuffle
