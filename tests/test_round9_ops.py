@@ -124,3 +124,29 @@ def test_gumbel_exact_seed_redraws(spark):
     }
     assert a == b7  # reproducible given (corpus, seed)
     assert a != b11  # a new seed redraws the sample
+
+
+def test_gumbel_noise_bounds_and_saturation(spark):
+    """The integer Gumbel draw's documented envelope, pinned: the
+    1e-8 clamp saturates the u→1 tail at −ln(1e-8) ≈ 18.420681
+    (18_420_681 micros, the exact 8dp-round-then-floor value), so no
+    draw may exceed it; and the u→0 side is bounded below by
+    −ln(−ln(u_min)) at the 60-bit grid's smallest u, far inside
+    −5 ≥ gumbel_micros/1e6 territory. Both engines share these bounds
+    by construction — this test keeps the ENGINE side honest if the
+    clamp constant or the rounding convention ever drifts."""
+    import math
+
+    cap = math.floor(-round(math.log(1e-8), 8) * 1e6 + 0.5)
+    assert cap == 18_420_681
+    lo = math.floor(
+        -round(
+            math.log(-round(math.log(1.0 / float(2**60)), 8)), 8
+        )
+        * 1e6
+        + 0.5
+    )
+    rows = _gumbel_frame(spark, SF_SMOKE).select("gumbel_micros").collect()
+    vals = [r["gumbel_micros"] for r in rows]
+    assert max(vals) <= cap
+    assert min(vals) >= lo
