@@ -35,7 +35,14 @@ import time
 sys.path.insert(0, ".")
 
 SF_DIR = "/root/testdata/sf0.1"
-REPLICAS = [100, 1000, 10000]
+import os
+
+REPLICAS = [
+    int(r)
+    for r in os.environ.get(
+        "SPARK_GRAFT_THROUGHPUT_REPLICAS", "100,1000,10000"
+    ).split(",")
+]
 
 
 def main() -> None:
