@@ -139,3 +139,21 @@ def test_sql_interface_runs(spark, capsys):
     assert "anomalous hourly buckets (via q_ts_anomaly): 16" in out
     assert "cluster survivors via two-view SQL join: 21 clusters" in out
     assert "dataframe face and SQL face agree" in out
+
+
+def test_streaming_pipeline_runs(spark, tmp_path, capsys):
+    mod = runpy.run_path(
+        os.path.join(
+            os.path.dirname(os.path.dirname(__file__)),
+            "examples",
+            "streaming_pipeline.py",
+        ),
+        run_name="streaming_pipeline",
+    )
+    mod["main"]("/root/testdata/sf0.001", str(tmp_path / "out"))
+    out = capsys.readouterr().out
+    assert "staged 1143 event arrivals (incl. redeliveries)" in out
+    assert "tumbling stream ≡ batch: 531 windows, 1143 events" in out
+    assert "streaming dedup: 1143 arrivals -> 1000 unique events" in out
+    assert "stream-static enrich ≡ batch: 4 segments" in out
+    assert "stateful totals: 15 users, 1143 events folded" in out
