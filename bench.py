@@ -89,10 +89,13 @@ HEADLINE = [
     # collapsed to a 512-bucket broadcast model).
     "a26_mg_heavy",
     "pipe_dsir_select",
-    # Round-9 addition: the paper's Gumbel-top-k DSIR resampling rule
+    # Round-9 additions: the paper's Gumbel-top-k DSIR resampling rule
     # (same weight plan as pipe_dsir_select + one map-side hash+libm
-    # noise expression).
+    # noise expression) and the ExactSubstr duplicated-span analysis
+    # (positional k-grams -> map-side-combined dup set -> semi-join ->
+    # gaps-and-islands merge).
     "pipe_dsir_gumbel",
+    "dedup_substring",
 ]
 
 

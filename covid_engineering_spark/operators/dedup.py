@@ -647,6 +647,126 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_pairs(emb, COSINE_REGISTRY_THRESHOLD)
 
 
+#: Duplicated-substring gram length (tokens). The paper's threshold is
+#: 50 BPE tokens over web-scale corpora (Lee et al. 2022 §4.1); the
+#: synthetic docs run 10-99 whitespace tokens, so 8 keeps the analysis
+#: non-degenerate (47/500 docs carry a duplicated span at sf0.01,
+#: tracking the corpus's near-dup cluster structure) while preserving
+#: the exact algorithm shape.
+SUBSTR_K = 8
+
+
+def substring_dup_spans(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+    """EXACT-SUBSTRING duplication analysis (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" §4.1 —
+    the ExactSubstr method): per document, the merged token spans
+    covered by any length-``k`` token run that occurs elsewhere in the
+    corpus (or again in the same document). The paper builds one giant
+    suffix array; the distributed re-expression is positional k-gram
+    matching — every duplicated substring of length ≥ k is exactly a
+    maximal run of duplicated k-grams, so merging overlapping/adjacent
+    duplicated-gram intervals reconstructs the paper's spans (for
+    spans ≥ k; shorter repeats are below the threshold by definition).
+
+    Plan shape, built for the 100 TB corpus:
+
+    * positional k-gram frame: one scan + linear explode (≤ n_tokens
+      rows per doc, NOT distinct — positions matter);
+    * duplicated-gram set via ``groupBy(gram).count()`` — partial
+      aggregation collapses repeats map-side, so the shuffle carries
+      one row per DISTINCT gram and a mega-duplicated boilerplate gram
+      (the skew case) arrives at its reducer as a handful of partial
+      counts, never as raw rows. A window count over ``gram`` would
+      shuffle every position row into the hot gram's partition — the
+      exact skew this formulation avoids;
+    * positions ⋉ duplicated grams as a semi-join on the gram key
+      (size-based planner broadcasts the post-filter dup-gram frame
+      when small — most grams are unique, so it usually is);
+    * span merge per doc: the gaps-and-islands pattern — running
+      ``max(pos + k)`` over the doc's duplicated positions marks
+      island starts, a running sum numbers them, one groupBy emits
+      span bounds. Both windows partition by doc_id (bounded state).
+
+    NULL ``text`` (the text-tier convention): ``n_tokens`` NULL, all
+    duplication counters literal 0, ``has_dup`` literal FALSE — a
+    payload-less document carries no duplicated content.
+
+    The registered form shuffles the gram STRINGS so the analysis is
+    exact and the twin replays it byte-for-byte; the production lever
+    at corpus scale is ``xxhash64(gram)`` before the groupBy/semi-join
+    (8-byte shuffle keys instead of ~50-byte strings, at a vanishing
+    birthday-collision false-dup rate) — the same exact-vs-hashed
+    trade the DSIR feature hash documents.
+    """
+    ws = F.split(F.col("text"), " ")
+    grams_arr = F.when(
+        F.array_size(ws) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - k),
+            lambda i: F.concat_ws(" ", F.slice(ws, i + 1, k)),
+        ),
+    ).otherwise(F.array())
+    g = docs.select("doc_id", F.posexplode(grams_arr).alias("pos", "gram"))
+    dup_grams = (
+        g.groupBy("gram")
+        .agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("gram")
+    )
+    dpos = g.join(dup_grams, "gram", "left_semi")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (
+        dpos.withColumn("prev_end", F.max(F.col("pos") + k).over(w_prev))
+        .withColumn(
+            "new_island",
+            (F.col("pos") > F.coalesce("prev_end", F.lit(-1))).cast("int"),
+        )
+        .withColumn("island", F.sum("new_island").over(w_run))
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + k).alias("e"),
+        F.count("*").alias("ng"),
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("_spans"),
+        F.sum(F.col("e") - F.col("s")).alias("_dup_tokens"),
+        F.sum("ng").alias("_dup_grams"),
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        docs.select(
+            "doc_id", F.array_size(ws).cast("long").alias("n_tokens")
+        )
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("_dup_grams").cast("long"), zero).alias(
+                "n_dup_grams"
+            ),
+            F.coalesce(F.col("_spans").cast("long"), zero).alias(
+                "n_dup_spans"
+            ),
+            F.coalesce(F.col("_dup_tokens").cast("long"), zero).alias(
+                "dup_tokens"
+            ),
+            (
+                F.coalesce(F.col("_dup_tokens").cast("long"), zero) > 0
+            ).alias("has_dup"),
+        )
+    )
+
+
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return substring_dup_spans(read_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -654,6 +774,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_substring": q_dedup_substring,
 }
 
 _SHINGLES_SQL = f"""
@@ -796,6 +917,68 @@ ORACLES = {
     "dedup_exact": """
         SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         FROM documents GROUP BY md5(lower(text))
+    """,
+    # ExactSubstr duplication analysis: positional k-grams, duplicated
+    # set by GROUP BY + HAVING, gaps-and-islands span merge — the same
+    # integer arithmetic as the engine, window for window.
+    "dedup_substring": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        pos_g AS (
+            SELECT doc_id, ws,
+                   unnest(generate_series(
+                       1, greatest(len(ws) - {SUBSTR_K} + 1, 0))) AS i
+            FROM toks
+        ),
+        grams AS (
+            SELECT doc_id, i - 1 AS pos,
+                   array_to_string(
+                       ws[i : i + {SUBSTR_K} - 1], ' ') AS gram
+            FROM pos_g
+        ),
+        dup_g AS (
+            SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2
+        ),
+        dpos AS (
+            SELECT doc_id, pos FROM grams
+            WHERE gram IN (SELECT gram FROM dup_g)
+        ),
+        isl AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos > COALESCE(MAX(pos + {SUBSTR_K}) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), -1)
+                        THEN 1 ELSE 0 END AS new_island
+            FROM dpos
+        ),
+        isl2 AS (
+            SELECT doc_id, pos,
+                   SUM(new_island) OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS island
+            FROM isl
+        ),
+        spans AS (
+            SELECT doc_id, island, MIN(pos) AS s,
+                   MAX(pos) + {SUBSTR_K} AS e, COUNT(*) AS ng
+            FROM isl2 GROUP BY 1, 2
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+                   CAST(SUM(e - s) AS BIGINT) AS dup_tokens,
+                   CAST(SUM(ng) AS BIGINT) AS n_dup_grams
+            FROM spans GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CASE WHEN d.text IS NULL THEN NULL
+                    ELSE len(string_split(d.text, ' ')) END AS n_tokens,
+               COALESCE(p.n_dup_grams, 0) AS n_dup_grams,
+               COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+               COALESCE(p.dup_tokens, 0) AS dup_tokens,
+               COALESCE(p.dup_tokens, 0) > 0 AS has_dup
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
     """,
     "dedup_minhash_lsh": _minhash_oracle_sql(),
     "dedup_simhash": _simhash_oracle_sql(),

@@ -795,6 +795,19 @@ def main() -> None:
             "noop"
         ).save()
 
+    def substr(sf_dir):
+        # positional-gram explode is linear; the dup-gram set is
+        # map-side combined (one shuffled row per distinct gram), the
+        # probe's suffixed replicas keep cross-replica grams disjoint
+        # so duplication density is scale-invariant
+        from covid_engineering_spark.operators.dedup import (
+            q_dedup_substring,
+        )
+
+        q_dedup_substring(spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+
     out: dict = {"metric": "scale_probe", "x": REPLICAS, "base": BASE}
     seen_names: set = set()
     for name, fn in (
@@ -839,6 +852,7 @@ def main() -> None:
         ("a26_mg_heavy", mgheavy),
         ("pipe_dsir_select", dsir),
         ("pipe_dsir_gumbel", dsir_gumbel),
+        ("dedup_substring", substr),
     ):
         if ONLY and name not in ONLY:
             continue

@@ -354,6 +354,24 @@ def test_mg_heavy_prunes_below_both_window_exchanges(spark):
     assert not has_cartesian(df)
 
 
+def test_substring_dedup_scale_shape(spark):
+    """DEDUP-SUBSTR: the duplicated-gram set must reduce through a
+    partial-aggregated groupBy (map-side combine collapses repeated
+    grams before the shuffle — the skew defense) and reach the
+    position frame as a join, never a per-position window over the
+    gram key; the span windows partition by doc_id; no cartesian."""
+    from covid_engineering_spark.plans import simple_plan
+
+    df = q(spark, "dedup_substring")
+    plan = simple_plan(df)
+    assert "partial_count" in plan.lower() or "HashAggregate" in plan
+    # the gram-count reduction feeds a (usually broadcast) semi-join
+    assert "LeftSemi" in plan
+    assert not has_cartesian(df)
+    # no window may partition on the gram key (hot-gram skew)
+    assert "windowspecdefinition(gram" not in plan
+
+
 def test_gopher_metric_projection_boundary_survives(spark):
     """TXT-GOPHER: the audit frame's metric folds must project ONCE
     below the null-safe verdict wraps. If CollapseProject (or a

@@ -150,3 +150,74 @@ def test_gumbel_noise_bounds_and_saturation(spark):
     vals = [r["gumbel_micros"] for r in rows]
     assert max(vals) <= cap
     assert min(vals) >= lo
+
+
+# --- dedup_substring: ExactSubstr duplicated-span analysis ----------
+
+
+def test_substring_dedup_matches_duckdb_twin(spark):
+    from covid_engineering_spark.queries import oracles, registry
+
+    con = duck_con(SF_SMOKE)
+    try:
+        res = compare(
+            registry()["dedup_substring"](spark, SF_SMOKE),
+            con,
+            oracles()["dedup_substring"],
+        )
+        assert res["match"], res
+    finally:
+        con.close()
+
+
+def test_substring_dedup_matches_twin_on_null_payloads(spark, patho_dir):
+    from covid_engineering_spark.queries import oracles, registry
+
+    con = duck_con(patho_dir)
+    try:
+        res = compare(
+            registry()["dedup_substring"](spark, patho_dir),
+            con,
+            oracles()["dedup_substring"],
+        )
+        assert res["match"], res
+    finally:
+        con.close()
+
+
+def test_substring_spans_hand_corpus(spark):
+    """Span semantics pinned on a corpus built by hand: a 10-token run
+    shared by two docs yields ONE merged span of exactly 10 tokens in
+    each (7 overlapping duplicated 8-grams collapse); an in-document
+    repeat of one 8-gram is flagged through two islands; a unique doc
+    and a too-short doc stay clean with zero counters."""
+    from covid_engineering_spark.operators.dedup import (
+        substring_dup_spans,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(10))  # 10-token shared run
+    rep = " ".join(f"r{i}" for i in range(8))  # 8-gram repeated in-doc
+    rows = [
+        (1, f"{shared} a1 a2 a3 a4 a5"),
+        (2, f"b1 b2 b3 {shared}"),
+        (3, f"{rep} c1 c2 c3 {rep}"),
+        (4, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),  # unique, no dup
+        (5, "t1 t2 t3"),  # shorter than k: no grams at all
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in substring_dup_spans(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    for d in (1, 2):  # the shared run: one span, 10 tokens, 3 grams
+        assert out[d]["n_dup_spans"] == 1, out[d]
+        assert out[d]["dup_tokens"] == 10, out[d]
+        assert out[d]["n_dup_grams"] == 3, out[d]
+        assert out[d]["has_dup"]
+    assert out[3]["n_dup_spans"] == 2  # the repeat: two 8-token islands
+    assert out[3]["dup_tokens"] == 16
+    for d in (4, 5):
+        assert not out[d]["has_dup"]
+        assert out[d]["dup_tokens"] == 0
+        assert out[d]["n_dup_spans"] == 0

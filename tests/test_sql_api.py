@@ -78,6 +78,9 @@ DUCKDB_ONLY = {
     # r09: same string_split/unnest weights chain + portable-hash
     # idiom as pipe_dsir_select
     "pipe_dsir_gumbel",
+    # r09: string_split / generate_series-unnest / list-slice
+    # positional grams are DuckDB dialect
+    "dedup_substring",
     "a24_cms_heavy",
     "ann_hamming_topk",
     "ann_range_search",

@@ -210,9 +210,11 @@ SURVEY_MAP = {
     "A25": "a25_quantile_cuts",
     "A26": "a26_mg_heavy",
     "PIPE-DSIR": "pipe_dsir_select",
-    # round-9 extension: the paper's Gumbel-top-k resampling rule in
-    # integer micro-units, overflow-pinned (queries.WINDOW_OVERFLOW).
+    # round-9 extensions: the paper's Gumbel-top-k resampling rule in
+    # integer micro-units, and the ExactSubstr duplicated-span
+    # analysis — both overflow-pinned (queries.WINDOW_OVERFLOW).
     "PIPE-DSIR-G": "pipe_dsir_gumbel",
+    "DEDUP-SUBSTR": "dedup_substring",
     "ANN-RP": "emb_rp_recall",
     "PIPE-KANON": "pipe_k_anonymity",
     "PIPE-PPS": "pipe_weighted_sample",
