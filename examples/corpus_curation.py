@@ -83,6 +83,27 @@ def main(
     )
     docs = docs.join(keep_exact, "doc_id")
 
+    # 1b. exact-substring duplication report (Lee et al. 2022's
+    # ExactSubstr): how much literal copied TEXT remains after the
+    # whole-document dedup — the within/cross-document spans a
+    # span-trimming pipeline would cut rather than dropping docs
+    from covid_engineering_spark.operators.dedup import (
+        substring_dup_spans,
+    )
+
+    sub = (
+        substring_dup_spans(docs)
+        .agg(
+            F.sum(F.col("has_dup").cast("int")).alias("n_docs"),
+            F.sum("dup_tokens").alias("toks"),
+        )
+        .first()
+    )
+    print(
+        f"exact-substring report: {sub['n_docs']} docs carry "
+        f"{sub['toks']} duplicated span tokens"
+    )
+
     # 2. near-dup cluster resolution: keep the highest-quality member
     # of every cluster (singletons keep themselves), not just the
     # lowest id — the retention policy a production pipeline ships

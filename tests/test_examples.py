@@ -26,6 +26,10 @@ def test_corpus_curation_runs(spark, tmp_path, capsys):
     mod["main"]("/root/testdata/sf0.001", str(tmp_path / "out"))
     out = capsys.readouterr().out
     assert "map-side gates: 500 raw -> 242 past gopher+blocklist" in out
+    assert (
+        "exact-substring report: 26 docs carry 2067 duplicated span "
+        "tokens" in out
+    )
     assert "curated 500 raw documents -> 195 kept" in out
     assert "split sizes: {'test': 16, 'train': 158, 'val': 21}" in out
     assert "packed into 58 chunks" in out
