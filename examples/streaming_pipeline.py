@@ -51,7 +51,11 @@ def main(sf_dir: str = "/root/testdata/sf0.001", out_dir: str | None = None):
     # 0. stage the events table as a directory of parquet chunks, the
     # shape a file-source stream ingests (three "arrivals"; the third
     # redelivers every 7th event — the at-least-once retry shape).
+    # A reused out_dir must start from a CLEAN arrivals directory —
+    # appending onto a previous run's staging would double every
+    # staged row and fail the dedup/stateful asserts below.
     src = os.path.join(scratch, "arrivals")
+    shutil.rmtree(src, ignore_errors=True)
     ev = read_table(spark, sf_dir, "events")
     ev.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(src)
     ev.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)

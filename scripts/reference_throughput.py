@@ -27,6 +27,7 @@ under /tmp; prints one JSON line per scale)
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import tempfile
@@ -35,7 +36,6 @@ import time
 sys.path.insert(0, ".")
 
 SF_DIR = "/root/testdata/sf0.1"
-import os
 
 REPLICAS = [
     int(r)

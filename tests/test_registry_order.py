@@ -37,48 +37,12 @@ from verification_ledger import (  # noqa: E402
 #: until a new green row lands, then drop off this list. (The ledger
 #: can't see code changes; this is the one hand-maintained bridge, and
 #: it empties every time the driver re-greens the named entries.)
-CHANGED_SINCE_LAST_GREEN = {
-    # Late-r08: gained the NULL-entity daily-series filter. r08 argued
-    # domain-extension-only exclusion; VERDICT r08 rejected the
-    # precedent ("keep the bridge literal: changed code re-greens, no
-    # exceptions") — listed until a new green row lands.
-    "x3_sird_mse",
-    # r09 NULL-payload hardening (VERDICT r08 next-round #1): engine
-    # plan and/or SQL twin changed after the last green row. Listed
-    # for EITHER kind of change — an oracle-only change moves the
-    # verification criterion, so the old green row no longer proves
-    # the current pairing. Semantics are documented per operator; the
-    # adversarial fixture now carries NULL text/embeddings and all
-    # twinned oracles hash-match through them locally.
-    #   text: metrics NULL-propagate, gate verdicts literal FALSE.
-    "text_token_stats",
-    "text_quality",
-    "text_normalize",
-    "text_fingerprint",
-    "text_gopher_rules",
-    #   pipe: verdicts FALSE; aggregates count payload-less docs but
-    #   NULL-skip their token sums.
-    "pipe_pack_chunks",
-    "pipe_mixture_plan",
-    "pipe_length_hist",
-    "pipe_blocklist_filter",
-    "pipe_quality_filter",
-    "pipe_dataset_card",
-    #   emb/ann: index/train/eval paths exclude NULL vectors on both
-    #   sides (centroid/dim_stats/rp_recall are twin-side alignments).
-    "emb_centroid",
-    "emb_dim_stats",
-    "emb_assign_nearest",
-    "emb_pq_codes",
-    "ann_pq_adc_topk",
-    "ann_ivfpq_topk",
-    "emb_rp_recall",
-    #   mm: resize/frame-sample drop NULL payloads scan-side;
-    #   feature-extract's twin counts NULL texts as decode errors.
-    "mm_feature_extract",
-    "mm_frame_sample",
-    "mm_resize",
-}
+CHANGED_SINCE_LAST_GREEN: set[str] = set()
+# r10 start: EMPTY — the r09 driver run greened every entry the r09
+# bridge listed (x3_sird_mse + the 21-entry NULL-payload hardening
+# set; CORRECTNESS_r09.json, all three axes, zero err), so the bridge
+# drains completely. Re-add any entry whose engine plan or SQL twin
+# changes this round after its last green row.
 
 
 def test_priority_is_exactly_the_first_50():

@@ -9,6 +9,7 @@ sketch-vs-exact discipline as a14/a18), and the driver's DuckDB NTILE
 oracle stays unchanged.
 """
 
+import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -93,6 +94,29 @@ def test_global_ntile_checkpointed_form_matches_lazy_form(spark):
         for r in global_ntile(df, exprs, 5, "b", checkpoint=False).collect()
     }
     assert a == b
+
+
+def test_global_prefix_sum_lazy_optout_warns(spark):
+    # checkpoint=False's precondition (deterministic or materialized
+    # input) is un-checkable from inside the operator, and violating
+    # it corrupts sums SILENTLY — so opting out must at least leave a
+    # loud breadcrumb at the call site (relational.py docstring).
+    import warnings
+
+    from covid_engineering_spark.operators.relational import (
+        global_prefix_sum,
+    )
+
+    df = spark.range(100).withColumn("m", F.col("id") % 7)
+    with pytest.warns(RuntimeWarning, match="checkpoint=False"):
+        global_prefix_sum(
+            df, [F.asc("m"), F.asc("id")], F.lit(1), "ps",
+            checkpoint=False,
+        )
+    # and the safe default stays silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        global_prefix_sum(df, [F.asc("m"), F.asc("id")], F.lit(1), "ps")
 
 
 def test_rfm_matches_window_ntile_form(spark):

@@ -212,7 +212,7 @@ SURVEY_MAP = {
     "PIPE-DSIR": "pipe_dsir_select",
     # round-9 extensions: the paper's Gumbel-top-k resampling rule in
     # integer micro-units, and the ExactSubstr duplicated-span
-    # analysis — both overflow-pinned (queries.WINDOW_OVERFLOW).
+    # analysis — overflow-pinned in r09, window-front in r10.
     "PIPE-DSIR-G": "pipe_dsir_gumbel",
     "DEDUP-SUBSTR": "dedup_substring",
     "ANN-RP": "emb_rp_recall",
