@@ -96,6 +96,9 @@ HEADLINE = [
     # gaps-and-islands merge).
     "pipe_dsir_gumbel",
     "dedup_substring",
+    # Round-10 addition: the ExactSubstr span-REMOVAL form (span frame
+    # + per-doc span collapse + corpus join + map-side token excision).
+    "dedup_substring_strip",
 ]
 
 

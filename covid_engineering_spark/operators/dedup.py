@@ -656,7 +656,66 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 SUBSTR_K = 8
 
 
-def substring_dup_spans(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+def substring_dup_span_frame(
+    docs: DataFrame, k: int = SUBSTR_K, hashed: bool = False
+) -> DataFrame:
+    """The merged duplicated-span frame under the ExactSubstr family:
+    one row per maximal duplicated token span — ``(doc_id, island,
+    s, e, ng)`` with ``[s, e)`` 0-based token bounds and ``ng`` the
+    duplicated k-grams merged into the span. Shared by the analysis
+    (:func:`substring_dup_spans`) and the removal form
+    (:func:`substring_strip`); plan shape documented on the analysis.
+
+    ``hashed=True`` collapses each gram to ``xxhash64(gram)`` inside
+    the gram-building projection (map-side — the ~50-byte gram string
+    never leaves the scan task), so both gram shuffles carry 8-byte
+    BIGINT keys; see :func:`substring_dup_spans` for the collision
+    arithmetic.
+    """
+    ws = F.split(F.col("text"), " ")
+
+    def _gram(i):
+        s = F.concat_ws(" ", F.slice(ws, i + 1, k))
+        return F.xxhash64(s) if hashed else s
+
+    grams_arr = F.when(
+        F.array_size(ws) >= k,
+        F.transform(F.sequence(F.lit(0), F.size(ws) - k), _gram),
+    ).otherwise(
+        F.array().cast("array<bigint>" if hashed else "array<string>")
+    )
+    g = docs.select("doc_id", F.posexplode(grams_arr).alias("pos", "gram"))
+    dup_grams = (
+        g.groupBy("gram")
+        .agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("gram")
+    )
+    dpos = g.join(dup_grams, "gram", "left_semi")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (
+        dpos.withColumn("prev_end", F.max(F.col("pos") + k).over(w_prev))
+        .withColumn(
+            "new_island",
+            (F.col("pos") > F.coalesce("prev_end", F.lit(-1))).cast("int"),
+        )
+        .withColumn("island", F.sum("new_island").over(w_run))
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + k).alias("e"),
+        F.count("*").alias("ng"),
+    )
+
+
+def substring_dup_spans(
+    docs: DataFrame, k: int = SUBSTR_K, hashed: bool = False
+) -> DataFrame:
     """EXACT-SUBSTRING duplication analysis (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better" §4.1 —
     the ExactSubstr method): per document, the merged token spans
@@ -691,48 +750,21 @@ def substring_dup_spans(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
     duplication counters literal 0, ``has_dup`` literal FALSE — a
     payload-less document carries no duplicated content.
 
-    The registered form shuffles the gram STRINGS so the analysis is
-    exact and the twin replays it byte-for-byte; the production lever
-    at corpus scale is ``xxhash64(gram)`` before the groupBy/semi-join
-    (8-byte shuffle keys instead of ~50-byte strings, at a vanishing
-    birthday-collision false-dup rate) — the same exact-vs-hashed
-    trade the DSIR feature hash documents.
+    The registered form (``hashed=False``) shuffles the gram STRINGS
+    so the analysis is exact and the twin replays it byte-for-byte;
+    ``hashed=True`` is the production path at corpus scale: each gram
+    collapses to ``xxhash64(gram)`` MAP-SIDE (inside the same
+    projection that builds it — the string never leaves the scan
+    task), so the dup-set groupBy and the semi-join shuffle 8-byte
+    BIGINT keys instead of ~50-byte strings. The cost is a birthday-
+    collision false-dup rate of ~n²/2⁶⁵ over n distinct grams
+    (~3·10⁻⁶ at 10¹² grams ≈ 100 TB) — the same exact-vs-hashed trade
+    the DSIR feature hash and the minhash ``portable`` flag document.
+    Span-set equivalence of the two forms on the synthetic corpus is
+    pinned in tests/test_round10_ops.py.
     """
+    spans = substring_dup_span_frame(docs, k, hashed)
     ws = F.split(F.col("text"), " ")
-    grams_arr = F.when(
-        F.array_size(ws) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(ws) - k),
-            lambda i: F.concat_ws(" ", F.slice(ws, i + 1, k)),
-        ),
-    ).otherwise(F.array())
-    g = docs.select("doc_id", F.posexplode(grams_arr).alias("pos", "gram"))
-    dup_grams = (
-        g.groupBy("gram")
-        .agg(F.count("*").alias("n_occ"))
-        .filter(F.col("n_occ") >= 2)
-        .select("gram")
-    )
-    dpos = g.join(dup_grams, "gram", "left_semi")
-    w_prev = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_run = Window.partitionBy("doc_id").orderBy("pos")
-    isl = (
-        dpos.withColumn("prev_end", F.max(F.col("pos") + k).over(w_prev))
-        .withColumn(
-            "new_island",
-            (F.col("pos") > F.coalesce("prev_end", F.lit(-1))).cast("int"),
-        )
-        .withColumn("island", F.sum("new_island").over(w_run))
-    )
-    spans = isl.groupBy("doc_id", "island").agg(
-        F.min("pos").alias("s"),
-        (F.max("pos") + k).alias("e"),
-        F.count("*").alias("ng"),
-    )
     per_doc = spans.groupBy("doc_id").agg(
         F.count("*").alias("_spans"),
         F.sum(F.col("e") - F.col("s")).alias("_dup_tokens"),
@@ -767,6 +799,87 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dup_spans(read_table(spark, sf_dir, "documents"))
 
 
+def substring_strip(
+    docs: DataFrame, k: int = SUBSTR_K, hashed: bool = False
+) -> DataFrame:
+    """ExactSubstr span REMOVAL — the pipeline step Lee et al. 2022
+    §4.1 actually applies (the analysis form only reports the spans):
+    per document, the text with every merged duplicated span excised,
+    plus the token accounting (``n_tokens`` / ``kept_tokens`` /
+    ``removed_tokens``) so the mass removed stays auditable per doc.
+
+    Removal semantics: EVERY occurrence of a duplicated span is
+    stripped, in every document that carries one — the deterministic
+    variant. The paper's keep-one-copy alternative needs a global
+    per-substring occurrence tiebreak, and a merged span aggregates
+    MANY k-grams whose "first" occurrences live in different
+    documents, so no per-span winner is well-defined without
+    re-fragmenting the spans; pair this form with ``dedup_exact`` /
+    ``keep_best_per_cluster`` upstream when one canonical copy must
+    survive (whole-doc duplicates collapse there first, so what this
+    strips is cross-document boilerplate).
+
+    Plan shape: the span frame's own shape (see
+    :func:`substring_dup_spans`), then one ``groupBy(doc_id)`` that
+    collapses each doc's spans to a sorted struct array (bounded by
+    spans-per-doc, never corpus-wide), a join back onto the corpus —
+    broadcast when the dup set is small, hash otherwise — and a pure
+    MAP-SIDE token filter: ``filter(tokens, (t, i) -> NOT exists(
+    spans, sp -> s <= i < e))`` + ``concat_ws``. No token-level
+    explode-and-anti-join at any point: the token loop stays inside
+    one codegen'd higher-order expression.
+
+    Output text is whitespace-normalized by construction (split on
+    single space, re-joined with single space) — byte-identical to
+    the input for single-space corpora like the fixture; a corpus
+    with other whitespace should normalize first (``text_normalize``).
+
+    NULL ``text``: ``n_tokens`` / ``kept_tokens`` / ``stripped_text``
+    NULL, ``removed_tokens`` literal 0 (the text-tier convention —
+    counters non-null, payload-derived fields propagate).
+    """
+    spans = substring_dup_span_frame(docs, k, hashed)
+    sp_doc = spans.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("s").cast("long").alias("s"),
+                    F.col("e").cast("long").alias("e"),
+                )
+            )
+        ).alias("_spans"),
+        F.sum(F.col("e") - F.col("s")).cast("long").alias("_removed"),
+    )
+    ws = F.split(F.col("text"), " ")
+    spans_arr = F.coalesce(
+        F.col("_spans"), F.array().cast("array<struct<s:bigint,e:bigint>>")
+    )
+    kept = F.filter(
+        ws,
+        lambda t, i: ~F.exists(
+            spans_arr,
+            lambda sp: (i.cast("long") >= sp["s"])
+            & (i.cast("long") < sp["e"]),
+        ),
+    )
+    has_text = F.col("text").isNotNull()
+    return docs.join(sp_doc, "doc_id", "left").select(
+        "doc_id",
+        F.array_size(ws).cast("long").alias("n_tokens"),
+        F.when(has_text, F.array_size(kept)).cast("long").alias(
+            "kept_tokens"
+        ),
+        F.coalesce(F.col("_removed"), F.lit(0).cast("long")).alias(
+            "removed_tokens"
+        ),
+        F.when(has_text, F.concat_ws(" ", kept)).alias("stripped_text"),
+    )
+
+
+def q_dedup_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return substring_strip(read_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -775,6 +888,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "dedup_substring": q_dedup_substring,
+    "dedup_substring_strip": q_dedup_substring_strip,
 }
 
 _SHINGLES_SQL = f"""
@@ -913,16 +1027,12 @@ def _simhash_oracle_sql() -> str:
     """
 
 
-ORACLES = {
-    "dedup_exact": """
-        SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
-        FROM documents GROUP BY md5(lower(text))
-    """,
-    # ExactSubstr duplication analysis: positional k-grams, duplicated
-    # set by GROUP BY + HAVING, gaps-and-islands span merge — the same
-    # integer arithmetic as the engine, window for window.
-    "dedup_substring": f"""
-        WITH toks AS (
+#: Shared CTE chain for the ExactSubstr family twins: positional
+#: k-grams → duplicated-gram set → gaps-and-islands span merge,
+#: ending at ``spans (doc_id, island, s, e, ng)`` — the DuckDB replay
+#: of ``substring_dup_span_frame``, window for window.
+_SUBSTR_SPANS_CTES = f"""
+        toks AS (
             SELECT doc_id, string_split(text, ' ') AS ws FROM documents
         ),
         pos_g AS (
@@ -963,7 +1073,18 @@ ORACLES = {
             SELECT doc_id, island, MIN(pos) AS s,
                    MAX(pos) + {SUBSTR_K} AS e, COUNT(*) AS ng
             FROM isl2 GROUP BY 1, 2
-        ),
+        )"""
+
+ORACLES = {
+    "dedup_exact": """
+        SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY md5(lower(text))
+    """,
+    # ExactSubstr duplication analysis: positional k-grams, duplicated
+    # set by GROUP BY + HAVING, gaps-and-islands span merge — the same
+    # integer arithmetic as the engine, window for window.
+    "dedup_substring": f"""
+        WITH {_SUBSTR_SPANS_CTES},
         per_doc AS (
             SELECT doc_id,
                    CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
@@ -979,6 +1100,53 @@ ORACLES = {
                COALESCE(p.dup_tokens, 0) AS dup_tokens,
                COALESCE(p.dup_tokens, 0) > 0 AS has_dup
         FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+    # ExactSubstr span REMOVAL: same span chain, then tokens outside
+    # every [s, e) re-joined in position order — string_agg replays
+    # the engine's map-side filter+concat_ws exactly (same kept set,
+    # same order, same single-space separator).
+    "dedup_substring_strip": f"""
+        WITH {_SUBSTR_SPANS_CTES},
+        covered AS (
+            SELECT DISTINCT doc_id,
+                   unnest(generate_series(s, e - 1)) AS pos
+            FROM spans
+        ),
+        all_toks AS (
+            SELECT doc_id, i - 1 AS pos, ws[i] AS tok
+            FROM (SELECT doc_id, ws,
+                         unnest(generate_series(1, len(ws))) AS i
+                  FROM toks)
+        ),
+        kept AS (
+            SELECT t.doc_id, t.pos, t.tok
+            FROM all_toks t
+            LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+            WHERE c.pos IS NULL
+        ),
+        kept_doc AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+                   string_agg(tok, ' ' ORDER BY pos) AS stripped_text
+            FROM kept GROUP BY doc_id
+        ),
+        removed AS (
+            SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS removed_tokens
+            FROM spans GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CASE WHEN d.text IS NULL THEN NULL
+                    ELSE CAST(len(string_split(d.text, ' ')) AS BIGINT)
+                    END AS n_tokens,
+               CASE WHEN d.text IS NULL THEN NULL
+                    ELSE COALESCE(k.kept_tokens, 0) END AS kept_tokens,
+               COALESCE(r.removed_tokens, 0) AS removed_tokens,
+               CASE WHEN d.text IS NULL THEN NULL
+                    ELSE COALESCE(k.stripped_text, '') END
+                   AS stripped_text
+        FROM documents d
+        LEFT JOIN kept_doc k USING (doc_id)
+        LEFT JOIN removed r USING (doc_id)
     """,
     "dedup_minhash_lsh": _minhash_oracle_sql(),
     "dedup_simhash": _simhash_oracle_sql(),

@@ -1235,10 +1235,20 @@ def q_pipe_dsir_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def curate_corpus(docs: DataFrame) -> DataFrame:
+def curate_corpus(
+    docs: DataFrame, strip_substrings: bool = False
+) -> DataFrame:
     """The flagship end-to-end curation composite — the full sequence
     a pretraining corpus actually runs, as ONE lazy plan:
 
+    0. (optional, ``strip_substrings=True``) ExactSubstr span removal
+       — every merged duplicated token span excised from the text
+       (``substring_strip``, Lee et al. 2022 §4.1) BEFORE any other
+       stage, so cross-document boilerplate neither survives into
+       training text nor glues unrelated docs into near-dup clusters.
+       Costs the span frame's two gram shuffles plus one doc_id join
+       back onto the corpus; off by default (the registered query
+       replays the 5-stage funnel).
     1. normalize (lowercase/collapse punctuation, content hash)
     2. exact dedup on the NORMALIZED hash (byte-different rewrites of
        the same content collapse; min doc_id is the canonical copy)
@@ -1276,6 +1286,14 @@ def curate_corpus(docs: DataFrame) -> DataFrame:
         normalize,
         quality_score_col,
     )
+
+    if strip_substrings:
+        from covid_engineering_spark.operators.dedup import substring_strip
+
+        stripped = substring_strip(docs).select(
+            "doc_id", F.col("stripped_text").alias("text")
+        )
+        docs = docs.drop("text").join(stripped, "doc_id")
 
     nd = normalize(docs)
     # quality is scored on the ORIGINAL text (pre-normalization), on

@@ -1,0 +1,231 @@
+"""Round-10 library additions.
+
+- substring_strip — the removal half of ExactSubstr (Lee et al. 2022
+  §4.1): per document the text with every merged duplicated span
+  excised, plus token accounting. Registered as
+  ``dedup_substring_strip`` with a generated DuckDB twin that replays
+  the span chain + positional token anti-join + ordered string_agg.
+- substring_dup_span_frame(hashed=True) — the xxhash64 gram-key
+  production path for the whole ExactSubstr family: 8-byte BIGINT
+  shuffle keys instead of ~50-byte gram strings; the span sets must be
+  IDENTICAL to the exact-string form on the fixture corpus (collision
+  probability ~n²/2⁶⁵ — zero at any testable n).
+- curate_corpus(strip_substrings=True) — the funnel composition: span
+  stripping runs before normalize/dedup/cluster/split.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+from tests.oracle_check import compare, duck_con
+from tests.test_round9_ops import patho_dir  # noqa: F401 - fixture reuse
+
+
+# --- dedup_substring_strip: ExactSubstr span removal ----------------
+
+
+def test_substring_strip_matches_duckdb_twin(spark):
+    from covid_engineering_spark.queries import oracles, registry
+
+    con = duck_con(SF_SMOKE)
+    try:
+        res = compare(
+            registry()["dedup_substring_strip"](spark, SF_SMOKE),
+            con,
+            oracles()["dedup_substring_strip"],
+        )
+        assert res["match"], res
+    finally:
+        con.close()
+
+
+def test_substring_strip_matches_twin_on_null_payloads(spark, patho_dir):  # noqa: F811
+    from covid_engineering_spark.queries import oracles, registry
+
+    con = duck_con(patho_dir)
+    try:
+        res = compare(
+            registry()["dedup_substring_strip"](spark, patho_dir),
+            con,
+            oracles()["dedup_substring_strip"],
+        )
+        assert res["match"], res
+    finally:
+        con.close()
+
+
+def _hand_corpus(spark):
+    shared = " ".join(f"s{i}" for i in range(10))
+    rep = " ".join(f"r{i}" for i in range(8))
+    dup12 = " ".join(f"d{i}" for i in range(12))
+    rows = [
+        (1, f"{shared} a1 a2 a3 a4 a5"),
+        (2, f"b1 b2 b3 {shared}"),
+        (3, f"{rep} c1 c2 c3 {rep}"),
+        (4, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),  # unique
+        (5, "t1 t2 t3"),  # shorter than k
+        (6, None),  # NULL payload
+        (7, dup12),  # whole-doc duplicate pair:
+        (8, dup12),  # everything stripped, '' survives
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_substring_strip_hand_corpus(spark):
+    """Removal semantics pinned by hand: the shared 10-token run
+    vanishes from BOTH docs (strip-every-occurrence), the in-document
+    repeat loses both islands, clean docs pass through byte-identical,
+    a fully-duplicated doc strips to the EMPTY string (not NULL), and
+    a NULL payload propagates NULL text with zero removed count."""
+    from covid_engineering_spark.operators.dedup import substring_strip
+
+    out = {
+        r["doc_id"]: r
+        for r in substring_strip(_hand_corpus(spark)).collect()
+    }
+    assert out[1]["stripped_text"] == "a1 a2 a3 a4 a5"
+    assert (out[1]["n_tokens"], out[1]["kept_tokens"],
+            out[1]["removed_tokens"]) == (15, 5, 10)
+    assert out[2]["stripped_text"] == "b1 b2 b3"
+    assert out[2]["removed_tokens"] == 10
+    assert out[3]["stripped_text"] == "c1 c2 c3"
+    assert (out[3]["kept_tokens"], out[3]["removed_tokens"]) == (3, 16)
+    assert out[4]["stripped_text"] == "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"
+    assert out[4]["removed_tokens"] == 0
+    assert out[5]["stripped_text"] == "t1 t2 t3"
+    for d in (7, 8):  # whole-doc dup: all 12 tokens go, '' remains
+        assert out[d]["stripped_text"] == ""
+        assert (out[d]["kept_tokens"], out[d]["removed_tokens"]) == (0, 12)
+    assert out[6]["stripped_text"] is None
+    assert out[6]["n_tokens"] is None
+    assert out[6]["kept_tokens"] is None
+    assert out[6]["removed_tokens"] == 0
+
+
+def test_substring_strip_accounting_invariant(spark):
+    """kept + removed == n_tokens on every doc with a payload — the
+    audit identity a curator reconciles removal reports against."""
+    from covid_engineering_spark.queries import registry
+
+    bad = (
+        registry()["dedup_substring_strip"](spark, SF_SMOKE)
+        .filter(
+            F.col("n_tokens").isNotNull()
+            & (
+                F.col("kept_tokens") + F.col("removed_tokens")
+                != F.col("n_tokens")
+            )
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_substring_strip_plan_shape(spark):
+    """No cartesian anywhere; the token excision is a higher-order
+    expression over the joined frame — the only explodes in the plan
+    are the span frame's gram explode (it appears TWICE: the dup-set
+    branch and the position branch each derive it, same as the
+    analysis form), never a third token-level explode for the strip
+    itself."""
+    from covid_engineering_spark.plans import simple_plan
+    from covid_engineering_spark.queries import registry
+    from tests.test_plans import has_cartesian
+
+    df = registry()["dedup_substring_strip"](spark, SF_SMOKE)
+    assert not has_cartesian(df)
+    plan = simple_plan(df)
+    assert plan.count("Generate explode") + plan.count(
+        "Generate posexplode"
+    ) == 2, plan
+
+
+# --- hashed gram keys: the production-path equivalence --------------
+
+
+def test_hashed_gram_spans_equal_exact_string_spans(spark):
+    """The xxhash64 production path must produce the IDENTICAL span
+    frame as the exact-string registered form on the fixture corpus —
+    the only semantic difference is birthday collisions (~n²/2⁶⁵),
+    which cannot occur at any testable scale."""
+    from covid_engineering_spark.operators.dedup import (
+        substring_dup_span_frame,
+    )
+    from covid_engineering_spark.sources import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    key = ["doc_id", "island", "s", "e", "ng"]
+    exact = sorted(
+        tuple(r) for r in substring_dup_span_frame(docs).select(key).collect()
+    )
+    hashed = sorted(
+        tuple(r)
+        for r in substring_dup_span_frame(docs, hashed=True)
+        .select(key)
+        .collect()
+    )
+    assert exact == hashed
+    assert len(exact) > 0  # non-vacuous: the fixture has dup spans
+
+
+def test_hashed_gram_shuffle_keys_are_bigint(spark):
+    """The point of the hashed path: the dup-set aggregation and the
+    semi-join must key on BIGINT, not the gram string — assert the
+    gram column's type through the plan's schema."""
+    from covid_engineering_spark.operators.dedup import (
+        substring_dup_span_frame,
+    )
+    from covid_engineering_spark.sources import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    # the internal gram column only exists mid-plan; probe it by
+    # rebuilding the first stage the same way the operator does
+    from covid_engineering_spark.operators.dedup import SUBSTR_K
+
+    ws = F.split(F.col("text"), " ")
+    g = docs.select(
+        F.posexplode(
+            F.when(
+                F.array_size(ws) >= SUBSTR_K,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(ws) - SUBSTR_K),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(" ", F.slice(ws, i + 1, SUBSTR_K))
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("pos", "gram")
+    )
+    assert dict(g.dtypes)["gram"] == "bigint"
+
+
+# --- funnel composition ----------------------------------------------
+
+
+def test_curate_corpus_strip_stage_composes(spark):
+    """strip_substrings=True: boilerplate shared across otherwise
+    unrelated docs is excised BEFORE near-dup clustering, so the docs
+    no longer cluster together and each survives curation on its own
+    content; the default funnel (no strip) clusters them."""
+    from covid_engineering_spark.operators.pipeline import curate_corpus
+
+    boiler = " ".join(f"x{i}" for i in range(30))  # 30-token boilerplate
+    rows = [
+        (1, f"{boiler} alpha beta gamma delta", "en", "web", 50),
+        (2, f"{boiler} epsilon zeta eta theta", "en", "web", 60),
+        (3, "totally unrelated content one two three", "en", "web", 40),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    plain = curate_corpus(docs).collect()
+    stripped = curate_corpus(docs, strip_substrings=True).collect()
+    # without stripping, the 30-token boilerplate dominates the 3-gram
+    # Jaccard and docs 1/2 collapse to one cluster survivor
+    assert len(plain) == 2
+    # with stripping, the boilerplate is gone before clustering — all
+    # three docs survive on their own distinct content
+    assert len(stripped) == 3

@@ -215,6 +215,9 @@ SURVEY_MAP = {
     # analysis — overflow-pinned in r09, window-front in r10.
     "PIPE-DSIR-G": "pipe_dsir_gumbel",
     "DEDUP-SUBSTR": "dedup_substring",
+    # round-10 extension: the span REMOVAL form (strip every merged
+    # duplicated span from the text, with per-doc token accounting).
+    "DEDUP-SUBSTR-STRIP": "dedup_substring_strip",
     "ANN-RP": "emb_rp_recall",
     "PIPE-KANON": "pipe_k_anonymity",
     "PIPE-PPS": "pipe_weighted_sample",
