@@ -96,9 +96,12 @@ HEADLINE = [
     # gaps-and-islands merge).
     "pipe_dsir_gumbel",
     "dedup_substring",
-    # Round-10 addition: the ExactSubstr span-REMOVAL form (span frame
-    # + per-doc span collapse + corpus join + map-side token excision).
+    # Round-10 additions: the ExactSubstr span-REMOVAL form (span frame
+    # + per-doc span collapse + corpus join + map-side token excision)
+    # and the standing-index incremental near-dup (batch signatures
+    # probe the corpus band buckets; candidates <= |batch|*bands*cap).
     "dedup_substring_strip",
+    "pipe_near_dup_incremental_lsh",
 ]
 
 

@@ -1580,6 +1580,126 @@ def q_pipe_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def near_dup_incremental_lsh(
+    corpus: DataFrame,
+    batch: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    portable: bool = False,
+    cap: int | None = None,
+) -> DataFrame:
+    """Incremental near-dup detection through the STANDING MinHash/LSH
+    index — the scale path for ``near_dup_incremental``. The exact
+    form's candidate set is |batch shingles| · max_df (every kept
+    shingle of every batch doc probes every corpus doc sharing it —
+    its 10x probe exponent 0.529 is that product growing on both
+    sides); here each batch doc probes ``MINHASH_BANDS`` band buckets
+    and meets at most ``cap`` corpus members per bucket, so candidates
+    are ≤ |batch| · BANDS · cap — O(batch) with a CONSTANT per-doc
+    bound, independent of how common the doc's shingles are.
+
+    Plan shape:
+
+    * corpus index: shingles → k min-hash aggregates → band buckets —
+      in production this frame IS the standing index a pipeline
+      materializes between runs (``_band_frame``'s output, one row per
+      (doc, band)); derived in-query here exactly like the exact
+      form derives its df index;
+    * corpus bucket membership capped at ``cap`` by deterministic
+      doc_id rank — the row_number window rides the same (band, bh)
+      shuffle the probe join needs; past the cap a bucket is a
+      boilerplate mega-cluster where the first ``cap`` members
+      already witness the duplication (the ``SKETCH_BUCKET_CAP``
+      recall trade, bipartite flavor);
+    * probe: batch bands ⋈ capped corpus bands on (band, bh) —
+      batch-side × corpus-side only, NEVER corpus × corpus;
+    * exact-Jaccard verification restricted to candidates, over the
+      UNGUARDED shingle sets (the sketch path carries no stop-shingle
+      filter, matching ``minhash_lsh_pairs``) — so a verified pair's
+      ``jaccard`` is the true document similarity, not the guarded
+      variant the exact form reports.
+
+    ``portable=True`` (the registered form) uses the md5-derived hash
+    family end to end, so the generated DuckDB twin replays
+    signatures, buckets, the capped probe, and verification — the
+    driver hash-checks the whole incremental sketch path. Recall vs
+    the exact form is measured in tests (same discipline as
+    ``minhash_lsh_pairs`` vs ``ngram_jaccard_pairs``).
+    """
+    from pyspark.sql import Window
+
+    from covid_engineering_spark.functions import evicting_cache
+    from covid_engineering_spark.operators.dedup import (
+        MINHASH_K,
+        SKETCH_BUCKET_CAP,
+        _band_frame,
+        _minhash_signatures,
+    )
+
+    cap = SKETCH_BUCKET_CAP if cap is None else cap
+    # two consumers each (band build + verification sizes/join)
+    shc = evicting_cache(shingles_of(corpus), "inc_lsh_sh_corpus")
+    shb = evicting_cache(shingles_of(batch), "inc_lsh_sh_batch")
+    bands_c = _band_frame(
+        _minhash_signatures(shc, MINHASH_K, portable=portable), portable
+    )
+    bands_b = _band_frame(
+        _minhash_signatures(shb, MINHASH_K, portable=portable), portable
+    )
+    wr = Window.partitionBy("band", "bh").orderBy("doc_id")
+    bc = (
+        bands_c.withColumn("_rn", F.row_number().over(wr))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+    cand = (
+        bands_b.alias("b")
+        .join(bc.alias("c"), ["band", "bh"])
+        .select(
+            F.col("b.doc_id").alias("d_batch"),
+            F.col("c.doc_id").alias("d_corpus"),
+        )
+        .distinct()
+    )
+    nb = shb.groupBy("doc_id").agg(F.count("*").alias("n"))
+    nc = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
+    common = (
+        cand.join(shb.alias("sb"), F.col("sb.doc_id") == F.col("d_batch"))
+        .join(
+            shc.alias("sc"),
+            (F.col("sc.doc_id") == F.col("d_corpus"))
+            & (F.col("sb.s") == F.col("sc.s")),
+        )
+        .groupBy("d_batch", "d_corpus")
+        .agg(F.count("*").alias("c"))
+    )
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(
+            nb.select(F.col("doc_id").alias("d_batch"), F.col("n").alias("na")),
+            "d_batch",
+        )
+        .join(
+            nc.select(
+                F.col("doc_id").alias("d_corpus"), F.col("n").alias("nb")
+            ),
+            "d_corpus",
+        )
+        .select("d_batch", "d_corpus", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def q_pipe_near_dup_incremental_lsh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return near_dup_incremental_lsh(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+        portable=True,
+    )
+
+
 def dataset_card(docs: DataFrame) -> DataFrame:
     """Dataset-card profiling rollup: corpus composition at three
     grains in ONE pass — (source, lang), per-source subtotal, and the
@@ -1625,6 +1745,97 @@ def q_pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataset_card(read_table(spark, sf_dir, "documents"))
 
 
+def _near_dup_lsh_sql() -> str:
+    """Generated DuckDB twin of ``q_pipe_near_dup_incremental_lsh``
+    (portable family): md5-derived signatures and band buckets built
+    PER SIDE (corpus index vs arriving batch), the corpus bucket
+    membership capped by doc_id rank, the bipartite probe join, and
+    exact-Jaccard verification over the unguarded shingle sets — the
+    driver hash-checks the whole incremental sketch path. Same
+    double-hashing scheme as ``_minhash_signatures``."""
+    from covid_engineering_spark.operators.dedup import (
+        MINHASH_BANDS,
+        MINHASH_K,
+        SKETCH_BUCKET_CAP,
+    )
+
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    sig_cols = ", ".join(
+        f"MIN(h1 + {i}*h2) AS m{i}" for i in range(MINHASH_K)
+    )
+
+    def band_selects(src: str) -> str:
+        return "\n            UNION ALL ".join(
+            "SELECT doc_id, {b} AS band, md5({concat} || ',{b}') AS bh "
+            "FROM {src}".format(
+                b=b,
+                src=src,
+                concat=" || ',' || ".join(
+                    f"m{rows_per_band * b + j}::VARCHAR"
+                    for j in range(rows_per_band)
+                ),
+            )
+            for b in range(MINHASH_BANDS)
+        )
+
+    def side(name: str, pred: str) -> str:
+        return f"""
+        sh_{name} AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(generate_series(1, len(w) - 2),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+            FROM wsx WHERE {pred}
+        ),
+        h_{name} AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(s), 1, 14))::BIGINT AS h1,
+                   ('0x' || substr(md5(s), 15, 14))::BIGINT AS h2
+            FROM sh_{name}
+        ),
+        sig_{name} AS (
+            SELECT doc_id, {sig_cols} FROM h_{name} GROUP BY doc_id
+        ),
+        bands_{name} AS (
+            {band_selects(f"sig_{name}")}
+        )"""
+
+    return f"""
+        WITH
+        wsx AS (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents),
+        {side("c", "doc_id % 5 != 0")},
+        {side("b", "doc_id % 5 = 0")},
+        bcx AS (
+            SELECT doc_id, band, bh,
+                   ROW_NUMBER() OVER (PARTITION BY band, bh
+                                      ORDER BY doc_id) AS rn
+            FROM bands_c
+        ),
+        bc AS (SELECT doc_id, band, bh FROM bcx
+               WHERE rn <= {SKETCH_BUCKET_CAP}),
+        cand AS (
+            SELECT DISTINCT b.doc_id AS d_batch, c.doc_id AS d_corpus
+            FROM bands_b b JOIN bc c
+              ON b.band = c.band AND b.bh = c.bh
+        ),
+        nb AS (SELECT doc_id, COUNT(*) AS n FROM sh_b GROUP BY doc_id),
+        nc AS (SELECT doc_id, COUNT(*) AS n FROM sh_c GROUP BY doc_id),
+        common AS (
+            SELECT cand.d_batch, cand.d_corpus, COUNT(*) AS c
+            FROM cand
+            JOIN sh_b sb ON sb.doc_id = cand.d_batch
+            JOIN sh_c sc ON sc.doc_id = cand.d_corpus AND sc.s = sb.s
+            GROUP BY 1, 2
+        )
+        SELECT d_batch, d_corpus,
+               ROUND(c / (nb.n + nc.n - c), 6) AS jaccard
+        FROM common
+        JOIN nb ON nb.doc_id = d_batch
+        JOIN nc ON nc.doc_id = d_corpus
+        WHERE ROUND(c / (nb.n + nc.n - c), 6) >= {JACCARD_THRESHOLD}
+    """
+
+
 QUERIES = {
     "pipe_split_hash": q_pipe_split_hash,
     "pipe_quota_source": q_pipe_quota_source,
@@ -1650,6 +1861,7 @@ QUERIES = {
     "pipe_quality_filter": q_pipe_quality_filter,
     "pipe_dedup_incremental": q_pipe_dedup_incremental,
     "pipe_near_dup_incremental": q_pipe_near_dup_incremental,
+    "pipe_near_dup_incremental_lsh": q_pipe_near_dup_incremental_lsh,
     "pipe_mixture_plan": q_pipe_mixture_plan,
     "pipe_dataset_card": q_pipe_dataset_card,
 }
@@ -1930,6 +2142,7 @@ ORACLES = {
         JOIN sizes nb ON nb.doc_id = d_corpus
         WHERE ROUND(c / (na.n + nb.n - c), 6) >= {JACCARD_THRESHOLD}
     """,
+    "pipe_near_dup_incremental_lsh": _near_dup_lsh_sql(),
     "pipe_dedup_incremental": f"""
         WITH corpus AS (
             SELECT doc_id, md5(lower(text)) AS content_hash

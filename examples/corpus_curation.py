@@ -83,25 +83,24 @@ def main(
     )
     docs = docs.join(keep_exact, "doc_id")
 
-    # 1b. exact-substring duplication report (Lee et al. 2022's
-    # ExactSubstr): how much literal copied TEXT remains after the
-    # whole-document dedup — the within/cross-document spans a
-    # span-trimming pipeline would cut rather than dropping docs
-    from covid_engineering_spark.operators.dedup import (
-        substring_dup_spans,
-    )
+    # 1b. exact-substring span REMOVAL (Lee et al. 2022's ExactSubstr,
+    # the strip form): literal copied TEXT remaining after the
+    # whole-document dedup is excised from every doc rather than
+    # dropping docs — the report rides along from the same frame
+    from covid_engineering_spark.operators.dedup import substring_strip
 
-    sub = (
-        substring_dup_spans(docs)
-        .agg(
-            F.sum(F.col("has_dup").cast("int")).alias("n_docs"),
-            F.sum("dup_tokens").alias("toks"),
-        )
-        .first()
-    )
+    stripped = substring_strip(docs)
+    sub = stripped.agg(
+        F.sum((F.col("removed_tokens") > 0).cast("int")).alias("n_docs"),
+        F.sum("removed_tokens").alias("toks"),
+    ).first()
     print(
-        f"exact-substring report: {sub['n_docs']} docs carry "
-        f"{sub['toks']} duplicated span tokens"
+        f"exact-substring strip: excised {sub['toks']} duplicated span "
+        f"tokens from {sub['n_docs']} docs"
+    )
+    docs = docs.drop("text").join(
+        stripped.select("doc_id", F.col("stripped_text").alias("text")),
+        "doc_id",
     )
 
     # 2. near-dup cluster resolution: keep the highest-quality member

@@ -808,6 +808,45 @@ def main() -> None:
             "noop"
         ).save()
 
+    def substr_hashed(sf_dir):
+        # the xxhash64 gram-key production path: same plan as substr
+        # with 8-byte BIGINT shuffle keys in place of ~50-byte gram
+        # strings — the named lever behind the exact-string form's
+        # 0.699 exponent at 100x (VERDICT r09 #2)
+        from covid_engineering_spark.operators.dedup import (
+            substring_dup_spans,
+        )
+        from covid_engineering_spark.sources import read_table
+
+        substring_dup_spans(
+            read_table(spark, sf_dir, "documents"), hashed=True
+        ).write.mode("overwrite").format("noop").save()
+
+    def substr_strip(sf_dir):
+        # the removal form: span frame + per-doc span collapse + one
+        # corpus join + map-side token excision — must track the
+        # analysis form plus one linear join
+        from covid_engineering_spark.operators.dedup import (
+            q_dedup_substring_strip,
+        )
+
+        q_dedup_substring_strip(spark, sf_dir).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+    def incnear_lsh(sf_dir):
+        # the standing-index incremental form: batch signatures probe
+        # capped corpus band buckets, candidates <= |batch|*bands*cap
+        # — the lever behind the exact form's 0.529 exponent
+        # (VERDICT r09 #4); must probe flatter than incnear
+        from covid_engineering_spark.operators.pipeline import (
+            q_pipe_near_dup_incremental_lsh,
+        )
+
+        q_pipe_near_dup_incremental_lsh(spark, sf_dir).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
     out: dict = {"metric": "scale_probe", "x": REPLICAS, "base": BASE}
     seen_names: set = set()
     for name, fn in (
@@ -853,6 +892,9 @@ def main() -> None:
         ("pipe_dsir_select", dsir),
         ("pipe_dsir_gumbel", dsir_gumbel),
         ("dedup_substring", substr),
+        ("dedup_substring_hashed", substr_hashed),
+        ("dedup_substring_strip", substr_strip),
+        ("pipe_near_dup_incremental_lsh", incnear_lsh),
     ):
         if ONLY and name not in ONLY:
             continue

@@ -27,12 +27,15 @@ def test_corpus_curation_runs(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "map-side gates: 500 raw -> 242 past gopher+blocklist" in out
     assert (
-        "exact-substring report: 26 docs carry 2067 duplicated span "
-        "tokens" in out
+        "exact-substring strip: excised 2067 duplicated span tokens "
+        "from 26 docs" in out
     )
-    assert "curated 500 raw documents -> 195 kept" in out
-    assert "split sizes: {'test': 16, 'train': 158, 'val': 21}" in out
-    assert "packed into 58 chunks" in out
+    # 210 survivors vs 195 before the strip stage landed: 15 docs that
+    # clustered ONLY through shared boilerplate spans now survive on
+    # their own content — the strip's intended effect on the funnel.
+    assert "curated 500 raw documents -> 210 kept" in out
+    assert "split sizes: {'test': 18, 'train': 171, 'val': 21}" in out
+    assert "packed into 61 chunks" in out
     assert (
         "dsir selection vs the en target: top 50 raw docs, "
         "weight floor -425592 micros" in out

@@ -201,6 +201,91 @@ def test_hashed_gram_shuffle_keys_are_bigint(spark):
     assert dict(g.dtypes)["gram"] == "bigint"
 
 
+# --- pipe_near_dup_incremental_lsh: standing-index incremental -------
+
+
+def test_near_dup_lsh_matches_duckdb_twin(spark):
+    from covid_engineering_spark.queries import oracles, registry
+
+    con = duck_con(SF_SMOKE)
+    try:
+        res = compare(
+            registry()["pipe_near_dup_incremental_lsh"](spark, SF_SMOKE),
+            con,
+            oracles()["pipe_near_dup_incremental_lsh"],
+        )
+        assert res["match"], res
+    finally:
+        con.close()
+
+
+def test_near_dup_lsh_matches_twin_on_null_payloads(spark, patho_dir):  # noqa: F811
+    from covid_engineering_spark.queries import oracles, registry
+
+    con = duck_con(patho_dir)
+    try:
+        res = compare(
+            registry()["pipe_near_dup_incremental_lsh"](spark, patho_dir),
+            con,
+            oracles()["pipe_near_dup_incremental_lsh"],
+        )
+        assert res["match"], res
+    finally:
+        con.close()
+
+
+def test_near_dup_lsh_recall_vs_exact_form(spark):
+    """The LSH path must find (nearly) every pair the exact
+    batch x corpus Jaccard finds — the measured recall trade, same
+    discipline as dedup_minhash_lsh vs dedup_ngram_jaccard. Pinned at
+    >= 0.9 on the fixture (currently 13/14: one pair below the
+    banding detection probability) with zero spurious extras below
+    the verification threshold."""
+    from covid_engineering_spark.queries import registry
+
+    lsh = {
+        (r["d_batch"], r["d_corpus"])
+        for r in registry()["pipe_near_dup_incremental_lsh"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    exact = {
+        (r["d_batch"], r["d_corpus"])
+        for r in registry()["pipe_near_dup_incremental"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert len(exact) > 0
+    assert len(lsh & exact) / len(exact) >= 0.9
+    # every LSH pair is exact-Jaccard VERIFIED in-plan, so the sketch
+    # can introduce no false positives past tau: pairs outside the
+    # exact set would mean the guard (max_df) suppressed them there,
+    # not that the sketch hallucinated similarity. On this fixture
+    # there are none.
+    assert lsh <= exact
+
+
+def test_near_dup_lsh_candidates_are_bounded_per_batch_doc(spark):
+    """The scale claim: with the corpus bucket membership capped, a
+    batch doc meets at most bands * cap corpus docs — assert the
+    candidate fan-out bound holds on the fixture through the public
+    API (max verified pairs per batch doc <= bands * cap)."""
+    from covid_engineering_spark.operators.dedup import (
+        MINHASH_BANDS,
+        SKETCH_BUCKET_CAP,
+    )
+    from covid_engineering_spark.queries import registry
+
+    per_batch = (
+        registry()["pipe_near_dup_incremental_lsh"](spark, SF_SMOKE)
+        .groupBy("d_batch")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert per_batch <= MINHASH_BANDS * SKETCH_BUCKET_CAP
+
+
 # --- funnel composition ----------------------------------------------
 
 

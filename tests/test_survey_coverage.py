@@ -215,9 +215,12 @@ SURVEY_MAP = {
     # analysis — overflow-pinned in r09, window-front in r10.
     "PIPE-DSIR-G": "pipe_dsir_gumbel",
     "DEDUP-SUBSTR": "dedup_substring",
-    # round-10 extension: the span REMOVAL form (strip every merged
-    # duplicated span from the text, with per-doc token accounting).
+    # round-10 extensions: the span REMOVAL form (strip every merged
+    # duplicated span from the text, with per-doc token accounting),
+    # and the standing-index incremental near-dup (batch probes the
+    # MinHash band buckets; candidates <= |batch| * bands * cap).
     "DEDUP-SUBSTR-STRIP": "dedup_substring_strip",
+    "PIPE-NEARDUP-LSH": "pipe_near_dup_incremental_lsh",
     "ANN-RP": "emb_rp_recall",
     "PIPE-KANON": "pipe_k_anonymity",
     "PIPE-PPS": "pipe_weighted_sample",
