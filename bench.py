@@ -102,6 +102,9 @@ HEADLINE = [
     # probe the corpus band buckets; candidates <= |batch|*bands*cap).
     "dedup_substring_strip",
     "pipe_near_dup_incremental_lsh",
+    # and the iterated Lloyd k-means (3 unrolled broadcast-assign +
+    # cell-mean rounds over the cached vector frame).
+    "emb_kmeans_lloyd",
 ]
 
 

@@ -327,6 +327,111 @@ def deterministic_codebook(emb: DataFrame) -> DataFrame:
     )
 
 
+#: Lloyd iterations for the registered in-engine k-means. Three rounds
+#: from the md5-sampled init is where the fixture's inertia curve
+#: flattens (measured in tests: round-over-round improvement monotone,
+#: <1% after the third); production tunes this like any k-means.
+KMEANS_ITERS = 3
+
+
+def kmeans_lloyd(
+    emb: DataFrame, k: int = N_CENTROIDS, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Deterministic ITERATED Lloyd k-means in-engine — the clustering
+    primitive itself, not just the one-step IVF codebook
+    (:func:`deterministic_codebook` stops after a single refinement).
+    Spherical flavor: assignment by best 6dp-rounded dot product (the
+    cosine geometry every similarity op here uses), means in
+    DECIMAL(18,9) rounded 6dp — every step accumulation-order
+    independent and ANSI-SQL replayable, so the DuckDB twin
+    (``_kmeans_oracle_sql``) replays the seed draw and ALL ``iters``
+    rounds and the driver hash-checks the full trajectory, where
+    MLlib's KMeans (``_centroids``, the eager production path) is
+    seed- and partitioning-dependent.
+
+    Per-round scale shape (×``iters``, unrolled into one lazy plan):
+
+    * E-step: the ≤k-row codebook collapses to ONE broadcast array
+      row; each vector scores all k centroids inside a single
+      projection (``_assign`` — no shuffle ever touches the corpus);
+    * M-step: posexplode + partial-aggregated groupBy — the shuffle
+      carries cells × DIM rows regardless of corpus size.
+
+    The corpus frame is cached (``evicting_cache``): ``iters + 1``
+    consumers would otherwise each re-derive the scan. Empty cells
+    drop out identically in both engines (k can only shrink, never
+    drift). NULL embeddings are excluded from seeds AND assignment
+    (the emb/ann tier convention).
+
+    Output: one row per vector — ``(vec_id, cluster, cs)`` with ``cs``
+    the 6dp dot to its final centroid — plus nothing aggregated, so
+    consumers derive sizes/inertia with one groupBy.
+    """
+    from covid_engineering_spark.functions import evicting_cache
+
+    e = evicting_cache(
+        emb.filter(F.col("embedding").isNotNull()).select(
+            "vec_id", "embedding"
+        ),
+        "kmeans_vectors",
+    )
+    key = F.md5(F.col("vec_id").cast("string"))
+    w = Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    cent = (
+        e.orderBy(key, "vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(w) - 1).alias("c_id"),
+            F.col("embedding").alias("c_emb"),
+        )
+    )
+    for _ in range(iters):
+        assigned = _assign(e, cent, "vec_id", "embedding", 1)
+        x = assigned.select(
+            F.col("c_id").alias("cell"),
+            F.posexplode("embedding").alias("pos0", "x"),
+        )
+        cm = x.groupBy("cell", (F.col("pos0") + 1).alias("pos")).agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(18,9)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("cv")
+        )
+        cent = (
+            cm.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                    lambda s: s["cv"],
+                ).alias("c_emb")
+            )
+            .select(F.col("cell").alias("c_id"), "c_emb")
+        )
+    final = _assign(e, cent, "vec_id", "embedding", 1)
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("c_emb"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        final.join(F.broadcast(cent), "c_id")
+        .select(
+            "vec_id",
+            F.col("c_id").cast("int").alias("cluster"),
+            F.round(dot, 6).alias("cs"),
+        )
+    )
+
+
+def q_emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmeans_lloyd(read_table(spark, sf_dir, "embeddings"))
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: corpus vectors live in their nearest centroid's
     inverted list (n=1); each query probes its N_PROBE nearest lists
@@ -1571,6 +1676,7 @@ QUERIES = {
     "emb_centroid": q_emb_centroid,
     "emb_knn_graph": q_emb_knn_graph,
     "emb_assign_nearest": q_emb_assign_nearest,
+    "emb_kmeans_lloyd": q_emb_kmeans_lloyd,
     "emb_semdedup": q_emb_semdedup,
     "emb_hard_negatives": q_emb_hard_negatives,
     "graph_pagerank": q_graph_pagerank,
@@ -1915,7 +2021,70 @@ def _ivf_oracle_sql() -> str:
     """
 
 
+def _kmeans_oracle_sql(
+    k: int = N_CENTROIDS, iters: int = KMEANS_ITERS
+) -> str:
+    """Generated DuckDB twin of ``q_emb_kmeans_lloyd``: replays the
+    md5-ranked seed draw and every unrolled Lloyd round — 6dp-rounded
+    dot assignment (ties to the smaller centroid id), DECIMAL(18,9)
+    means rounded 6dp — then the final assignment with its 6dp score.
+    The same step-for-step pairing ``_ivf_oracle_sql`` uses, iterated.
+    """
+    blocks = []
+    prev = "cent0"
+    for t in range(1, iters + 1):
+        blocks.append(f"""
+        asg{t} AS (
+            SELECT vec_id, v, c_id AS cell FROM (
+                SELECT e.vec_id, e.v, c.c_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY ROUND(list_dot_product(e.v, c.c), 6)
+                                    DESC, c.c_id) AS rn
+                FROM e CROSS JOIN {prev} c
+            ) t WHERE rn = 1
+        ),
+        cm{t} AS (
+            SELECT cell, i AS pos,
+                   ROUND(CAST(SUM(CAST(v[i] AS DECIMAL(18,9))) AS DOUBLE)
+                         / COUNT(*), 6) AS cv
+            FROM asg{t}, generate_series(1, {DIM}) AS t(i)
+            GROUP BY 1, 2
+        ),
+        cent{t} AS (
+            SELECT cell AS c_id, list(cv ORDER BY pos) AS c
+            FROM cm{t} GROUP BY cell
+        )""")
+        prev = f"cent{t}"
+    return f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        cent0 AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                      vec_id) - 1 AS c_id,
+                   v AS c
+            FROM e
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT {k}
+        ),
+        {",".join(blocks)}
+        SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, cs FROM (
+            SELECT e.vec_id, c.c_id AS cluster,
+                   ROUND(list_dot_product(e.v, c.c), 6) AS cs,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND(list_dot_product(e.v, c.c), 6)
+                                DESC, c.c_id) AS rn
+            FROM e CROSS JOIN {prev} c
+        ) t WHERE rn = 1
+    """
+
+
 ORACLES = {
+    "emb_kmeans_lloyd": _kmeans_oracle_sql(),
     "ann_lsh_topk": _lsh_oracle_sql(),
     "ann_range_search": _lsh_range_oracle_sql(),
     "ann_ivf_topk": _ivf_oracle_sql(),

@@ -286,6 +286,89 @@ def test_near_dup_lsh_candidates_are_bounded_per_batch_doc(spark):
     assert per_batch <= MINHASH_BANDS * SKETCH_BUCKET_CAP
 
 
+# --- emb_kmeans_lloyd: iterated deterministic Lloyd ------------------
+
+
+def test_kmeans_lloyd_matches_duckdb_twin(spark):
+    from covid_engineering_spark.queries import oracles, registry
+
+    con = duck_con(SF_SMOKE)
+    try:
+        res = compare(
+            registry()["emb_kmeans_lloyd"](spark, SF_SMOKE),
+            con,
+            oracles()["emb_kmeans_lloyd"],
+        )
+        assert res["match"], res
+    finally:
+        con.close()
+
+
+def test_kmeans_lloyd_matches_twin_on_null_payloads(spark, patho_dir):  # noqa: F811
+    from covid_engineering_spark.queries import oracles, registry
+
+    con = duck_con(patho_dir)
+    try:
+        res = compare(
+            registry()["emb_kmeans_lloyd"](spark, patho_dir),
+            con,
+            oracles()["emb_kmeans_lloyd"],
+        )
+        assert res["match"], res
+    finally:
+        con.close()
+
+
+def test_kmeans_lloyd_inertia_improves_per_round(spark):
+    """Lloyd's guarantee, spherical flavor: each round's mean
+    assignment score (dot to own centroid) must not decrease —
+    the docstring's 'inertia curve flattens by round 3' claim."""
+    from covid_engineering_spark.operators.similarity import kmeans_lloyd
+    from covid_engineering_spark.sources import read_table
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    means = [
+        kmeans_lloyd(emb, iters=t).agg(F.avg("cs")).first()[0]
+        for t in (1, 2, 3)
+    ]
+    assert means[0] <= means[1] <= means[2], means
+    # and the curve flattens: round 3's gain is smaller than round 2's
+    assert (means[2] - means[1]) <= (means[1] - means[0]), means
+
+
+def test_kmeans_lloyd_covers_every_vector_once(spark):
+    """Every non-NULL vector gets exactly one cluster; NULL embeddings
+    are excluded (the emb/ann tier convention), never crash the fit."""
+    from covid_engineering_spark.queries import registry
+    from covid_engineering_spark.sources import read_table
+
+    out = registry()["emb_kmeans_lloyd"](spark, SF_SMOKE)
+    n_vec = (
+        read_table(spark, SF_SMOKE, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .count()
+    )
+    assert out.count() == n_vec
+    assert out.select("vec_id").distinct().count() == n_vec
+
+
+def test_kmeans_lloyd_corpus_never_shuffles_for_assignment(spark):
+    """The E-step must stay map-side: the only exchanges allowed are
+    the M-step cell-mean aggregations (cells x DIM rows), the seed
+    draw's K-row TakeOrdered merge, and the tiny codebook collapses —
+    never a corpus-sized repartition, and no cartesian."""
+    from covid_engineering_spark.plans import simple_plan
+    from covid_engineering_spark.queries import registry
+    from tests.test_plans import has_cartesian
+
+    df = registry()["emb_kmeans_lloyd"](spark, SF_SMOKE)
+    assert not has_cartesian(df)
+    plan = simple_plan(df)
+    # no exchange partitioned on vec_id (a corpus repartition)
+    assert "hashpartitioning(vec_id" not in plan, plan
+    assert "TakeOrderedAndProject" in plan  # the md5-rank seed draw
+
+
 # --- funnel composition ----------------------------------------------
 
 

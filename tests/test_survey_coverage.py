@@ -221,6 +221,8 @@ SURVEY_MAP = {
     # MinHash band buckets; candidates <= |batch| * bands * cap).
     "DEDUP-SUBSTR-STRIP": "dedup_substring_strip",
     "PIPE-NEARDUP-LSH": "pipe_near_dup_incremental_lsh",
+    # iterated deterministic Lloyd k-means, full-trajectory twin
+    "EMB-KMEANS": "emb_kmeans_lloyd",
     "ANN-RP": "emb_rp_recall",
     "PIPE-KANON": "pipe_k_anonymity",
     "PIPE-PPS": "pipe_weighted_sample",
