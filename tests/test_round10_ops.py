@@ -369,6 +369,73 @@ def test_kmeans_lloyd_corpus_never_shuffles_for_assignment(spark):
     assert "TakeOrderedAndProject" in plan  # the md5-rank seed draw
 
 
+# --- ann_ivf_kmeans_topk: IVF over the trained codebook --------------
+
+
+def test_ivf_kmeans_matches_duckdb_twin(spark):
+    from covid_engineering_spark.queries import oracles, registry
+
+    con = duck_con(SF_SMOKE)
+    try:
+        res = compare(
+            registry()["ann_ivf_kmeans_topk"](spark, SF_SMOKE),
+            con,
+            oracles()["ann_ivf_kmeans_topk"],
+        )
+        assert res["match"], res
+    finally:
+        con.close()
+
+
+def test_ivf_kmeans_matches_twin_on_null_payloads(spark, patho_dir):  # noqa: F811
+    from covid_engineering_spark.queries import oracles, registry
+
+    con = duck_con(patho_dir)
+    try:
+        res = compare(
+            registry()["ann_ivf_kmeans_topk"](spark, patho_dir),
+            con,
+            oracles()["ann_ivf_kmeans_topk"],
+        )
+        assert res["match"], res
+    finally:
+        con.close()
+
+
+def test_ivf_kmeans_codebook_recall_beats_one_step(spark):
+    """The point of training longer: at the SAME probe budget, the
+    iterated codebook's recall@k vs brute force must be >= the
+    one-step deterministic codebook's (measured 0.75 vs 0.725 on the
+    fixture)."""
+    from covid_engineering_spark.operators.similarity import (
+        deterministic_codebook,
+        ivf_topk,
+        kmeans_centroids,
+        q_cosine_frame,
+    )
+    from covid_engineering_spark.sources import read_table
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+
+    def recall(cent):
+        exact = q_cosine_frame(emb).select(
+            F.col("q_id").alias("eq"), F.col("n_id").alias("en")
+        )
+        approx = ivf_topk(emb, cent).select(
+            F.col("q_id").alias("aq"), F.col("n_id").alias("an")
+        )
+        hits = exact.join(
+            approx,
+            (F.col("eq") == F.col("aq")) & (F.col("en") == F.col("an")),
+            "left_outer",
+        )
+        return hits.agg((F.count("an") / F.count("*"))).first()[0]
+
+    r_km = recall(kmeans_centroids(emb))
+    r_one = recall(deterministic_codebook(emb))
+    assert r_km >= r_one, (r_km, r_one)
+
+
 # --- funnel composition ----------------------------------------------
 
 

@@ -221,8 +221,10 @@ SURVEY_MAP = {
     # MinHash band buckets; candidates <= |batch| * bands * cap).
     "DEDUP-SUBSTR-STRIP": "dedup_substring_strip",
     "PIPE-NEARDUP-LSH": "pipe_near_dup_incremental_lsh",
-    # iterated deterministic Lloyd k-means, full-trajectory twin
+    # iterated deterministic Lloyd k-means, full-trajectory twin, and
+    # the IVF index trained on it (recall 0.75 vs the one-step 0.725)
     "EMB-KMEANS": "emb_kmeans_lloyd",
+    "ANN-IVF-KMEANS": "ann_ivf_kmeans_topk",
     "ANN-RP": "emb_rp_recall",
     "PIPE-KANON": "pipe_k_anonymity",
     "PIPE-PPS": "pipe_weighted_sample",
