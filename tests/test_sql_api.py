@@ -81,6 +81,15 @@ DUCKDB_ONLY = {
     # r09: string_split / generate_series-unnest / list-slice
     # positional grams are DuckDB dialect
     "dedup_substring",
+    # r10: same positional-gram chain + string_agg-ORDER-BY token
+    # reassembly (strip); string_split/list_transform band chain +
+    # '0x'||md5 hashes (near-dup LSH probe); list_dot_product /
+    # list_transform / md5(CAST..VARCHAR) k-means chain (both k-means
+    # forms)
+    "dedup_substring_strip",
+    "pipe_near_dup_incremental_lsh",
+    "emb_kmeans_lloyd",
+    "ann_ivf_kmeans_topk",
     "a24_cms_heavy",
     "ann_hamming_topk",
     "ann_range_search",
