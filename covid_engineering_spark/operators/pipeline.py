@@ -149,6 +149,79 @@ def q_pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(sh.filter(~is_eval), sh.filter(is_eval))
 
 
+def contamination_report(
+    corpus_shingles: DataFrame,
+    eval_shingles: DataFrame,
+    corpus_docs: DataFrame,
+) -> DataFrame:
+    """GRADED eval-suite contamination per corpus document — the
+    measured complement to :func:`decontaminate`'s binary gate (which
+    drops a doc on ANY shared n-gram). Contamination studies (the
+    GPT-3/PaLM appendix methodology) need the FRACTION: per document,
+    how much of its n-gram set the benchmark suite covers, with a
+    severity band — ``clean`` (zero overlap), ``partial``, ``high``
+    (the suite covers ≥ half the doc's n-grams, tested as the integer
+    cross-multiplication ``2·n_shared ≥ n_shingles`` — no float
+    reaches the comparison). Every corpus doc gets a row, including
+    shingle-less ones (too short / NULL text → ``n_shingles`` 0,
+    ``shared_frac`` NULL, ``clean``) — absence must be auditable, not
+    silent.
+
+    Scale shape: identical to the gate — the eval side is tiny and
+    fixed in production (a benchmark does not grow with the crawl),
+    the shared-count join carries only matching shingles, and both
+    per-doc aggregations partial-combine map-side. One extra LEFT
+    join back onto the doc spine (broadcast-sized per-doc counters at
+    any corpus scale a reporter would run this on — AQE picks).
+    """
+    zero = F.lit(0).cast("long")
+    ev = eval_shingles.select("s").distinct()
+    shared = (
+        corpus_shingles.join(ev, "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("_shared"))
+    )
+    sizes = corpus_shingles.groupBy("doc_id").agg(
+        F.count("*").alias("_n")
+    )
+    n_sh = F.coalesce(F.col("_n").cast("long"), zero)
+    n_shd = F.coalesce(F.col("_shared").cast("long"), zero)
+    return (
+        corpus_docs.select("doc_id")
+        .join(sizes, "doc_id", "left")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_sh.alias("n_shingles"),
+            n_shd.alias("n_shared"),
+            F.when(n_sh > 0, F.round(n_shd / n_sh, 6)).alias(
+                "shared_frac"
+            ),
+            F.when(n_shd == 0, F.lit("clean"))
+            .when(2 * n_shd >= n_sh, F.lit("high"))
+            .otherwise(F.lit("partial"))
+            .alias("band"),
+        )
+    )
+
+
+def q_pipe_contamination_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from covid_engineering_spark.functions import evicting_cache
+
+    docs = read_table(spark, sf_dir, "documents")
+    sh = evicting_cache(
+        shingles_of(docs, DECON_NGRAM), "contam_shingles"
+    )
+    is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
+    return contamination_report(
+        sh.filter(~is_eval),
+        sh.filter(is_eval),
+        docs.filter(F.col("doc_id") % DECON_EVAL_MOD != 0),
+    )
+
+
 #: Token budget per packed training chunk.
 PACK_BUDGET = 512
 #: Per-source keep thresholds on the first two hex chars of a salted
@@ -1840,6 +1913,7 @@ QUERIES = {
     "pipe_split_hash": q_pipe_split_hash,
     "pipe_quota_source": q_pipe_quota_source,
     "pipe_decontaminate": q_pipe_decontaminate,
+    "pipe_contamination_report": q_pipe_contamination_report,
     "pipe_pack_chunks": q_pipe_pack_chunks,
     "pipe_mixture_sample": q_pipe_mixture_sample,
     "dedup_clusters": q_dedup_clusters,
@@ -2244,6 +2318,31 @@ ORACLES = {
         FROM sh JOIN eval_sh USING (s)
         WHERE doc_id % {DECON_EVAL_MOD} <> 0
         GROUP BY doc_id
+    """,
+    "pipe_contamination_report": f"""
+        WITH {_SH4_SQL},
+        eval_sh AS (SELECT DISTINCT s FROM sh
+                    WHERE doc_id % {DECON_EVAL_MOD} = 0),
+        corpus_sh AS (SELECT doc_id, s FROM sh
+                      WHERE doc_id % {DECON_EVAL_MOD} <> 0),
+        sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM corpus_sh GROUP BY doc_id),
+        shared AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sh
+                   FROM corpus_sh JOIN eval_sh USING (s)
+                   GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(z.n, 0) AS n_shingles,
+               COALESCE(s.sh, 0) AS n_shared,
+               CASE WHEN COALESCE(z.n, 0) > 0
+                    THEN ROUND(COALESCE(s.sh, 0) / z.n, 6) END
+                   AS shared_frac,
+               CASE WHEN COALESCE(s.sh, 0) = 0 THEN 'clean'
+                    WHEN 2 * s.sh >= z.n THEN 'high'
+                    ELSE 'partial' END AS band
+        FROM documents d
+        LEFT JOIN sizes z USING (doc_id)
+        LEFT JOIN shared s USING (doc_id)
+        WHERE d.doc_id % {DECON_EVAL_MOD} <> 0
     """,
     "pipe_pack_chunks": f"""
         SELECT doc_id, source,

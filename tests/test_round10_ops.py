@@ -436,6 +436,62 @@ def test_ivf_kmeans_codebook_recall_beats_one_step(spark):
     assert r_km >= r_one, (r_km, r_one)
 
 
+# --- pipe_contamination_report: graded eval overlap ------------------
+
+
+def test_contamination_report_matches_duckdb_twin(spark):
+    from covid_engineering_spark.queries import oracles, registry
+
+    con = duck_con(SF_SMOKE)
+    try:
+        res = compare(
+            registry()["pipe_contamination_report"](spark, SF_SMOKE),
+            con,
+            oracles()["pipe_contamination_report"],
+        )
+        assert res["match"], res
+    finally:
+        con.close()
+
+
+def test_contamination_report_matches_twin_on_null_payloads(spark, patho_dir):  # noqa: F811
+    from covid_engineering_spark.queries import oracles, registry
+
+    con = duck_con(patho_dir)
+    try:
+        res = compare(
+            registry()["pipe_contamination_report"](spark, patho_dir),
+            con,
+            oracles()["pipe_contamination_report"],
+        )
+        assert res["match"], res
+    finally:
+        con.close()
+
+
+def test_contamination_report_grades_consistently_with_the_gate(spark):
+    """Internal consistency: exactly the docs the binary gate flags
+    (n_shared >= 1) must be non-clean here, every corpus doc must get
+    a row, and the fixture must exercise all three bands (a one-band
+    report proves nothing)."""
+    from covid_engineering_spark.queries import registry
+
+    rows = registry()["pipe_contamination_report"](
+        spark, SF_SMOKE
+    ).collect()
+    gate = {
+        r["doc_id"]
+        for r in registry()["pipe_decontaminate"](spark, SF_SMOKE).collect()
+    }
+    flagged = {r["doc_id"] for r in rows if r["band"] != "clean"}
+    assert flagged == gate
+    bands = {r["band"] for r in rows}
+    assert bands == {"clean", "partial", "high"}, bands
+    for r in rows:
+        if r["n_shingles"] == 0:
+            assert r["band"] == "clean" and r["shared_frac"] is None, r
+
+
 # --- funnel composition ----------------------------------------------
 
 

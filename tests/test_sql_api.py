@@ -90,6 +90,8 @@ DUCKDB_ONLY = {
     "pipe_near_dup_incremental_lsh",
     "emb_kmeans_lloyd",
     "ann_ivf_kmeans_topk",
+    # r10: the _SH4_SQL string_split/list_transform shingle chain
+    "pipe_contamination_report",
     "a24_cms_heavy",
     "ann_hamming_topk",
     "ann_range_search",

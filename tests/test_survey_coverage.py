@@ -225,6 +225,8 @@ SURVEY_MAP = {
     # the IVF index trained on it (recall 0.75 vs the one-step 0.725)
     "EMB-KMEANS": "emb_kmeans_lloyd",
     "ANN-IVF-KMEANS": "ann_ivf_kmeans_topk",
+    # graded eval-overlap contamination report (overflow-pinned r10)
+    "PIPE-CONTAM": "pipe_contamination_report",
     "ANN-RP": "emb_rp_recall",
     "PIPE-KANON": "pipe_k_anonymity",
     "PIPE-PPS": "pipe_weighted_sample",
