@@ -87,6 +87,18 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     ivf = _pairs(ivf_topk(emb, deterministic_codebook(emb)).collect())
     print(f"ivf ann recall vs brute force: {len(ivf & brute) / len(brute):.3f}")
 
+    # 3b. the same probe budget over the TRAINED codebook (iterated
+    # Lloyd): train longer, index better — measured on the spot
+    from covid_engineering_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    ivf_km = _pairs(ivf_topk(emb, kmeans_centroids(emb)).collect())
+    print(
+        f"ivf ann recall with 3-round k-means codebook: "
+        f"{len(ivf_km & brute) / len(brute):.3f}"
+    )
+
     # 4. blocked exact kNN graph (salted skew guard inside)
     graph = knn_graph(emb)
     n_edges = graph.count()

@@ -847,6 +847,32 @@ def main() -> None:
             "overwrite"
         ).format("noop").save()
 
+    def kmeans(sf_dir):
+        # iterated Lloyd at N x vectors: every E-step is map-side
+        # against a broadcast <=K-row codebook, every M-step shuffle
+        # carries cells x DIM rows — the rounds must track the vector
+        # scan linearly, never re-shuffle the corpus
+        from covid_engineering_spark.operators.similarity import (
+            kmeans_lloyd,
+        )
+        from covid_engineering_spark.sources import read_table
+
+        kmeans_lloyd(read_table(spark, sf_dir, "embeddings")).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+    def contam(sf_dir):
+        # the decontaminate regime with per-doc accounting: the eval
+        # side is a fixed benchmark, the shared-count join carries
+        # matching shingles only — must track the corpus scan
+        from covid_engineering_spark.operators.pipeline import (
+            q_pipe_contamination_report,
+        )
+
+        q_pipe_contamination_report(spark, sf_dir).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
     out: dict = {"metric": "scale_probe", "x": REPLICAS, "base": BASE}
     seen_names: set = set()
     for name, fn in (
@@ -895,6 +921,8 @@ def main() -> None:
         ("dedup_substring_hashed", substr_hashed),
         ("dedup_substring_strip", substr_strip),
         ("pipe_near_dup_incremental_lsh", incnear_lsh),
+        ("emb_kmeans_lloyd", kmeans),
+        ("pipe_contamination_report", contam),
     ):
         if ONLY and name not in ONLY:
             continue

@@ -111,7 +111,12 @@ def test_similarity_search_runs(spark, capsys):
         return float(line.rsplit(":", 1)[1])
 
     assert recall_of("lsh ann recall") >= 0.7
-    assert recall_of("ivf ann recall") >= 0.7
+    assert recall_of("ivf ann recall vs") >= 0.7
+    # training the codebook (3 Lloyd rounds) must not lose recall at
+    # the same probe budget
+    assert recall_of("ivf ann recall with 3-round") >= recall_of(
+        "ivf ann recall vs"
+    )
     # coarse-quantizer paths on a near-uniform corpus: far above the
     # 5/500 = 0.01 random baseline is the honest bar (see
     # test_round4_ops for the separable-data quality pin)
