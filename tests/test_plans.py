@@ -268,6 +268,10 @@ BOUNDED_GLOBAL_WINDOWS = {
     # deterministic codebook seeds: <=K rows after TakeOrdered.
     "ann_ivf_topk": 2,
     "ann_recall_eval": 2,
+    # iterated k-means: the same md5-rank seed draw over <=K rows
+    # (the Lloyd rounds themselves carry no window at all).
+    "emb_kmeans_lloyd": 2,
+    "ann_ivf_kmeans_topk": 2,
     # PQ codebook seeds per subspace: <=K rows each.
     "emb_pq_codes": 1,
     "ann_pq_adc_topk": 2,
