@@ -35,6 +35,8 @@ it per SURVEY.md §2 (LLM-data-pipeline mandate).
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -216,6 +218,123 @@ def q_pipe_contamination_report(
     )
     is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
     return contamination_report(
+        sh.filter(~is_eval),
+        sh.filter(is_eval),
+        docs.filter(F.col("doc_id") % DECON_EVAL_MOD != 0),
+    )
+
+
+#: Bloom prescreen geometry for `pipe_bloom_decontaminate`. 16384 bits
+#: at ~8k eval shingles (sf0.01) loads the filter to ~0.5 set-bit
+#: density, so with k=2 probes the measured false-positive rate sits
+#: near (1-e^-1)^2 ~ 15% — high enough that the n_false_pos column is
+#: genuinely exercised by the driver's hash check, low enough that the
+#: prescreen still discards most of the corpus-side join input.
+BLOOM_BITS = 16384
+BLOOM_K = 2
+
+
+def _bloom_positions(k: int = BLOOM_K, m: int = BLOOM_BITS) -> list:
+    """The k Bloom bit positions of shingle column ``s``, via the same
+    Kirsch-Mitzenmacher double-hash family as the portable MinHash
+    signatures (dedup.py `_minhash_signatures`): one md5 split into two
+    56-bit halves, g_i = (h1 + i*h2) mod m. 56-bit halves keep
+    h1 + (k-1)*h2 far below int64 overflow in both engines.
+    """
+    md = F.md5(F.col("s"))
+    h1 = F.conv(F.substring(md, 1, 14), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md, 15, 14), 16, 10).cast("long")
+    return [(h1 + F.lit(i) * h2) % F.lit(m) for i in range(k)]
+
+
+def bloom_decontaminate(
+    corpus_shingles: DataFrame,
+    eval_shingles: DataFrame,
+    corpus_docs: DataFrame,
+    m: int = BLOOM_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Bloom-prescreened decontamination: the scale form of
+    :func:`decontaminate` for when the eval suite is too large to
+    broadcast as raw n-grams. The eval shingle set collapses to a
+    <= m-row set-bit frame (broadcast at ANY eval size — the filter is
+    fixed geometry, the suite is not); every distinct corpus shingle
+    probes its k bit positions map-side through k broadcast joins (no
+    shuffle), and only Bloom-POSITIVE shingles reach the exact verify
+    join. A Bloom negative is definitive, so the exact join's left side
+    shrinks by the true-negative mass; positives are then split into
+    exact hits and counted false positives — the report shows both, so
+    the prescreen's precision is measured in-engine, not assumed.
+
+    Per corpus document: total shingles, Bloom-positive count, exact
+    overlap count, false-positive count, and the contamination verdict
+    (any exact hit). Every corpus doc gets a row (shingle-less docs
+    report zeros) — absence must be auditable, not silent. All counters
+    are integers; no float reaches the hash check.
+    """
+    pos = _bloom_positions(k, m)
+    bits = (
+        eval_shingles.select(
+            F.explode(F.array(*pos)).alias("bit")
+        ).distinct()
+    )
+    probe = corpus_shingles.select("s").distinct().select(
+        "s", *[p.alias(f"p{i}") for i, p in enumerate(pos)]
+    )
+    passed = probe
+    for i in range(k):
+        side = F.broadcast(
+            bits.select(
+                F.col("bit").alias(f"p{i}"), F.lit(True).alias(f"ok{i}")
+            )
+        )
+        passed = passed.join(side, f"p{i}", "left")
+    passed = passed.filter(
+        reduce(lambda a, b: a & b, [F.col(f"ok{i}") for i in range(k)])
+    ).select("s")
+    ev = eval_shingles.select("s").distinct().withColumn(
+        "x", F.lit(True)
+    )
+    verdict = passed.join(ev, "s", "left").select(
+        "s", F.coalesce(F.col("x"), F.lit(False)).alias("is_exact")
+    )
+    joined = corpus_shingles.join(verdict, "s", "left")
+    agg = joined.groupBy("doc_id").agg(
+        F.count("*").alias("_n"),
+        F.count("is_exact").alias("_pre"),
+        F.sum(
+            F.when(F.col("is_exact"), F.lit(1)).otherwise(F.lit(0))
+        ).alias("_ex"),
+    )
+    zero = F.lit(0).cast("long")
+    n_sh = F.coalesce(F.col("_n").cast("long"), zero)
+    n_pre = F.coalesce(F.col("_pre").cast("long"), zero)
+    n_ex = F.coalesce(F.col("_ex").cast("long"), zero)
+    return (
+        corpus_docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_sh.alias("n_shingles"),
+            n_pre.alias("n_prescreen"),
+            n_ex.alias("n_exact"),
+            (n_pre - n_ex).alias("n_false_pos"),
+            (n_ex > 0).alias("contaminated"),
+        )
+    )
+
+
+def q_pipe_bloom_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from covid_engineering_spark.functions import evicting_cache
+
+    docs = read_table(spark, sf_dir, "documents")
+    sh = evicting_cache(
+        shingles_of(docs, DECON_NGRAM), "bloom_shingles"
+    )
+    is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
+    return bloom_decontaminate(
         sh.filter(~is_eval),
         sh.filter(is_eval),
         docs.filter(F.col("doc_id") % DECON_EVAL_MOD != 0),
@@ -1914,6 +2033,7 @@ QUERIES = {
     "pipe_quota_source": q_pipe_quota_source,
     "pipe_decontaminate": q_pipe_decontaminate,
     "pipe_contamination_report": q_pipe_contamination_report,
+    "pipe_bloom_decontaminate": q_pipe_bloom_decontaminate,
     "pipe_pack_chunks": q_pipe_pack_chunks,
     "pipe_mixture_sample": q_pipe_mixture_sample,
     "dedup_clusters": q_dedup_clusters,
@@ -2342,6 +2462,45 @@ ORACLES = {
         FROM documents d
         LEFT JOIN sizes z USING (doc_id)
         LEFT JOIN shared s USING (doc_id)
+        WHERE d.doc_id % {DECON_EVAL_MOD} <> 0
+    """,
+    "pipe_bloom_decontaminate": f"""
+        WITH {_SH4_SQL},
+        eval_s AS (SELECT DISTINCT s FROM sh
+                   WHERE doc_id % {DECON_EVAL_MOD} = 0),
+        corpus_sh AS (SELECT doc_id, s FROM sh
+                      WHERE doc_id % {DECON_EVAL_MOD} <> 0),
+        ks AS (SELECT unnest(range({BLOOM_K})) AS i),
+        bits AS (SELECT DISTINCT
+                   (('0x' || substr(md5(s), 1, 14))::BIGINT
+                    + i * ('0x' || substr(md5(s), 15, 14))::BIGINT)
+                   % {BLOOM_BITS} AS bit
+                 FROM eval_s CROSS JOIN ks),
+        probe AS (SELECT DISTINCT s FROM corpus_sh),
+        pp AS (SELECT s,
+                 (('0x' || substr(md5(s), 1, 14))::BIGINT
+                  + i * ('0x' || substr(md5(s), 15, 14))::BIGINT)
+                 % {BLOOM_BITS} AS bit
+               FROM probe CROSS JOIN ks),
+        passed AS (SELECT s FROM pp JOIN bits USING (bit)
+                   GROUP BY s HAVING COUNT(*) = {BLOOM_K}),
+        verdict AS (SELECT p.s, (e.s IS NOT NULL) AS is_exact
+                    FROM passed p LEFT JOIN eval_s e USING (s)),
+        agg AS (SELECT c.doc_id,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(COUNT(v.is_exact) AS BIGINT) AS pre,
+                  CAST(COALESCE(SUM(CASE WHEN v.is_exact
+                                         THEN 1 ELSE 0 END), 0)
+                       AS BIGINT) AS ex
+                FROM corpus_sh c LEFT JOIN verdict v USING (s)
+                GROUP BY c.doc_id)
+        SELECT d.doc_id,
+               COALESCE(a.n, 0) AS n_shingles,
+               COALESCE(a.pre, 0) AS n_prescreen,
+               COALESCE(a.ex, 0) AS n_exact,
+               COALESCE(a.pre, 0) - COALESCE(a.ex, 0) AS n_false_pos,
+               COALESCE(a.ex, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN agg a USING (doc_id)
         WHERE d.doc_id % {DECON_EVAL_MOD} <> 0
     """,
     "pipe_pack_chunks": f"""

@@ -703,6 +703,103 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges.select("src_id", "n_id"))
 
 
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle counting over a directed edge list
+    (``src_id`` -> ``n_id``), treated as an undirected graph — the
+    graph-density companion to PageRank on the kNN/near-dup graph:
+    a vertex closing many triangles sits inside a tight semantic
+    cluster (template families, boilerplate farms), where a
+    high-degree vertex with few triangles is a hub bridging
+    unrelated docs. The local clustering coefficient
+    2T/(deg·(deg−1)) separates the two; both are reported.
+
+    Algorithm: the degree-ordered orientation (the MapReduce-era
+    standard — Suri & Vassilvitskii 2011, Cohen 2009). Each
+    undirected edge is oriented from its lower (degree, id) endpoint
+    to its higher one, making the oriented out-degree of EVERY
+    vertex O(sqrt(m)) regardless of skew — the wedge join
+    (u->v)⋈(v->w) therefore generates Σ out_deg² = O(m^1.5) wedge
+    rows worst-case instead of the Σ deg² blow-up a hub vertex
+    causes on the unoriented form; each wedge then semi-joins the
+    oriented edge set to confirm (u->w). Every triangle appears
+    exactly once as its degree-ordered wedge — no /3 correction or
+    duplicate elimination needed — then fans its three corners out
+    map-side to per-vertex counts.
+
+    All joins are equi-joins on vertex ids (never cartesian — plan-
+    asserted); the edge frame is cached since orientation, the wedge
+    join, and the closure check each reference it. Counts are exact
+    integers; the clustering coefficient is one IEEE division
+    rounded to 6dp so the SQL twin agrees bit-for-bit.
+    """
+    from covid_engineering_spark.functions import evicting_cache
+
+    und = evicting_cache(
+        edges.select(
+            F.least("src_id", "n_id").alias("a"),
+            F.greatest("src_id", "n_id").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct(),
+        "tri_und_edges",
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orient a->b when (deg_a, a) < (deg_b, b): attach both degrees,
+    # then swap endpoints where the order inverts
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("dg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("dg_b"))
+    ab_first = (F.col("dg_a") < F.col("dg_b")) | (
+        (F.col("dg_a") == F.col("dg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = evicting_cache(
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(ab_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(ab_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+        ),
+        "tri_oriented",
+    )
+    wedges = oriented.select(
+        F.col("u").alias("x"), F.col("w").alias("y")
+    ).join(
+        oriented.select(F.col("u").alias("y"), F.col("w").alias("z")),
+        "y",
+    )
+    closed = wedges.join(
+        oriented.select(F.col("u").alias("x"), F.col("w").alias("z")),
+        ["x", "z"],
+        "left_semi",
+    )
+    corners = closed.select(
+        F.explode(F.array("x", "y", "z")).alias("v")
+    )
+    tri = corners.groupBy("v").agg(F.count("*").alias("_t"))
+    zero = F.lit(0).cast("long")
+    n_tri = F.coalesce(F.col("_t").cast("long"), zero)
+    d = F.col("deg").cast("long")
+    return deg.join(tri, "v", "left").select(
+        F.col("v").alias("vec_id"),
+        d.alias("degree"),
+        n_tri.alias("n_triangles"),
+        F.when(
+            d >= 2, F.round(2 * n_tri / (d * (d - 1)), 6)
+        ).alias("clustering"),
+    )
+
+
+def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the blocked kNN graph — per-vertex triangle
+    counts and local clustering coefficients."""
+    edges = knn_graph(read_table(spark, sf_dir, "embeddings"))
+    return triangle_count(edges.select("src_id", "n_id"))
+
+
 #: Product-quantization geometry: DIM=64 splits into PQ_M=8 subspaces
 #: of PQ_SUB_DIM=8 dims; each subspace gets a PQ_K=16-entry
 #: sub-codebook, so a vector compresses to 8 nibble codes (4 bytes) —
@@ -1715,6 +1812,7 @@ QUERIES = {
     "emb_semdedup": q_emb_semdedup,
     "emb_hard_negatives": q_emb_hard_negatives,
     "graph_pagerank": q_graph_pagerank,
+    "graph_triangle_count": q_graph_triangle_count,
     "emb_pq_codes": q_emb_pq_codes,
     "ann_pq_adc_topk": q_ann_pq_adc_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
@@ -1887,6 +1985,72 @@ def _pagerank_oracle_sql() -> str:
         ),{",".join(its)}
         SELECT node, rank FROM r{PAGERANK_ITERS}
     """
+
+def _triangle_oracle_sql() -> str:
+    """Twin of ``triangle_count`` over the kNN edges: the same
+    degree-ordered orientation, wedge join, EXISTS closure check, and
+    corner fan-out, on the identical edge CTE as the PageRank twin."""
+    return f"""
+        WITH scored AS (
+            SELECT a.vec_id AS src_id, b.vec_id AS n_id,
+                   ROUND(list_dot_product(
+                       list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                       list_transform(b.embedding, x -> CAST(x AS DOUBLE))
+                   ), 6) AS cosine
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id <> b.vec_id
+        ),
+        edges AS (
+            SELECT src_id, n_id FROM (
+                SELECT src_id, n_id,
+                       ROW_NUMBER() OVER (PARTITION BY src_id
+                                          ORDER BY cosine DESC, n_id) AS rank
+                FROM scored
+            ) t WHERE rank <= {KNN_K}
+        ),
+        und AS (
+            SELECT DISTINCT LEAST(src_id, n_id) AS a,
+                            GREATEST(src_id, n_id) AS b
+            FROM edges WHERE src_id <> n_id
+        ),
+        deg AS (
+            SELECT v, COUNT(*) AS deg FROM (
+                SELECT a AS v FROM und
+                UNION ALL SELECT b AS v FROM und
+            ) GROUP BY v
+        ),
+        oriented AS (
+            SELECT CASE WHEN (da.deg < db.deg)
+                          OR (da.deg = db.deg AND e.a < e.b)
+                        THEN e.a ELSE e.b END AS u,
+                   CASE WHEN (da.deg < db.deg)
+                          OR (da.deg = db.deg AND e.a < e.b)
+                        THEN e.b ELSE e.a END AS w
+            FROM und e
+            JOIN deg da ON da.v = e.a
+            JOIN deg db ON db.v = e.b
+        ),
+        closed AS (
+            SELECT o1.u AS x, o1.w AS y, o2.w AS z
+            FROM oriented o1 JOIN oriented o2 ON o1.w = o2.u
+            WHERE EXISTS (SELECT 1 FROM oriented o
+                          WHERE o.u = o1.u AND o.w = o2.w)
+        ),
+        tri AS (
+            SELECT v, CAST(COUNT(*) AS BIGINT) AS t
+            FROM (SELECT unnest([x, y, z]) AS v FROM closed)
+            GROUP BY v
+        )
+        SELECT d.v AS vec_id,
+               CAST(d.deg AS BIGINT) AS degree,
+               COALESCE(tri.t, 0) AS n_triangles,
+               CASE WHEN d.deg >= 2
+                    THEN ROUND(2 * COALESCE(tri.t, 0)
+                               / (d.deg * (d.deg - 1)), 6) END
+                   AS clustering
+        FROM deg d LEFT JOIN tri ON tri.v = d.v
+    """
+
 
 def _lsh_buckets_sql() -> str:
     """The per-table LSH bucket-id expressions as a DuckDB list body —
@@ -2185,6 +2349,7 @@ ORACLES = {
     "ann_range_search": _lsh_range_oracle_sql(),
     "ann_ivf_topk": _ivf_oracle_sql(),
     "graph_pagerank": _pagerank_oracle_sql(),
+    "graph_triangle_count": _triangle_oracle_sql(),
     "ann_ivfpq_topk": _ivfpq_oracle_sql(),
     "emb_pq_codes": f"""
         WITH seeds0 AS (

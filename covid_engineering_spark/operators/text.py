@@ -413,6 +413,80 @@ def q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_lm(read_table(spark, sf_dir, "documents"))
 
 
+def char_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document character-level Shannon entropy — the classic
+    encoding/gibberish signal the token-level metrics miss: base64
+    blobs, hex dumps, and key material sit near the uniform-alphabet
+    ceiling; single-character padding and repeated-rune spam sit near
+    zero; natural language occupies a stable band per script. Used as
+    a quality gate alongside the Gopher rules (both tails are noise
+    candidates).
+
+    Determinism (the unigram-LM discipline): the per-character-TYPE
+    surprisal ``ln(n/c)`` is rounded to 8dp and converted to integer
+    NAT-micro-units once per (doc, char) histogram row; the document
+    entropy Σ (c/n)·ln(n/c) is then an exact BIGINT sum followed by
+    one truncating division (Spark ``DIV`` = DuckDB ``//``), so no
+    float reaches the hash check. Code-point parity: Spark's
+    empty-pattern split and DuckDB's empty-separator string_split
+    both split BY CODE POINT (verified on astral-plane chars); the
+    one divergence — Spark maps '' to [] where DuckDB maps it to
+    [''] — is neutralized by the ``ch <> ''`` filter both sides
+    carry.
+
+    NULL/empty ``text``: no histogram rows, so the doc reports
+    n_chars 0 and NULL entropy via the doc-spine LEFT join — absence
+    auditable, not silent (the tier's NULL discipline).
+
+    Scale shape: the char explode is linear in corpus BYTES and
+    collapses at the first partial aggregation to ≤ |alphabet| rows
+    per document — the post-shuffle histogram is tiny however large
+    the corpus. The per-doc size join and both aggregations are
+    doc_id-keyed equi-shuffles; nothing global, nothing collected.
+    """
+    from covid_engineering_spark.functions import evicting_cache
+
+    ch = docs.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    hist = evicting_cache(
+        ch.groupBy("doc_id", "ch").agg(F.count("*").alias("c")),
+        "entropy_hist",
+    )
+    sizes = evicting_cache(
+        hist.groupBy("doc_id").agg(
+            F.sum("c").alias("n"), F.count("*").alias("nd")
+        ),
+        "entropy_sizes",
+    )
+    surprisal_micro = F.floor(
+        F.round(F.log(F.col("n") / F.col("c")), 8) * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    ent = (
+        hist.join(sizes, "doc_id")
+        .select("doc_id", (F.col("c") * surprisal_micro).alias("t"))
+        .groupBy("doc_id")
+        .agg(F.sum("t").alias("m"))
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        docs.select("doc_id")
+        .join(sizes, "doc_id", "left")
+        .join(ent, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n"), zero).alias("n_chars"),
+            F.coalesce(F.col("nd"), zero).alias("n_distinct_chars"),
+            F.expr("m DIV n").alias("entropy_nat_micros"),
+        )
+    )
+
+
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return char_entropy(read_table(spark, sf_dir, "documents"))
+
+
 def perplexity(docs: DataFrame) -> DataFrame:
     """Per-document cross-entropy under the in-query corpus unigram
     LM — the CCNet-style LM quality gate (Wenzek et al. 2020): docs
@@ -924,6 +998,7 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "text_top_terms": q_text_top_terms,
     "text_unigram_lm": q_text_unigram_lm,
+    "text_entropy": q_text_entropy,
     "text_dup_ngram_rate": q_text_dup_ngram_rate,
     "text_bigram_lm": q_text_bigram_lm,
     "text_bm25": q_text_bm25,
@@ -1141,6 +1216,36 @@ ORACLES = {
                  / CAST(SUM(c) AS BIGINT) AS rare_ratio
         FROM tf JOIN vocab USING (tok) CROSS JOIN tot
         GROUP BY doc_id
+    """,
+    "text_entropy": """
+        WITH ch AS (
+            SELECT doc_id, unnest(string_split(text, '')) AS ch
+            FROM documents
+        ),
+        hist AS (
+            SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+            FROM ch WHERE ch <> '' GROUP BY doc_id, ch
+        ),
+        sizes AS (
+            SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS nd
+            FROM hist GROUP BY doc_id
+        ),
+        ent AS (
+            SELECT h.doc_id,
+                   CAST(SUM(h.c * CAST(FLOOR(ROUND(ln(s.n / h.c), 8)
+                                             * 1000000.0 + 0.5)
+                                       AS BIGINT)) AS BIGINT) AS m
+            FROM hist h JOIN sizes s USING (doc_id)
+            GROUP BY h.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(s.n, 0) AS n_chars,
+               COALESCE(s.nd, 0) AS n_distinct_chars,
+               e.m // s.n AS entropy_nat_micros
+        FROM documents d
+        LEFT JOIN sizes s USING (doc_id)
+        LEFT JOIN ent e USING (doc_id)
     """,
     "text_bigram_lm": f"""
         WITH ws AS (

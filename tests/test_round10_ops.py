@@ -520,3 +520,238 @@ def test_curate_corpus_strip_stage_composes(spark):
     # with stripping, the boilerplate is gone before clustering — all
     # three docs survive on their own distinct content
     assert len(stripped) == 3
+
+
+# --- pipe_bloom_decontaminate: Bloom prescreen + exact verify --------
+
+
+def test_bloom_decontaminate_matches_duckdb_twin(spark):
+    from covid_engineering_spark.queries import oracles, registry
+
+    con = duck_con(SF_SMOKE)
+    try:
+        res = compare(
+            registry()["pipe_bloom_decontaminate"](spark, SF_SMOKE),
+            con,
+            oracles()["pipe_bloom_decontaminate"],
+        )
+        assert res["match"], res
+    finally:
+        con.close()
+
+
+def test_bloom_decontaminate_matches_twin_on_null_payloads(spark, patho_dir):  # noqa: F811
+    from covid_engineering_spark.queries import oracles, registry
+
+    con = duck_con(patho_dir)
+    try:
+        res = compare(
+            registry()["pipe_bloom_decontaminate"](spark, patho_dir),
+            con,
+            oracles()["pipe_bloom_decontaminate"],
+        )
+        assert res["match"], res
+    finally:
+        con.close()
+
+
+def test_bloom_decontaminate_agrees_with_the_exact_gate(spark):
+    """The Bloom prescreen must be LOSSLESS on true positives: per
+    document, n_exact must equal the binary gate's n_shared (a Bloom
+    filter has no false negatives by construction — a miss here means
+    the probe hash family diverged from the build side), the verdict
+    set must equal the gate's doc set, and the fixture must exercise
+    actual false positives (a 0-FP run proves the prescreen vacuous or
+    the filter oversized)."""
+    from covid_engineering_spark.queries import registry
+
+    rows = registry()["pipe_bloom_decontaminate"](
+        spark, SF_SMOKE
+    ).collect()
+    gate = {
+        r["doc_id"]: r["n_shared"]
+        for r in registry()["pipe_decontaminate"](spark, SF_SMOKE).collect()
+    }
+    flagged = {r["doc_id"]: r["n_exact"] for r in rows if r["contaminated"]}
+    assert flagged == gate
+    for r in rows:
+        assert r["n_prescreen"] >= r["n_exact"], r
+        assert r["n_false_pos"] == r["n_prescreen"] - r["n_exact"], r
+    assert sum(r["n_false_pos"] for r in rows) > 0
+
+
+def test_bloom_decontaminate_plan_shape(spark):
+    """The scale contract: the k bit-membership probes are BROADCAST
+    joins (the set-bit frame is <= m rows at ANY eval-suite size), and
+    no cartesian appears anywhere."""
+    from covid_engineering_spark.operators.pipeline import BLOOM_K
+    from covid_engineering_spark.queries import registry
+    from tests.test_plans import broadcast_join_count, has_cartesian
+
+    df = registry()["pipe_bloom_decontaminate"](spark, SF_SMOKE)
+    assert not has_cartesian(df)
+    # k bit probes + the exact-verify join all ride broadcast at
+    # fixture scale; the bit probes are broadcast BY CONSTRUCTION
+    # (explicit F.broadcast), so the count is at least k
+    assert broadcast_join_count(df) >= BLOOM_K
+
+
+# --- graph_triangle_count: degree-ordered triangle census ------------
+
+
+def test_triangle_count_matches_duckdb_twin(spark):
+    from covid_engineering_spark.queries import oracles, registry
+
+    con = duck_con(SF_SMOKE)
+    try:
+        res = compare(
+            registry()["graph_triangle_count"](spark, SF_SMOKE),
+            con,
+            oracles()["graph_triangle_count"],
+        )
+        assert res["match"], res
+    finally:
+        con.close()
+
+
+def test_triangle_count_matches_twin_on_null_payloads(spark, patho_dir):  # noqa: F811
+    from covid_engineering_spark.queries import oracles, registry
+
+    con = duck_con(patho_dir)
+    try:
+        res = compare(
+            registry()["graph_triangle_count"](spark, patho_dir),
+            con,
+            oracles()["graph_triangle_count"],
+        )
+        assert res["match"], res
+    finally:
+        con.close()
+
+
+def test_triangle_count_hand_graph(spark):
+    """Semantics pinned by hand: K4 on {1,2,3,4} (every vertex closes
+    C(3,2)=3 triangles, clustering 1.0), a pendant vertex 5 (degree 1,
+    zero triangles, NULL clustering), an open wedge 6-7-8 (zero
+    triangles, clustering 0.0 at the center), and edge direction /
+    duplication in the input must not matter (the same undirected edge
+    arrives once per direction)."""
+    from covid_engineering_spark.operators.similarity import (
+        triangle_count,
+    )
+
+    k4 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a != b]
+    extra = [(4, 5), (6, 7), (8, 7)]  # pendant + open wedge
+    edges = spark.createDataFrame(
+        k4 + extra, "src_id long, n_id long"
+    )
+    got = {
+        r["vec_id"]: (r["degree"], r["n_triangles"], r["clustering"])
+        for r in triangle_count(edges).collect()
+    }
+    assert got[1] == (3, 3, 1.0)
+    assert got[2] == (3, 3, 1.0)
+    assert got[3] == (3, 3, 1.0)
+    assert got[4] == (4, 3, 0.5)  # K4 corner + pendant edge
+    assert got[5] == (1, 0, None)
+    assert got[6] == (1, 0, None)
+    assert got[7] == (2, 0, 0.0)  # open wedge center
+    assert got[8] == (1, 0, None)
+
+
+def test_triangle_count_plan_shape(spark):
+    """No cartesian product anywhere: orientation, wedge join, and the
+    closure check are all equi-joins on vertex ids."""
+    from covid_engineering_spark.queries import registry
+    from tests.test_plans import has_cartesian
+
+    df = registry()["graph_triangle_count"](spark, SF_SMOKE)
+    assert not has_cartesian(df)
+
+
+# --- text_entropy: char-level Shannon entropy ------------------------
+
+
+def test_text_entropy_matches_duckdb_twin(spark):
+    from covid_engineering_spark.queries import oracles, registry
+
+    con = duck_con(SF_SMOKE)
+    try:
+        res = compare(
+            registry()["text_entropy"](spark, SF_SMOKE),
+            con,
+            oracles()["text_entropy"],
+        )
+        assert res["match"], res
+    finally:
+        con.close()
+
+
+def test_text_entropy_matches_twin_on_null_payloads(spark, patho_dir):  # noqa: F811
+    from covid_engineering_spark.queries import oracles, registry
+
+    con = duck_con(patho_dir)
+    try:
+        res = compare(
+            registry()["text_entropy"](spark, patho_dir),
+            con,
+            oracles()["text_entropy"],
+        )
+        assert res["match"], res
+    finally:
+        con.close()
+
+
+def test_text_entropy_hand_values(spark):
+    """Entropy semantics pinned by hand in nat-micro-units: a
+    single-character run scores exactly 0, a two-char 50/50 doc scores
+    ln(2) = 693147 micros, a uniform 4-char doc ln(4) = 1386294, NULL
+    and empty text report 0 chars / NULL entropy, and an astral-plane
+    code point counts as ONE character (the split-parity contract)."""
+    from covid_engineering_spark.operators.text import char_entropy
+
+    rows = [
+        (1, "aaaa"),
+        (2, "ab"),
+        (3, "abcd"),
+        (4, None),
+        (5, ""),
+        (6, "\U0001d11e"),  # single astral-plane char
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_chars"], r["n_distinct_chars"], r["entropy_nat_micros"]
+        )
+        for r in char_entropy(docs).collect()
+    }
+    assert got[1] == (4, 1, 0)
+    assert got[2] == (2, 2, 693147)
+    assert got[3] == (4, 4, 1386294)
+    assert got[4] == (0, 0, None)
+    assert got[5] == (0, 0, None)
+    assert got[6] == (1, 1, 0)
+
+
+def test_text_entropy_separates_gibberish_from_padding(spark):
+    """The gate signal: a near-uniform random-alphabet doc must score
+    far above a repeated-token doc of the same length."""
+    from covid_engineering_spark.operators.text import char_entropy
+
+    import string
+
+    alphabet = string.ascii_lowercase
+    gibberish = "".join(
+        alphabet[(7 * i) % 26] for i in range(260)
+    )  # every letter 10x — uniform over 26 symbols
+    padding = "ha " * 86  # 3-symbol alphabet, heavily repeated
+    docs = spark.createDataFrame(
+        [(1, gibberish), (2, padding)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["entropy_nat_micros"]
+        for r in char_entropy(docs).collect()
+    }
+    assert got[1] > 3_000_000  # ln(26) ~ 3.258 nats
+    assert got[2] < 1_200_000  # 3-symbol ceiling is ln(3) ~ 1.099
+    assert got[1] > 2 * got[2]

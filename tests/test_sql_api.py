@@ -92,6 +92,12 @@ DUCKDB_ONLY = {
     "ann_ivf_kmeans_topk",
     # r10: the _SH4_SQL string_split/list_transform shingle chain
     "pipe_contamination_report",
+    # r10: same shingle chain + '0x'||md5 bit positions + unnest(range)
+    "pipe_bloom_decontaminate",
+    # r10: list_dot_product kNN edge chain + unnest([..]) corner fanout
+    "graph_triangle_count",
+    # r10: string_split/unnest char explosion + '//' integer division
+    "text_entropy",
     "a24_cms_heavy",
     "ann_hamming_topk",
     "ann_range_search",

@@ -227,6 +227,17 @@ SURVEY_MAP = {
     "ANN-IVF-KMEANS": "ann_ivf_kmeans_topk",
     # graded eval-overlap contamination report (overflow-pinned r10)
     "PIPE-CONTAM": "pipe_contamination_report",
+    # Bloom-prescreened decontamination: the eval suite collapses to a
+    # <= m-row set-bit frame, corpus shingles probe k broadcast joins,
+    # only Bloom-positives reach the exact verify; FP rate measured
+    "PIPE-BLOOM": "pipe_bloom_decontaminate",
+    # degree-ordered triangle census (Suri & Vassilvitskii 2011):
+    # per-vertex triangle counts + local clustering coefficient over
+    # the kNN graph — oriented out-degree O(sqrt(m)) bounds the wedges
+    "GRAPH-TRI": "graph_triangle_count",
+    # char-level Shannon entropy in integer nat-micro-units — the
+    # base64/gibberish/padding quality signal token metrics miss
+    "TXT-ENTROPY": "text_entropy",
     "ANN-RP": "emb_rp_recall",
     "PIPE-KANON": "pipe_k_anonymity",
     "PIPE-PPS": "pipe_weighted_sample",
