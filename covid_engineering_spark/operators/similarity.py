@@ -448,6 +448,184 @@ def q_emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lloyd(read_table(spark, sf_dir, "embeddings"))
 
 
+#: Fixed unrolled power-iteration count for the registered PCA: three
+#: rounds separate the top eigenvector cleanly on the fixture spectrum
+#: (explained-variance ratio stabilizes to 4dp between rounds 2 and 3)
+#: while keeping the lazy plan and the unrolled SQL twin bounded.
+PCA_ITERS = 3
+
+
+def _nat_micro(col):
+    """The text-tier micro-unit idiom (text.py): round to 8dp, scale
+    to integer millionths, round-half-up — the one float→int
+    conversion both engines perform identically."""
+    return F.floor(
+        F.round(col, 8) * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+
+
+def _dim_array(frame: DataFrame, val: str, out: str) -> DataFrame:
+    """Collapse a (pos, value) per-dimension frame to ONE ordered-array
+    row — the kmeans codebook-to-broadcast-row trick, for a single
+    DIM-length vector."""
+    return frame.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", val))),
+            lambda s: s[val],
+        ).alias(out)
+    )
+
+
+def pca_power(emb: DataFrame, iters: int = PCA_ITERS) -> DataFrame:
+    """Top principal component of the embedding corpus by unrolled
+    power iteration — the dimensionality-reduction / whitening
+    primitive behind PCA'd indexes and OPQ-style rotations, and the
+    spectrum diagnostic (a dominant component = an uncentered or
+    collapsed embedding model, the usual suspect when retrieval
+    quality craters). In-engine and hash-checkable end-to-end, like
+    ``kmeans_lloyd``: MLlib's PCA is eager and solver-dependent; this
+    form is a lazy plan whose DuckDB twin replays every round.
+
+    Math: center X by the per-dim mean μ (DECIMAL-exact sums, 6dp —
+    the kmeans M-step discipline), seed v₀ = 1/√DIM = 0.125 exactly
+    (binary-representable, no libm), then ``iters`` rounds of
+    v ← normalize(XᵀXv). Per round:
+
+    * per-row dot x'·v — a fixed-order array fold (deterministic
+      IEEE, the `_assign` pattern), corpus never shuffled;
+    * w_j = Σ_rows micro(dot·x'_j) — each term converted ONCE to
+      integer nat-micros, so the corpus-sized sum is an exact BIGINT
+      (order-independent — the reason this is hash-checkable where a
+      float Σ over N rows is not); divided by N in integer units
+      (Spark ``DIV`` ≡ DuckDB ``//``: both truncate toward zero, so
+      the NEGATIVE components centered data produces stay in parity);
+    * normalize by √(Σ w_j²) — 64 exact integer squares, one
+      correctly-rounded IEEE sqrt, one 6dp round.
+
+    Output (one row per dimension + Rayleigh summary columns): the
+    per-dim mean, per-dim variance in micro-units, the component
+    loading, the Rayleigh eigenvalue estimate λ = Σ(x'·v)²/N in
+    micro-units, and the explained-variance ratio λ/Σvar — both
+    summary columns constant across rows via a broadcast 1-row
+    cross join (the scalar-subquery pattern).
+
+    Scale shape: the centered corpus is cached (iters+1 consumers);
+    each round is one map-side broadcast of the 64-float v, one
+    posexplode partial-aggregated into 64 keys (the shuffle carries
+    dims × partitions rows, never the corpus), and 1-row/64-row
+    broadcasts back. Integer headroom: |w_j| ≤ N·10⁶·max|dot·x'| —
+    exact to corpus sizes ~10¹² rows; past that the production move
+    is a coarser micro scale, not a different plan.
+    """
+    from covid_engineering_spark.functions import evicting_cache
+
+    e = _kmeans_vectors(emb)
+    ex = e.select(F.posexplode("embedding").alias("p0", "x"))
+    mu = ex.groupBy((F.col("p0") + 1).alias("pos")).agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(18,9)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mv")
+    )
+    mu = evicting_cache(mu, "pca_mu")
+    mua = _dim_array(mu, "mv", "mu")
+    centered = evicting_cache(
+        e.join(F.broadcast(mua)).select(
+            "vec_id",
+            F.zip_with(
+                "embedding", "mu", lambda x, m: x.cast("double") - m
+            ).alias("cx"),
+        ),
+        "pca_centered",
+    )
+    cnt = centered.agg(F.count("*").alias("n"))
+
+    def _dot(v_col):
+        return F.aggregate(
+            F.zip_with(F.col("cx"), v_col, lambda x, vv: x * vv),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    varr = F.array(*([F.lit(0.125)] * DIM))  # 1/sqrt(DIM), exact
+    va_frame = None  # after round 1, v rides a broadcast 1-row frame
+    for _ in range(iters):
+        if va_frame is None:
+            d = centered.select("cx", _dot(varr).alias("dot"))
+        else:
+            d = centered.join(F.broadcast(va_frame)).select(
+                "cx", _dot(F.col("v")).alias("dot")
+            )
+        w = (
+            d.select("dot", F.posexplode("cx").alias("p0", "x"))
+            .select(
+                (F.col("p0") + 1).alias("pos"),
+                _nat_micro(F.col("dot") * F.col("x")).alias("tm"),
+            )
+            .groupBy("pos")
+            .agg(F.sum("tm").alias("wm"))
+        )
+        wn = w.join(F.broadcast(cnt)).select(
+            "pos", F.expr("wm DIV n").alias("wn")
+        )
+        nrm = wn.agg(F.sum(F.col("wn") * F.col("wn")).alias("ss"))
+        vv = wn.join(F.broadcast(nrm)).select(
+            "pos",
+            F.round(
+                F.col("wn") / F.sqrt(F.col("ss").cast("double")), 6
+            ).alias("vv"),
+        )
+        va_frame = _dim_array(vv, "vv", "v")
+    dots = centered.join(F.broadcast(va_frame)).select(
+        "cx", _dot(F.col("v")).alias("dot")
+    )
+    eig = (
+        dots.select(_nat_micro(F.col("dot")).alias("dm"))
+        .agg(F.sum(F.col("dm") * F.col("dm")).alias("sq"))
+        .join(F.broadcast(cnt))
+        .select(
+            F.expr("sq DIV n DIV 1000000").alias("eig_micros")
+        )
+    )
+    var = (
+        centered.select(F.posexplode("cx").alias("p0", "x"))
+        .select(
+            (F.col("p0") + 1).alias("pos"),
+            _nat_micro(F.col("x") * F.col("x")).alias("vm"),
+        )
+        .groupBy("pos")
+        .agg(F.sum("vm").alias("vs"))
+        .join(F.broadcast(cnt))
+        .select("pos", F.expr("vs DIV n").alias("var_micros"))
+    )
+    var = evicting_cache(var, "pca_var")
+    tot = var.agg(F.sum("var_micros").alias("tv"))
+    summary = eig.join(F.broadcast(tot)).select(
+        "eig_micros",
+        F.round(F.col("eig_micros") / F.col("tv"), 6).alias(
+            "explained_ratio"
+        ),
+    )
+    return (
+        mu.join(vv, "pos")
+        .join(var, "pos")
+        .join(F.broadcast(summary))
+        .select(
+            F.col("pos").cast("int").alias("dim"),
+            F.col("mv").alias("mu"),
+            "var_micros",
+            F.col("vv").alias("loading"),
+            "eig_micros",
+            "explained_ratio",
+        )
+    )
+
+
+def q_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pca_power(read_table(spark, sf_dir, "embeddings"))
+
+
 def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over the ITERATED k-means codebook — the trained-index
     composition: ``ivf_topk``'s probe/score plan unchanged, the
@@ -1813,6 +1991,7 @@ QUERIES = {
     "emb_hard_negatives": q_emb_hard_negatives,
     "graph_pagerank": q_graph_pagerank,
     "graph_triangle_count": q_graph_triangle_count,
+    "emb_pca_power": q_emb_pca_power,
     "emb_pq_codes": q_emb_pq_codes,
     "ann_pq_adc_topk": q_ann_pq_adc_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
@@ -1985,6 +2164,90 @@ def _pagerank_oracle_sql() -> str:
         ),{",".join(its)}
         SELECT node, rank FROM r{PAGERANK_ITERS}
     """
+
+def _pca_oracle_sql(iters: int = PCA_ITERS) -> str:
+    """Generated DuckDB twin of ``q_emb_pca_power``: replays the
+    DECIMAL-exact centering, the 0.125 seed, and every unrolled power
+    round — micro-integer w sums, truncating ``//`` division (parity
+    with Spark ``DIV`` on NEGATIVE values too: both truncate toward
+    zero), exact-integer norm, 6dp loadings — then the Rayleigh
+    eigenvalue and per-dim variance tail."""
+
+    def micro(expr: str) -> str:
+        return (
+            f"CAST(FLOOR(ROUND({expr}, 8) * 1000000.0 + 0.5) AS BIGINT)"
+        )
+
+    blocks = []
+    prev = "v0"
+    for t in range(1, iters + 1):
+        blocks.append(f"""
+        d{t} AS (SELECT c.vec_id, c.cx,
+                        list_dot_product(c.cx, {prev}.v) AS dot
+                 FROM c CROSS JOIN {prev}),
+        w{t} AS (SELECT i AS pos,
+                        CAST(SUM({micro("dot * cx[i]")}) AS BIGINT) AS wm
+                 FROM d{t}, generate_series(1, {DIM}) AS g(i)
+                 GROUP BY 1),
+        wn{t} AS (SELECT pos, wm // n AS wn FROM w{t} CROSS JOIN cnt),
+        nr{t} AS (SELECT CAST(SUM(wn * wn) AS BIGINT) AS ss FROM wn{t}),
+        vv{t} AS (SELECT pos, ROUND(wn / sqrt(CAST(ss AS DOUBLE)), 6)
+                             AS vv
+                  FROM wn{t} CROSS JOIN nr{t}),
+        v{t} AS (SELECT list(vv ORDER BY pos) AS v FROM vv{t})""")
+        prev = f"v{t}"
+    return f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        cnt AS (SELECT COUNT(*) AS n FROM e),
+        mu AS (
+            SELECT i AS pos,
+                   ROUND(CAST(SUM(CAST(v[i] AS DECIMAL(18,9))) AS DOUBLE)
+                         / COUNT(*), 6) AS mv
+            FROM e, generate_series(1, {DIM}) AS g(i)
+            GROUP BY 1
+        ),
+        mua AS (SELECT list(mv ORDER BY pos) AS m FROM mu),
+        c AS (
+            SELECT vec_id,
+                   list_transform(generate_series(1, {DIM}),
+                                  i -> v[i] - m[i]) AS cx
+            FROM e CROSS JOIN mua
+        ),
+        v0 AS (SELECT list_transform(generate_series(1, {DIM}),
+                                     i -> CAST(0.125 AS DOUBLE)) AS v),
+        {",".join(blocks)},
+        df AS (SELECT c.cx, list_dot_product(c.cx, {prev}.v) AS dot
+               FROM c CROSS JOIN {prev}),
+        eig AS (
+            SELECT CAST(SUM(dm * dm) AS BIGINT) // n // 1000000
+                       AS eig_micros
+            FROM (SELECT {micro("dot")} AS dm FROM df) CROSS JOIN cnt
+            GROUP BY n
+        ),
+        var AS (
+            SELECT i AS pos,
+                   CAST(SUM({micro("cx[i] * cx[i]")}) AS BIGINT) // n
+                       AS var_micros
+            FROM c CROSS JOIN cnt, generate_series(1, {DIM}) AS g(i)
+            GROUP BY 1, n
+        ),
+        tot AS (SELECT CAST(SUM(var_micros) AS BIGINT) AS tv FROM var)
+        SELECT CAST(mu.pos AS INTEGER) AS dim,
+               mu.mv AS mu,
+               var.var_micros,
+               vv{iters}.vv AS loading,
+               eig.eig_micros,
+               ROUND(eig.eig_micros / tot.tv, 6) AS explained_ratio
+        FROM mu
+        JOIN vv{iters} ON vv{iters}.pos = mu.pos
+        JOIN var ON var.pos = mu.pos
+        CROSS JOIN eig CROSS JOIN tot
+    """
+
 
 def _triangle_oracle_sql() -> str:
     """Twin of ``triangle_count`` over the kNN edges: the same
@@ -2350,6 +2613,7 @@ ORACLES = {
     "ann_ivf_topk": _ivf_oracle_sql(),
     "graph_pagerank": _pagerank_oracle_sql(),
     "graph_triangle_count": _triangle_oracle_sql(),
+    "emb_pca_power": _pca_oracle_sql(),
     "ann_ivfpq_topk": _ivfpq_oracle_sql(),
     "emb_pq_codes": f"""
         WITH seeds0 AS (

@@ -755,3 +755,101 @@ def test_text_entropy_separates_gibberish_from_padding(spark):
     assert got[1] > 3_000_000  # ln(26) ~ 3.258 nats
     assert got[2] < 1_200_000  # 3-symbol ceiling is ln(3) ~ 1.099
     assert got[1] > 2 * got[2]
+
+
+# --- emb_pca_power: top principal component by power iteration -------
+
+
+def test_pca_power_matches_duckdb_twin(spark):
+    from covid_engineering_spark.queries import oracles, registry
+
+    con = duck_con(SF_SMOKE)
+    try:
+        res = compare(
+            registry()["emb_pca_power"](spark, SF_SMOKE),
+            con,
+            oracles()["emb_pca_power"],
+        )
+        assert res["match"], res
+    finally:
+        con.close()
+
+
+def test_pca_power_matches_twin_on_null_payloads(spark, patho_dir):  # noqa: F811
+    from covid_engineering_spark.queries import oracles, registry
+
+    con = duck_con(patho_dir)
+    try:
+        res = compare(
+            registry()["emb_pca_power"](spark, patho_dir),
+            con,
+            oracles()["emb_pca_power"],
+        )
+        assert res["match"], res
+    finally:
+        con.close()
+
+
+def test_pca_power_recovers_a_planted_component(spark):
+    """Semantics: on a corpus that is (signal · u + tiny jitter) for a
+    planted unit direction u, three power rounds must align the
+    loading with u (|<loading, u>| ~ 1) and attribute nearly all
+    variance to it."""
+    from covid_engineering_spark.operators.similarity import (
+        DIM,
+        pca_power,
+    )
+
+    u = [0.0] * DIM
+    u[0], u[1] = 0.6, 0.8
+    rows = []
+    for i in range(40):
+        s = (i % 5) - 2  # signal in {-2,-1,0,1,2}
+        vec = [
+            s * u[j] + ((i * 7 + j * 3) % 11 - 5) * 1e-3
+            for j in range(DIM)
+        ]
+        rows.append((i, [float(x) for x in vec]))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    got = pca_power(emb).collect()
+    loading = {r["dim"]: r["loading"] for r in got}
+    align = abs(loading[1] * 0.6 + loading[2] * 0.8)  # dims are 1-based
+    assert align > 0.999, align
+    assert got[0]["explained_ratio"] > 0.99, got[0]["explained_ratio"]
+
+
+def test_pca_power_spectral_invariants(spark):
+    """On the real fixture: the loading is unit-norm after rounding,
+    the Rayleigh eigenvalue dominates every single-dimension variance
+    (lambda_max >= max diagonal entry of the covariance) and is
+    bounded by the total variance, and the summary columns are
+    constant across the 64 rows."""
+    from covid_engineering_spark.queries import registry
+
+    rows = registry()["emb_pca_power"](spark, SF_SMOKE).collect()
+    assert len(rows) == 64
+    l2 = sum(r["loading"] ** 2 for r in rows)
+    assert abs(l2 - 1.0) < 1e-4, l2
+    eig = {r["eig_micros"] for r in rows}
+    ratio = {r["explained_ratio"] for r in rows}
+    assert len(eig) == 1 and len(ratio) == 1
+    eig = eig.pop()
+    tot = sum(r["var_micros"] for r in rows)
+    assert max(r["var_micros"] for r in rows) <= eig <= tot
+
+
+def test_pca_power_corpus_never_shuffled(spark):
+    """The scale contract: per round the corpus is touched only by a
+    map-side broadcast of the 64-float v and a posexplode partially
+    aggregated into 64 dim keys — never an exchange partitioned on
+    vec_id, and no cartesian."""
+    from covid_engineering_spark.plans import simple_plan
+    from covid_engineering_spark.queries import registry
+    from tests.test_plans import has_cartesian
+
+    df = registry()["emb_pca_power"](spark, SF_SMOKE)
+    assert not has_cartesian(df)
+    plan = simple_plan(df)
+    assert "hashpartitioning(vec_id" not in plan, plan

@@ -98,6 +98,8 @@ DUCKDB_ONLY = {
     "graph_triangle_count",
     # r10: string_split/unnest char explosion + '//' integer division
     "text_entropy",
+    # r10: list_transform/list_dot_product power rounds + '//' division
+    "emb_pca_power",
     "a24_cms_heavy",
     "ann_hamming_topk",
     "ann_range_search",

@@ -238,6 +238,10 @@ SURVEY_MAP = {
     # char-level Shannon entropy in integer nat-micro-units — the
     # base64/gibberish/padding quality signal token metrics miss
     "TXT-ENTROPY": "text_entropy",
+    # top principal component by unrolled power iteration — DECIMAL
+    # centering, micro-integer w sums, Rayleigh eigenvalue + explained
+    # variance; the whitening/OPQ/collapse-diagnostic primitive
+    "EMB-PCA": "emb_pca_power",
     "ANN-RP": "emb_rp_recall",
     "PIPE-KANON": "pipe_k_anonymity",
     "PIPE-PPS": "pipe_weighted_sample",
