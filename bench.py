@@ -107,6 +107,22 @@ HEADLINE = [
     # index trained on its codebook.
     "emb_kmeans_lloyd",
     "ann_ivf_kmeans_topk",
+    # Round-10 late additions: the Bloom-prescreened decontamination
+    # (bit-set build + k broadcast probes + exact verify on survivors),
+    # the degree-ordered triangle census over the kNN graph (the
+    # O(m^1.5)-bounded wedge join), the char-entropy quality gate
+    # (corpus-bytes explode collapsed at the first partial agg), and
+    # the power-iteration PCA (3 broadcast-fold rounds + Rayleigh tail).
+    "pipe_bloom_decontaminate",
+    "graph_triangle_count",
+    "text_entropy",
+    "emb_pca_power",
+    # and the PMI collocation miner (map-side bigram algebra into
+    # vocabulary-sized joins, TakeOrderedAndProject top-k).
+    "text_collocations",
+    # and the binned big-big interval join (intervals explode into
+    # covered hour bins, points bin once, equi-join + exact filter).
+    "j9_binned_interval_join",
 ]
 
 

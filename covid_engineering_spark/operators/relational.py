@@ -2474,6 +2474,96 @@ def q_j8_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Incident-window sampling and width for the binned interval join:
+#: every 97th event anchors a [ts, ts + 2h] incident window.
+INTERVAL_ANCHOR_MOD = 97
+INTERVAL_HOURS = 2
+
+
+def binned_interval_join(
+    points: DataFrame, intervals: DataFrame
+) -> DataFrame:
+    """Big-big interval join via time binning — the scale form of the
+    range join. ``j5_range_join`` broadcasts its interval side (right
+    whenever the intervals fit in memory); when BOTH sides are large —
+    events against incident/maintenance/session windows — the raw
+    range predicate degenerates to a nested loop over a shuffled side.
+    The standard fix, re-expressed declaratively: EXPLODE each
+    interval into the coarse time bins it covers (bounded fan-out:
+    width/bin + 1 rows), bin each point ONCE, and equi-join on
+    (key, bin) — a plain shuffled hash/sort-merge join Catalyst and
+    AQE can reason about — then apply the exact containment filter.
+    Because a point lives in exactly ONE bin and an interval is
+    exploded to EVERY bin it covers, each true (point, interval) pair
+    meets in exactly one task: no duplicate elimination, no distinct.
+
+    ``points``: (event_id, event_type, ts); ``intervals``:
+    (incident_id, itype, win_start, win_end) with win_end - win_start
+    bounded (the bin width should be chosen ~ the typical interval
+    width; here 1h bins over 2h windows → ≤3 bins/interval). Output:
+    per-incident match counts — the monitoring rollup ("how many
+    events landed inside each incident window").
+    """
+    bins = intervals.select(
+        "incident_id",
+        "itype",
+        "win_start",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "win_start"),
+                F.date_trunc("hour", "win_end"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bin"),
+        "win_end",
+    )
+    pts = points.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.date_trunc("hour", "ts").alias("pbin"),
+    )
+    return (
+        bins.join(
+            pts,
+            (bins.itype == pts.event_type) & (bins.bin == pts.pbin),
+        )
+        .filter(
+            (F.col("ts") >= F.col("win_start"))
+            & (F.col("ts") <= F.col("win_end"))
+        )
+        .groupBy("incident_id", "itype", "win_start")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "incident_id",
+            F.col("itype").alias("event_type"),
+            F.col("win_start").alias("window_start"),
+            "n_events",
+        )
+    )
+
+
+def q_j9_binned_interval_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """J9 — the binned big-big interval join over events: every 499th
+    event anchors a 2-hour incident window; count the same-type
+    events inside each window. The anchor matches itself, so every
+    incident reports ≥1."""
+    ev = read_table(spark, sf_dir, "events")
+    anchors = ev.filter(
+        F.col("event_id") % INTERVAL_ANCHOR_MOD == 0
+    ).select(
+        F.col("event_id").alias("incident_id"),
+        F.col("event_type").alias("itype"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr(f"INTERVAL {INTERVAL_HOURS} HOURS")).alias(
+            "win_end"
+        ),
+    )
+    return binned_interval_join(ev, anchors)
+
+
 QUERIES = {
     "p1_project": q_p1_project,
     "p2_filter_eq": q_p2_filter_eq,
@@ -2535,6 +2625,7 @@ QUERIES = {
     "rfm_segments": q_rfm_segments,
     "w9_ntile_cume": q_w9_ntile_cume,
     "j8_salted_join": q_j8_salted_join,
+    "j9_binned_interval_join": q_j9_binned_interval_join,
     "a21_corr_moments": q_a21_corr_moments,
     "a22_mode": q_a22_mode,
     "a23_heavy_hitters": q_a23_heavy_hitters,
@@ -3021,6 +3112,22 @@ ORACLES = {
                CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
+    """,
+    "j9_binned_interval_join": f"""
+        WITH anchors AS (
+            SELECT event_id AS incident_id, event_type,
+                   CAST(ts AS TIMESTAMP) AS window_start,
+                   CAST(ts AS TIMESTAMP)
+                       + INTERVAL {INTERVAL_HOURS} HOURS AS win_end
+            FROM events WHERE event_id % {INTERVAL_ANCHOR_MOD} = 0
+        )
+        SELECT a.incident_id, a.event_type, a.window_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM anchors a JOIN events e
+          ON e.event_type = a.event_type
+         AND CAST(e.ts AS TIMESTAMP) >= a.window_start
+         AND CAST(e.ts AS TIMESTAMP) <= a.win_end
+        GROUP BY 1, 2, 3
     """,
     "q22_global_balance": """
         WITH pool AS (

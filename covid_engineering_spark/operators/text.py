@@ -487,6 +487,105 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy(read_table(spark, sf_dir, "documents"))
 
 
+#: Collocation extraction: minimum corpus bigram count (hapax pairs
+#: score inflated PMI — the standard noise floor) and the report size.
+COLLOC_MIN = 5
+COLLOC_K = 50
+
+
+def collocations(
+    docs: DataFrame, min_count: int = COLLOC_MIN, k: int = COLLOC_K
+) -> DataFrame:
+    """Corpus-level collocation extraction: the top-k word pairs by
+    pointwise mutual information — PMI = ln(p(ab)/(p(a)·p(b))) with
+    p(ab) over bigram positions and p(a) over tokens — subject to a
+    minimum pair count. The classic keyphrase/term-mining signal
+    (Church & Hanks 1990): high-PMI pairs are multiword units
+    ("san francisco"), which feed tokenizer vocabulary audits and
+    boilerplate-phrase inventories; `text_bigram_lm` scores documents
+    against phrase statistics, this op EXTRACTS the phrases.
+
+    Determinism: counts are exact integers end-to-end; PMI's single
+    float expression ln((c_ab·N·N)/(B·c_a·c_b)) is written with the
+    identical association order in both engines, rounded 8dp, and
+    converted once to integer micro-units (the text-tier idiom), so
+    ranking and the hash ride BIGINTs. The top-k order is total
+    (pmi_micros DESC, bigram ASC — the bigram IS the group key, so
+    the tie-break is unique) and plans TakeOrderedAndProject.
+
+    Scale shape: token and bigram construction are map-side (the
+    bigram_lm array-algebra pattern); both collapse at their first
+    partial aggregation to vocabulary-sized frames. The unigram
+    attach is two equi-joins of the DISTINCT-bigram candidate frame
+    (already floored to c_ab ≥ min_count) against the unigram
+    vocabulary — both sides bounded by vocabulary, not corpus, so the
+    Zipf head costs a hot ROW, never a hot corpus partition. N and B
+    are 1-row broadcasts.
+    """
+    from covid_engineering_spark.functions import evicting_cache
+
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    uni = evicting_cache(
+        toks.groupBy("tok").agg(F.count("*").alias("cf")), "colloc_uni"
+    )
+    n_tok = uni.agg(F.sum("cf").alias("n_tok"))
+    ws = F.split(F.col("text"), " ")
+    pairs = docs.select(
+        F.explode(
+            F.when(
+                F.size(ws) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(ws) - 2),
+                    lambda i: F.struct(
+                        F.element_at(ws, i + 1).alias("a"),
+                        F.element_at(ws, i + 2).alias("b"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<a:string,b:string>>")
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    counts = evicting_cache(
+        pairs.groupBy("a", "b").agg(F.count("*").alias("c_ab")),
+        "colloc_bg",
+    )
+    b_tot = counts.agg(F.sum("c_ab").alias("b_tot"))
+    cand = counts.filter(F.col("c_ab") >= min_count)
+    ca = uni.select(F.col("tok").alias("a"), F.col("cf").alias("c_a"))
+    cb = uni.select(F.col("tok").alias("b"), F.col("cf").alias("c_b"))
+    pmi_micros = F.floor(
+        F.round(
+            F.log(
+                (F.col("c_ab").cast("double") * F.col("n_tok") * F.col("n_tok"))
+                / (F.col("b_tot").cast("double") * F.col("c_a") * F.col("c_b"))
+            ),
+            8,
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        cand.join(ca, "a")
+        .join(cb, "b")
+        .join(F.broadcast(n_tok))
+        .join(F.broadcast(b_tot))
+        .select(
+            F.concat_ws(" ", "a", "b").alias("bg"),
+            "c_ab",
+            "c_a",
+            "c_b",
+            pmi_micros.alias("pmi_micros"),
+        )
+        .orderBy(F.desc("pmi_micros"), "bg")
+        .limit(k)
+    )
+
+
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return collocations(read_table(spark, sf_dir, "documents"))
+
+
 def perplexity(docs: DataFrame) -> DataFrame:
     """Per-document cross-entropy under the in-query corpus unigram
     LM — the CCNet-style LM quality gate (Wenzek et al. 2020): docs
@@ -999,6 +1098,7 @@ QUERIES = {
     "text_top_terms": q_text_top_terms,
     "text_unigram_lm": q_text_unigram_lm,
     "text_entropy": q_text_entropy,
+    "text_collocations": q_text_collocations,
     "text_dup_ngram_rate": q_text_dup_ngram_rate,
     "text_bigram_lm": q_text_bigram_lm,
     "text_bm25": q_text_bm25,
@@ -1246,6 +1346,42 @@ ORACLES = {
         FROM documents d
         LEFT JOIN sizes s USING (doc_id)
         LEFT JOIN ent e USING (doc_id)
+    """,
+    "text_collocations": f"""
+        WITH toks AS (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        uni AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS cf
+            FROM toks GROUP BY tok
+        ),
+        ntok AS (SELECT CAST(SUM(cf) AS BIGINT) AS n_tok FROM uni),
+        ws AS (SELECT string_split(text, ' ') AS w FROM documents),
+        pairs AS (
+            SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i + 1])) AS bgs
+            FROM ws WHERE len(w) >= 2
+        ),
+        counts AS (
+            SELECT split_part(bgs, ' ', 1) AS a,
+                   split_part(bgs, ' ', 2) AS b,
+                   CAST(COUNT(*) AS BIGINT) AS c_ab
+            FROM pairs GROUP BY bgs
+        ),
+        btot AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS b_tot FROM counts),
+        cand AS (SELECT * FROM counts WHERE c_ab >= {COLLOC_MIN})
+        SELECT cand.a || ' ' || cand.b AS bg, c_ab,
+               ua.cf AS c_a, ub.cf AS c_b,
+               CAST(FLOOR(ROUND(ln(
+                   (CAST(c_ab AS DOUBLE) * n_tok * n_tok)
+                   / (CAST(b_tot AS DOUBLE) * ua.cf * ub.cf)
+               ), 8) * 1000000.0 + 0.5) AS BIGINT) AS pmi_micros
+        FROM cand
+        JOIN uni ua ON ua.tok = cand.a
+        JOIN uni ub ON ub.tok = cand.b
+        CROSS JOIN ntok CROSS JOIN btot
+        ORDER BY pmi_micros DESC, bg
+        LIMIT {COLLOC_K}
     """,
     "text_bigram_lm": f"""
         WITH ws AS (

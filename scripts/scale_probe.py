@@ -873,6 +873,83 @@ def main() -> None:
             "overwrite"
         ).format("noop").save()
 
+    def bloomdecon(sf_dir):
+        # the prescreen regime: the bit-set frame is FIXED geometry
+        # (<= BLOOM_BITS rows at any eval size), probes ride broadcast
+        # joins, only Bloom-positives reach the exact verify — total
+        # must track the corpus shingle scan, like the gate
+        from covid_engineering_spark.operators.pipeline import (
+            q_pipe_bloom_decontaminate,
+        )
+
+        q_pipe_bloom_decontaminate(spark, sf_dir).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+    def triangles(sf_dir):
+        # degree-ordered wedges at 10x the BLOCKS (constant block
+        # size): kNN edges grow linearly, per-vertex oriented
+        # out-degree stays bounded by the in-block k, so wedge volume
+        # — and the census — must track edge count, never m^1.5
+        from covid_engineering_spark.operators.similarity import (
+            q_graph_triangle_count,
+        )
+
+        q_graph_triangle_count(spark, sf_dir).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+    def entropy(sf_dir):
+        # corpus-bytes char explode collapsed at the first partial
+        # agg (<= |alphabet| rows/doc survive the shuffle): linear in
+        # corpus bytes by construction
+        from covid_engineering_spark.operators.text import (
+            q_text_entropy,
+        )
+
+        q_text_entropy(spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+
+    def pca(sf_dir):
+        # 3 power rounds + Rayleigh tail: per round one map-side
+        # 64-float broadcast fold + one posexplode into 64 dim keys —
+        # the corpus is scanned (cached) but never shuffled, so
+        # growth must track the scan
+        from covid_engineering_spark.operators.similarity import (
+            q_emb_pca_power,
+        )
+
+        q_emb_pca_power(spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+
+    def colloc(sf_dir):
+        # PMI extraction: map-side bigram algebra collapses to
+        # vocabulary-sized frames at the first partial agg; the
+        # candidate/vocab joins are bounded by vocabulary — growth
+        # must track the token scan
+        from covid_engineering_spark.operators.text import (
+            q_text_collocations,
+        )
+
+        q_text_collocations(spark, sf_dir).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+    def intervaljoin(sf_dir):
+        # binned interval join at Nx the KEYS: anchors grow linearly
+        # with events, each explodes into <=3 hour bins, the equi-join
+        # shuffles on (type, bin) — growth must track the event scan,
+        # never the nested-loop blowup the raw range predicate plans
+        from covid_engineering_spark.operators.relational import (
+            q_j9_binned_interval_join,
+        )
+
+        q_j9_binned_interval_join(spark, sf_dir).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
     out: dict = {"metric": "scale_probe", "x": REPLICAS, "base": BASE}
     seen_names: set = set()
     for name, fn in (
@@ -923,6 +1000,12 @@ def main() -> None:
         ("pipe_near_dup_incremental_lsh", incnear_lsh),
         ("emb_kmeans_lloyd", kmeans),
         ("pipe_contamination_report", contam),
+        ("pipe_bloom_decontaminate", bloomdecon),
+        ("graph_triangle_count", triangles),
+        ("text_entropy", entropy),
+        ("emb_pca_power", pca),
+        ("text_collocations", colloc),
+        ("j9_binned_interval_join", intervaljoin),
     ):
         if ONLY and name not in ONLY:
             continue

@@ -853,3 +853,163 @@ def test_pca_power_corpus_never_shuffled(spark):
     assert not has_cartesian(df)
     plan = simple_plan(df)
     assert "hashpartitioning(vec_id" not in plan, plan
+
+
+# --- text_collocations: corpus PMI phrase extraction ------------------
+
+
+def test_collocations_matches_duckdb_twin(spark):
+    from covid_engineering_spark.queries import oracles, registry
+
+    con = duck_con(SF_SMOKE)
+    try:
+        res = compare(
+            registry()["text_collocations"](spark, SF_SMOKE),
+            con,
+            oracles()["text_collocations"],
+        )
+        assert res["match"], res
+    finally:
+        con.close()
+
+
+def test_collocations_matches_twin_on_null_payloads(spark, patho_dir):  # noqa: F811
+    from covid_engineering_spark.queries import oracles, registry
+
+    con = duck_con(patho_dir)
+    try:
+        res = compare(
+            registry()["text_collocations"](spark, patho_dir),
+            con,
+            oracles()["text_collocations"],
+        )
+        assert res["match"], res
+    finally:
+        con.close()
+
+
+def test_collocations_rank_a_planted_phrase_first(spark):
+    """PMI semantics pinned by hand: a pair whose words appear ONLY
+    together ('san francisco') outranks an equally frequent pair of
+    promiscuous words ('the of'), pairs under the count floor are
+    absent, and the count columns report the true corpus counts."""
+    from covid_engineering_spark.operators.text import collocations
+
+    filler = " ".join(
+        f"the of w{i % 7}" for i in range(10)
+    )  # 'the'/'of' everywhere, 'the of' frequent
+    rows = [(i, f"san francisco {filler}") for i in range(6)]
+    rows.append((99, "rare pair " * 3))  # count 3 < COLLOC_MIN
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = collocations(docs).collect()
+    by_bg = {r["bg"]: r for r in got}
+    assert "rare pair" not in by_bg
+    sf = by_bg["san francisco"]
+    assert sf["c_ab"] == 6 and sf["c_a"] == 6 and sf["c_b"] == 6
+    theof = by_bg["the of"]
+    assert theof["c_ab"] == 60
+    assert sf["pmi_micros"] > theof["pmi_micros"]
+    assert got[0]["bg"] == "san francisco"  # top of the ranking
+
+
+def test_collocations_plan_shape(spark):
+    """The top-k must plan TakeOrderedAndProject (never a global
+    sort), and no cartesian appears (the two 1-row total attaches are
+    broadcast scalar joins)."""
+    from covid_engineering_spark.plans import simple_plan
+    from covid_engineering_spark.queries import registry
+    from tests.test_plans import has_cartesian
+
+    df = registry()["text_collocations"](spark, SF_SMOKE)
+    assert not has_cartesian(df)
+    assert "TakeOrderedAndProject" in simple_plan(df)
+
+
+# --- j9_binned_interval_join: big-big range join via binning ----------
+
+
+def test_j9_matches_duckdb_twin(spark):
+    from covid_engineering_spark.queries import oracles, registry
+
+    con = duck_con(SF_SMOKE)
+    try:
+        res = compare(
+            registry()["j9_binned_interval_join"](spark, SF_SMOKE),
+            con,
+            oracles()["j9_binned_interval_join"],
+        )
+        assert res["match"], res
+    finally:
+        con.close()
+
+
+def test_j9_matches_twin_on_null_payloads(spark, patho_dir):  # noqa: F811
+    from covid_engineering_spark.queries import oracles, registry
+
+    con = duck_con(patho_dir)
+    try:
+        res = compare(
+            registry()["j9_binned_interval_join"](spark, patho_dir),
+            con,
+            oracles()["j9_binned_interval_join"],
+        )
+        assert res["match"], res
+    finally:
+        con.close()
+
+
+def test_j9_hand_windows(spark):
+    """Containment semantics pinned by hand: closed-interval matching
+    (a point AT win_end counts, one second past does not), a point
+    falling in a LATER hour bin than the interval start still matches
+    (the cross-bin case the explode exists for), type separation, and
+    — the no-duplicates contract — a point inside an interval that
+    spans three bins is counted exactly ONCE."""
+    from covid_engineering_spark.operators.relational import (
+        binned_interval_join,
+    )
+
+    pts = spark.createDataFrame(
+        [
+            (1, "A", "2024-01-01 10:45:00"),
+            (2, "A", "2024-01-01 12:30:00"),  # == i1 win_end
+            (3, "A", "2024-01-01 12:30:01"),  # 1s past win_end
+            (4, "B", "2024-01-01 11:00:00"),  # wrong type
+        ],
+        "event_id long, event_type string, ts_s string",
+    ).select("event_id", "event_type", F.col("ts_s").cast("timestamp").alias("ts"))
+    iv = spark.createDataFrame(
+        [
+            (100, "A", "2024-01-01 10:30:00", "2024-01-01 12:30:00"),
+            (200, "A", "2024-01-01 10:00:00", "2024-01-01 12:00:00"),
+            (300, "B", "2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+        ],
+        "incident_id long, itype string, s string, e string",
+    ).select(
+        "incident_id", "itype",
+        F.col("s").cast("timestamp").alias("win_start"),
+        F.col("e").cast("timestamp").alias("win_end"),
+    )
+    got = {
+        r["incident_id"]: r["n_events"]
+        for r in binned_interval_join(pts, iv).collect()
+    }
+    # i1 spans bins 10,11,12: point 1 (bin 10) + point 2 (bin 12,
+    # boundary) match; point 3 is out; point 4 is type B
+    assert got == {100: 2, 200: 1}  # i3 matched nothing -> no row
+
+
+def test_j9_plan_shape(spark):
+    """The whole point vs j5's broadcast form: the range predicate
+    must ride an EQUI join on (type, bin) — never a nested-loop join
+    — and the exactly-once binning needs no dedup stage."""
+    from covid_engineering_spark.plans import simple_plan
+    from covid_engineering_spark.queries import registry
+    from tests.test_plans import has_cartesian
+
+    df = registry()["j9_binned_interval_join"](spark, SF_SMOKE)
+    assert not has_cartesian(df)
+    plan = simple_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # one aggregation pair (partial+final count), no Deduplicate
+    assert "Deduplicate" not in plan

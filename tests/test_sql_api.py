@@ -100,6 +100,8 @@ DUCKDB_ONLY = {
     "text_entropy",
     # r10: list_transform/list_dot_product power rounds + '//' division
     "emb_pca_power",
+    # r10: string_split/list_transform bigram chain + split_part
+    "text_collocations",
     "a24_cms_heavy",
     "ann_hamming_topk",
     "ann_range_search",

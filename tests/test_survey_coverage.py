@@ -242,6 +242,14 @@ SURVEY_MAP = {
     # centering, micro-integer w sums, Rayleigh eigenvalue + explained
     # variance; the whitening/OPQ/collapse-diagnostic primitive
     "EMB-PCA": "emb_pca_power",
+    # corpus PMI collocation extraction (Church & Hanks 1990) — the
+    # multiword-unit miner feeding tokenizer/boilerplate inventories
+    "TXT-COLLOC": "text_collocations",
+    # big-big interval join via time binning: intervals explode into
+    # covered bins, points bin once, equi-join + exact filter — the
+    # scale form of j5's broadcast-only range join, exactly-once by
+    # construction (no dedup stage)
+    "J9": "j9_binned_interval_join",
     "ANN-RP": "emb_rp_recall",
     "PIPE-KANON": "pipe_k_anonymity",
     "PIPE-PPS": "pipe_weighted_sample",
