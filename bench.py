@@ -123,6 +123,9 @@ HEADLINE = [
     # and the binned big-big interval join (intervals explode into
     # covered hour bins, points bin once, equi-join + exact filter).
     "j9_binned_interval_join",
+    # and the navigable-graph beam ANN (kNN graph + hub layer build,
+    # 4 unrolled broadcast beam hops, brute-force judge).
+    "ann_graph_greedy",
 ]
 
 

@@ -950,6 +950,19 @@ def main() -> None:
             "overwrite"
         ).format("noop").save()
 
+    def anngraph(sf_dir):
+        # graph build (kNN at Nx the blocks) + fixed-budget walk: the
+        # walk's work is |Q|*beam*degree per hop — CONSTANT in corpus
+        # size — so growth must track the kNN-graph build, which the
+        # knn probe already pins near-linear
+        from covid_engineering_spark.operators.similarity import (
+            q_ann_graph_greedy,
+        )
+
+        q_ann_graph_greedy(spark, sf_dir).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
     out: dict = {"metric": "scale_probe", "x": REPLICAS, "base": BASE}
     seen_names: set = set()
     for name, fn in (
@@ -1006,6 +1019,7 @@ def main() -> None:
         ("emb_pca_power", pca),
         ("text_collocations", colloc),
         ("j9_binned_interval_join", intervaljoin),
+        ("ann_graph_greedy", anngraph),
     ):
         if ONLY and name not in ONLY:
             continue

@@ -1013,3 +1013,116 @@ def test_j9_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     # one aggregation pair (partial+final count), no Deduplicate
     assert "Deduplicate" not in plan
+
+
+# --- ann_graph_greedy: navigable-graph beam search --------------------
+
+
+def test_graph_greedy_matches_duckdb_twin(spark):
+    from covid_engineering_spark.queries import oracles, registry
+
+    con = duck_con(SF_SMOKE)
+    try:
+        res = compare(
+            registry()["ann_graph_greedy"](spark, SF_SMOKE),
+            con,
+            oracles()["ann_graph_greedy"],
+        )
+        assert res["match"], res
+    finally:
+        con.close()
+
+
+def test_graph_greedy_matches_twin_on_null_payloads(spark, patho_dir):  # noqa: F811
+    from covid_engineering_spark.queries import oracles, registry
+
+    con = duck_con(patho_dir)
+    try:
+        res = compare(
+            registry()["ann_graph_greedy"](spark, patho_dir),
+            con,
+            oracles()["ann_graph_greedy"],
+        )
+        assert res["match"], res
+    finally:
+        con.close()
+
+
+def test_graph_greedy_navigates_a_planted_geometry(spark):
+    """On a corpus with REAL metric structure (three well-separated
+    directions, queries near one of them), the walk must reach the
+    exact nearest neighbor for every query — graph navigation is only
+    hard on the concentration-regime fixture, and this pins that the
+    machinery (hub layer, beam, monotone merge) actually navigates."""
+    from covid_engineering_spark.operators.similarity import (
+        DIM,
+        graph_greedy_search,
+    )
+
+    def unit(axis, t):
+        # all vectors DISTINCT along a smooth gradient — duplicate
+        # vectors would make each knn list a clique of copies and
+        # disconnect the graph within the arm
+        v = [0.0] * DIM
+        v[axis] = 1.0
+        v[(axis + 1) % DIM] = t
+        n = (1 + t * t) ** 0.5
+        return [float(x / n) for x in v]
+
+    rows = []
+    vid = 100
+    for axis in (0, 20, 40):  # three separated arms, 8 points each —
+        for i in range(8):  # knn k=5 keeps the gradient's diameter
+            rows.append((vid, unit(axis, 0.08 * i), f"arm{axis}"))
+            vid += 1
+    # queries 0..2: one near the middle of each arm
+    for qi, axis in enumerate((0, 20, 40)):
+        rows.append((qi, unit(axis, 0.08 * 5 + 0.01), f"arm{axis}"))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    got = graph_greedy_search(emb).collect()
+    assert len(got) == 3
+    for r in got:
+        assert r["hit"], r  # every query lands in its arm's top-k
+        assert r["found_cs"] >= 0.99, r
+
+
+def test_graph_greedy_beats_single_path_and_stays_in_topk_band(spark):
+    """On the real fixture: the registered beam finds strictly better
+    scores than a beam-1 walk (the reason the beam exists), at least
+    one query lands inside the exact top-k, and the found score never
+    exceeds the exact best (sanity: the exact top-1 is an upper
+    bound)."""
+    from covid_engineering_spark.operators.similarity import (
+        graph_greedy_search,
+    )
+    from covid_engineering_spark.sources import read_table
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    beam = {r["q_id"]: r for r in graph_greedy_search(emb).collect()}
+    single = {
+        r["q_id"]: r
+        for r in graph_greedy_search(emb, beam=1).collect()
+    }
+    assert sum(r["hit"] for r in beam.values()) >= 1
+    assert sum(
+        beam[q]["found_cs"] for q in beam
+    ) > sum(single[q]["found_cs"] for q in single)
+    for r in beam.values():
+        assert r["found_cs"] <= r["best_cs"], r
+
+
+def test_graph_greedy_corpus_never_shuffled_by_the_walk(spark):
+    """The walk's joins broadcast the tiny state/candidate frames —
+    the corpus embedding frame must never be exchanged on vec_id, and
+    no cartesian appears (the hub-pair and entry attaches are
+    broadcast nested loops over <=#labels-row frames)."""
+    from covid_engineering_spark.plans import simple_plan
+    from covid_engineering_spark.queries import registry
+    from tests.test_plans import has_cartesian
+
+    df = registry()["ann_graph_greedy"](spark, SF_SMOKE)
+    assert not has_cartesian(df)
+    plan = simple_plan(df)
+    assert "hashpartitioning(vec_id" not in plan, plan

@@ -102,6 +102,8 @@ DUCKDB_ONLY = {
     "emb_pca_power",
     # r10: string_split/list_transform bigram chain + split_part
     "text_collocations",
+    # r10: list_dot_product kNN/beam chain + md5(CAST..VARCHAR) hubs
+    "ann_graph_greedy",
     "a24_cms_heavy",
     "ann_hamming_topk",
     "ann_range_search",

@@ -250,6 +250,10 @@ SURVEY_MAP = {
     # scale form of j5's broadcast-only range join, exactly-once by
     # construction (no dedup stage)
     "J9": "j9_binned_interval_join",
+    # navigable-graph beam ANN (the NSW/HNSW search procedure): hub
+    # layer + undirected kNN edges, unrolled beam hops, found@top-k
+    # judged in-engine against brute force
+    "ANN-GRAPH": "ann_graph_greedy",
     "ANN-RP": "emb_rp_recall",
     "PIPE-KANON": "pipe_k_anonymity",
     "PIPE-PPS": "pipe_weighted_sample",
