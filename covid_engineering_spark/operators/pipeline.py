@@ -341,6 +341,63 @@ def q_pipe_bloom_decontaminate(
     )
 
 
+def q_pipe_tokenizer_fertility(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer-efficiency audit per language: characters per
+    (BPE-ish regex) token and tokens per whitespace word — the
+    fertility numbers that decide how much of a multilingual corpus a
+    fixed token budget actually buys, and the first thing to check
+    when a language is under-served by the tokenizer (high fertility
+    = more tokens per unit text = less content per training step).
+
+    Exactness: per-doc counters are integers; the per-lang ratios are
+    computed on the SUMS (one truncating ``DIV``/``//`` on exact
+    BIGINTs — the corpus-level ratio, NOT a mean of per-doc ratios,
+    which would weight short docs equally with long ones). NULL text
+    contributes to ``n_docs`` but not to the sums (all three counters
+    are NULL together); a lang whose docs are all payload-less
+    reports NULL ratios via the explicit zero guard — DuckDB raises
+    on ``// 0`` where Spark returns NULL, so the guard is parity, not
+    styling. One partial-aggregated groupBy on ``lang``: the shuffle
+    carries language cardinality, never the corpus.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        F.length("text").cast("long").alias("c"),
+        F.array_size(F.split(F.col("text"), " "))
+        .cast("long")
+        .alias("w"),
+        F.array_size(
+            F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0)
+        )
+        .cast("long")
+        .alias("t"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("c").alias("sum_chars"),
+        F.sum("w").alias("sum_words"),
+        F.sum("t").alias("sum_tokens"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "sum_chars",
+        "sum_words",
+        "sum_tokens",
+        F.when(
+            F.coalesce(F.col("sum_tokens"), F.lit(0)) > 0,
+            F.expr("sum_chars * 1000000 DIV sum_tokens"),
+        ).alias("chars_per_token_micros"),
+        F.when(
+            F.coalesce(F.col("sum_words"), F.lit(0)) > 0,
+            F.expr("sum_tokens * 1000000 DIV sum_words"),
+        ).alias("tokens_per_word_micros"),
+    )
+
+
 #: Token budget per packed training chunk.
 PACK_BUDGET = 512
 #: Per-source keep thresholds on the first two hex chars of a salted
@@ -2034,6 +2091,7 @@ QUERIES = {
     "pipe_decontaminate": q_pipe_decontaminate,
     "pipe_contamination_report": q_pipe_contamination_report,
     "pipe_bloom_decontaminate": q_pipe_bloom_decontaminate,
+    "pipe_tokenizer_fertility": q_pipe_tokenizer_fertility,
     "pipe_pack_chunks": q_pipe_pack_chunks,
     "pipe_mixture_sample": q_pipe_mixture_sample,
     "dedup_clusters": q_dedup_clusters,
@@ -2463,6 +2521,30 @@ ORACLES = {
         LEFT JOIN sizes z USING (doc_id)
         LEFT JOIN shared s USING (doc_id)
         WHERE d.doc_id % {DECON_EVAL_MOD} <> 0
+    """,
+    "pipe_tokenizer_fertility": """
+        WITH per AS (
+            SELECT lang,
+                   CAST(length(text) AS BIGINT) AS c,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+                   CAST(len(regexp_extract_all(text, '[a-z0-9]+'))
+                        AS BIGINT) AS t
+            FROM documents
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(c) AS BIGINT) AS sum_chars,
+               CAST(SUM(w) AS BIGINT) AS sum_words,
+               CAST(SUM(t) AS BIGINT) AS sum_tokens,
+               CASE WHEN COALESCE(SUM(t), 0) > 0
+                    THEN CAST(SUM(c) AS BIGINT) * 1000000
+                         // CAST(SUM(t) AS BIGINT) END
+                   AS chars_per_token_micros,
+               CASE WHEN COALESCE(SUM(w), 0) > 0
+                    THEN CAST(SUM(t) AS BIGINT) * 1000000
+                         // CAST(SUM(w) AS BIGINT) END
+                   AS tokens_per_word_micros
+        FROM per GROUP BY lang
     """,
     "pipe_bloom_decontaminate": f"""
         WITH {_SH4_SQL},

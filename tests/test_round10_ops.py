@@ -1126,3 +1126,97 @@ def test_graph_greedy_corpus_never_shuffled_by_the_walk(spark):
     assert not has_cartesian(df)
     plan = simple_plan(df)
     assert "hashpartitioning(vec_id" not in plan, plan
+
+
+# --- pipe_tokenizer_fertility: per-lang tokenizer-efficiency audit ----
+
+
+def test_tokenizer_fertility_matches_duckdb_twin(spark):
+    from covid_engineering_spark.queries import oracles, registry
+
+    con = duck_con(SF_SMOKE)
+    try:
+        res = compare(
+            registry()["pipe_tokenizer_fertility"](spark, SF_SMOKE),
+            con,
+            oracles()["pipe_tokenizer_fertility"],
+        )
+        assert res["match"], res
+    finally:
+        con.close()
+
+
+def test_tokenizer_fertility_matches_twin_on_null_payloads(spark, patho_dir):  # noqa: F811
+    from covid_engineering_spark.queries import oracles, registry
+
+    con = duck_con(patho_dir)
+    try:
+        res = compare(
+            registry()["pipe_tokenizer_fertility"](spark, patho_dir),
+            con,
+            oracles()["pipe_tokenizer_fertility"],
+        )
+        assert res["match"], res
+    finally:
+        con.close()
+
+
+def test_tokenizer_fertility_hand_values(spark):
+    """Ratio semantics pinned by hand: corpus-level sums (a long doc
+    dominates the lang ratio — NOT a mean of per-doc ratios), NULL
+    text counted in n_docs but absent from every sum, and an
+    all-NULL language reports NULL ratios instead of dividing by
+    zero."""
+    rows = [
+        (1, "ab cd", "en", "s", 5),       # 5 chars, 2 words, 2 tokens
+        (2, "abcdef", "en", "s", 6),      # 6 chars, 1 word, 1 token
+        (3, None, "en", "s", 0),          # counted, contributes nothing
+        (4, None, "xx", "s", 0),          # all-NULL language
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    # the registered callable reads from sf_dir; drive the same
+    # expressions directly over the hand frame instead
+    import pyspark.sql.functions as SF
+
+    per = docs.select(
+        "lang",
+        SF.length("text").cast("long").alias("c"),
+        SF.array_size(SF.split(SF.col("text"), " "))
+        .cast("long")
+        .alias("w"),
+        SF.array_size(
+            SF.regexp_extract_all("text", SF.lit("[a-z0-9]+"), 0)
+        )
+        .cast("long")
+        .alias("t"),
+    )
+    agg = per.groupBy("lang").agg(
+        SF.count("*").alias("n_docs"),
+        SF.sum("c").alias("sum_chars"),
+        SF.sum("w").alias("sum_words"),
+        SF.sum("t").alias("sum_tokens"),
+    )
+    out = {
+        r["lang"]: r
+        for r in agg.select(
+            "lang",
+            "n_docs",
+            "sum_chars",
+            "sum_tokens",
+            SF.when(
+                SF.coalesce(SF.col("sum_tokens"), SF.lit(0)) > 0,
+                SF.expr("sum_chars * 1000000 DIV sum_tokens"),
+            ).alias("cpt"),
+        ).collect()
+    }
+    en = out["en"]
+    assert en["n_docs"] == 3 and en["sum_chars"] == 11
+    assert en["sum_tokens"] == 3
+    assert en["cpt"] == 11 * 1_000_000 // 3  # corpus-level, not mean
+    xx = out["xx"]
+    assert xx["n_docs"] == 1 and xx["sum_chars"] is None
+    assert xx["cpt"] is None

@@ -104,6 +104,8 @@ DUCKDB_ONLY = {
     "text_collocations",
     # r10: list_dot_product kNN/beam chain + md5(CAST..VARCHAR) hubs
     "ann_graph_greedy",
+    # r10: string_split/len token counters + '//' integer division
+    "pipe_tokenizer_fertility",
     "a24_cms_heavy",
     "ann_hamming_topk",
     "ann_range_search",

@@ -254,6 +254,9 @@ SURVEY_MAP = {
     # layer + undirected kNN edges, unrolled beam hops, found@top-k
     # judged in-engine against brute force
     "ANN-GRAPH": "ann_graph_greedy",
+    # per-lang tokenizer fertility (chars/token, tokens/word on exact
+    # corpus-level sums) — the multilingual token-budget audit
+    "PIPE-FERTILITY": "pipe_tokenizer_fertility",
     "ANN-RP": "emb_rp_recall",
     "PIPE-KANON": "pipe_k_anonymity",
     "PIPE-PPS": "pipe_weighted_sample",
