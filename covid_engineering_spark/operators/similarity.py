@@ -978,6 +978,137 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges.select("src_id", "n_id"))
 
 
+#: k-core threshold and fixed peel-round budget, over the MUTUAL kNN
+#: graph (x and y connected only when each is in the other's top-k —
+#: the standard symmetrization for clustering, and the only one that
+#: yields a non-trivial core here: the plain undirected kNN graph has
+#: degree ≥ k at EVERY vertex by construction, so its k-core is all
+#: or nothing). Mutual degrees run 1-5 on the fixture; k=3 peels
+#: ~1/5 of the graph through a real multi-round cascade (measured
+#: waves at sf0.1: 270/105/45/18/7/4/2/1/2/1, fixed point at round
+#: 11) and keeps a substantial core. ROUNDS bounds the depth the way
+#: CC_MAX_ROUNDS bounds connected_components: the Spark loop BREAKS
+#: at the first zero-peel round (the driver holds only a counter),
+#: and the twin's extra unrolled rounds past the fixed point are
+#: exact no-ops, so any budget >= the true depth gives identical
+#: results. Fixed point within budget is asserted in tests.
+KCORE_K = 3
+KCORE_ROUNDS = 16
+
+
+def kcore(edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> DataFrame:
+    """Fixed-round k-core decomposition of a directed edge list taken
+    as undirected — the graph-curation density gate: the k-core is the
+    maximal subgraph where every vertex keeps ≥ k neighbors, the
+    standard definition of a "dense community" on near-dup/retrieval
+    graphs (template families and boilerplate farms sit in deep
+    cores; one-off documents peel immediately). Peeling is the
+    textbook algorithm: repeatedly remove every vertex whose CURRENT
+    degree is below k — removing a vertex lowers its neighbors'
+    degrees, so the cascade must recompute degrees per round.
+
+    Fixed ``rounds`` unrolled into one lazy plan (the PageRank/kmeans
+    convention — convergence-loop use materializes per round with
+    localCheckpoint exactly as ``connected_components`` does). Per
+    round: one partial-aggregated degree count (shuffle carries
+    vertex cardinality), two LEFT SEMI joins restricting the edge set
+    to survivors. Output: every original vertex with its initial
+    degree, the peel round that removed it (NULL if it survived all
+    rounds = in-core at the measured depth), the in-core verdict, and
+    the core-subgraph degree for survivors.
+    """
+    from covid_engineering_spark.functions import evicting_cache
+
+    und0 = evicting_cache(
+        edges.select(
+            F.least("src_id", "n_id").alias("a"),
+            F.greatest("src_id", "n_id").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct(),
+        "kcore_edges",
+    )
+
+    def degrees(und):
+        return (
+            und.select(F.col("a").alias("v"))
+            .unionAll(und.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("deg"))
+        )
+
+    deg0 = evicting_cache(degrees(und0), "kcore_deg0")
+
+    def zero_filled(verts, und):
+        """Current degree of every still-standing vertex — explicitly
+        ZERO-filled: a vertex isolated by its neighbors' removal has
+        no edge left and would silently vanish from a bare degree
+        aggregate, escaping both the peel and the core."""
+        return verts.join(degrees(und), "v", "left").select(
+            "v",
+            F.coalesce(F.col("deg"), F.lit(0).cast("long")).alias(
+                "deg"
+            ),
+        )
+
+    und = und0
+    verts = deg0.select("v")
+    peeled = None  # (v, peel_round) accumulator
+    for r in range(1, rounds + 1):
+        # eager localCheckpoint per round (the connected_components
+        # convention): each round's edge set references the previous
+        # round's ~3 times (two degree branches + the restriction),
+        # so the UNCHECKPOINTED unrolled tree grows ~3^rounds and
+        # Catalyst's tree-walking analysis blows the driver heap at 4
+        # rounds; truncation keeps every round's plan flat.
+        degc = zero_filled(verts, und).localCheckpoint(eager=True)
+        drop = degc.filter(F.col("deg") < k).select(
+            "v", F.lit(r).alias("peel_round")
+        )
+        # convergence break on the checkpointed round frame — the
+        # driver-side loop holds only this counter, never data; the
+        # twin's rounds past the fixed point are exact no-ops, so the
+        # early exit cannot diverge from the unrolled SQL
+        if drop.count() == 0:
+            break
+        peeled = drop if peeled is None else peeled.unionByName(drop)
+        verts = degc.filter(F.col("deg") >= k).select("v")
+        und = (
+            und.join(
+                verts.select(F.col("v").alias("a")), "a", "left_semi"
+            )
+            .join(verts.select(F.col("v").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    core = zero_filled(verts, und).select(
+        "v", F.col("deg").alias("core_degree")
+    )
+    return (
+        deg0.select("v", F.col("deg").alias("initial_degree"))
+        .join(peeled, "v", "left")
+        .join(core, "v", "left")
+        .select(
+            F.col("v").alias("vec_id"),
+            "initial_degree",
+            F.col("peel_round").cast("int").alias("peel_round"),
+            F.col("core_degree").isNotNull().alias("in_core"),
+            "core_degree",
+        )
+    )
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peel of the MUTUAL kNN graph (see KCORE_K)."""
+    ke = knn_graph(read_table(spark, sf_dir, "embeddings")).select(
+        "src_id", "n_id"
+    )
+    rev = ke.select(
+        F.col("n_id").alias("src_id"), F.col("src_id").alias("n_id")
+    )
+    mutual = ke.join(rev, ["src_id", "n_id"], "left_semi")
+    return kcore(mutual)
+
+
 #: Beam-search budget for the navigable-graph walk: 1 hub hop reaches
 #: any block (the hub layer is a complete digraph), the remaining
 #: hops descend within blocks. Measured on the sf0.01 fixture: a
@@ -2161,6 +2292,7 @@ QUERIES = {
     "emb_hard_negatives": q_emb_hard_negatives,
     "graph_pagerank": q_graph_pagerank,
     "graph_triangle_count": q_graph_triangle_count,
+    "graph_kcore": q_graph_kcore,
     "emb_pca_power": q_emb_pca_power,
     "ann_graph_greedy": q_ann_graph_greedy,
     "emb_pq_codes": q_emb_pq_codes,
@@ -2543,6 +2675,94 @@ def _greedy_oracle_sql(
     """
 
 
+def _kcore_oracle_sql(
+    k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+) -> str:
+    """Twin of ``kcore`` over the kNN edges: the identical edge CTE,
+    then every unrolled peel round — zero-filled degree recount,
+    sub-k drop with its round stamp, survivor semi-restriction of the
+    edge set — and the survivor/peeled assembly."""
+
+    def deg_of(u: str) -> str:
+        return (
+            f"(SELECT v, COUNT(*) AS deg FROM "
+            f"(SELECT a AS v FROM {u} UNION ALL SELECT b AS v FROM {u}) t "
+            f"GROUP BY v)"
+        )
+
+    # AS MATERIALIZED on every per-round frame: each round references
+    # the previous round's edge set ~3 times (two degree branches +
+    # the restriction), and DuckDB's default CTE inlining re-executes
+    # the whole upstream kNN self-join per reference — the same
+    # ~3^rounds blowup the Spark side truncates with localCheckpoint.
+    blocks = []
+    prev_v, prev_u = "v0", "und"
+    for r in range(1, rounds + 1):
+        blocks.append(f"""
+        d{r} AS MATERIALIZED (
+            SELECT vv.v, CAST(COALESCE(cnt.deg, 0) AS BIGINT) AS deg
+            FROM {prev_v} vv LEFT JOIN {deg_of(prev_u)} cnt USING (v)
+        ),
+        p{r} AS (SELECT v, {r} AS peel_round FROM d{r} WHERE deg < {k}),
+        v{r} AS (SELECT v FROM d{r} WHERE deg >= {k}),
+        u{r} AS MATERIALIZED (
+            SELECT u.a, u.b FROM {prev_u} u
+            JOIN v{r} x ON x.v = u.a
+            JOIN v{r} y ON y.v = u.b
+        )""")
+        prev_v, prev_u = f"v{r}", f"u{r}"
+    peeled_union = "\n            UNION ALL ".join(
+        f"SELECT v, peel_round FROM p{r}" for r in range(1, rounds + 1)
+    )
+    return f"""
+        WITH scored AS (
+            SELECT a.vec_id AS src_id, b.vec_id AS n_id,
+                   ROUND(list_dot_product(
+                       list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                       list_transform(b.embedding, x -> CAST(x AS DOUBLE))
+                   ), 6) AS cosine
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id <> b.vec_id
+        ),
+        kedges AS (
+            SELECT src_id, n_id FROM (
+                SELECT src_id, n_id,
+                       ROW_NUMBER() OVER (PARTITION BY src_id
+                                          ORDER BY cosine DESC, n_id) AS rank
+                FROM scored
+            ) t WHERE rank <= {KNN_K}
+        ),
+        und AS MATERIALIZED (
+            SELECT DISTINCT LEAST(m.src_id, m.n_id) AS a,
+                            GREATEST(m.src_id, m.n_id) AS b
+            FROM kedges m JOIN kedges r
+              ON m.src_id = r.n_id AND m.n_id = r.src_id
+            WHERE m.src_id <> m.n_id
+        ),
+        deg0 AS MATERIALIZED (
+            SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) t
+            GROUP BY v
+        ),
+        v0 AS (SELECT v FROM deg0),
+        {",".join(blocks)},
+        peeled AS ({peeled_union}),
+        core AS (
+            SELECT vv.v, CAST(COALESCE(cnt.deg, 0) AS BIGINT)
+                       AS core_degree
+            FROM {prev_v} vv LEFT JOIN {deg_of(prev_u)} cnt USING (v)
+        )
+        SELECT d0.v AS vec_id,
+               d0.deg AS initial_degree,
+               CAST(p.peel_round AS INTEGER) AS peel_round,
+               (c.v IS NOT NULL) AS in_core,
+               c.core_degree
+        FROM deg0 d0
+        LEFT JOIN peeled p ON p.v = d0.v
+        LEFT JOIN core c ON c.v = d0.v
+    """
+
+
 def _triangle_oracle_sql() -> str:
     """Twin of ``triangle_count`` over the kNN edges: the same
     degree-ordered orientation, wedge join, EXISTS closure check, and
@@ -2907,6 +3127,7 @@ ORACLES = {
     "ann_ivf_topk": _ivf_oracle_sql(),
     "graph_pagerank": _pagerank_oracle_sql(),
     "graph_triangle_count": _triangle_oracle_sql(),
+    "graph_kcore": _kcore_oracle_sql(),
     "emb_pca_power": _pca_oracle_sql(),
     "ann_graph_greedy": _greedy_oracle_sql(),
     "ann_ivfpq_topk": _ivfpq_oracle_sql(),

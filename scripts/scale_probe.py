@@ -963,6 +963,20 @@ def main() -> None:
             "overwrite"
         ).format("noop").save()
 
+    def kcorepeel(sf_dir):
+        # mutual-kNN k-core at Nx the BLOCKS: edges grow linearly,
+        # each peel round is one vertex-keyed degree agg + two
+        # semi-joins on checkpointed frames; cascade DEPTH is a local
+        # property of block topology, so round count must stay flat
+        # while per-round cost tracks the edge scan
+        from covid_engineering_spark.operators.similarity import (
+            q_graph_kcore,
+        )
+
+        q_graph_kcore(spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+
     out: dict = {"metric": "scale_probe", "x": REPLICAS, "base": BASE}
     seen_names: set = set()
     for name, fn in (
@@ -1020,6 +1034,7 @@ def main() -> None:
         ("text_collocations", colloc),
         ("j9_binned_interval_join", intervaljoin),
         ("ann_graph_greedy", anngraph),
+        ("graph_kcore", kcorepeel),
     ):
         if ONLY and name not in ONLY:
             continue

@@ -1220,3 +1220,97 @@ def test_tokenizer_fertility_hand_values(spark):
     xx = out["xx"]
     assert xx["n_docs"] == 1 and xx["sum_chars"] is None
     assert xx["cpt"] is None
+
+
+# --- graph_kcore: fixed-round k-core peel ------------------------------
+
+
+def test_kcore_matches_duckdb_twin(spark):
+    from covid_engineering_spark.queries import oracles, registry
+
+    con = duck_con(SF_SMOKE)
+    try:
+        res = compare(
+            registry()["graph_kcore"](spark, SF_SMOKE),
+            con,
+            oracles()["graph_kcore"],
+        )
+        assert res["match"], res
+    finally:
+        con.close()
+
+
+def test_kcore_matches_twin_on_null_payloads(spark, patho_dir):  # noqa: F811
+    from covid_engineering_spark.queries import oracles, registry
+
+    con = duck_con(patho_dir)
+    try:
+        res = compare(
+            registry()["graph_kcore"](spark, patho_dir),
+            con,
+            oracles()["graph_kcore"],
+        )
+        assert res["match"], res
+    finally:
+        con.close()
+
+
+def test_kcore_hand_graph(spark):
+    """Peel semantics pinned by hand on K5 + appendages, k=3: the
+    5-clique (degree 4 each) survives untouched; a tail vertex whose
+    degree starts ABOVE k peels only in round 2 after round 1 removes
+    its leaves (the cascade a one-shot degree filter misses); and a
+    hub isolated by its neighbors' removal is peeled the NEXT round
+    at degree zero, not lost (the zero-fill contract)."""
+    from covid_engineering_spark.operators.similarity import kcore
+
+    k5 = [
+        (a, b) for a in (1, 2, 3, 4, 5) for b in (1, 2, 3, 4, 5) if a < b
+    ]
+    # 6 hangs off the clique with two extra leaves: initial degree 3
+    # (>= k) — it survives round 1, loses 7/12 to the round-1 leaf
+    # peel, and cascades out in round 2
+    tail = [(5, 6), (6, 7), (6, 12)]
+    # star: 8 connected to three degree-1 leaves — every leaf peels in
+    # round 1, so 8 (initial degree 3 >= k) is ISOLATED by round 2
+    star = [(8, 9), (8, 10), (8, 11)]
+    edges = spark.createDataFrame(
+        k5 + tail + star, "src_id long, n_id long"
+    )
+    got = {
+        r["vec_id"]: r for r in kcore(edges, k=3).collect()
+    }
+    for v in (1, 2, 3, 4):
+        assert got[v]["in_core"] and got[v]["peel_round"] is None
+        assert got[v]["core_degree"] == 4
+    assert got[5]["in_core"] and got[5]["core_degree"] == 4  # tail gone
+    for leaf in (7, 12, 9, 10, 11):
+        assert got[leaf]["peel_round"] == 1, leaf  # degree 1
+    assert got[6]["peel_round"] == 2  # survived round 1 at degree 3
+    assert got[8]["peel_round"] == 2  # isolated, then peeled (deg 0)
+    assert not got[8]["in_core"]
+
+
+def test_kcore_reaches_fixed_point_on_the_fixture(spark):
+    """The round budget must SUFFICE: no vertex may be peeled in the
+    final round (a last-round peel means the cascade was cut short and
+    'in_core' would be a depth artifact), every in-core vertex keeps
+    core_degree >= k, and the peeled/in-core split must be non-trivial
+    in both directions."""
+    from covid_engineering_spark.operators.similarity import (
+        KCORE_K,
+        KCORE_ROUNDS,
+    )
+    from covid_engineering_spark.queries import registry
+
+    rows = registry()["graph_kcore"](spark, SF_SMOKE).collect()
+    last_round = [r for r in rows if r["peel_round"] == KCORE_ROUNDS]
+    assert last_round == [], last_round
+    in_core = [r for r in rows if r["in_core"]]
+    peeled = [r for r in rows if not r["in_core"]]
+    assert len(in_core) > 0 and len(peeled) > 0
+    for r in in_core:
+        assert r["core_degree"] >= KCORE_K, r
+        assert r["peel_round"] is None, r
+    for r in peeled:
+        assert r["peel_round"] is not None, r

@@ -106,6 +106,8 @@ DUCKDB_ONLY = {
     "ann_graph_greedy",
     # r10: string_split/len token counters + '//' integer division
     "pipe_tokenizer_fertility",
+    # r10: list_dot_product kNN chain + AS MATERIALIZED round frames
+    "graph_kcore",
     "a24_cms_heavy",
     "ann_hamming_topk",
     "ann_range_search",

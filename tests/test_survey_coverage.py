@@ -257,6 +257,9 @@ SURVEY_MAP = {
     # per-lang tokenizer fertility (chars/token, tokens/word on exact
     # corpus-level sums) — the multilingual token-budget audit
     "PIPE-FERTILITY": "pipe_tokenizer_fertility",
+    # k-core peel of the mutual kNN graph: convergence-broken peeling
+    # with per-round localCheckpoint; the dense-community gate
+    "GRAPH-KCORE": "graph_kcore",
     "ANN-RP": "emb_rp_recall",
     "PIPE-KANON": "pipe_k_anonymity",
     "PIPE-PPS": "pipe_weighted_sample",
