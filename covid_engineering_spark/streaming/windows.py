@@ -14,7 +14,7 @@ limit. ``withWatermark`` before the aggregation is the contract.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from covid_engineering_spark.functions import dsum
@@ -34,6 +34,77 @@ def tumbling_agg(ev: DataFrame) -> DataFrame:
             "n_events",
             "sum_value",
         )
+    )
+
+
+#: Report size for the per-window top-k event types.
+TOPK_PER_WINDOW = 3
+
+
+def windowed_type_counts(ev: DataFrame) -> DataFrame:
+    """Per (1-hour tumbling window, event_type) counts — the
+    STREAMABLE half of windowed top-k: a plain watermarkable windowed
+    aggregation whose state is bounded by (windows in flight ×
+    types). The rank itself is NOT streamable (row_number over a
+    window is unsupported on update-mode streams), which is exactly
+    the production split: stream the counts into the serving store,
+    rank at read — ``windowed_topk`` is that read."""
+    return ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n_events"))
+
+
+def windowed_topk(
+    ev: DataFrame, k: int = TOPK_PER_WINDOW
+) -> DataFrame:
+    """Per-window top-k event types by count — the trending/leaderboard
+    query every metrics store serves. Batch face of the
+    counts-stream + rank-at-read split (see
+    :func:`windowed_type_counts`); the rank window partitions on the
+    window struct (cardinality = hours of data), ordered
+    (n_events DESC, event_type ASC) with Spark's asc-nulls-first
+    mirrored as NULLS FIRST in the twin so a NULL type tie cannot
+    diverge."""
+    counts = windowed_type_counts(ev)
+    wnd = Window.partitionBy("w").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(wnd))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windowed_topk(read_table(spark, sf_dir, "events"))
+
+
+def stream_type_counts(
+    spark: SparkSession,
+    source_dir: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming face of :func:`windowed_type_counts`: parquet file
+    source → watermarked (window, type) counts. Rank at read. Same
+    NTZ→TIMESTAMP event-time cast as ``stream_events`` (watermarks
+    are defined on TIMESTAMP only; the UTC session makes it
+    deterministic)."""
+    from covid_engineering_spark import schemas
+
+    return (
+        spark.readStream.schema(schemas.STAR["events"])
+        .parquet(source_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
     )
 
 
@@ -128,6 +199,7 @@ QUERIES = {
     "stream_tumble": q_stream_tumble,
     "stream_slide": q_stream_slide,
     "stream_session": q_stream_session,
+    "stream_topk": q_stream_topk,
 }
 
 _SUM = "ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)"
@@ -151,6 +223,27 @@ ORACLES = {
                {_SUM} AS sum_value
         FROM events CROSS JOIN (VALUES (0), (1)) AS o(off)
         GROUP BY 1, 2
+    """,
+    "stream_topk": f"""
+        WITH counts AS (
+            SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+                       AS ws,
+                   event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT ws, event_type, n_events,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY ws
+                       ORDER BY n_events DESC,
+                                event_type ASC NULLS FIRST) AS rk
+            FROM counts
+        )
+        SELECT ws AS window_start,
+               ws + INTERVAL '1 hour' AS window_end,
+               event_type, n_events,
+               CAST(rk AS INTEGER) AS rank
+        FROM ranked WHERE rk <= {TOPK_PER_WINDOW}
     """,
     "stream_session": f"""
         WITH marked AS (

@@ -1314,3 +1314,58 @@ def test_kcore_reaches_fixed_point_on_the_fixture(spark):
         assert r["peel_round"] is None, r
     for r in peeled:
         assert r["peel_round"] is not None, r
+
+
+# --- stream_topk: per-window top-k event types -------------------------
+
+
+def test_stream_topk_matches_duckdb_twin(spark):
+    from covid_engineering_spark.queries import oracles, registry
+
+    con = duck_con(SF_SMOKE)
+    try:
+        res = compare(
+            registry()["stream_topk"](spark, SF_SMOKE),
+            con,
+            oracles()["stream_topk"],
+        )
+        assert res["match"], res
+    finally:
+        con.close()
+
+
+def test_stream_topk_matches_twin_on_null_payloads(spark, patho_dir):  # noqa: F811
+    from covid_engineering_spark.queries import oracles, registry
+
+    con = duck_con(patho_dir)
+    try:
+        res = compare(
+            registry()["stream_topk"](spark, patho_dir),
+            con,
+            oracles()["stream_topk"],
+        )
+        assert res["match"], res
+    finally:
+        con.close()
+
+
+def test_stream_topk_rank_contract(spark):
+    """Every window reports at most TOPK_PER_WINDOW rows, ranks are
+    dense from 1, and counts are non-increasing with rank."""
+    from collections import defaultdict
+
+    from covid_engineering_spark.queries import registry
+    from covid_engineering_spark.streaming.windows import (
+        TOPK_PER_WINDOW,
+    )
+
+    by_w = defaultdict(list)
+    for r in registry()["stream_topk"](spark, SF_SMOKE).collect():
+        by_w[str(r["window_start"])].append((r["rank"], r["n_events"]))
+    assert by_w
+    for w, rows in by_w.items():
+        rows.sort()
+        assert len(rows) <= TOPK_PER_WINDOW, (w, rows)
+        assert [r for r, _ in rows] == list(range(1, len(rows) + 1))
+        counts = [n for _, n in rows]
+        assert counts == sorted(counts, reverse=True), (w, rows)

@@ -169,6 +169,8 @@ DUCKDB_ONLY = {
     "pipe_stratified_sample",
     "stream_slide",
     "stream_tumble",
+    # r10: time_bucket window bucketing (like tumble/slide)
+    "stream_topk",
     "text_fingerprint",
     "text_langid",
     "text_normalize",

@@ -260,6 +260,10 @@ SURVEY_MAP = {
     # k-core peel of the mutual kNN graph: convergence-broken peeling
     # with per-round localCheckpoint; the dense-community gate
     "GRAPH-KCORE": "graph_kcore",
+    # per-window top-k event types: the counts stream (watermarkable),
+    # the rank applied at read — the lambda-free serving split,
+    # demonstrated end-to-end in tests/test_streaming.py
+    "STREAM-TOPK": "stream_topk",
     "ANN-RP": "emb_rp_recall",
     "PIPE-KANON": "pipe_k_anonymity",
     "PIPE-PPS": "pipe_weighted_sample",
