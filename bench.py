@@ -126,6 +126,14 @@ HEADLINE = [
     # and the navigable-graph beam ANN (kNN graph + hub layer build,
     # 4 unrolled broadcast beam hops, brute-force judge).
     "ann_graph_greedy",
+    # and the per-lang fertility audit (one lang-keyed partial agg)
+    # plus the windowed top-k (counts agg + hour-cardinality rank).
+    # graph_kcore stays OFF the headline by design: its convergence
+    # loop runs ~10 checkpointed rounds at sf0.1 (an iterative
+    # algorithm, like dedup_clusters' CC which is also unbenched) —
+    # the scale probe covers it instead.
+    "pipe_tokenizer_fertility",
+    "stream_topk",
 ]
 
 

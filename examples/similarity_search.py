@@ -22,7 +22,10 @@ vector-heavy pipeline ships:
    sub-codebooks), the flat ADC scan, and the IVF-PQ composition
    (coarse-cell pruning + ADC over codes), each with inline recall
    against the baseline (unit-norm corpus, so L2 == cosine ranking);
-7. integer PageRank over the kNN graph — hub scoring;
+7. integer PageRank over the kNN graph — hub scoring — then the
+   graph-analytics companions: the degree-ordered triangle census,
+   the k-core peel of the mutual kNN graph, and the navigable-graph
+   beam search judged against the brute-force baseline;
 8. embedding near-dup pairs — the cosine dedup path on its salted
    block join, plus the MinHash bucket-stats pre-flight on the
    documents table (the "no silent caps" report);
@@ -51,11 +54,14 @@ from covid_engineering_spark.operators.similarity import (
     SEMDEDUP_TAU,
     assign_nearest_centroid,
     deterministic_codebook,
+    graph_greedy_search,
     hard_negatives,
     ivf_topk,
     ivfpq_topk,
+    kcore,
     knn_graph,
     pagerank,
+    triangle_count,
     pq_adc_topk,
     pq_codes,
     q_ann_cosine_topk,
@@ -126,6 +132,32 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     n_nodes = ranks.count()
     mass = ranks.agg({"rank": "sum"}).head()[0]
     print(f"pagerank: {n_nodes} nodes, total mass {mass}")
+
+    # 7b. the graph-analytics companions: triangle census (tight
+    # semantic clusters vs bridging hubs), k-core peel of the MUTUAL
+    # kNN graph (the dense-community gate), and the navigable-graph
+    # beam search judged against brute force
+    tri = triangle_count(graph.select("src_id", "n_id"))
+    n_closed = tri.filter("n_triangles > 0").count()
+    print(f"triangle census: {n_closed} of {n_nodes} vertices close a triangle")
+    peel = kcore(
+        graph.select("src_id", "n_id").join(
+            graph.select(
+                graph.n_id.alias("src_id"), graph.src_id.alias("n_id")
+            ),
+            ["src_id", "n_id"],
+            "left_semi",
+        )
+    )
+    n_core = peel.filter("in_core").count()
+    n_peeled = peel.filter("NOT in_core").count()
+    print(f"k-core peel (mutual knn): {n_core} in core, {n_peeled} peeled")
+    walk = graph_greedy_search(emb).collect()
+    found_at_k = sum(r["hit"] for r in walk)
+    print(
+        f"graph beam search: {found_at_k} of {len(walk)} queries land "
+        "in the exact top-5"
+    )
 
     # 8. cosine near-dup pairs + the bucket-cap pre-flight
     dups = embedding_pairs(emb, threshold=0.4).count()

@@ -96,6 +96,14 @@ def test_similarity_search_runs(spark, capsys):
     assert "nearest-centroid assignment: 500 vectors quantized" in out
     assert "pq codes: 4000 (500 vectors x 8 subspaces)" in out
     assert "pagerank: 500 nodes, total mass 500000000" in out
+    # graph-analytics companions: counts are threshold crossings over
+    # 6dp-rounded cosines on fixed data — deterministic, pinned exactly
+    assert "triangle census: 468 of 500 vertices close a triangle" in out
+    assert "k-core peel (mutual knn): 403 in core, 96 peeled" in out
+    # the beam walk's found@top-5 on the concentration-regime corpus:
+    # assert the floor (beam-1 measured 0), not the exact figure
+    line = next(l for l in out.splitlines() if l.startswith("graph beam search"))
+    assert int(line.split(":")[1].strip().split(" ")[0]) >= 1
     assert "embedding near-dup pairs at cosine >= 0.4: 5" in out
     # structural figure (cell count) exact; the kept count is a
     # threshold crossing over 6dp-rounded cosines on fixed data, so it
