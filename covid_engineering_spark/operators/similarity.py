@@ -1068,10 +1068,14 @@ def kcore(edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> Dat
         # convergence break on the checkpointed round frame — the
         # driver-side loop holds only this counter, never data; the
         # twin's rounds past the fixed point are exact no-ops, so the
-        # early exit cannot diverge from the unrolled SQL
+        # early exit cannot diverge from the unrolled SQL. (On a
+        # round-1 break — e.g. an empty or all-core graph — `peeled`
+        # stays an empty typed frame, set below, never None.)
+        if peeled is None:
+            peeled = drop.filter(F.lit(False))
         if drop.count() == 0:
             break
-        peeled = drop if peeled is None else peeled.unionByName(drop)
+        peeled = peeled.unionByName(drop)
         verts = degc.filter(F.col("deg") >= k).select("v")
         und = (
             und.join(
