@@ -37,12 +37,17 @@ from verification_ledger import (  # noqa: E402
 #: until a new green row lands, then drop off this list. (The ledger
 #: can't see code changes; this is the one hand-maintained bridge, and
 #: it empties every time the driver re-greens the named entries.)
-CHANGED_SINCE_LAST_GREEN: set[str] = set()
-# r10 start: EMPTY — the r09 driver run greened every entry the r09
-# bridge listed (x3_sird_mse + the 21-entry NULL-payload hardening
-# set; CORRECTNESS_r09.json, all three axes, zero err), so the bridge
-# drains completely. Re-add any entry whose engine plan or SQL twin
-# changes this round after its last green row.
+CHANGED_SINCE_LAST_GREEN: set[str] = {
+    # r11: standing-bucket-index rework (VERDICT r10 #3) touches the
+    # incremental-LSH code path after its r10 green row.
+    "pipe_near_dup_incremental_lsh",
+    # r11: hashed-gram production default flip (VERDICT r10 #4)
+    # touches the ExactSubstr family after its r10 green rows; the
+    # registered exact-string form is pinned unchanged by tests but
+    # re-verifies anyway.
+    "dedup_substring",
+    "dedup_substring_strip",
+}
 
 
 def test_priority_is_exactly_the_first_50():
