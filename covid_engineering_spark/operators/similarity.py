@@ -513,9 +513,13 @@ def pca_power(emb: DataFrame, iters: int = PCA_ITERS) -> DataFrame:
     each round is one map-side broadcast of the 64-float v, one
     posexplode partial-aggregated into 64 keys (the shuffle carries
     dims × partitions rows, never the corpus), and 1-row/64-row
-    broadcasts back. Integer headroom: |w_j| ≤ N·10⁶·max|dot·x'| —
-    exact to corpus sizes ~10¹² rows; past that the production move
-    is a coarser micro scale, not a different plan.
+    broadcasts back. Integer headroom: the linear w-sums carry
+    |w_j| ≤ N·10⁶·max|dot·x'| — exact to corpus sizes ~10¹² rows.
+    The Rayleigh Σ(dm²) term squares the micro scale (~4·10¹² per
+    row), so it accumulates in DECIMAL(38,0) (exact to ~10²⁵ rows;
+    the DuckDB twin's HUGEINT sum is the same discipline) — a plain
+    BIGINT sum would wrap near 2·10⁶ rows. Past either bound the
+    production move is a coarser micro scale, not a different plan.
     """
     from covid_engineering_spark.functions import evicting_cache
 
@@ -582,7 +586,16 @@ def pca_power(emb: DataFrame, iters: int = PCA_ITERS) -> DataFrame:
     )
     eig = (
         dots.select(_nat_micro(F.col("dot")).alias("dm"))
-        .agg(F.sum(F.col("dm") * F.col("dm")).alias("sq"))
+        # dm*dm reaches ~4e12 per row for unit-norm centered vectors,
+        # so a plain BIGINT sum wraps (ANSI off, silently) near ~2e6
+        # rows; accumulate in DECIMAL(38,0) — exact to ~10^25 rows —
+        # then DIV (IntegralDivide on decimal → LongType) matches the
+        # twin's HUGEINT // exactly (both operands non-negative).
+        .agg(
+            F.sum(
+                (F.col("dm") * F.col("dm")).cast("decimal(38,0)")
+            ).alias("sq")
+        )
         .join(F.broadcast(cnt))
         .select(
             F.expr("sq DIV n DIV 1000000").alias("eig_micros")
@@ -2530,7 +2543,10 @@ def _pca_oracle_sql(iters: int = PCA_ITERS) -> str:
         df AS (SELECT c.cx, list_dot_product(c.cx, {prev}.v) AS dot
                FROM c CROSS JOIN {prev}),
         eig AS (
-            SELECT CAST(SUM(dm * dm) AS BIGINT) // n // 1000000
+            -- HUGEINT sum (DuckDB's SUM(BIGINT) default) mirrors the
+            -- engine's DECIMAL(38,0) accumulator; cast to BIGINT only
+            -- AFTER the divisions so the result column arrives int64.
+            SELECT CAST(SUM(dm * dm) // n // 1000000 AS BIGINT)
                        AS eig_micros
             FROM (SELECT {micro("dot")} AS dm FROM df) CROSS JOIN cnt
             GROUP BY n
