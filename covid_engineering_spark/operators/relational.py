@@ -2546,8 +2546,9 @@ def binned_interval_join(
 def q_j9_binned_interval_join(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """J9 — the binned big-big interval join over events: every 499th
-    event anchors a 2-hour incident window; count the same-type
+    """J9 — the binned big-big interval join over events: every 97th
+    event (``INTERVAL_ANCHOR_MOD``) anchors a 2-hour incident window;
+    count the same-type
     events inside each window. The anchor matches itself, so every
     incident reports ≥1."""
     ev = read_table(spark, sf_dir, "events")
