@@ -657,7 +657,7 @@ SUBSTR_K = 8
 
 
 def substring_dup_span_frame(
-    docs: DataFrame, k: int = SUBSTR_K, hashed: bool = False
+    docs: DataFrame, k: int = SUBSTR_K, hashed: bool = True
 ) -> DataFrame:
     """The merged duplicated-span frame under the ExactSubstr family:
     one row per maximal duplicated token span — ``(doc_id, island,
@@ -714,7 +714,7 @@ def substring_dup_span_frame(
 
 
 def substring_dup_spans(
-    docs: DataFrame, k: int = SUBSTR_K, hashed: bool = False
+    docs: DataFrame, k: int = SUBSTR_K, hashed: bool = True
 ) -> DataFrame:
     """EXACT-SUBSTRING duplication analysis (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better" §4.1 —
@@ -750,18 +750,20 @@ def substring_dup_spans(
     duplication counters literal 0, ``has_dup`` literal FALSE — a
     payload-less document carries no duplicated content.
 
-    The registered form (``hashed=False``) shuffles the gram STRINGS
-    so the analysis is exact and the twin replays it byte-for-byte;
-    ``hashed=True`` is the production path at corpus scale: each gram
-    collapses to ``xxhash64(gram)`` MAP-SIDE (inside the same
-    projection that builds it — the string never leaves the scan
-    task), so the dup-set groupBy and the semi-join shuffle 8-byte
-    BIGINT keys instead of ~50-byte strings. The cost is a birthday-
-    collision false-dup rate of ~n²/2⁶⁵ over n distinct grams
-    (~3·10⁻⁶ at 10¹² grams ≈ 100 TB) — the same exact-vs-hashed trade
-    the DSIR feature hash and the minhash ``portable`` flag document.
-    Span-set equivalence of the two forms on the synthetic corpus is
-    pinned in tests/test_round10_ops.py.
+    ``hashed=True`` — the DEFAULT since r11 (VERDICT r10 #4), the
+    production path at corpus scale: each gram collapses to
+    ``xxhash64(gram)`` MAP-SIDE (inside the same projection that
+    builds it — the string never leaves the scan task), so the
+    dup-set groupBy and the semi-join shuffle 8-byte BIGINT keys
+    instead of ~50-byte strings (measured 1000× exponent 0.755 vs
+    0.806 exact-string, PROBE_r10). The cost is a birthday-collision
+    false-dup rate of ~n²/2⁶⁵ over n distinct grams (~3·10⁻⁶ at
+    10¹² grams ≈ 100 TB) — the same exact-vs-hashed trade the DSIR
+    feature hash and the minhash ``portable`` flag document. The
+    REGISTERED form pins ``hashed=False`` so the analysis is exact
+    and the DuckDB twin replays it byte-for-byte. Span-set
+    equivalence of the two forms on the synthetic corpus is pinned in
+    tests/test_round10_ops.py.
     """
     spans = substring_dup_span_frame(docs, k, hashed)
     ws = F.split(F.col("text"), " ")
@@ -796,11 +798,16 @@ def substring_dup_spans(
 
 
 def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return substring_dup_spans(read_table(spark, sf_dir, "documents"))
+    # registered form: exact-string grams, so the DuckDB twin replays
+    # the gram keys byte-for-byte (the library default is hashed=True,
+    # the production path — see substring_dup_spans).
+    return substring_dup_spans(
+        read_table(spark, sf_dir, "documents"), hashed=False
+    )
 
 
 def substring_strip(
-    docs: DataFrame, k: int = SUBSTR_K, hashed: bool = False
+    docs: DataFrame, k: int = SUBSTR_K, hashed: bool = True
 ) -> DataFrame:
     """ExactSubstr span REMOVAL — the pipeline step Lee et al. 2022
     §4.1 actually applies (the analysis form only reports the spans):
@@ -877,7 +884,11 @@ def substring_strip(
 
 
 def q_dedup_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return substring_strip(read_table(spark, sf_dir, "documents"))
+    # registered form: exact-string grams for twin replay (library
+    # default is hashed=True — see substring_dup_spans).
+    return substring_strip(
+        read_table(spark, sf_dir, "documents"), hashed=False
+    )
 
 
 QUERIES = {

@@ -1829,12 +1829,115 @@ def q_pipe_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def near_dup_incremental_lsh(
+def build_near_dup_index(
     corpus: DataFrame,
+    portable: bool = False,
+    cap: int | None = None,
+) -> dict[str, DataFrame]:
+    """The STANDING side of ``near_dup_incremental_lsh``, built once
+    per corpus refresh instead of once per batch. Three frames:
+
+    * ``bands`` — (doc_id, band, bh) capped band-bucket membership:
+      the probe target. The cap (deterministic doc_id rank inside
+      each (band, bh) bucket) is applied HERE, at build time — the
+      row_number window over the (band, bh) shuffle is the one
+      corpus-sized stage of the whole incremental path, and baking it
+      into the index is what makes the per-batch job O(batch + probe)
+      (PROBE_r10_x1000 measured the in-query form's exponent rising
+      to 0.792 as the corpus dwarfed the batch: that was exactly this
+      re-rank being recomputed per refresh).
+    * ``shingles`` — (doc_id, s) distinct word-3-grams: the exact-
+      Jaccard verification side.
+    * ``sizes`` — (doc_id, n) per-doc shingle counts: the union-size
+      term of the Jaccard denominator.
+
+    Pass the dict to ``near_dup_incremental_lsh(index=...)``, or
+    persist it with ``write_near_dup_index`` and reload with
+    ``read_near_dup_index`` between pipeline runs.
+    """
+    from pyspark.sql import Window
+
+    from covid_engineering_spark.operators.dedup import (
+        MINHASH_K,
+        SKETCH_BUCKET_CAP,
+        _band_frame,
+        _minhash_signatures,
+        shingles_of,
+    )
+
+    cap = SKETCH_BUCKET_CAP if cap is None else cap
+    shc = shingles_of(corpus)
+    bands = _band_frame(
+        _minhash_signatures(shc, MINHASH_K, portable=portable), portable
+    )
+    wr = Window.partitionBy("band", "bh").orderBy("doc_id")
+    bands = (
+        bands.withColumn("_rn", F.row_number().over(wr))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+    sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
+    return {"bands": bands, "shingles": shc, "sizes": sizes}
+
+
+def write_near_dup_index(
+    corpus: DataFrame,
+    path: str,
+    portable: bool = False,
+    cap: int | None = None,
+    n_files: int = 32,
+) -> None:
+    """Materialize the standing near-dup index under ``path`` (three
+    parquet datasets). Layout is chosen for the probe's access paths:
+
+    * ``bands`` range-clustered on (band, bh) — every file owns a
+      disjoint (band, bh) interval, so the per-batch probe join's
+      corpus side arrives pre-clustered on the join key (file-level
+      min/max skipping for selective probes; no corpus-side re-sort);
+    * ``shingles`` range-clustered on doc_id — the exact-verify join
+      fetches candidate docs by id, and disjoint id ranges per file
+      give footer-stat skipping when a batch's candidates are few;
+    * ``sizes`` is ≤1 row per doc — plain parquet.
+
+    ``n_files`` is a layout decision like ``write_bucketed``'s bucket
+    count: pick it for the target cluster's parallelism.
+    """
+    idx = build_near_dup_index(corpus, portable=portable, cap=cap)
+    (
+        idx["bands"]
+        .repartitionByRange(n_files, "band", "bh")
+        .sortWithinPartitions("band", "bh")
+        .write.mode("overwrite")
+        .parquet(f"{path}/bands")
+    )
+    (
+        idx["shingles"]
+        .repartitionByRange(n_files, "doc_id")
+        .sortWithinPartitions("doc_id", "s")
+        .write.mode("overwrite")
+        .parquet(f"{path}/shingles")
+    )
+    idx["sizes"].write.mode("overwrite").parquet(f"{path}/sizes")
+
+
+def read_near_dup_index(
+    spark: SparkSession, path: str
+) -> dict[str, DataFrame]:
+    """Reload a ``write_near_dup_index`` layout for probing."""
+    return {
+        "bands": spark.read.parquet(f"{path}/bands"),
+        "shingles": spark.read.parquet(f"{path}/shingles"),
+        "sizes": spark.read.parquet(f"{path}/sizes"),
+    }
+
+
+def near_dup_incremental_lsh(
+    corpus: DataFrame | None,
     batch: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
     portable: bool = False,
     cap: int | None = None,
+    index: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Incremental near-dup detection through the STANDING MinHash/LSH
     index — the scale path for ``near_dup_incremental``. The exact
@@ -1873,6 +1976,17 @@ def near_dup_incremental_lsh(
     driver hash-checks the whole incremental sketch path. Recall vs
     the exact form is measured in tests (same discipline as
     ``minhash_lsh_pairs`` vs ``ngram_jaccard_pairs``).
+
+    ``index``: a ``build_near_dup_index`` / ``read_near_dup_index``
+    dict. When given, ``corpus`` may be None and NO corpus-side
+    derivation runs in this job — the batch probes the standing
+    capped buckets and verifies against the standing shingle frames,
+    so per-batch cost is O(batch + probe) regardless of corpus size.
+    This is the production shape: the in-query derivation below
+    re-shingles, re-hashes, and re-caps the full corpus on every
+    batch, which PROBE_r10_x1000 measured growing toward the corpus
+    scan (exponent 0.792) once the corpus dwarfs the batch. Tests pin
+    both paths to identical output on the same corpus.
     """
     from pyspark.sql import Window
 
@@ -1885,20 +1999,31 @@ def near_dup_incremental_lsh(
     )
 
     cap = SKETCH_BUCKET_CAP if cap is None else cap
-    # two consumers each (band build + verification sizes/join)
-    shc = evicting_cache(shingles_of(corpus), "inc_lsh_sh_corpus")
+    if index is not None:
+        shc = index["shingles"]
+        bc = index["bands"]
+        nc_sizes = index["sizes"]
+    else:
+        if corpus is None:
+            raise ValueError(
+                "near_dup_incremental_lsh needs a corpus or an index"
+            )
+        # two consumers each (band build + verification sizes/join)
+        shc = evicting_cache(shingles_of(corpus), "inc_lsh_sh_corpus")
+        bands_c = _band_frame(
+            _minhash_signatures(shc, MINHASH_K, portable=portable),
+            portable,
+        )
+        wr = Window.partitionBy("band", "bh").orderBy("doc_id")
+        bc = (
+            bands_c.withColumn("_rn", F.row_number().over(wr))
+            .filter(F.col("_rn") <= cap)
+            .drop("_rn")
+        )
+        nc_sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
     shb = evicting_cache(shingles_of(batch), "inc_lsh_sh_batch")
-    bands_c = _band_frame(
-        _minhash_signatures(shc, MINHASH_K, portable=portable), portable
-    )
     bands_b = _band_frame(
         _minhash_signatures(shb, MINHASH_K, portable=portable), portable
-    )
-    wr = Window.partitionBy("band", "bh").orderBy("doc_id")
-    bc = (
-        bands_c.withColumn("_rn", F.row_number().over(wr))
-        .filter(F.col("_rn") <= cap)
-        .drop("_rn")
     )
     cand = (
         bands_b.alias("b")
@@ -1910,7 +2035,7 @@ def near_dup_incremental_lsh(
         .distinct()
     )
     nb = shb.groupBy("doc_id").agg(F.count("*").alias("n"))
-    nc = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
+    nc = nc_sizes
     common = (
         cand.join(shb.alias("sb"), F.col("sb.doc_id") == F.col("d_batch"))
         .join(

@@ -85,12 +85,19 @@ def main(sf_dir: str = "/root/testdata/sf0.001", out_dir: str | None = None):
 
     # 2. watermark-bounded dedup: the duplicate third arrival must
     # collapse; append mode emits each event_id's first arrival once.
+    # Like the arrivals dir: a reused out_dir must start from a clean
+    # sink AND checkpoint — a stale checkpoint would treat the freshly
+    # re-staged part files as new arrivals and append duplicate
+    # event_ids onto the previous run's sink, failing the assert.
     ded_dir = os.path.join(scratch, "deduped")
+    ck_dedup = os.path.join(scratch, "ck_dedup")
+    shutil.rmtree(ded_dir, ignore_errors=True)
+    shutil.rmtree(ck_dedup, ignore_errors=True)
     q = (
         stream_dedup(spark, src)
         .writeStream.format("parquet")
         .option("path", ded_dir)
-        .option("checkpointLocation", os.path.join(scratch, "ck_dedup"))
+        .option("checkpointLocation", ck_dedup)
         .trigger(availableNow=True)
         .start()
     )

@@ -834,6 +834,20 @@ def main() -> None:
             "overwrite"
         ).format("noop").save()
 
+    def substr_strip_hashed(sf_dir):
+        # the strip form on the PRODUCTION gram path (library default
+        # since r11): both gram shuffles carry xxhash64 BIGINT keys —
+        # exponent must track <= the exact-string form's, like the
+        # analysis pair
+        from covid_engineering_spark.operators.dedup import (
+            substring_strip,
+        )
+        from covid_engineering_spark.sources import read_table
+
+        substring_strip(
+            read_table(spark, sf_dir, "documents"), hashed=True
+        ).write.mode("overwrite").format("noop").save()
+
     def incnear_lsh(sf_dir):
         # the standing-index incremental form: batch signatures probe
         # capped corpus band buckets, candidates <= |batch|*bands*cap
@@ -846,6 +860,35 @@ def main() -> None:
         q_pipe_near_dup_incremental_lsh(spark, sf_dir).write.mode(
             "overwrite"
         ).format("noop").save()
+
+    # standing-index scratch, staged ONCE per sf_dir on the warmup
+    # call (the production contract: the index is maintained between
+    # runs, so its build cost is per-refresh, not per-batch) — the
+    # TIMED run reads the persisted layout and pays only the batch's
+    # shingle/minhash work plus the probe/verify joins.
+    _nd_index_paths: dict = {}
+
+    def incnear_lsh_prebuilt(sf_dir):
+        from covid_engineering_spark.operators.pipeline import (
+            near_dup_incremental_lsh,
+            read_near_dup_index,
+            write_near_dup_index,
+        )
+        from covid_engineering_spark.sources import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        if sf_dir not in _nd_index_paths:
+            path = tempfile.mkdtemp(prefix="ces_ndidx_")
+            write_near_dup_index(
+                docs.filter(F.col("doc_id") % 5 != 0), path, portable=True
+            )
+            _nd_index_paths[sf_dir] = path
+        near_dup_incremental_lsh(
+            None,
+            docs.filter(F.col("doc_id") % 5 == 0),
+            portable=True,
+            index=read_near_dup_index(spark, _nd_index_paths[sf_dir]),
+        ).write.mode("overwrite").format("noop").save()
 
     def kmeans(sf_dir):
         # iterated Lloyd at N x vectors: every E-step is map-side
@@ -1024,7 +1067,9 @@ def main() -> None:
         ("dedup_substring", substr),
         ("dedup_substring_hashed", substr_hashed),
         ("dedup_substring_strip", substr_strip),
+        ("dedup_substring_strip_hashed", substr_strip_hashed),
         ("pipe_near_dup_incremental_lsh", incnear_lsh),
+        ("pipe_near_dup_incremental_lsh_prebuilt", incnear_lsh_prebuilt),
         ("emb_kmeans_lloyd", kmeans),
         ("pipe_contamination_report", contam),
         ("pipe_bloom_decontaminate", bloomdecon),

@@ -389,21 +389,52 @@ def test_gopher_metric_projection_boundary_survives(spark):
     )
     from covid_engineering_spark.sources import read_table
 
+    def plan_nodes(node, out):
+        out.append(node)
+        children = node.children()
+        for i in range(children.size()):
+            plan_nodes(children.apply(i), out)
+        return out
+
+    def count_expr_class(e, cls_name):
+        n = 1 if e.getClass().getSimpleName() == cls_name else 0
+        ch = e.children()
+        for i in range(ch.size()):
+            n += count_expr_class(ch.apply(i), cls_name)
+        return n
+
     df = q(spark, "text_gopher_rules")
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    plan = df._jdf.queryExecution().optimizedPlan()
     # the staged metric attributes survive into the optimized plan
-    # (CollapseProject folding the boundary would inline them away)...
-    assert "_m_n_words" in plan
+    # (CollapseProject folding the boundary would inline them away) —
+    # checked structurally via node output attribute names, not plan
+    # text (the toString format is optimizer-internal and shifts
+    # across Spark upgrades without behavior change).
+    def has_attr(frame_plan, name):
+        for node in plan_nodes(frame_plan, []):
+            out_attrs = node.output()
+            for i in range(out_attrs.size()):
+                if out_attrs.apply(i).name() == name:
+                    return True
+        return False
+
+    assert has_attr(plan, "_m_n_words")
 
     # ...and the verdict stage derives them by REFERENCE: the full
-    # query's plan must carry exactly as many split() calls as the
-    # metric project alone does (self-calibrating — no magic count,
-    # no per-line plan-text parsing; a folded boundary duplicates the
-    # arrays into the verdict branches and the count jumps).
+    # query's plan must carry exactly as many Catalyst StringSplit
+    # expression nodes as the metric project alone does
+    # (self-calibrating — no magic count, no plan-text parsing; a
+    # folded boundary duplicates the arrays into the verdict branches
+    # and the count jumps).
     def n_splits(frame):
-        return (
-            frame._jdf.queryExecution().optimizedPlan().toString()
-        ).count("split(")
+        total = 0
+        for node in plan_nodes(
+            frame._jdf.queryExecution().optimizedPlan(), []
+        ):
+            exprs = node.expressions()
+            for i in range(exprs.size()):
+                total += count_expr_class(exprs.apply(i), "StringSplit")
+        return total
 
     metrics = _gopher_metric_cols(GOPHER_REQUIRED_FIXTURE)
     staged = read_table(spark, SF_SMOKE, "documents").select(
