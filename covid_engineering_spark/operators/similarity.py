@@ -1138,7 +1138,11 @@ GREEDY_BEAM = 4
 
 
 def graph_greedy_search(
-    emb: DataFrame, hops: int = GREEDY_HOPS, beam: int = GREEDY_BEAM
+    emb: DataFrame,
+    hops: int = GREEDY_HOPS,
+    beam: int = GREEDY_BEAM,
+    n_queries: int | None = None,
+    with_eval: bool = True,
 ) -> DataFrame:
     """Navigable-graph ANN in-engine — the beam (best-first) search
     that underlies HNSW/NSW-style indexes, re-expressed as an
@@ -1174,9 +1178,20 @@ def graph_greedy_search(
     kmeans/pagerank unrolls. The brute-force column is the evaluation
     harness, not the index path — at production scale it runs on a
     sampled query set exactly as ``ann_recall_eval`` does.
+
+    Query-axis scaling (the production shape — many queries, one
+    graph): ``n_queries`` widens the query set (default the module's
+    ``N_QUERIES``), and ``with_eval=False`` drops the brute-force
+    evaluation columns, returning just (q_id, found_id, found_cs) —
+    the serving path, whose per-hop joins stay broadcast until the
+    first bound: the broadcast state/candidate frames grow ∝
+    queries × beam (× max_degree for candidates), so past ~10⁷
+    query-rows per wave the move is batching query waves, not a
+    different plan. PROBE_r11 measures this axis.
     """
     from covid_engineering_spark.functions import evicting_cache
 
+    nq = N_QUERIES if n_queries is None else n_queries
     e = _kmeans_vectors(emb)
     key = F.md5(F.col("vec_id").cast("string"))
     wlab = Window.partitionBy("label").orderBy(
@@ -1185,7 +1200,7 @@ def graph_greedy_search(
     hubs = evicting_cache(
         emb.filter(
             F.col("embedding").isNotNull()
-            & (F.col("vec_id") >= N_QUERIES)
+            & (F.col("vec_id") >= nq)
         )
         .select("label", "vec_id")
         .withColumn("rk", F.row_number().over(wlab))
@@ -1221,7 +1236,7 @@ def graph_greedy_search(
         .select(F.col("vec_id").alias("id"))
     )
     q = evicting_cache(
-        e.filter(F.col("vec_id") < N_QUERIES).select(
+        e.filter(F.col("vec_id") < nq).select(
             F.col("vec_id").alias("q_id"),
             F.col("embedding").alias("q_emb"),
         ),
@@ -1260,13 +1275,7 @@ def graph_greedy_search(
             .filter(F.col("rk") <= beam)
             .select("q_id", "id", "cs")
         )
-    topk = evicting_cache(q_cosine_frame(emb), "greedy_exact_topk")
-    best = topk.filter(F.col("rank") == 1).select(
-        "q_id",
-        F.col("n_id").alias("best_id"),
-        F.col("cosine").alias("best_cs"),
-    )
-    found = (
+    found_only = (
         state.withColumn("rk", F.row_number().over(wq))
         .filter(F.col("rk") == 1)
         .select(
@@ -1275,6 +1284,15 @@ def graph_greedy_search(
             F.col("cs").alias("found_cs"),
         )
     )
+    if not with_eval:
+        return found_only
+    topk = evicting_cache(q_cosine_frame(emb, nq), "greedy_exact_topk")
+    best = topk.filter(F.col("rank") == 1).select(
+        "q_id",
+        F.col("n_id").alias("best_id"),
+        F.col("cosine").alias("best_cs"),
+    )
+    found = found_only
     in_topk = topk.select(
         "q_id", F.col("n_id").alias("found_id"), F.lit(True).alias("_in")
     )
@@ -1988,10 +2006,12 @@ def recall_eval(emb: DataFrame) -> DataFrame:
     )
 
 
-def q_cosine_frame(emb: DataFrame) -> DataFrame:
+def q_cosine_frame(
+    emb: DataFrame, n_queries: int = N_QUERIES
+) -> DataFrame:
     """The brute-force cosine top-k over an explicit frame (factored
     from ``q_ann_cosine_topk`` so ``recall_eval`` composes it)."""
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+    q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     c = emb.select(

@@ -1154,6 +1154,43 @@ def test_graph_greedy_beats_single_path_and_stays_in_topk_band(spark):
         assert r["found_cs"] <= r["best_cs"], r
 
 
+def test_graph_greedy_query_axis_serving_path(spark):
+    """The query-axis levers (VERDICT r10 #5): ``n_queries`` widens
+    the query set against the SAME standing graph, ``with_eval=False``
+    returns the serving shape (one row per query, no brute-force
+    columns). The serving path must agree with the eval form's found
+    columns at the default width — the eval harness is a decoration,
+    never a behavior change."""
+    from covid_engineering_spark.operators.similarity import (
+        N_QUERIES,
+        graph_greedy_search,
+    )
+    from covid_engineering_spark.sources import read_table
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    serving = graph_greedy_search(emb, with_eval=False)
+    assert serving.columns == ["q_id", "found_id", "found_cs"]
+    got = {r["q_id"]: (r["found_id"], r["found_cs"]) for r in serving.collect()}
+    full = {
+        r["q_id"]: (r["found_id"], r["found_cs"])
+        for r in graph_greedy_search(emb).collect()
+    }
+    assert got == full and len(got) == N_QUERIES
+
+    # widening: one walk per query, every walk terminates with a
+    # found vertex outside the query set's own identity (n_queries
+    # also moves the hub-eligibility boundary, so the navigation
+    # layer legitimately differs from the narrow run's)
+    wide = graph_greedy_search(
+        emb, n_queries=4 * N_QUERIES, with_eval=False
+    )
+    rows = wide.collect()
+    assert len(rows) == 4 * N_QUERIES
+    assert len({r["q_id"] for r in rows}) == 4 * N_QUERIES
+    for r in rows:
+        assert r["found_id"] != r["q_id"], r
+
+
 def test_graph_greedy_corpus_never_shuffled_by_the_walk(spark):
     """The walk's joins broadcast the tiny state/candidate frames —
     the corpus embedding frame must never be exchanged on vec_id, and
