@@ -134,6 +134,21 @@ HEADLINE = [
     # the scale probe covers it instead.
     "pipe_tokenizer_fertility",
     "stream_topk",
+    # Round-11 additions: the two-stage retrieval rerank (ADC
+    # shortlist + exact re-rank of |Q|·25 candidates), the 4-round
+    # synchronous LPA communities over the symmetrized kNN graph,
+    # the per-source JS mixture audit (vocabulary-bounded after one
+    # partial agg), the additive series decomposition, the broadcast
+    # linear quality model, the two-primitive curriculum ordering
+    # (global_ntile + global_prefix_sum), and the per-label outlier
+    # z-gate (zero corpus shuffles).
+    "ann_rerank_topk",
+    "graph_label_propagation",
+    "text_js_divergence",
+    "ts_decompose",
+    "pipe_quality_classifier",
+    "pipe_curriculum_order",
+    "emb_outliers",
 ]
 
 

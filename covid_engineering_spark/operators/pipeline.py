@@ -45,6 +45,7 @@ from covid_engineering_spark.operators.dedup import (
     _SHINGLES_SQL,
     JACCARD_THRESHOLD,
     NGRAM_MAX_DF,
+    _portable_hash_sql,
     ngram_jaccard_pairs,
     shingles_of,
 )
@@ -1695,6 +1696,196 @@ def q_pipe_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_filter(read_table(spark, sf_dir, "documents"))
 
 
+#: Feature-hashing geometry for the linear quality classifier: the
+#: weight table's row count (a fastText-default-sized bucket space,
+#: scaled to the synthetic vocabulary) and the hash seeds for the
+#: feature map and the stub weight init.
+QC_BUCKETS = 512
+QC_FEAT_SEED = 71
+QC_WEIGHT_SEED = 72
+#: Keep rule: mean per-token weight ≥ this (micro-units). 0 keeps the
+#: positive-logit half — the fastText binary decision boundary.
+QC_KEEP_MEAN_MICROS = 0
+
+
+def default_quality_weights(spark: SparkSession) -> DataFrame:
+    """Deterministic stand-in weight table for
+    :func:`quality_classifier` — one row per hash bucket, weight
+    uniform in ±1e6 micro-units derived from the bucket id via the
+    portable md5 family (the LSH-hyperplane convention: the LEARNED
+    values are a seam, the table geometry and join plumbing are the
+    real contract). A production pipeline overwrites this frame with
+    trained weights (fastText / logistic regression export) — same
+    schema, same plan.
+    """
+    from covid_engineering_spark.operators.dedup import portable_hash64
+
+    return spark.range(QC_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        (
+            F.pmod(
+                portable_hash64(
+                    F.col("id").cast("string"), QC_WEIGHT_SEED
+                ),
+                F.lit(2_000_001),
+            )
+            - F.lit(1_000_000)
+        ).cast("long").alias("w_micros"),
+    )
+
+
+def quality_classifier(
+    docs: DataFrame,
+    weights: DataFrame | None = None,
+    keep_mean_micros: int = QC_KEEP_MEAN_MICROS,
+) -> DataFrame:
+    """Linear text-quality classifier via the hashing trick (the
+    fastText / CCNet-style learned gate, Joulin et al. 2017): hash
+    each token into ``QC_BUCKETS`` feature buckets, score the
+    document as the SUM of its buckets' weights from a broadcast
+    model table, and keep when the MEAN per-token weight clears the
+    threshold — the learned complement to the rule-based
+    ``quality_filter`` (heuristics catch boilerplate; a trained
+    linear head catches "reads like the reference corpus").
+
+    ``weights`` is the model: any (bucket, w_micros) frame with one
+    row per bucket — in production the exported trained weights,
+    here defaulting to :func:`default_quality_weights` (deterministic
+    stub values, real geometry). The model JOIN is the point: a
+    weight table rides a broadcast hash join onto the exploded token
+    stream, so swapping models never changes the plan.
+
+    Exactness: weights are integer micro-units, the document score an
+    exact BIGINT sum, and the keep rule the cross-multiplied integer
+    inequality ``score ≥ thresh · n_tokens`` — no division, no float,
+    so the twin replays bit-for-bit.
+
+    Scale shape: explode → one md5 per token (map-side) → broadcast
+    join against the ≤QC_BUCKETS-row model → groupBy(doc_id) with
+    partial aggregation (a document's tokens are co-located after
+    explode, so the shuffle carries ~one row per document). The join
+    back onto the doc spine is on doc_id — same key, reusable
+    partitioning.
+
+    NULL ``text``: metric columns NULL, ``keep`` literal FALSE (the
+    gate convention).
+    """
+    from covid_engineering_spark.operators.dedup import portable_hash64
+
+    if weights is None:
+        weights = default_quality_weights(docs.sparkSession)
+    feats = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).select(
+        "doc_id",
+        F.pmod(
+            portable_hash64(F.col("tok"), QC_FEAT_SEED),
+            F.lit(QC_BUCKETS),
+        ).alias("bucket"),
+    )
+    scored = (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("w_micros").alias("score_micros"),
+        )
+    )
+    keep = (
+        F.col("score_micros")
+        >= F.lit(keep_mean_micros) * F.col("n_tokens")
+    )
+    return docs.select("doc_id", "source").join(
+        scored, "doc_id", "left"
+    ).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "score_micros",
+        F.coalesce(keep, F.lit(False)).alias("keep"),
+    )
+
+
+def q_pipe_quality_classifier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return quality_classifier(read_table(spark, sf_dir, "documents"))
+
+
+#: Curriculum geometry: number of difficulty stages and the
+#: within-stage shuffle seed.
+CURR_STAGES = 4
+CURR_SHUFFLE_SEED = 73
+
+
+def curriculum_order(
+    docs: DataFrame, stages: int = CURR_STAGES
+) -> DataFrame:
+    """Curriculum training order (Bengio et al. 2009 easy→hard
+    scheduling, as data pipelines materialize it): bucket the corpus
+    into ``stages`` difficulty tiers — difficulty here the document
+    LENGTH, the standard no-model proxy; swap in any score column for
+    a learned curriculum — then assign every document its global
+    serving position: tiers in order, documents WITHIN a tier in
+    deterministic hash-shuffled order (a curriculum orders stages,
+    not documents — serving a tier sorted by length would correlate
+    adjacent batches).
+
+    The writer turns this into the physical layout: sort-write by
+    ``global_pos`` (``write_range_sorted``) and the trainer streams
+    the curriculum by reading files in order. Both heavy steps are
+    the proven scale primitives: ``global_ntile`` for the tier
+    (exact NTILE arithmetic, no single-partition sort) and
+    ``global_prefix_sum`` for the position (range repartition +
+    bounded offsets window) — nothing here funnels the corpus
+    through one task.
+
+    Determinism: the tier is exact-NTILE over the total order
+    (n_chars, doc_id); the shuffle key is the portable md5 hash of
+    doc_id; the position is the prefix count over (stage, shuffle
+    key, doc_id). All BIGINT; the twin replays with window NTILE /
+    ROW_NUMBER (equality of the distributed and window forms is
+    pinned by the global_ntile tests).
+
+    NULL ``n_chars`` sorts FIRST (stage 1 — pinned explicitly: Spark
+    asc defaults nulls-first, DuckDB nulls-last, so the twin says
+    NULLS FIRST).
+    """
+    from covid_engineering_spark.operators.dedup import portable_hash64
+    from covid_engineering_spark.operators.relational import global_ntile
+
+    staged = global_ntile(
+        docs.select("doc_id", "source", "n_chars"),
+        [F.col("n_chars").asc_nulls_first(), F.col("doc_id").asc()],
+        stages,
+        "stage",
+    ).withColumn(
+        "shuffle_key",
+        portable_hash64(
+            F.col("doc_id").cast("string"), CURR_SHUFFLE_SEED
+        ),
+    )
+    return global_prefix_sum(
+        staged,
+        [
+            F.col("stage").asc(),
+            F.col("shuffle_key").asc(),
+            F.col("doc_id").asc(),
+        ],
+        F.lit(1).cast("long"),
+        "global_pos",
+    ).select(
+        "doc_id", "source", "n_chars", "stage", "shuffle_key",
+        "global_pos",
+    )
+
+
+def q_pipe_curriculum_order(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return curriculum_order(read_table(spark, sf_dir, "documents"))
+
+
 #: Incremental-batch simulation: the standing corpus is doc_id%5 != 0;
 #: the arriving batch is the %5 == 0 docs (genuinely new), plus
 #: verbatim re-crawls of corpus docs with %6 == 0 (dup_of_corpus),
@@ -1929,6 +2120,107 @@ def read_near_dup_index(
         "shingles": spark.read.parquet(f"{path}/shingles"),
         "sizes": spark.read.parquet(f"{path}/sizes"),
     }
+
+
+#: Literal-IN pushdown ceiling for :func:`probe_near_dup_index`: past
+#: this many collected keys the filter list itself becomes the cost
+#: and the plain probe join is the right plan.
+PROBE_PUSHDOWN_MAX_KEYS = 200_000
+
+
+def probe_near_dup_index(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    portable: bool = False,
+    max_keys: int = PROBE_PUSHDOWN_MAX_KEYS,
+) -> DataFrame:
+    """Batch probe of a persisted ``write_near_dup_index`` layout
+    with SCAN PRUNING — the missing half of the standing-index story
+    PROBE_r11_x1000 measured: the prebuilt index drops the per-batch
+    exponent from 0.792 to 0.659, but the residual growth is the
+    index SCAN itself (the probe is a JOIN, which parquet cannot
+    prune against). Here the batch's bucket keys and then its
+    candidate doc ids — both bounded by the BATCH, the defining
+    small side of the incremental regime — are collected and pushed
+    into the scans as literal ``In`` filters, so the range-clustered
+    layout's row-group min/max stats skip everything a selective
+    batch never touches (manual dynamic partition pruning, the same
+    move DPP makes automatically on partition columns):
+
+    1. batch band keys (≤ |batch|·MINHASH_BANDS values) → ``In``
+       filter on the ``bands`` scan, which ``write_near_dup_index``
+       range-clustered on (band, bh);
+    2. the probe's candidate corpus ids (≤ |batch|·BANDS·cap values)
+       → ``In`` filter on the ``shingles`` and ``sizes`` scans,
+       clustered on doc_id.
+
+    Measured pushdown (Spark 4, asserted in tests): ``In(doc_id, …)``
+    and ``In(band, …)`` reach parquet ``PushedFilters`` (row-group
+    stat skipping on the clustered layouts); the string ``bh`` set
+    stays a scan-operator ``INSET`` DataFilter — rows still drop at
+    the scan, before any join or shuffle, just without IO skipping
+    on that column.
+
+    Two bounded driver-side collects per batch — the explicit
+    trade: each is O(batch), never O(corpus), and each buys
+    row-group skipping on a corpus-sized scan. ``max_keys`` guards
+    the regime boundary: a batch so large its key list stops being
+    "small" falls back to the plain standing-index probe
+    (``near_dup_incremental_lsh(index=...)``), same output.
+
+    Output is IDENTICAL to the unpruned probe (pinned in tests):
+    filtering the index to the batch's own keys removes only rows
+    the joins drop anyway.
+    """
+    from covid_engineering_spark.functions import evicting_cache
+    from covid_engineering_spark.operators.dedup import (
+        MINHASH_K,
+        _band_frame,
+        _minhash_signatures,
+    )
+
+    idx = read_near_dup_index(spark, path)
+    shb = evicting_cache(shingles_of(batch), "probe_push_sh_batch")
+    bands_b = evicting_cache(
+        _band_frame(
+            _minhash_signatures(shb, MINHASH_K, portable=portable),
+            portable,
+        ),
+        "probe_push_bands_batch",
+    )
+    keys = bands_b.select("band", "bh").distinct().limit(max_keys + 1)
+    key_rows = keys.collect()
+    if len(key_rows) > max_keys:
+        return near_dup_incremental_lsh(
+            None, batch, threshold=threshold, portable=portable, index=idx
+        )
+    bands_pruned = idx["bands"].filter(
+        F.col("band").isin([r["band"] for r in key_rows])
+        & F.col("bh").isin([r["bh"] for r in key_rows])
+    )
+    cand_ids = [
+        r["d_corpus"]
+        for r in bands_b.alias("b")
+        .join(bands_pruned.alias("c"), ["band", "bh"])
+        .select(F.col("c.doc_id").alias("d_corpus"))
+        .distinct()
+        .limit(max_keys + 1)
+        .collect()
+    ]
+    if len(cand_ids) > max_keys:
+        return near_dup_incremental_lsh(
+            None, batch, threshold=threshold, portable=portable, index=idx
+        )
+    pruned = {
+        "bands": bands_pruned,
+        "shingles": idx["shingles"].filter(F.col("doc_id").isin(cand_ids)),
+        "sizes": idx["sizes"].filter(F.col("doc_id").isin(cand_ids)),
+    }
+    return near_dup_incremental_lsh(
+        None, batch, threshold=threshold, portable=portable, index=pruned
+    )
 
 
 def near_dup_incremental_lsh(
@@ -2236,6 +2528,8 @@ QUERIES = {
     "pipe_curate_corpus": q_pipe_curate_corpus,
     "pipe_snapshot_diff": q_pipe_snapshot_diff,
     "pipe_quality_filter": q_pipe_quality_filter,
+    "pipe_quality_classifier": q_pipe_quality_classifier,
+    "pipe_curriculum_order": q_pipe_curriculum_order,
     "pipe_dedup_incremental": q_pipe_dedup_incremental,
     "pipe_near_dup_incremental": q_pipe_near_dup_incremental,
     "pipe_near_dup_incremental_lsh": q_pipe_near_dup_incremental_lsh,
@@ -2566,6 +2860,50 @@ ORACLES = {
                     WHEN old_hash != new_hash THEN 'changed'
                     ELSE 'unchanged' END AS status
         FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+    """,
+    "pipe_quality_classifier": f"""
+        WITH weights AS (
+            SELECT range AS bucket,
+                   CAST({_portable_hash_sql("CAST(range AS VARCHAR)", QC_WEIGHT_SEED)}
+                        % 2000001 - 1000000 AS BIGINT) AS w_micros
+            FROM range({QC_BUCKETS})
+        ),
+        feat AS (
+            SELECT doc_id,
+                   {_portable_hash_sql("tok", QC_FEAT_SEED)}
+                       % {QC_BUCKETS} AS bucket
+            FROM (SELECT doc_id,
+                         unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+        ),
+        scored AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(w.w_micros) AS BIGINT) AS score_micros
+            FROM feat JOIN weights w USING (bucket)
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id, d.source, s.n_tokens, s.score_micros,
+               COALESCE(s.score_micros
+                        >= {QC_KEEP_MEAN_MICROS} * s.n_tokens,
+                        FALSE) AS keep
+        FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+    "pipe_curriculum_order": f"""
+        WITH staged AS (
+            SELECT doc_id, source, n_chars,
+                   CAST(NTILE({CURR_STAGES}) OVER (
+                       ORDER BY n_chars NULLS FIRST, doc_id
+                   ) AS BIGINT) AS stage,
+                   {_portable_hash_sql("CAST(doc_id AS VARCHAR)", CURR_SHUFFLE_SEED)}
+                       AS shuffle_key
+            FROM documents
+        )
+        SELECT doc_id, source, n_chars, stage, shuffle_key,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY stage, shuffle_key, doc_id
+               ) AS BIGINT) AS global_pos
+        FROM staged
     """,
     "pipe_quality_filter": """
         WITH base AS (

@@ -991,6 +991,86 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges.select("src_id", "n_id"))
 
 
+#: Synchronous label-propagation rounds. 4 rounds is past the
+#: fixture's observed churn horizon (labels stabilize by round 3);
+#: fixed-unrolled like PAGERANK_ITERS so the twin can replay — the
+#: convergence-loop form is the same body under the
+#: connected_components localCheckpoint discipline.
+LPA_ITERS = 4
+
+
+def label_propagation(
+    edges: DataFrame, iters: int = LPA_ITERS
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over a
+    directed edge list taken as UNDIRECTED — community detection on
+    the retrieval graph: where connected components answer "which
+    docs touch at all" (dedup_clusters) and k-core answers "how dense
+    is the neighborhood" (graph_kcore), LPA answers "which docs form
+    a community" — the unit a curation pass caps, summarizes, or
+    drops as a boilerplate FAMILY rather than one document at a time.
+
+    Semantics, pinned deterministic: labels start as the node id;
+    each round EVERY node simultaneously adopts the most frequent
+    label among its neighbors (ties → smallest label; no self-vote).
+    Plain LPA tie-breaks randomly — hash-order tie-breaks would be
+    engine-reproducible too, but smallest-label matches the
+    min-label CC convention the cluster tier already uses.
+
+    Scale shape per round (the pagerank discipline): one equi-join of
+    the symmetrized edge list onto the current label frame (shuffle
+    on n_id), one partial-aggregated (node, label) count, one
+    row_number window per node over ≤degree rows. Nodes and edges
+    never leave the cluster; the unrolled plan reuses the cached edge
+    frame. Union-symmetrization (not mutual-intersection like kcore):
+    LPA wants votes to FLOW — an edge in either direction carries
+    influence both ways, the standard choice for community detection
+    on asymmetric kNN graphs.
+    """
+    from covid_engineering_spark.functions import evicting_cache
+
+    fwd = edges.select("src_id", "n_id")
+    und = evicting_cache(
+        fwd.union(
+            fwd.select(
+                F.col("n_id").alias("src_id"),
+                F.col("src_id").alias("n_id"),
+            )
+        ).distinct(),
+        "lpa_edges",
+    )
+    labels = und.select(F.col("src_id").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("nlab"))
+    for _ in range(iters):
+        nbr = und.join(
+            labels.select(F.col("node").alias("_n"), "lab"),
+            F.col("n_id") == F.col("_n"),
+        ).select(F.col("src_id").alias("node"), F.col("lab").alias("nlab"))
+        cnt = nbr.groupBy("node", "nlab").agg(F.count("*").alias("c"))
+        labels = (
+            cnt.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", F.col("nlab").alias("lab"))
+        )
+    return labels.select(
+        "node",
+        F.col("lab").alias("community"),
+        F.count("*")
+        .over(Window.partitionBy("lab"))
+        .alias("community_size"),
+    )
+
+
+def q_graph_label_propagation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LPA communities of the union-symmetrized blocked kNN graph."""
+    edges = knn_graph(read_table(spark, sf_dir, "embeddings"))
+    return label_propagation(edges.select("src_id", "n_id"))
+
+
 #: k-core threshold and fixed peel-round budget, over the MUTUAL kNN
 #: graph (x and y connected only when each is in the other's top-k —
 #: the standard symmetrization for clustering, and the only one that
@@ -1490,6 +1570,62 @@ def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(read_table(spark, sf_dir, "embeddings"))
 
 
+#: Two-stage retrieval shortlist: the coarse (ADC) stage over-fetches
+#: this many candidates per query; the exact stage re-ranks them to
+#: TOP_K. 5× the final k is the usual serving ratio.
+RERANK_SHORTLIST = 25
+
+
+def rerank_topk(
+    emb: DataFrame, k: int = TOP_K, shortlist: int = RERANK_SHORTLIST
+) -> DataFrame:
+    """Two-stage retrieval (the universal production ANN serving
+    shape — FAISS/ScaNN "search then refine"): stage 1 over-fetches a
+    ``shortlist`` of candidates per query through the compressed-code
+    ADC scan (``pq_adc_topk`` — corpus side touches only 4-byte
+    codes), stage 2 re-ranks ONLY those candidates with the exact
+    float cosine and keeps the top ``k``. Compression error decides
+    at most which candidates enter the shortlist, never their final
+    order — measured here: exact-rerank recall@5 strictly dominates
+    the raw ADC ranking at equal corpus cost (pinned in tests).
+
+    Scale shape: stage 1 is the registered ADC plan (broadcast LUT,
+    map-side code join, partial-agg sum). The shortlist is
+    |Q|·shortlist rows — broadcast onto the corpus scan, so stage 2
+    fetches float vectors for ≤ |Q|·shortlist rows (an equi-join the
+    scan prunes against, never a second corpus pass through float
+    math), then joins the ≤|Q|-row query frame and ranks inside
+    |Q|-sized window partitions. Raising ``shortlist`` trades stage-2
+    work for recall without touching stage 1's scan.
+
+    NULL ``embedding`` rows are excluded throughout (the pq_codes
+    convention — they carry no codes and cannot be reranked).
+    """
+    emb = emb.filter(F.col("embedding").isNotNull())
+    short = pq_adc_topk(emb, k=shortlist).select("q_id", "n_id")
+    cand = emb.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb")
+    ).join(F.broadcast(short), "n_id")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    rer = cand.join(F.broadcast(q), "q_id").select(
+        "q_id",
+        "n_id",
+        cosine_expr(F.col("q_emb"), F.col("n_emb")).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "n_id")
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "cosine", "rank")
+    )
+
+
+def q_ann_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rerank_topk(read_table(spark, sf_dir, "embeddings"))
+
+
 #: IVF-PQ geometry: the first IVFPQ_COARSE_K entries of the one
 #: md5-ranked seed draw serve as the coarse quantizer (inverted-list
 #: cells); each query probes its IVFPQ_PROBE nearest cells.
@@ -1673,6 +1809,100 @@ def assign_nearest_centroid(emb: DataFrame) -> DataFrame:
 
 def q_emb_assign_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_nearest_centroid(read_table(spark, sf_dir, "embeddings"))
+
+
+#: Outlier gate: flag vectors whose squared distance to their OWN
+#: label's centroid exceeds mean + OUTLIER_Z·σ of that label's
+#: distance distribution.
+OUTLIER_Z = 2
+
+
+def embedding_outliers(emb: DataFrame, z: int = OUTLIER_Z) -> DataFrame:
+    """Per-cluster embedding outlier flags — the mislabeled-example /
+    contaminated-cluster sweep an embedding corpus runs before the
+    vectors feed semantic dedup or retrieval training: a vector far
+    from its own label's centroid (distance z-scores against the
+    label's own distribution) is a candidate mislabel or junk
+    embedding. The distance-to-prototype rule of Sun et al.'s deep
+    kNN-style label cleaning, reduced to the centroid prototype.
+
+    Exactness: the squared distance is a sequential double fold over
+    the 6dp-rounded centroid (the assign_nearest discipline), snapped
+    once to integer micro-units. Per-label moments then ride exact
+    integer sums — Σd in BIGINT, Σd² in DECIMAL(38,0) (the pca_power
+    Rayleigh discipline: micro-squared terms wrap a plain BIGINT near
+    2·10⁶ rows; the twin's HUGEINT sum matches) — and the threshold
+    mean + z·σ is ONE float expression per LABEL (never per row),
+    rounded 8dp and floored to micro-units, so the per-row verdict is
+    a BIGINT comparison.
+
+    Scale shape: centroids collapse to labels × DIM rows and
+    broadcast back as one array row per label; the distance pass is
+    map-side over a single corpus scan; the moments aggregate
+    collapses to ≤labels rows and broadcasts back onto the distance
+    frame (cached — two consumers). The corpus shuffles ZERO times.
+
+    NULL ``embedding`` rows are excluded (nothing to measure — the
+    assign_nearest convention).
+    """
+    from covid_engineering_spark.functions import evicting_cache
+
+    emb = emb.filter(F.col("embedding").isNotNull())
+    cent = centroids_by_label(emb)
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "centroid_val"))),
+            lambda s: s["centroid_val"],
+        ).alias("c")
+    ).select(F.col("label").alias("c_label"), "c")
+    d2 = F.expr(f"""
+        aggregate(
+            transform(sequence(1, {DIM}),
+                i -> (cast(element_at(embedding, i) as double)
+                      - element_at(c, i))
+                   * (cast(element_at(embedding, i) as double)
+                      - element_at(c, i))),
+            cast(0.0 as double), (acc, x) -> acc + x)
+    """)
+    base = evicting_cache(
+        emb.join(
+            F.broadcast(carr), emb["label"] == carr["c_label"]
+        ).select(
+            "vec_id",
+            "label",
+            F.floor(d2 * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("d2_micros"),
+        ),
+        "outlier_base",
+    )
+    stats = base.groupBy("label").agg(
+        F.count("*").alias("_n"),
+        F.sum("d2_micros").alias("_s"),
+        F.sum(
+            F.col("d2_micros").cast("decimal(38,0)") * F.col("d2_micros")
+        ).alias("_q"),
+    )
+    mean = F.col("_s").cast("double") / F.col("_n")
+    var = F.col("_q").cast("double") / F.col("_n") - mean * mean
+    thr = mean + F.lit(z) * F.sqrt(F.greatest(var, F.lit(0.0)))
+    thr_stats = stats.select(
+        "label",
+        F.floor(F.round(thr, 8) + F.lit(0.5))
+        .cast("long")
+        .alias("thr_micros"),
+    )
+    return base.join(F.broadcast(thr_stats), "label").select(
+        "vec_id",
+        "label",
+        "d2_micros",
+        "thr_micros",
+        (F.col("d2_micros") > F.col("thr_micros")).alias("is_outlier"),
+    )
+
+
+def q_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_outliers(read_table(spark, sf_dir, "embeddings"))
 
 
 #: SemDeDup cosine threshold — chosen so the synthetic corpus splits
@@ -2323,6 +2553,7 @@ QUERIES = {
     "emb_centroid": q_emb_centroid,
     "emb_knn_graph": q_emb_knn_graph,
     "emb_assign_nearest": q_emb_assign_nearest,
+    "emb_outliers": q_emb_outliers,
     "emb_kmeans_lloyd": q_emb_kmeans_lloyd,
     "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
     "emb_semdedup": q_emb_semdedup,
@@ -2330,10 +2561,12 @@ QUERIES = {
     "graph_pagerank": q_graph_pagerank,
     "graph_triangle_count": q_graph_triangle_count,
     "graph_kcore": q_graph_kcore,
+    "graph_label_propagation": q_graph_label_propagation,
     "emb_pca_power": q_emb_pca_power,
     "ann_graph_greedy": q_ann_graph_greedy,
     "emb_pq_codes": q_emb_pq_codes,
     "ann_pq_adc_topk": q_ann_pq_adc_topk,
+    "ann_rerank_topk": q_ann_rerank_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "emb_dim_stats": q_emb_dim_stats,
     "emb_sq8": q_emb_sq8,
@@ -2803,6 +3036,63 @@ def _kcore_oracle_sql(
     """
 
 
+def _lpa_oracle_sql(iters: int = LPA_ITERS) -> str:
+    """Twin of ``label_propagation`` over the kNN edges: the identical
+    edge CTE, UNION-symmetrized, then every unrolled synchronous round
+    — neighbor-label counts, mode with (count DESC, label ASC)
+    tie-break — and the final community-size window. AS MATERIALIZED
+    per round for the same fan-out reason as the k-core twin."""
+    blocks = []
+    prev = "l0"
+    for i in range(1, iters + 1):
+        blocks.append(f"""
+        c{i} AS MATERIALIZED (
+            SELECT e.src_id AS node, l.lab AS nlab,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM und e JOIN {prev} l ON l.node = e.n_id
+            GROUP BY 1, 2
+        ),
+        l{i} AS MATERIALIZED (
+            SELECT node, nlab AS lab FROM (
+                SELECT node, nlab,
+                       ROW_NUMBER() OVER (PARTITION BY node
+                                          ORDER BY c DESC, nlab) AS rn
+                FROM c{i}
+            ) t WHERE rn = 1
+        )""")
+        prev = f"l{i}"
+    return f"""
+        WITH scored AS (
+            SELECT a.vec_id AS src_id, b.vec_id AS n_id,
+                   ROUND(list_dot_product(
+                       list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                       list_transform(b.embedding, x -> CAST(x AS DOUBLE))
+                   ), 6) AS cosine
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id <> b.vec_id
+        ),
+        kedges AS (
+            SELECT src_id, n_id FROM (
+                SELECT src_id, n_id,
+                       ROW_NUMBER() OVER (PARTITION BY src_id
+                                          ORDER BY cosine DESC, n_id) AS rank
+                FROM scored
+            ) t WHERE rank <= {KNN_K}
+        ),
+        und AS MATERIALIZED (
+            SELECT src_id, n_id FROM kedges
+            UNION
+            SELECT n_id, src_id FROM kedges
+        ),
+        l0 AS (SELECT DISTINCT src_id AS node, src_id AS lab FROM und),
+        {",".join(blocks)}
+        SELECT node, lab AS community,
+               CAST(COUNT(*) OVER (PARTITION BY lab) AS BIGINT)
+                   AS community_size
+        FROM {prev}
+    """
+
+
 def _triangle_oracle_sql() -> str:
     """Twin of ``triangle_count`` over the kNN edges: the same
     degree-ordered orientation, wedge join, EXISTS closure check, and
@@ -3159,57 +3449,11 @@ def _ivf_kmeans_oracle_sql(
     """
 
 
-ORACLES = {
-    "emb_kmeans_lloyd": _kmeans_oracle_sql(),
-    "ann_ivf_kmeans_topk": _ivf_kmeans_oracle_sql(),
-    "ann_lsh_topk": _lsh_oracle_sql(),
-    "ann_range_search": _lsh_range_oracle_sql(),
-    "ann_ivf_topk": _ivf_oracle_sql(),
-    "graph_pagerank": _pagerank_oracle_sql(),
-    "graph_triangle_count": _triangle_oracle_sql(),
-    "graph_kcore": _kcore_oracle_sql(),
-    "emb_pca_power": _pca_oracle_sql(),
-    "ann_graph_greedy": _greedy_oracle_sql(),
-    "ann_ivfpq_topk": _ivfpq_oracle_sql(),
-    "emb_pq_codes": f"""
-        WITH seeds0 AS (
-            SELECT vec_id, embedding FROM embeddings
-            WHERE embedding IS NOT NULL
-            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {PQ_K}
-        ),
-        seeds AS (
-            SELECT ROW_NUMBER() OVER (
-                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-                   ) - 1 AS s_id,
-                   embedding AS s_emb
-            FROM seeds0
-        ),
-        pairs AS (
-            SELECT e.vec_id, t.sub, s.s_id,
-                   list_reduce(
-                       list_prepend(CAST(0 AS DOUBLE),
-                           list_transform(generate_series(1, {PQ_SUB_DIM}),
-                               i -> CAST(e.embedding[t.sub * {PQ_SUB_DIM} + i]
-                                         AS DOUBLE)
-                                  - CAST(s.s_emb[t.sub * {PQ_SUB_DIM} + i]
-                                         AS DOUBLE))),
-                       (a, b) -> a + b * b) AS d2
-            FROM embeddings e
-            CROSS JOIN generate_series(0, {PQ_M - 1}) AS t(sub)
-            CROSS JOIN seeds s
-            WHERE e.embedding IS NOT NULL
-        )
-        SELECT vec_id, CAST(sub AS INT) AS sub, CAST(s_id AS INT) AS code,
-               ROUND(d2, 6) AS dist2
-        FROM (
-            SELECT vec_id, sub, s_id, d2,
-                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub
-                                      ORDER BY d2, s_id) AS rn
-            FROM pairs
-        ) t WHERE rn = 1
-    """,
-    "ann_pq_adc_topk": f"""
-        WITH seeds0 AS (
+#: The PQ-ADC derivation (seed draw → sub-codebooks → codes → query
+#: LUT → per-(query, vector) ADC sums), shared verbatim by the flat
+#: ADC twin and the two-stage rerank twin — the rerank oracle must
+#: replay the IDENTICAL stage-1 shortlist.
+_ADC_SCORED_CTES = f"""seeds0 AS (
             SELECT vec_id, embedding FROM embeddings
             WHERE embedding IS NOT NULL
             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {PQ_K}
@@ -3255,7 +3499,61 @@ ORACLES = {
             FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
             WHERE l.q_id <> c.vec_id
             GROUP BY 1, 2
+        )"""
+
+
+ORACLES = {
+    "emb_kmeans_lloyd": _kmeans_oracle_sql(),
+    "ann_ivf_kmeans_topk": _ivf_kmeans_oracle_sql(),
+    "ann_lsh_topk": _lsh_oracle_sql(),
+    "ann_range_search": _lsh_range_oracle_sql(),
+    "ann_ivf_topk": _ivf_oracle_sql(),
+    "graph_pagerank": _pagerank_oracle_sql(),
+    "graph_triangle_count": _triangle_oracle_sql(),
+    "graph_kcore": _kcore_oracle_sql(),
+    "graph_label_propagation": _lpa_oracle_sql(),
+    "emb_pca_power": _pca_oracle_sql(),
+    "ann_graph_greedy": _greedy_oracle_sql(),
+    "ann_ivfpq_topk": _ivfpq_oracle_sql(),
+    "emb_pq_codes": f"""
+        WITH seeds0 AS (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE embedding IS NOT NULL
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {PQ_K}
+        ),
+        seeds AS (
+            SELECT ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) - 1 AS s_id,
+                   embedding AS s_emb
+            FROM seeds0
+        ),
+        pairs AS (
+            SELECT e.vec_id, t.sub, s.s_id,
+                   list_reduce(
+                       list_prepend(CAST(0 AS DOUBLE),
+                           list_transform(generate_series(1, {PQ_SUB_DIM}),
+                               i -> CAST(e.embedding[t.sub * {PQ_SUB_DIM} + i]
+                                         AS DOUBLE)
+                                  - CAST(s.s_emb[t.sub * {PQ_SUB_DIM} + i]
+                                         AS DOUBLE))),
+                       (a, b) -> a + b * b) AS d2
+            FROM embeddings e
+            CROSS JOIN generate_series(0, {PQ_M - 1}) AS t(sub)
+            CROSS JOIN seeds s
+            WHERE e.embedding IS NOT NULL
         )
+        SELECT vec_id, CAST(sub AS INT) AS sub, CAST(s_id AS INT) AS code,
+               ROUND(d2, 6) AS dist2
+        FROM (
+            SELECT vec_id, sub, s_id, d2,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d2, s_id) AS rn
+            FROM pairs
+        ) t WHERE rn = 1
+    """,
+    "ann_pq_adc_topk": f"""
+        WITH {_ADC_SCORED_CTES}
         SELECT q_id, n_id, ROUND(adc_micro / 1000000.0, 6) AS adc_d2,
                CAST(rank AS INTEGER) AS rank
         FROM (
@@ -3263,6 +3561,34 @@ ORACLES = {
                    ROW_NUMBER() OVER (PARTITION BY q_id
                                       ORDER BY adc_micro, n_id) AS rank
             FROM scored
+        ) t WHERE rank <= {TOP_K}
+    """,
+    "ann_rerank_topk": f"""
+        WITH {_ADC_SCORED_CTES},
+        short AS (
+            SELECT q_id, n_id FROM (
+                SELECT q_id, n_id,
+                       ROW_NUMBER() OVER (PARTITION BY q_id
+                                          ORDER BY adc_micro, n_id) AS rk
+                FROM scored
+            ) t WHERE rk <= {RERANK_SHORTLIST}
+        ),
+        rr AS (
+            SELECT s.q_id, s.n_id,
+                   ROUND(list_dot_product(
+                       list_transform(qe.embedding, x -> CAST(x AS DOUBLE)),
+                       list_transform(ne.embedding, x -> CAST(x AS DOUBLE))
+                   ), 6) AS cosine
+            FROM short s
+            JOIN embeddings qe ON qe.vec_id = s.q_id
+            JOIN embeddings ne ON ne.vec_id = s.n_id
+        )
+        SELECT q_id, n_id, cosine, CAST(rank AS INTEGER) AS rank
+        FROM (
+            SELECT q_id, n_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cosine DESC, n_id) AS rank
+            FROM rr
         ) t WHERE rank <= {TOP_K}
     """,
     "emb_assign_nearest": f"""
@@ -3292,6 +3618,52 @@ ORACLES = {
                                       ORDER BY cos6 DESC, c_label) AS rn
             FROM scored
         ) t WHERE rn = 1
+    """,
+    "emb_outliers": f"""
+        WITH cent AS (
+            SELECT label, i AS pos,
+                   ROUND(CAST(SUM(CAST(embedding[i] AS DECIMAL(18,9))) AS DOUBLE)
+                         / COUNT(*), 6) AS centroid_val
+            FROM embeddings, generate_series(1, {DIM}) AS t(i)
+            WHERE embedding IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        carr AS (
+            SELECT label AS c_label, list(centroid_val ORDER BY pos) AS c
+            FROM cent GROUP BY label
+        ),
+        base AS (
+            SELECT e.vec_id, e.label,
+                   CAST(FLOOR(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list_transform(generate_series(1, {DIM}),
+                           i -> (CAST(e.embedding[i] AS DOUBLE) - c[i])
+                              * (CAST(e.embedding[i] AS DOUBLE) - c[i]))),
+                       (a, b) -> a + b) * 1000000.0 + 0.5) AS BIGINT)
+                       AS d2_micros
+            FROM embeddings e JOIN carr ON carr.c_label = e.label
+            WHERE e.embedding IS NOT NULL
+        ),
+        stats AS (
+            SELECT label, COUNT(*) AS n,
+                   CAST(SUM(d2_micros) AS BIGINT) AS s,
+                   SUM(CAST(d2_micros AS HUGEINT) * d2_micros) AS q
+            FROM base GROUP BY label
+        ),
+        thr AS (
+            SELECT label,
+                   CAST(FLOOR(ROUND(
+                       CAST(s AS DOUBLE) / n
+                       + {OUTLIER_Z} * sqrt(GREATEST(
+                           CAST(q AS DOUBLE) / n
+                           - (CAST(s AS DOUBLE) / n)
+                             * (CAST(s AS DOUBLE) / n),
+                           0.0))
+                   , 8) + 0.5) AS BIGINT) AS thr_micros
+            FROM stats
+        )
+        SELECT b.vec_id, b.label, b.d2_micros, t.thr_micros,
+               b.d2_micros > t.thr_micros AS is_outlier
+        FROM base b JOIN thr t USING (label)
     """,
     # NULL embeddings contribute nothing to a mean-pool: the engine's
     # posexplode emits no rows for them, so the twin's per-dimension

@@ -586,6 +586,95 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collocations(read_table(spark, sf_dir, "documents"))
 
 
+def js_divergence(docs: DataFrame) -> DataFrame:
+    """Per-source Jensen–Shannon divergence (Lin 1991) between each
+    source's unigram distribution and the whole-corpus distribution —
+    the domain-shift audit a mixture plan reads before reweighting:
+    a source whose token distribution sits far from the corpus norm
+    (high JS) is a candidate for its own mixture component or a
+    quality review; sources near zero are interchangeable with the
+    blend. JS (not KL) because it is finite under disjoint support
+    and symmetric, the standard corpus-comparison divergence.
+
+    No source × vocabulary grid: for tokens ABSENT from a source,
+    p = 0, m = q/2, and the pointwise contribution collapses to
+    q·ln 2 — so the absent mass folds into the closed form
+    0.5·ln 2·(1 − Q_s) where Q_s is the corpus probability mass of
+    the source's PRESENT tokens, and every computed row is a real
+    (source, token) pair. The grid the textbook formula implies is
+    never materialized.
+
+    Determinism: counts are exact BIGINTs end-to-end; each present
+    pair's pointwise term 0.5·(p·ln(p/m) + q·ln(q/m)) — nonnegative
+    by convexity, as is the remainder — is ONE float expression
+    written with identical association order in both engines, rounded
+    8dp, converted once to integer micro-units (the collocations
+    idiom), so the per-source total is a BIGINT sum plus one
+    remainder micro-term.
+
+    Scale shape: the only corpus-sized pass is the (source, token)
+    partial aggregation; everything downstream is bounded by
+    vocabulary × sources. Per-source totals ride a window over that
+    bounded frame (not a join, so NULL ``source`` stays its own
+    group in both engines); the corpus-total frame is a 1-row
+    broadcast. The vocabulary attach is an equi-join on token —
+    broadcast at audit scales, a plain shuffled hash join when the
+    vocabulary outgrows that, either way vocabulary-bounded.
+
+    NULL ``text`` emits no token rows (the corpus-statistic
+    convention above); a source whose every document is NULL-text
+    has no distribution to compare and is absent from the report.
+    """
+    from pyspark.sql import Window
+
+    from covid_engineering_spark.functions import evicting_cache
+
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    cst = evicting_cache(
+        toks.groupBy("source", "tok").agg(F.count("*").alias("c_st")),
+        "js_cst",
+    )
+    vocab = cst.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
+    n_tot = vocab.agg(F.sum("c_t").alias("n_tot"))
+    pairs = (
+        cst.join(vocab, "tok")
+        .join(F.broadcast(n_tot))
+        .withColumn(
+            "n_s", F.sum("c_st").over(Window.partitionBy("source"))
+        )
+    )
+    p = F.col("c_st").cast("double") / F.col("n_s")
+    q = F.col("c_t").cast("double") / F.col("n_tot")
+    m = (p + q) / F.lit(2)
+    term = F.lit(0.5) * (p * F.log(p / m) + q * F.log(q / m))
+    tm = F.floor(F.round(term, 8) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    agg = pairs.groupBy("source").agg(
+        F.max("n_s").alias("n_src_tokens"),
+        F.count("*").alias("n_shared_types"),
+        F.sum(tm).alias("_pair_micros"),
+        F.sum("c_t").alias("_cq"),
+        F.max("n_tot").alias("_nt"),
+    )
+    rem = (
+        F.lit(0.5)
+        * F.log(F.lit(2.0))
+        * (F.lit(1) - F.col("_cq").cast("double") / F.col("_nt"))
+    )
+    rem_m = F.floor(F.round(rem, 8) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return agg.select(
+        "source",
+        "n_src_tokens",
+        "n_shared_types",
+        (F.col("_pair_micros") + rem_m).cast("long").alias("js_micros"),
+    )
+
+
+def q_text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return js_divergence(read_table(spark, sf_dir, "documents"))
+
+
 def perplexity(docs: DataFrame) -> DataFrame:
     """Per-document cross-entropy under the in-query corpus unigram
     LM — the CCNet-style LM quality gate (Wenzek et al. 2020): docs
@@ -1099,6 +1188,7 @@ QUERIES = {
     "text_unigram_lm": q_text_unigram_lm,
     "text_entropy": q_text_entropy,
     "text_collocations": q_text_collocations,
+    "text_js_divergence": q_text_js_divergence,
     "text_dup_ngram_rate": q_text_dup_ngram_rate,
     "text_bigram_lm": q_text_bigram_lm,
     "text_bm25": q_text_bm25,
@@ -1382,6 +1472,45 @@ ORACLES = {
         CROSS JOIN ntok CROSS JOIN btot
         ORDER BY pmi_micros DESC, bg
         LIMIT {COLLOC_K}
+    """,
+    "text_js_divergence": """
+        WITH st AS (
+            SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        cst AS (
+            SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_st
+            FROM st GROUP BY source, tok
+        ),
+        vocab AS (
+            SELECT tok, CAST(SUM(c_st) AS BIGINT) AS c_t
+            FROM cst GROUP BY tok
+        ),
+        ntot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_tot FROM vocab),
+        pairs AS (
+            SELECT c.source, c.c_st, v.c_t, n_tot,
+                   SUM(c.c_st) OVER (PARTITION BY c.source) AS n_s
+            FROM cst c JOIN vocab v USING (tok) CROSS JOIN ntot
+        )
+        SELECT source,
+               CAST(MAX(n_s) AS BIGINT) AS n_src_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_types,
+               CAST(SUM(CAST(FLOOR(ROUND(
+                   0.5 * ((CAST(c_st AS DOUBLE) / n_s)
+                          * ln((CAST(c_st AS DOUBLE) / n_s)
+                               / (((CAST(c_st AS DOUBLE) / n_s)
+                                   + (CAST(c_t AS DOUBLE) / n_tot)) / 2))
+                        + (CAST(c_t AS DOUBLE) / n_tot)
+                          * ln((CAST(c_t AS DOUBLE) / n_tot)
+                               / (((CAST(c_st AS DOUBLE) / n_s)
+                                   + (CAST(c_t AS DOUBLE) / n_tot)) / 2)))
+               , 8) * 1000000.0 + 0.5) AS BIGINT))
+               + CAST(FLOOR(ROUND(
+                   0.5 * ln(2.0)
+                   * (1 - CAST(SUM(c_t) AS DOUBLE) / MAX(n_tot))
+               , 8) * 1000000.0 + 0.5) AS BIGINT) AS BIGINT) AS js_micros
+        FROM pairs
+        GROUP BY source
     """,
     "text_bigram_lm": f"""
         WITH ws AS (

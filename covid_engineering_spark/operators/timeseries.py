@@ -1187,6 +1187,110 @@ def q_ts_downtime_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return downtime_gaps(read_table(spark, sf_dir, "events"))
 
 
+#: Half-width of the centered moving-average trend window (±3 days →
+#: a 7-day window, one full weekly cycle, the classical choice for a
+#: weekly-seasonal daily series).
+DECOMP_HALF = 3
+DECOMP_EVERY = "day"
+
+
+def decompose(
+    ev: DataFrame, every: str = DECOMP_EVERY, half: int = DECOMP_HALF
+) -> DataFrame:
+    """Classical additive decomposition (the moving-average method
+    STL refines; Hyndman & Athanasopoulos, *FPP* §3.4) of the daily
+    per-type cents series into trend + day-of-week seasonal index +
+    residual — the series-shape audit run before anomaly thresholds
+    or forecasts are tuned: trend answers "is the level moving",
+    seasonal answers "how big is the weekly cycle", and the residual
+    is what the anomaly detectors should actually be judging.
+
+    Semantics: trend is the centered (2·half+1)-bucket moving average
+    over each type's OBSERVED bucket sequence, NULL where the window
+    is not full (series edges — the classical convention, and the
+    one that keeps a partial window from faking a level shift);
+    seasonal is the mean detrended value per (type, day-of-week) over
+    full-window rows; residual = detrended − seasonal. A gapped
+    series decomposes over its observed buckets — run the gap-filler
+    first when calendar alignment matters.
+
+    Exactness: cents in, integer division out — the trend divides by
+    the constant window width and the seasonal mean by its cell count
+    using the canonical-mod FLOOR division (the ts_holt convention:
+    detrended values go negative, so the floor/truncate divergence
+    between Spark ``div`` and DuckDB ``//`` must be pinned, not
+    assumed). No float touches any emitted column.
+
+    Scale shape: the resample agg collapses raw events to the
+    (type, bucket) frame (the only corpus-sized pass); the trend
+    window sorts per type within that bounded frame; the seasonal
+    aggregate collapses it to ≤ types × 7 rows and joins back by
+    cell key. One corpus shuffle, two bounded ones.
+    """
+    from covid_engineering_spark.functions import evicting_cache
+
+    w = 2 * half + 1
+    bucketed = ev.groupBy(
+        F.date_trunc(every, "ts").alias("bucket"), "event_type"
+    ).agg(F.sum(_cents()).alias("x_cents"))
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-half, half)
+    )
+    staged = bucketed.select(
+        "event_type",
+        "bucket",
+        "x_cents",
+        F.sum("x_cents").over(win).alias("_s"),
+        F.count("*").over(win).alias("_n"),
+    )
+    trended = evicting_cache(
+        staged.select(
+            "event_type",
+            "bucket",
+            "x_cents",
+            F.when(
+                F.col("_n") == w,
+                F.expr(f"(_s - (((_s % {w}) + {w}) % {w})) div {w}"),
+            ).alias("trend_cents"),
+        )
+        .withColumn(
+            "detr_cents", F.col("x_cents") - F.col("trend_cents")
+        )
+        .withColumn(
+            "dow",
+            F.pmod(
+                F.datediff(
+                    F.to_date("bucket"), F.to_date(F.lit(DOW_ANCHOR))
+                ),
+                7,
+            ),
+        ),
+        "decomp_base",
+    )
+    seas = trended.groupBy("event_type", "dow").agg(
+        F.sum("detr_cents").alias("_sn"),
+        F.count("detr_cents").alias("_sd"),
+    )
+    seasonal = F.when(
+        F.col("_sd") > 0,
+        F.expr("(_sn - (((_sn % _sd) + _sd) % _sd)) div _sd"),
+    )
+    return trended.join(seas, ["event_type", "dow"]).select(
+        "event_type",
+        "bucket",
+        "x_cents",
+        "trend_cents",
+        seasonal.alias("seasonal_cents"),
+        (F.col("detr_cents") - seasonal).alias("resid_cents"),
+    )
+
+
+def q_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decompose(read_table(spark, sf_dir, "events"))
+
+
 QUERIES = {
     "ts_resample": q_ts_resample,
     "ts_rollup_incremental": q_ts_rollup_incremental,
@@ -1208,7 +1312,64 @@ QUERIES = {
     "ts_mad_anomaly": q_ts_mad_anomaly,
     "ts_percentile_profile": q_ts_percentile_profile,
     "ts_downtime_detect": q_ts_downtime_detect,
+    "ts_decompose": q_ts_decompose,
 }
+
+
+def _decompose_oracle_sql() -> str:
+    """SQL twin of ``decompose``: identical window framing, the same
+    canonical-mod floor divisions, the same full-window NULL edges."""
+    w = 2 * DECOMP_HALF + 1
+
+    def fd(a: str, b: str) -> str:
+        return (
+            f"CAST((({a}) - (((({a}) % ({b})) + ({b})) % ({b})))"
+            f" // ({b}) AS BIGINT)"
+        )
+
+    seasonal = f"CASE WHEN s.sd > 0 THEN {fd('s.sn', 's.sd')} END"
+    return f"""
+        WITH bucketed AS (
+            -- DuckDB's date_trunc('day') yields DATE; Spark's yields
+            -- TIMESTAMP — pin the hashed rendering to one type.
+            SELECT CAST(date_trunc('{DECOMP_EVERY}', ts) AS TIMESTAMP)
+                       AS bucket,
+                   event_type,
+                   CAST(SUM({CENTS_SQL}) AS BIGINT) AS x_cents
+            FROM events GROUP BY 1, 2
+        ),
+        wnd AS (
+            SELECT event_type, bucket, x_cents,
+                   CAST(SUM(x_cents) OVER win AS BIGINT) AS s,
+                   COUNT(*) OVER win AS n
+            FROM bucketed
+            WINDOW win AS (PARTITION BY event_type ORDER BY bucket
+                           ROWS BETWEEN {DECOMP_HALF} PRECEDING
+                                    AND {DECOMP_HALF} FOLLOWING)
+        ),
+        tr AS (
+            SELECT event_type, bucket, x_cents,
+                   CASE WHEN n = {w} THEN {fd("s", str(w))} END
+                       AS trend_cents,
+                   ((CAST(bucket AS DATE) - DATE '{DOW_ANCHOR}') % 7 + 7)
+                       % 7 AS dow
+            FROM wnd
+        ),
+        dt AS (
+            SELECT *, x_cents - trend_cents AS detr_cents FROM tr
+        ),
+        seas AS (
+            SELECT event_type, dow,
+                   CAST(SUM(detr_cents) AS BIGINT) AS sn,
+                   COUNT(detr_cents) AS sd
+            FROM dt GROUP BY 1, 2
+        )
+        SELECT d.event_type, d.bucket, d.x_cents, d.trend_cents,
+               {seasonal} AS seasonal_cents,
+               d.detr_cents - ({seasonal}) AS resid_cents
+        FROM dt d JOIN seas s USING (event_type, dow)
+    """
+
 
 ORACLES = {
     "ts_downtime_detect": """
@@ -1705,3 +1866,4 @@ def _holt_oracle_sql() -> str:
 
 
 ORACLES["ts_holt"] = _holt_oracle_sql()
+ORACLES["ts_decompose"] = _decompose_oracle_sql()

@@ -263,6 +263,42 @@ def main(
         f"{stats['lo']}/{int(stats['med'])}/{stats['hi']}"
     )
 
+    # 11. Learned quality gate: the broadcast linear model — swap the
+    # deterministic stub table for exported fastText/LR weights and
+    # the plan is unchanged
+    from covid_engineering_spark.operators.pipeline import (
+        quality_classifier,
+    )
+
+    qc = quality_classifier(read_table(spark, sf_dir, "documents"))
+    n_keep = qc.filter("keep").count()
+    print(f"linear quality model: {n_keep}/{n_raw} docs past the gate")
+
+    # 12. Mixture audit: which sources read like the blend, which
+    # need their own component
+    from covid_engineering_spark.operators.text import js_divergence
+
+    js = js_divergence(read_table(spark, sf_dir, "documents"))
+    far = js.orderBy(F.desc("js_micros")).first()
+    print(
+        f"mixture audit: most divergent source = {far['source']} "
+        f"(JS {far['js_micros']} micros over {js.count()} sources)"
+    )
+
+    # 13. Training order: stage by length, shuffle within stage,
+    # emit the global serving position (write_range_sorted on
+    # global_pos materializes the curriculum as the file layout)
+    from covid_engineering_spark.operators.pipeline import (
+        curriculum_order,
+    )
+
+    curr = curriculum_order(read_table(spark, sf_dir, "documents"))
+    by_stage = {
+        r["stage"]: r["n"]
+        for r in curr.groupBy("stage").agg(F.count("*").alias("n")).collect()
+    }
+    print(f"curriculum stages: {dict(sorted(by_stage.items()))}")
+
 
 if __name__ == "__main__":
     main(*sys.argv[1:3])

@@ -227,6 +227,35 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     mrl = mrl_recall(emb).agg(F.avg("recall_at_k").alias("r")).first()["r"]
     print(f"mrl prefix recall @ {MRL_DIM}/64 dims: {mrl:.3f}")
 
+    # 13. two-stage serving: ADC shortlist (codes only) -> exact
+    # re-rank of |Q|*25 float candidates — the production shape; the
+    # exact stage recovers most of what compression lost
+    from covid_engineering_spark.operators.similarity import rerank_topk
+
+    rr = _pairs(rerank_topk(emb).collect())
+    print(
+        f"two-stage rerank recall vs brute force: "
+        f"{len(rr & brute) / len(brute):.3f}"
+    )
+
+    # 14. community structure + hygiene over the same kNN graph:
+    # LPA communities (what k-core's density gate doesn't name) and
+    # the per-label outlier z-gate
+    from covid_engineering_spark.operators.similarity import (
+        embedding_outliers,
+        label_propagation,
+    )
+
+    comm = label_propagation(knn_graph(emb).select("src_id", "n_id"))
+    n_comm = comm.select("community").distinct().count()
+    big = comm.agg(F.max("community_size")).first()[0]
+    print(f"lpa communities: {n_comm} (largest {big} vectors)")
+    outl = embedding_outliers(emb)
+    print(
+        f"centroid-distance outliers: "
+        f"{outl.filter('is_outlier').count()}/{outl.count()} flagged"
+    )
+
     docs = read_table(spark, sf_dir, "documents")
     stats = lsh_bucket_stats(docs, portable=True).head()
     print(

@@ -890,6 +890,59 @@ def main() -> None:
             index=read_near_dup_index(spark, _nd_index_paths[sf_dir]),
         ).write.mode("overwrite").format("noop").save()
 
+    # FIXED-batch incremental probes: the production question for a
+    # standing index is per-batch cost with the BATCH CONSTANT as the
+    # corpus grows (the x1000 runs above grow both together). Replica
+    # 0 keeps the base doc_id range (<10^9), so this batch is the
+    # same ~|base|/5 docs at any X; only the index side scales.
+    _FIXED_BATCH = (F.col("doc_id") % 5 == 0) & (F.col("doc_id") < 10**9)
+
+    def incnear_lsh_fixedbatch(sf_dir):
+        from covid_engineering_spark.operators.pipeline import (
+            near_dup_incremental_lsh,
+            read_near_dup_index,
+            write_near_dup_index,
+        )
+        from covid_engineering_spark.sources import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        if sf_dir not in _nd_index_paths:
+            path = tempfile.mkdtemp(prefix="ces_ndidx_")
+            write_near_dup_index(
+                docs.filter(F.col("doc_id") % 5 != 0), path, portable=True
+            )
+            _nd_index_paths[sf_dir] = path
+        near_dup_incremental_lsh(
+            None,
+            docs.filter(_FIXED_BATCH),
+            portable=True,
+            index=read_near_dup_index(spark, _nd_index_paths[sf_dir]),
+        ).write.mode("overwrite").format("noop").save()
+
+    def incnear_lsh_pushdown(sf_dir):
+        # the scan-pruned probe: batch bucket keys + candidate ids
+        # pushed as literal In filters into the clustered index scans
+        # — must probe FLAT where fixedbatch still pays the index scan
+        from covid_engineering_spark.operators.pipeline import (
+            probe_near_dup_index,
+            write_near_dup_index,
+        )
+        from covid_engineering_spark.sources import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        if sf_dir not in _nd_index_paths:
+            path = tempfile.mkdtemp(prefix="ces_ndidx_")
+            write_near_dup_index(
+                docs.filter(F.col("doc_id") % 5 != 0), path, portable=True
+            )
+            _nd_index_paths[sf_dir] = path
+        probe_near_dup_index(
+            spark,
+            _nd_index_paths[sf_dir],
+            docs.filter(_FIXED_BATCH),
+            portable=True,
+        ).write.mode("overwrite").format("noop").save()
+
     def kmeans(sf_dir):
         # iterated Lloyd at N x vectors: every E-step is map-side
         # against a broadcast <=K-row codebook, every M-step shuffle
@@ -1070,6 +1123,8 @@ def main() -> None:
         ("dedup_substring_strip_hashed", substr_strip_hashed),
         ("pipe_near_dup_incremental_lsh", incnear_lsh),
         ("pipe_near_dup_incremental_lsh_prebuilt", incnear_lsh_prebuilt),
+        ("pipe_near_dup_incremental_lsh_fixedbatch", incnear_lsh_fixedbatch),
+        ("pipe_near_dup_incremental_lsh_pushdown", incnear_lsh_pushdown),
         ("emb_kmeans_lloyd", kmeans),
         ("pipe_contamination_report", contam),
         ("pipe_bloom_decontaminate", bloomdecon),
