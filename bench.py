@@ -149,6 +149,9 @@ HEADLINE = [
     "pipe_quality_classifier",
     "pipe_curriculum_order",
     "emb_outliers",
+    # and the mergeable rank-stride quantile summary (per-shard local
+    # sorts + bounded merge + one verification scan).
+    "a27_quantile_sketch",
 ]
 
 

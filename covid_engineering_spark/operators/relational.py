@@ -2432,6 +2432,169 @@ def mg_summary(
     return summary, counts
 
 
+#: Quantile-summary geometry: shard fan-out, per-shard sample budget
+#: (rank stride ⌈n/B⌉ ⇒ per-shard rank error ≤ stride−1), the
+#: reported percentiles, and the shard-hash seed.
+QS_SHARDS = 4
+QS_B = 32
+QS_PCTS = (25, 50, 75, 90)
+QS_SEED = 27
+
+
+def quantile_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    shards: int = QS_SHARDS,
+    b: int = QS_B,
+    pcts: tuple = QS_PCTS,
+    seed: int = QS_SEED,
+) -> DataFrame:
+    """Deterministic mergeable quantile summary — the quantile member
+    of the bounded-state sketch family (a23 exact / a24 CMS /
+    a26 Misra–Gries counters / THIS): per (group, shard) keep every
+    ⌈n/B⌉-th element of the locally SORTED stream plus the shard
+    maximum, each sample weighted by the ranks it covers; merge the
+    ≤ shards·(B+1) samples per group in value order and read the
+    requested percentiles off the cumulative weights — the classic
+    sorted-sample summary (the GK/KLL deployment shape without their
+    adaptive compaction), built the way a 1000-executor job runs it:
+    local sorts over 1/shards of each group, then a bounded merge.
+
+    Guarantee, emitted as checked columns (the a26 discipline): the
+    estimate's true rank interval [true_rank_lo, true_rank_hi]
+    (tie-aware — lo counts strictly-smaller values +1, hi counts ≤)
+    must intersect cw ± err_bound where err_bound = Σ_shards
+    (stride_s − 1). Exact verification rides a second corpus pass
+    against the broadcast ≤ groups·|pcts| estimate frame — the
+    a14/a18 sketch-vs-exact pattern.
+
+    Determinism: integer cents, total order (value, tiebreak) inside
+    every shard, total merge order (value, shard, rank), smallest
+    qualifying cumulative weight wins — SQL-replayable end to end
+    where approx_percentile (a18) is an opaque engine sketch.
+
+    Scale shape: the only corpus-sized work is one rank window per
+    (group, shard) — a hot group splits across shards exactly like
+    the salted-agg discipline — and the verification scan. Merge
+    windows and the pick ride frames bounded by groups·shards·B.
+    NULL values carry no rank and are excluded; a NULL group is its
+    own group throughout (windows, not equi-joins, carry the totals,
+    and the verify join is null-safe).
+    """
+    from covid_engineering_spark.functions import evicting_cache
+    from covid_engineering_spark.operators.dedup import portable_hash64
+
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    base = evicting_cache(
+        df.filter(F.col(value_col).isNotNull()).select(
+            F.col(group_col).alias("g"),
+            F.pmod(
+                portable_hash64(F.col(tiebreak_col).cast("string"), seed),
+                F.lit(shards),
+            ).alias("shard"),
+            cents.alias("x"),
+            F.col(tiebreak_col).alias("tb"),
+        ),
+        "qsketch_base",
+    )
+    w_rank = Window.partitionBy("g", "shard").orderBy("x", "tb")
+    w_cnt = Window.partitionBy("g", "shard")
+    ranked = base.select(
+        "g",
+        "shard",
+        "x",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_cnt).alias("n_sh"),
+    ).withColumn("stride", F.expr(f"(n_sh + {b - 1}) div {b}"))
+    kept = ranked.filter(
+        (F.col("rn") % F.col("stride") == 0)
+        | (F.col("rn") == F.col("n_sh"))
+    )
+    w_keep = Window.partitionBy("g", "shard").orderBy("rn")
+    samples = kept.withColumn(
+        "w",
+        F.col("rn") - F.coalesce(F.lag("rn").over(w_keep), F.lit(0)),
+    )
+    w_m = Window.partitionBy("g").orderBy("x", "shard", "rn")
+    w_t = Window.partitionBy("g")
+    merged = (
+        samples.withColumn("cw", F.sum("w").over(w_m))
+        .withColumn("n_total", F.sum("w").over(w_t))
+        .withColumn(
+            "err_bound",
+            F.sum(
+                F.when(
+                    F.col("rn") == F.col("n_sh"), F.col("stride") - 1
+                ).otherwise(F.lit(0))
+            ).over(w_t),
+        )
+    )
+    cand = merged.select(
+        "*",
+        F.explode(F.array(*[F.lit(int(p)) for p in pcts])).alias("pct"),
+    )
+    hits = cand.filter(
+        F.col("cw") >= F.expr("(pct * n_total + 99) div 100")
+    )
+    w_pick = Window.partitionBy("g", "pct").orderBy(
+        "cw", "x", "shard", "rn"
+    )
+    est = (
+        hits.withColumn("_pr", F.row_number().over(w_pick))
+        .filter(F.col("_pr") == 1)
+        .select(
+            "g",
+            "pct",
+            F.col("x").alias("est_cents"),
+            "n_total",
+            F.col("cw").alias("cw_at_est"),
+            "err_bound",
+        )
+    )
+    j = base.alias("c").join(
+        F.broadcast(est).alias("e"), F.expr("c.g <=> e.g")
+    )
+    lo = F.sum(
+        F.when(F.col("c.x") < F.col("e.est_cents"), 1).otherwise(0)
+    ) + F.lit(1)
+    hi = F.sum(
+        F.when(F.col("c.x") <= F.col("e.est_cents"), 1).otherwise(0)
+    )
+    out = j.groupBy(
+        F.col("e.g").alias(group_col),
+        "e.pct",
+        "e.est_cents",
+        "e.n_total",
+        "e.cw_at_est",
+        "e.err_bound",
+    ).agg(
+        lo.cast("long").alias("true_rank_lo"),
+        hi.cast("long").alias("true_rank_hi"),
+    )
+    ok = (
+        F.col("true_rank_hi") >= F.col("cw_at_est") - F.col("err_bound")
+    ) & (F.col("true_rank_lo") <= F.col("cw_at_est") + F.col("err_bound"))
+    return out.select(
+        group_col,
+        "pct",
+        "est_cents",
+        "n_total",
+        "cw_at_est",
+        "err_bound",
+        "true_rank_lo",
+        "true_rank_hi",
+        ok.alias("err_within_bound"),
+    )
+
+
+def q_a27_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A27 — mergeable rank-stride quantile summary over event value
+    cents per type, with its rank-error guarantee verified in-frame."""
+    return quantile_sketch(read_table(spark, sf_dir, "events"), "event_type")
+
+
 #: Fan-out factor of the explicit salted join — the number of
 #: sub-partitions a hot key is spread across.
 JOIN_SALT = 8
@@ -2632,6 +2795,7 @@ QUERIES = {
     "a23_heavy_hitters": q_a23_heavy_hitters,
     "a24_cms_heavy": q_a24_cms_heavy,
     "a26_mg_heavy": q_a26_mg_heavy,
+    "a27_quantile_sketch": q_a27_quantile_sketch,
     "a25_quantile_cuts": q_a25_quantile_cuts,
     "a11_percentile": q_a11_percentile,
     "a12_cube": q_a12_cube,
@@ -3012,6 +3176,76 @@ ORACLES = {
         SELECT event_type, user_id, cnt, total, n_users
         FROM c JOIN t USING (event_type)
         WHERE cnt * n_users * {HH_DEN} > total * {HH_NUM}
+    """,
+    "a27_quantile_sketch": f"""
+        WITH base AS (
+            SELECT event_type AS g,
+                   ('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                        || ':{QS_SEED}'), 1, 15))::BIGINT % {QS_SHARDS}
+                       AS shard,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+                   event_id AS tb
+            FROM events WHERE value IS NOT NULL
+        ),
+        ranked AS (
+            SELECT g, shard, x,
+                   ROW_NUMBER() OVER (PARTITION BY g, shard
+                                      ORDER BY x, tb) AS rn,
+                   COUNT(*) OVER (PARTITION BY g, shard) AS n_sh
+            FROM base
+        ),
+        kept AS (
+            SELECT *, (n_sh + {QS_B - 1}) // {QS_B} AS stride
+            FROM ranked
+            WHERE rn % ((n_sh + {QS_B - 1}) // {QS_B}) = 0 OR rn = n_sh
+        ),
+        samples AS (
+            SELECT g, shard, x, rn, n_sh, stride,
+                   rn - COALESCE(LAG(rn) OVER (PARTITION BY g, shard
+                                               ORDER BY rn), 0) AS w
+            FROM kept
+        ),
+        merged AS (
+            SELECT g, shard, x, rn, n_sh, stride, w,
+                   CAST(SUM(w) OVER (PARTITION BY g
+                                     ORDER BY x, shard, rn) AS BIGINT)
+                       AS cw,
+                   CAST(SUM(w) OVER (PARTITION BY g) AS BIGINT)
+                       AS n_total,
+                   CAST(SUM(CASE WHEN rn = n_sh THEN stride - 1
+                                 ELSE 0 END)
+                        OVER (PARTITION BY g) AS BIGINT) AS err_bound
+            FROM samples
+        ),
+        cand AS (
+            SELECT m.*, p.pct FROM merged m
+            CROSS JOIN (VALUES (25), (50), (75), (90)) AS p(pct)
+        ),
+        est AS (
+            SELECT g, pct, x AS est_cents, n_total, cw AS cw_at_est,
+                   err_bound
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                           PARTITION BY g, pct
+                           ORDER BY cw, x, shard, rn) AS pr
+                FROM cand
+                WHERE cw >= (pct * n_total + 99) // 100
+            ) t WHERE pr = 1
+        )
+        SELECT e.g AS event_type, CAST(e.pct AS INT) AS pct,
+               e.est_cents, e.n_total, e.cw_at_est, e.err_bound,
+               CAST(SUM(CASE WHEN c.x < e.est_cents THEN 1 ELSE 0 END)
+                    + 1 AS BIGINT) AS true_rank_lo,
+               CAST(SUM(CASE WHEN c.x <= e.est_cents THEN 1 ELSE 0 END)
+                    AS BIGINT) AS true_rank_hi,
+               (CAST(SUM(CASE WHEN c.x <= e.est_cents THEN 1 ELSE 0 END)
+                     AS BIGINT) >= e.cw_at_est - e.err_bound
+                AND CAST(SUM(CASE WHEN c.x < e.est_cents THEN 1 ELSE 0
+                                  END) + 1 AS BIGINT)
+                    <= e.cw_at_est + e.err_bound) AS err_within_bound
+        FROM base c JOIN est e ON c.g IS NOT DISTINCT FROM e.g
+        GROUP BY e.g, e.pct, e.est_cents, e.n_total, e.cw_at_est,
+                 e.err_bound
     """,
     "a26_mg_heavy": f"""
         WITH c AS (

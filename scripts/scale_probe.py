@@ -1059,6 +1059,100 @@ def main() -> None:
             "overwrite"
         ).format("noop").save()
 
+    def jsdiv(sf_dir):
+        # per-source JS divergence: corpus collapses at the first
+        # (source, token) partial agg; everything after is bounded by
+        # vocabulary x sources — must track the token scan
+        from covid_engineering_spark.operators.text import (
+            q_text_js_divergence,
+        )
+
+        q_text_js_divergence(spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+
+    def tsdecomp(sf_dir):
+        # additive decomposition: one corpus resample shuffle, then
+        # type-bounded trend window + <=types x 7 seasonal cells
+        from covid_engineering_spark.operators.timeseries import (
+            q_ts_decompose,
+        )
+
+        q_ts_decompose(spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+
+    def qcls(sf_dir):
+        # broadcast linear model: one md5 per token map-side, 512-row
+        # broadcast join, partial-agg per doc — must ride the scan
+        from covid_engineering_spark.operators.pipeline import (
+            q_pipe_quality_classifier,
+        )
+
+        q_pipe_quality_classifier(spark, sf_dir).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+    def curr(sf_dir):
+        # curriculum = global_ntile + prefix sum: two range
+        # repartitions + bounded offsets windows, no single-partition
+        # sort at any size
+        from covid_engineering_spark.operators.pipeline import (
+            q_pipe_curriculum_order,
+        )
+
+        q_pipe_curriculum_order(spark, sf_dir).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+    def lpa(sf_dir):
+        # LPA at Nx the BLOCKS: kNN edges grow linearly, each round is
+        # one edge-keyed join + (node,label) partial agg + per-node
+        # rank over <=degree rows
+        from covid_engineering_spark.operators.similarity import (
+            q_graph_label_propagation,
+        )
+
+        q_graph_label_propagation(spark, sf_dir).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+    def rerank(sf_dir):
+        # two-stage retrieval: stage 1 is the ADC scan (codes only),
+        # stage 2 touches <=|Q|*shortlist float rows — total must
+        # track the code scan, never add a second float pass
+        from covid_engineering_spark.operators.similarity import (
+            q_ann_rerank_topk,
+        )
+
+        q_ann_rerank_topk(spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+
+    def outliers(sf_dir):
+        # per-label outlier gate: zero corpus shuffles — distance pass
+        # map-side against broadcast centroids, moments collapse to
+        # <=labels rows; must track the vector scan
+        from covid_engineering_spark.operators.similarity import (
+            q_emb_outliers,
+        )
+
+        q_emb_outliers(spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+
+    def qsketch(sf_dir):
+        # mergeable quantile summary: one rank window per (type,
+        # shard) — the only corpus-sized sorts — plus the bounded
+        # merge and one verification scan
+        from covid_engineering_spark.operators.relational import (
+            q_a27_quantile_sketch,
+        )
+
+        q_a27_quantile_sketch(spark, sf_dir).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
     def kcorepeel(sf_dir):
         # mutual-kNN k-core at Nx the BLOCKS: edges grow linearly,
         # each peel round is one vertex-keyed degree agg + two
@@ -1135,6 +1229,14 @@ def main() -> None:
         ("j9_binned_interval_join", intervaljoin),
         ("ann_graph_greedy", anngraph),
         ("graph_kcore", kcorepeel),
+        ("text_js_divergence", jsdiv),
+        ("ts_decompose", tsdecomp),
+        ("pipe_quality_classifier", qcls),
+        ("pipe_curriculum_order", curr),
+        ("graph_label_propagation", lpa),
+        ("ann_rerank_topk", rerank),
+        ("emb_outliers", outliers),
+        ("a27_quantile_sketch", qsketch),
     ):
         if ONLY and name not in ONLY:
             continue

@@ -35,6 +35,7 @@ NEW_OPS = [
     "graph_label_propagation",
     "ann_rerank_topk",
     "emb_outliers",
+    "a27_quantile_sketch",
 ]
 
 
@@ -333,6 +334,49 @@ def test_rerank_emits_topk_per_query(spark):
         by_rank = sorted(rs, key=lambda r: r.rank)
         cosines = [r.cosine for r in by_rank]
         assert cosines == sorted(cosines, reverse=True)
+
+
+# --- a27_quantile_sketch ----------------------------------------------
+
+
+def test_quantile_sketch_bound_holds_on_real_data(spark):
+    from covid_engineering_spark.queries import registry
+
+    rows = registry()["a27_quantile_sketch"](spark, SF_SMOKE).collect()
+    assert rows
+    assert all(r.err_within_bound for r in rows)
+    # every group reports every requested percentile
+    per_g = {}
+    for r in rows:
+        per_g.setdefault(r.event_type, set()).add(r.pct)
+    assert all(p == {25, 50, 75, 90} for p in per_g.values())
+
+
+def test_quantile_sketch_exact_when_budget_covers_the_shard(spark):
+    import datetime
+    import math
+
+    from covid_engineering_spark.operators.relational import (
+        quantile_sketch,
+    )
+
+    vals = [float(v) for v in range(1, 101)]  # 1.00 .. 100.00
+    rows = [
+        (i, datetime.datetime(2024, 1, 1), 1, "t", vals[i], "{}")
+        for i in range(100)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    # b large enough that every shard keeps every element (stride 1)
+    out = quantile_sketch(ev, "event_type", b=1000).collect()
+    got = {r.pct: r.est_cents for r in out}
+    for pct in (25, 50, 75, 90):
+        want = int(sorted(vals)[math.ceil(pct * 100 / 100) - 1] * 100)
+        assert got[pct] == want, (pct, got[pct], want)
+        assert all(r.err_bound == 0 for r in out)
 
 
 # --- probe_near_dup_index (scan-pruned standing-index probe) ----------
