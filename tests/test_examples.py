@@ -41,6 +41,11 @@ def test_corpus_curation_runs(spark, tmp_path, capsys):
         "weight floor -425592 micros" in out
     )
     assert "pps review sample: 100 docs" in out
+    # round-11 stages: deterministic (md5 weights/shuffle keys, fixed
+    # data), pinned exactly
+    assert "linear quality model: 135/500 docs past the gate" in out
+    assert "mixture audit: most divergent source = src18" in out
+    assert "curriculum stages: {1: 125, 2: 125, 3: 125, 4: 125}" in out
 
 
 def test_quickstart_runs(spark, tmp_path, capsys):
@@ -105,6 +110,11 @@ def test_similarity_search_runs(spark, capsys):
     line = next(l for l in out.splitlines() if l.startswith("graph beam search"))
     assert int(line.split(":")[1].strip().split(" ")[0]) >= 1
     assert "embedding near-dup pairs at cosine >= 0.4: 5" in out
+    # round-11 stages: the rerank recall and the LPA/outlier counts are
+    # threshold/rank crossings over 6dp cosines on fixed data — pinned
+    assert "two-stage rerank recall vs brute force: 0.375" in out
+    assert "lpa communities: 48 (largest 47 vectors)" in out
+    assert "centroid-distance outliers: 21/500 flagged" in out
     # structural figure (cell count) exact; the kept count is a
     # threshold crossing over 6dp-rounded cosines on fixed data, so it
     # is deterministic too — pinned exactly, like the pair count above

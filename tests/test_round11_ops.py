@@ -136,7 +136,8 @@ def test_decompose_constant_series_has_zero_seasonal_and_residual(spark):
     assert all(r.resid_cents == 0 for r in full)
     edges = [r for r in out if r.trend_cents is None]
     assert len(edges) == 6
-    assert all(r.seasonal_cents is None or True for r in edges)
+    # edge rows detrend to NULL, so their residuals are NULL too
+    assert all(r.resid_cents is None for r in edges)
 
 
 def test_decompose_additivity_on_real_data(spark):

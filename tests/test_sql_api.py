@@ -108,6 +108,23 @@ DUCKDB_ONLY = {
     "pipe_tokenizer_fertility",
     # r10: list_dot_product kNN chain + AS MATERIALIZED round frames
     "graph_kcore",
+    # r11: string_split/unnest token explosion (js_divergence,
+    # quality_classifier) + the '0x'||md5 hash idiom and unnest(range)
+    # weights table (quality_classifier, curriculum_order); '//'
+    # integer division + DuckDB date-minus-date arithmetic
+    # (ts_decompose); list_dot_product/list_transform kNN and ADC
+    # chains + AS MATERIALIZED round frames (label_propagation,
+    # rerank); list lambdas + HUGEINT moment sums (emb_outliers);
+    # '//' division + '0x'||md5 shard hash + VALUES table alias
+    # (a27_quantile_sketch)
+    "text_js_divergence",
+    "ts_decompose",
+    "pipe_quality_classifier",
+    "pipe_curriculum_order",
+    "graph_label_propagation",
+    "ann_rerank_topk",
+    "emb_outliers",
+    "a27_quantile_sketch",
     "a24_cms_heavy",
     "ann_hamming_topk",
     "ann_range_search",

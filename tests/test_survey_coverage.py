@@ -264,6 +264,20 @@ SURVEY_MAP = {
     # the rank applied at read — the lambda-free serving split,
     # demonstrated end-to-end in tests/test_streaming.py
     "STREAM-TOPK": "stream_topk",
+    # round-11 extensions: per-source JS mixture audit, classical
+    # additive decomposition, broadcast linear quality model,
+    # curriculum ordering on the distributed ntile/prefix-sum
+    # primitives, synchronous LPA communities, two-stage ADC+exact
+    # retrieval rerank, per-label centroid-distance outlier gate,
+    # and the mergeable rank-stride quantile summary
+    "TXT-JS": "text_js_divergence",
+    "TS-DECOMP": "ts_decompose",
+    "PIPE-QCLS": "pipe_quality_classifier",
+    "PIPE-CURR": "pipe_curriculum_order",
+    "GRAPH-LPA": "graph_label_propagation",
+    "ANN-RERANK": "ann_rerank_topk",
+    "EMB-OUTLIER": "emb_outliers",
+    "A27": "a27_quantile_sketch",
     "ANN-RP": "emb_rp_recall",
     "PIPE-KANON": "pipe_k_anonymity",
     "PIPE-PPS": "pipe_weighted_sample",
