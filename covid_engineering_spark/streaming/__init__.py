@@ -2,6 +2,7 @@ from covid_engineering_spark.streaming import dedup as _dedup
 from covid_engineering_spark.streaming import joins as _joins
 from covid_engineering_spark.streaming import windows as _windows
 from covid_engineering_spark.streaming.dedup import stream_dedup
+from covid_engineering_spark.streaming.neardup import stream_near_dup
 from covid_engineering_spark.streaming.joins import (
     attributed_clicks,
     stream_attributed_clicks,
@@ -24,6 +25,7 @@ __all__ = [
     "running_user_totals",
     "stream_attributed_clicks",
     "stream_dedup",
+    "stream_near_dup",
     "session_agg",
     "sliding_agg",
     "stream_events",

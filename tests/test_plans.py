@@ -278,6 +278,13 @@ BOUNDED_GLOBAL_WINDOWS = {
     "ann_ivfpq_topk": 4,
     # mixture plan: ranks the <=|sources| summary frame.
     "pipe_mixture_plan": 2,
+    # r11 curriculum: the global_ntile offsets window (<=P rows); the
+    # chained prefix sum's own offsets window sits behind the lazy
+    # localCheckpoint boundary, exactly like rfm's later stages.
+    "pipe_curriculum_order": 1,
+    # r11 two-stage rerank: inherits the ADC stage's md5-rank PQ seed
+    # draw (<=K rows after TakeOrdered), same pair as ann_pq_adc_topk.
+    "ann_rerank_topk": 2,
     # SIRD transfer: the single shared 30-day date spine.
     "x2_sird_transfer": 8,
 }

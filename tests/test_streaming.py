@@ -434,3 +434,57 @@ def test_windowed_topk_counts_stream_then_rank_at_read(spark, source_dir):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_stream_near_dup_probes_the_standing_index(spark, tmp_path):
+    """The ingestion-time composition: arriving document batches probe
+    the STANDING near-dup index via foreachBatch, and the union of the
+    per-micro-batch outputs equals the batch operator over the full
+    arrival set (each arrival's candidates come from the standing
+    index, never from co-arriving documents — so per-batch probing and
+    one-shot probing see the same pairs)."""
+    from covid_engineering_spark.operators.pipeline import (
+        near_dup_incremental_lsh,
+        read_near_dup_index,
+        write_near_dup_index,
+    )
+    from covid_engineering_spark.streaming import stream_near_dup
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    arriving = docs.filter(F.col("doc_id") % 5 == 0)
+    idx_path = str(tmp_path / "ndidx")
+    write_near_dup_index(corpus, idx_path, portable=True)
+
+    # two 'arrivals' of the batch stream
+    src = str(tmp_path / "doc_stream")
+    arriving.filter(F.col("doc_id") % 2 == 0).write.mode(
+        "append"
+    ).parquet(src)
+    arriving.filter(F.col("doc_id") % 2 == 1).write.mode(
+        "append"
+    ).parquet(src)
+
+    got: list = []
+
+    def sink(pairs, batch_id):
+        got.extend(tuple(r) for r in pairs.collect())
+
+    q = (
+        stream_near_dup(spark, src, idx_path, sink, portable=True)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    want = sorted(
+        tuple(r)
+        for r in near_dup_incremental_lsh(
+            None,
+            arriving,
+            portable=True,
+            index=read_near_dup_index(spark, idx_path),
+        ).collect()
+    )
+    assert sorted(got) == want
+    assert len(want) > 0
