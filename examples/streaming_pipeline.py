@@ -159,6 +159,48 @@ def main(sf_dir: str = "/root/testdata/sf0.001", out_dir: str | None = None):
     assert got_total == n_staged, (got_total, n_staged)
     print(f"stateful totals: {final.count()} users, {got_total} events folded")
 
+    # 5. ingestion-time near-dup: arriving document batches probe the
+    # STANDING MinHash/LSH index via foreachBatch — the composition of
+    # the streaming tier with the corpus index tier (per-batch cost is
+    # O(batch + probe); candidates come from the index, never from
+    # co-arriving docs, so per-batch union == one-shot batch probe).
+    from covid_engineering_spark.operators.pipeline import (
+        write_near_dup_index,
+    )
+    from covid_engineering_spark.streaming.neardup import stream_near_dup
+
+    docs = read_table(spark, sf_dir, "documents")
+    idx_dir = os.path.join(scratch, "nd_index")
+    write_near_dup_index(
+        docs.filter(F.col("doc_id") % 5 != 0), idx_dir, portable=True
+    )
+    doc_src = os.path.join(scratch, "doc_arrivals")
+    shutil.rmtree(doc_src, ignore_errors=True)
+    arriving = docs.filter(F.col("doc_id") % 5 == 0)
+    arriving.filter(F.col("doc_id") % 2 == 0).write.mode("append").parquet(
+        doc_src
+    )
+    arriving.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(
+        doc_src
+    )
+    pairs: list = []
+    nd = (
+        stream_near_dup(
+            spark,
+            doc_src,
+            idx_dir,
+            lambda df, bid: pairs.extend(df.collect()),
+            portable=True,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    nd.awaitTermination(120)
+    print(
+        f"streaming near-dup vs standing index: "
+        f"{len(pairs)} pairs across {arriving.count()} arriving docs"
+    )
+
     if out_dir is None:
         shutil.rmtree(scratch, ignore_errors=True)
     return 0

@@ -187,3 +187,9 @@ def test_streaming_pipeline_runs(spark, tmp_path, capsys):
     assert "streaming dedup: 1143 arrivals -> 1000 unique events" in out
     assert "stream-static enrich ≡ batch: 4 segments" in out
     assert "stateful totals: 15 users, 1143 events folded" in out
+    # r11: ingestion-time near-dup via foreachBatch against the
+    # standing index (portable hashes, fixed data — deterministic)
+    assert (
+        "streaming near-dup vs standing index: 11 pairs across "
+        "100 arriving docs" in out
+    )

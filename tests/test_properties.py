@@ -531,3 +531,102 @@ def test_global_prefix_and_ntile_match_window_forms_on_random_frames(
         ).collect()
     }
     assert got_n == want_n
+
+
+# --- a27 quantile sketch: end-to-end rank accuracy on random streams --
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        # 2dp values incl. heavy-tie regimes (small value range)
+        st.integers(0, 40).map(lambda c: c / 4.0),
+        min_size=5,
+        max_size=120,
+    )
+)
+def test_quantile_sketch_rank_error_on_random_streams(spark, vals):
+    """Independent accuracy property (not the emitted check): for
+    every percentile, the estimate's TRUE rank interval must land
+    within target ± (err_bound + max_stride) — err_bound covers the
+    merged-rank error, max_stride the pick's overshoot past the
+    target inside one sample gap. Ties (heavy by construction) widen
+    the interval, never the guarantee."""
+    import datetime
+    import math
+
+    from covid_engineering_spark.operators.relational import (
+        quantile_sketch,
+    )
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1), 1, "t", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = quantile_sketch(ev, "event_type", b=4).collect()
+    cents = sorted(int(math.floor(v * 100 + 0.5)) for v in vals)
+    n = len(cents)
+    # max stride over the 4 shards cannot exceed ceil(n/4) at B=4
+    max_stride = (n + 3) // 4
+    for r in out:
+        assert r.n_total == n
+        target = math.ceil(r.pct * n / 100)
+        lo = sum(1 for c in cents if c < r.est_cents) + 1
+        hi = sum(1 for c in cents if c <= r.est_cents)
+        slack = r.err_bound + max_stride
+        assert lo <= target + slack and hi >= target - slack, (
+            r.pct, r.est_cents, target, lo, hi, r.err_bound, max_stride,
+        )
+        assert r.err_within_bound
+
+
+# --- LPA: communities never cross connected components ----------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_lpa_communities_stay_inside_connected_components(spark, raw):
+    """Structural invariants on random graphs: every node gets exactly
+    one community, the community label is itself a node in the SAME
+    connected component (labels propagate along edges, so they cannot
+    cross components), and community sizes are consistent."""
+    from covid_engineering_spark.operators.similarity import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(raw, "src_id long, n_id long")
+    rows = label_propagation(edges).collect()
+    nodes = {a for a, b in raw} | {b for a, b in raw}
+    assert {r.node for r in rows} == nodes
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in raw:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    sizes: dict = {}
+    for r in rows:
+        sizes[r.community] = sizes.get(r.community, 0) + 1
+    for r in rows:
+        assert find(r.node) == find(r.community), (r.node, r.community)
+        assert r.community_size == sizes[r.community]
