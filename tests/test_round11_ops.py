@@ -318,6 +318,34 @@ def test_rerank_recall_dominates_raw_adc(spark):
     assert len(rer & exact) > 0
 
 
+def test_rerank_recall_is_monotone_in_shortlist(spark):
+    # the serving lever: a larger shortlist is a superset of a smaller
+    # one, and the exact stage picks the best of whatever it is given,
+    # so recall@k can only rise with the shortlist budget
+    from covid_engineering_spark.operators.similarity import (
+        q_cosine_frame,
+        rerank_topk,
+    )
+    from covid_engineering_spark.sources import read_table
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    exact = {
+        (r.q_id, r.n_id)
+        for r in q_cosine_frame(emb).select("q_id", "n_id").collect()
+    }
+    hits = []
+    for shortlist in (10, 25, 50):
+        got = {
+            (r.q_id, r.n_id)
+            for r in rerank_topk(emb, shortlist=shortlist)
+            .select("q_id", "n_id")
+            .collect()
+        }
+        hits.append(len(got & exact))
+    assert hits == sorted(hits), hits
+    assert hits[-1] > hits[0]
+
+
 def test_rerank_emits_topk_per_query(spark):
     from covid_engineering_spark.operators.similarity import (
         N_QUERIES,
