@@ -150,8 +150,10 @@ HEADLINE = [
     "pipe_curriculum_order",
     "emb_outliers",
     # and the mergeable rank-stride quantile summary (per-shard local
-    # sorts + bounded merge + one verification scan).
+    # sorts + bounded merge + one verification scan), plus its
+    # bounded-domain exact sibling (one partial-agg histogram collapse).
     "a27_quantile_sketch",
+    "a28_quantile_hist",
 ]
 
 

@@ -2595,6 +2595,73 @@ def q_a27_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_sketch(read_table(spark, sf_dir, "events"), "event_type")
 
 
+def quantile_histogram(
+    df: DataFrame,
+    group_col: str,
+    value_col: str = "value",
+    pcts: tuple = QS_PCTS,
+) -> DataFrame:
+    """EXACT percentiles via value-histogram collapse — the
+    bounded-value-domain scale path for quantiles, and the lever the
+    a27 depth probe names: when the value domain is bounded (cents,
+    scores, durations — anything already quantized), collapsing the
+    corpus to per-(group, value) counts makes the quantile EXACT with
+    ONE partial-aggregated shuffle, no sampling, no error bound, and
+    no sort of the corpus. Completes the quantile trio: a11/a18 (the
+    engine aggregates — exact but memory-bound per group / approx),
+    a27 (general-domain mergeable summary with a rank-error bound),
+    THIS (bounded-domain exact).
+
+    Estimate rule: the smallest value whose cumulative count reaches
+    ⌈pct·n/100⌉ — the identical order statistic a27 targets, so the
+    two agree exactly wherever a27's bound is zero (pinned in tests).
+
+    Scale shape: the groupBy(group, value) partial agg collapses the
+    corpus map-side to ≤ |groups|·|domain| rows — the ONLY
+    corpus-sized pass; the cumulative window, totals window, and the
+    percentile pick all ride that bounded frame. No joins anywhere
+    (windows carry the totals), so a NULL group is its own group end
+    to end. Precondition: |domain| bounded (cents of a bounded metric
+    here); an unbounded-domain column belongs on a27 instead.
+
+    NULL values carry no count and are excluded, the a27 convention.
+    """
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    hist = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("g"), cents.alias("x"))
+        .groupBy("g", "x")
+        .agg(F.count("*").alias("w"))
+    )
+    w_cw = Window.partitionBy("g").orderBy("x")
+    w_t = Window.partitionBy("g")
+    m = hist.withColumn("cw", F.sum("w").over(w_cw)).withColumn(
+        "n_total", F.sum("w").over(w_t)
+    )
+    cand = m.select(
+        "*",
+        F.explode(F.array(*[F.lit(int(p)) for p in pcts])).alias("pct"),
+    ).filter(F.col("cw") >= F.expr("(pct * n_total + 99) div 100"))
+    w_pick = Window.partitionBy("g", "pct").orderBy("x")
+    return (
+        cand.withColumn("_pr", F.row_number().over(w_pick))
+        .filter(F.col("_pr") == 1)
+        .select(
+            F.col("g").alias(group_col),
+            "pct",
+            F.col("x").alias("est_cents"),
+            "n_total",
+        )
+    )
+
+
+def q_a28_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A28 — exact per-type percentiles by value-histogram collapse."""
+    return quantile_histogram(
+        read_table(spark, sf_dir, "events"), "event_type"
+    )
+
+
 #: Fan-out factor of the explicit salted join — the number of
 #: sub-partitions a hot key is spread across.
 JOIN_SALT = 8
@@ -2796,6 +2863,7 @@ QUERIES = {
     "a24_cms_heavy": q_a24_cms_heavy,
     "a26_mg_heavy": q_a26_mg_heavy,
     "a27_quantile_sketch": q_a27_quantile_sketch,
+    "a28_quantile_hist": q_a28_quantile_hist,
     "a25_quantile_cuts": q_a25_quantile_cuts,
     "a11_percentile": q_a11_percentile,
     "a12_cube": q_a12_cube,
@@ -3246,6 +3314,36 @@ ORACLES = {
         FROM base c JOIN est e ON c.g IS NOT DISTINCT FROM e.g
         GROUP BY e.g, e.pct, e.est_cents, e.n_total, e.cw_at_est,
                  e.err_bound
+    """,
+    "a28_quantile_hist": f"""
+        WITH hist AS (
+            SELECT event_type AS g,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+                   CAST(COUNT(*) AS BIGINT) AS w
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT g, x,
+                   CAST(SUM(w) OVER (PARTITION BY g ORDER BY x)
+                        AS BIGINT) AS cw,
+                   CAST(SUM(w) OVER (PARTITION BY g) AS BIGINT)
+                       AS n_total
+            FROM hist
+        ),
+        cand AS (
+            SELECT m.*, p.pct FROM m
+            CROSS JOIN (VALUES {", ".join(f"({p})" for p in QS_PCTS)})
+                AS p(pct)
+            WHERE cw >= (pct * n_total + 99) // 100
+        )
+        SELECT g AS event_type, CAST(pct AS INT) AS pct,
+               x AS est_cents, n_total
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY g, pct
+                                         ORDER BY x) AS pr
+            FROM cand
+        ) t WHERE pr = 1
     """,
     "a26_mg_heavy": f"""
         WITH c AS (

@@ -1180,6 +1180,18 @@ def main() -> None:
         )
         graph_greedy_serve(spark, _graph_index_paths[sf_dir], q)
 
+    def qhist(sf_dir):
+        # bounded-domain exact quantiles: one partial-agg histogram
+        # collapse is the only corpus pass — must track the scan with
+        # a bounded tail, the lever the a27 0.633 depth row names
+        from covid_engineering_spark.operators.relational import (
+            q_a28_quantile_hist,
+        )
+
+        q_a28_quantile_hist(spark, sf_dir).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
     def kcorepeel(sf_dir):
         # mutual-kNN k-core at Nx the BLOCKS: edges grow linearly,
         # each peel round is one vertex-keyed degree agg + two
@@ -1265,6 +1277,7 @@ def main() -> None:
         ("ann_rerank_topk", rerank),
         ("emb_outliers", outliers),
         ("a27_quantile_sketch", qsketch),
+        ("a28_quantile_hist", qhist),
     ):
         if ONLY and name not in ONLY:
             continue

@@ -36,6 +36,7 @@ NEW_OPS = [
     "ann_rerank_topk",
     "emb_outliers",
     "a27_quantile_sketch",
+    "a28_quantile_hist",
 ]
 
 
@@ -463,6 +464,64 @@ def test_pushdown_probe_falls_back_past_the_key_ceiling(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "INSET" not in plan
     assert out.count() >= 0
+
+
+# --- a28_quantile_hist ------------------------------------------------
+
+
+def test_quantile_hist_is_exact(spark):
+    import math
+
+    import duckdb
+
+    from covid_engineering_spark.queries import registry
+
+    got = {
+        (r.event_type, r.pct): (r.est_cents, r.n_total)
+        for r in registry()["a28_quantile_hist"](spark, SF_SMOKE).collect()
+    }
+    rows = duckdb.sql(
+        f"select event_type, CAST(floor(value*100+0.5) AS BIGINT) "
+        f"from '{SF_SMOKE}/events.parquet' where value is not null"
+    ).fetchall()
+    byg: dict = {}
+    for g, x in rows:
+        byg.setdefault(g, []).append(int(x))
+    for g, xs in byg.items():
+        xs.sort()
+        for pct in (25, 50, 75, 90):
+            want = xs[math.ceil(pct * len(xs) / 100) - 1]
+            assert got[(g, pct)] == (want, len(xs)), (g, pct)
+
+
+def test_quantile_hist_agrees_with_sketch_when_bound_is_zero(spark):
+    # with a per-shard budget covering every element the sketch is
+    # exact (bound 0) and must produce the identical order statistics
+    import datetime
+
+    from covid_engineering_spark.operators.relational import (
+        quantile_histogram,
+        quantile_sketch,
+    )
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1), 1, "t", float((i * 7) % 50), "{}")
+        for i in range(200)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sk = {
+        (r.event_type, r.pct): r.est_cents
+        for r in quantile_sketch(ev, "event_type", b=1000).collect()
+    }
+    hs = {
+        (r.event_type, r.pct): r.est_cents
+        for r in quantile_histogram(ev, "event_type").collect()
+    }
+    assert sk == hs
 
 
 # --- write_graph_index / graph_greedy_serve ----------------------------

@@ -125,6 +125,8 @@ DUCKDB_ONLY = {
     "ann_rerank_topk",
     "emb_outliers",
     "a27_quantile_sketch",
+    # r11: '//' ceil division + VALUES table alias (a28)
+    "a28_quantile_hist",
     "a24_cms_heavy",
     "ann_hamming_topk",
     "ann_range_search",

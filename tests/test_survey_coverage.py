@@ -278,6 +278,8 @@ SURVEY_MAP = {
     "ANN-RERANK": "ann_rerank_topk",
     "EMB-OUTLIER": "emb_outliers",
     "A27": "a27_quantile_sketch",
+    # exact percentiles by value-histogram collapse (bounded domain)
+    "A28": "a28_quantile_hist",
     "ANN-RP": "emb_rp_recall",
     "PIPE-KANON": "pipe_k_anonymity",
     "PIPE-PPS": "pipe_weighted_sample",
