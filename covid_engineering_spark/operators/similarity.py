@@ -307,24 +307,8 @@ def deterministic_codebook(emb: DataFrame) -> DataFrame:
         "embedding",
         1,
     ).select("vec_id", "embedding", F.col("c_id").alias("cell"))
-    x = assigned.select("cell", F.posexplode("embedding").alias("pos0", "x"))
-    cm = x.groupBy("cell", (F.col("pos0") + 1).alias("pos")).agg(
-        F.round(
-            F.sum(F.col("x").cast("decimal(18,9)")).cast("double")
-            / F.count("*"),
-            6,
-        ).alias("cv")
-    )
-    return (
-        cm.groupBy("cell")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
-                lambda s: s["cv"],
-            ).alias("c_emb")
-        )
-        .select(F.col("cell").alias("c_id"), "c_emb")
-    )
+    # fused M-step (see _cell_means): one groupBy(cell), no posexplode
+    return _cell_means(assigned, "cell")
 
 
 #: Lloyd iterations for the registered in-engine k-means. Three rounds
@@ -365,28 +349,36 @@ def kmeans_centroids(
     )
     for _ in range(iters):
         assigned = _assign(e, cent, "vec_id", "embedding", 1)
-        x = assigned.select(
-            F.col("c_id").alias("cell"),
-            F.posexplode("embedding").alias("pos0", "x"),
-        )
-        cm = x.groupBy("cell", (F.col("pos0") + 1).alias("pos")).agg(
-            F.round(
-                F.sum(F.col("x").cast("decimal(18,9)")).cast("double")
-                / F.count("*"),
-                6,
-            ).alias("cv")
-        )
-        cent = (
-            cm.groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
-                    lambda s: s["cv"],
-                ).alias("c_emb")
-            )
-            .select(F.col("cell").alias("c_id"), "c_emb")
-        )
+        # M-step, fused (r11): one groupBy(cell) whose DIM per-dim
+        # DECIMAL sums run as ordinary partial-aggregated columns —
+        # the shuffle carries one (cells × DIM)-column row per map
+        # partition instead of the corpus×DIM posexplode stream, and
+        # the cell means assemble map-side into the codebook array
+        # (no second collect_list aggregation). Exact under the
+        # embeddings schema contract (all non-NULL vectors carry DIM
+        # dims), value-identical to the exploded form: per-(cell,dim)
+        # decimal sums and counts are order-independent.
+        cent = _cell_means(assigned, "c_id")
     return cent
+
+
+def _cell_means(assigned: DataFrame, cell_col: str) -> DataFrame:
+    """Per-cell 6dp DECIMAL-mean codebook — the shared fused M-step:
+    ``(c_id, c_emb)`` from a ``(cell, embedding)`` assignment frame,
+    one partial-aggregated groupBy, means assembled map-side. Built
+    as ONE SQL expression string: the equivalent 64-sum Column-API
+    chain costs ~300 py4j round-trips per call site (measured 0.73s
+    vs 0.12s construction on a warm session)."""
+    arr = "array(" + ", ".join(
+        "round(cast(sum(cast(element_at(embedding, "
+        f"{i}) as decimal(18,9))) as double) / count(1), 6)"
+        for i in range(1, DIM + 1)
+    ) + ")"
+    return (
+        assigned.groupBy(F.col(cell_col).alias("cell"))
+        .agg(F.expr(arr).alias("c_emb"))
+        .select(F.col("cell").alias("c_id"), "c_emb")
+    )
 
 
 def kmeans_lloyd(
@@ -464,18 +456,6 @@ def _nat_micro(col):
     ).cast("long")
 
 
-def _dim_array(frame: DataFrame, val: str, out: str) -> DataFrame:
-    """Collapse a (pos, value) per-dimension frame to ONE ordered-array
-    row — the kmeans codebook-to-broadcast-row trick, for a single
-    DIM-length vector."""
-    return frame.agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", val))),
-            lambda s: s[val],
-        ).alias(out)
-    )
-
-
 def pca_power(emb: DataFrame, iters: int = PCA_ITERS) -> DataFrame:
     """Top principal component of the embedding corpus by unrolled
     power iteration — the dimensionality-reduction / whitening
@@ -509,33 +489,49 @@ def pca_power(emb: DataFrame, iters: int = PCA_ITERS) -> DataFrame:
     summary columns constant across rows via a broadcast 1-row
     cross join (the scalar-subquery pattern).
 
-    Scale shape: the centered corpus is cached (iters+1 consumers);
-    each round is one map-side broadcast of the 64-float v, one
-    posexplode partial-aggregated into 64 keys (the shuffle carries
-    dims × partitions rows, never the corpus), and 1-row/64-row
-    broadcasts back. Integer headroom: the linear w-sums carry
-    |w_j| ≤ N·10⁶·max|dot·x'| — exact to corpus sizes ~10¹² rows.
-    The Rayleigh Σ(dm²) term squares the micro scale (~4·10¹² per
-    row), so it accumulates in DECIMAL(38,0) (exact to ~10²⁵ rows;
-    the DuckDB twin's HUGEINT sum is the same discipline) — a plain
-    BIGINT sum would wrap near 2·10⁶ rows. Past either bound the
-    production move is a coarser micro scale, not a different plan.
+    Scale shape (r11 fused form): the centered corpus is cached
+    (iters+2 consumers); each round is one map-side broadcast of the
+    64-float v and ONE whole-corpus aggregate whose 64 per-dim sums
+    run as ordinary partial-aggregated columns (the shuffle carries
+    one 64-column row per map partition, never the corpus, and never
+    the corpus×DIM posexplode stream the r10 form paid per round);
+    normalization then happens map-side on the single result row.
+    The final pass fuses the Rayleigh Σ(dm²) sum and the 64 variance
+    sums into one aggregate — two corpus passes fewer than the r10
+    shape, and the per-dim frames the output joins over collapse to
+    1-row arrays (no 64-row join chain). Integer headroom: the linear
+    w-sums carry |w_j| ≤ N·10⁶·max|dot·x'| — exact to corpus sizes
+    ~10¹² rows. The Rayleigh Σ(dm²) term squares the micro scale
+    (~4·10¹² per row), so it accumulates in DECIMAL(38,0) (exact to
+    ~10²⁵ rows; the DuckDB twin's HUGEINT sum is the same
+    discipline) — a plain BIGINT sum would wrap near 2·10⁶ rows.
+    Past either bound the production move is a coarser micro scale,
+    not a different plan. Per-dim sums address fixed positions
+    (``element_at`` 1..DIM), exact under the embeddings schema
+    contract (every non-NULL vector carries all DIM dims).
     """
     from covid_engineering_spark.functions import evicting_cache
 
     e = _kmeans_vectors(emb)
-    ex = e.select(F.posexplode("embedding").alias("p0", "x"))
-    mu = ex.groupBy((F.col("p0") + 1).alias("pos")).agg(
-        F.round(
-            F.sum(F.col("x").cast("decimal(18,9)")).cast("double")
-            / F.count("*"),
-            6,
-        ).alias("mv")
+    dims = range(1, DIM + 1)
+    # One corpus pass: per-dim DECIMAL sums + the row count, then the
+    # 6dp means assemble map-side into a single (mu array, n) row.
+    # The per-dim aggregates ride ONE SQL expression string (the
+    # _cell_means py4j discipline: one parser call, not ~300 Column
+    # round-trips per aggregate).
+    mu_sql = "array(" + ", ".join(
+        "round(cast(sum(cast(element_at(embedding, "
+        f"{i}) as decimal(18,9))) as double) / count(1), 6)"
+        for i in dims
+    ) + ")"
+    mu_row = evicting_cache(
+        e.agg(
+            F.expr(mu_sql).alias("mu"), F.expr("count(1)").alias("n")
+        ),
+        "pca_mu",
     )
-    mu = evicting_cache(mu, "pca_mu")
-    mua = _dim_array(mu, "mv", "mu")
     centered = evicting_cache(
-        e.join(F.broadcast(mua)).select(
+        e.join(F.broadcast(mu_row.select("mu"))).select(
             "vec_id",
             F.zip_with(
                 "embedding", "mu", lambda x, m: x.cast("double") - m
@@ -543,7 +539,6 @@ def pca_power(emb: DataFrame, iters: int = PCA_ITERS) -> DataFrame:
         ),
         "pca_centered",
     )
-    cnt = centered.agg(F.count("*").alias("n"))
 
     def _dot(v_col):
         return F.aggregate(
@@ -554,6 +549,7 @@ def pca_power(emb: DataFrame, iters: int = PCA_ITERS) -> DataFrame:
 
     varr = F.array(*([F.lit(0.125)] * DIM))  # 1/sqrt(DIM), exact
     va_frame = None  # after round 1, v rides a broadcast 1-row frame
+    zero = F.lit(0).cast("long")
     for _ in range(iters):
         if va_frame is None:
             d = centered.select("cx", _dot(varr).alias("dot"))
@@ -561,74 +557,86 @@ def pca_power(emb: DataFrame, iters: int = PCA_ITERS) -> DataFrame:
             d = centered.join(F.broadcast(va_frame)).select(
                 "cx", _dot(F.col("v")).alias("dot")
             )
-        w = (
-            d.select("dot", F.posexplode("cx").alias("p0", "x"))
-            .select(
-                (F.col("p0") + 1).alias("pos"),
-                _nat_micro(F.col("dot") * F.col("x")).alias("tm"),
-            )
-            .groupBy("pos")
-            .agg(F.sum("tm").alias("wm"))
+        # Σ_rows micro(dot·x'_j) per dim — the _nat_micro expression
+        # spelled in SQL (round → ×1e6 → +0.5 → floor → bigint, same
+        # tree as the Column form), one parser call for all DIM sums.
+        w_sql = "array(" + ", ".join(
+            f"sum(cast(floor(round(dot * element_at(cx, {i}), 8)"
+            " * 1000000.0D + 0.5D) as bigint))"
+            for i in dims
+        ) + ")"
+        w_row = d.agg(
+            F.expr(w_sql).alias("wm"), F.expr("count(1)").alias("n")
         )
-        wn = w.join(F.broadcast(cnt)).select(
-            "pos", F.expr("wm DIV n").alias("wn")
+        wn_row = w_row.select(
+            F.expr("transform(wm, w -> w div n)").alias("wn")
         )
-        nrm = wn.agg(F.sum(F.col("wn") * F.col("wn")).alias("ss"))
-        vv = wn.join(F.broadcast(nrm)).select(
-            "pos",
-            F.round(
-                F.col("wn") / F.sqrt(F.col("ss").cast("double")), 6
-            ).alias("vv"),
+        va_frame = wn_row.select(
+            "wn",
+            F.aggregate(
+                "wn", zero, lambda acc, x: acc + x * x
+            ).alias("ss"),
+        ).select(
+            F.transform(
+                "wn",
+                lambda w: F.round(
+                    w / F.sqrt(F.col("ss").cast("double")), 6
+                ),
+            ).alias("v")
         )
-        va_frame = _dim_array(vv, "vv", "v")
-    dots = centered.join(F.broadcast(va_frame)).select(
-        "cx", _dot(F.col("v")).alias("dot")
-    )
-    eig = (
-        dots.select(_nat_micro(F.col("dot")).alias("dm"))
-        # dm*dm reaches ~4e12 per row for unit-norm centered vectors,
-        # so a plain BIGINT sum wraps (ANSI off, silently) near ~2e6
-        # rows; accumulate in DECIMAL(38,0) — exact to ~10^25 rows —
-        # then DIV (IntegralDivide on decimal → LongType) matches the
-        # twin's HUGEINT // exactly (both operands non-negative).
+    # Final pass, fused: the Rayleigh Σ(dm²) (DECIMAL(38,0) — see the
+    # headroom note above) and the 64 per-dim variance sums in ONE
+    # whole-corpus aggregate over the final-v dots.
+    var_sql = "array(" + ", ".join(
+        f"sum(cast(floor(round(element_at(cx, {i}) * element_at(cx, "
+        f"{i}), 8) * 1000000.0D + 0.5D) as bigint))"
+        for i in dims
+    ) + ")"
+    fin = (
+        centered.join(F.broadcast(va_frame))
+        .select("cx", _nat_micro(_dot(F.col("v"))).alias("dm"))
         .agg(
+            F.expr(var_sql).alias("vs"),
             F.sum(
                 (F.col("dm") * F.col("dm")).cast("decimal(38,0)")
-            ).alias("sq")
-        )
-        .join(F.broadcast(cnt))
-        .select(
-            F.expr("sq DIV n DIV 1000000").alias("eig_micros")
+            ).alias("sq"),
+            F.count("*").alias("n"),
         )
     )
-    var = (
-        centered.select(F.posexplode("cx").alias("p0", "x"))
-        .select(
-            (F.col("p0") + 1).alias("pos"),
-            _nat_micro(F.col("x") * F.col("x")).alias("vm"),
+    stats = (
+        fin.select(
+            F.expr("transform(vs, v -> v div n)").alias("var_arr"),
+            F.expr("sq DIV n DIV 1000000").alias("eig_micros"),
+            "n",
         )
-        .groupBy("pos")
-        .agg(F.sum("vm").alias("vs"))
-        .join(F.broadcast(cnt))
-        .select("pos", F.expr("vs DIV n").alias("var_micros"))
-    )
-    var = evicting_cache(var, "pca_var")
-    tot = var.agg(F.sum("var_micros").alias("tv"))
-    summary = eig.join(F.broadcast(tot)).select(
-        "eig_micros",
-        F.round(F.col("eig_micros") / F.col("tv"), 6).alias(
-            "explained_ratio"
-        ),
+        .select(
+            "var_arr",
+            "eig_micros",
+            F.aggregate("var_arr", zero, lambda acc, x: acc + x).alias(
+                "tv"
+            ),
+            "n",
+        )
     )
     return (
-        mu.join(vv, "pos")
-        .join(var, "pos")
-        .join(F.broadcast(summary))
+        mu_row.select("mu")
+        .join(F.broadcast(va_frame))
+        .join(F.broadcast(stats))
+        .filter(F.col("n") > 0)  # empty corpus -> empty frame, as before
         .select(
-            F.col("pos").cast("int").alias("dim"),
-            F.col("mv").alias("mu"),
-            "var_micros",
-            F.col("vv").alias("loading"),
+            F.posexplode(F.arrays_zip("mu", "v", "var_arr")).alias(
+                "p0", "z"
+            ),
+            "eig_micros",
+            F.round(F.col("eig_micros") / F.col("tv"), 6).alias(
+                "explained_ratio"
+            ),
+        )
+        .select(
+            (F.col("p0") + 1).cast("int").alias("dim"),
+            F.col("z.mu").alias("mu"),
+            F.col("z.var_arr").alias("var_micros"),
+            F.col("z.v").alias("loading"),
             "eig_micros",
             "explained_ratio",
         )
@@ -1042,17 +1050,24 @@ def label_propagation(
     labels = und.select(F.col("src_id").alias("node")).distinct().select(
         "node", F.col("node").alias("lab")
     )
-    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("nlab"))
     for _ in range(iters):
         nbr = und.join(
             labels.select(F.col("node").alias("_n"), "lab"),
             F.col("n_id") == F.col("_n"),
         ).select(F.col("src_id").alias("node"), F.col("lab").alias("nlab"))
         cnt = nbr.groupBy("node", "nlab").agg(F.count("*").alias("c"))
+        # winner per node: max over the (c, -nlab) struct ≡ highest
+        # vote count, ties → smallest label — the rank-1 row of the
+        # r10 form's (c DESC, nlab ASC) window, without the window's
+        # per-partition sort (r11; partial-aggregated max instead).
         labels = (
-            cnt.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("node", F.col("nlab").alias("lab"))
+            cnt.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("nlab")).alias("nl"))
+                ).alias("b")
+            )
+            .select("node", (-F.col("b.nl")).alias("lab"))
         )
     return labels.select(
         "node",
@@ -1353,7 +1368,41 @@ def graph_greedy_search(
         )
 
     state = _score(q.select("q_id").join(F.broadcast(entry)))
-    wq = Window.partitionBy("q_id").orderBy(F.desc("cs"), "id")
+    # Beam selection per hop (r11): ONE groupBy(q_id) that collects
+    # the merged candidate+incumbent rows into a set and keeps the
+    # top-``beam`` map-side via array_sort — the (cs DESC, id ASC)
+    # order rides a (cs, -id) struct sort (the `_assign` idiom), and
+    # collect_set dedupes re-reached candidates exactly (a vertex's
+    # (q_id, id) score is deterministic, so duplicate rows are
+    # byte-identical). The r10 form paid three exchanges per hop
+    # (candidate distinct, merged distinct, rank window); this pays
+    # one, and the per-group state stays ≤ beam·(max_degree+1) rows.
+    def _top_beam(merged: DataFrame, n: int) -> DataFrame:
+        return (
+            merged.groupBy("q_id")
+            .agg(
+                F.slice(
+                    F.reverse(
+                        F.array_sort(
+                            F.collect_set(
+                                F.struct(
+                                    F.col("cs"), (-F.col("id")).alias("ns")
+                                )
+                            )
+                        )
+                    ),
+                    1,
+                    n,
+                ).alias("top")
+            )
+            .select("q_id", F.explode("top").alias("t"))
+            .select(
+                "q_id",
+                (-F.col("t.ns")).alias("id"),
+                F.col("t.cs").alias("cs"),
+            )
+        )
+
     for _ in range(hops):
         cand = (
             edges.join(
@@ -1361,21 +1410,22 @@ def graph_greedy_search(
             )
             .select("q_id", F.col("n_id").alias("id"))
             .filter(F.col("id") != F.col("q_id"))
-            .distinct()
         )
-        merged = _score(cand).unionByName(state).distinct()
-        state = (
-            merged.withColumn("rk", F.row_number().over(wq))
-            .filter(F.col("rk") <= beam)
-            .select("q_id", "id", "cs")
-        )
+        state = _top_beam(_score(cand).unionByName(state), beam)
+    # top-1 per query: max over the (cs, -id) struct — lexicographic
+    # max ≡ cs DESC then id ASC; reuses the final hop's q_id
+    # partitioning, so no exchange and no rank window.
     found_only = (
-        state.withColumn("rk", F.row_number().over(wq))
-        .filter(F.col("rk") == 1)
+        state.groupBy("q_id")
+        .agg(
+            F.max(
+                F.struct(F.col("cs"), (-F.col("id")).alias("ns"))
+            ).alias("b")
+        )
         .select(
             "q_id",
-            F.col("id").alias("found_id"),
-            F.col("cs").alias("found_cs"),
+            (-F.col("b.ns")).alias("found_id"),
+            F.col("b.cs").alias("found_cs"),
         )
     )
     if not with_eval:

@@ -23,6 +23,19 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # NOTE on coalescePartitions.parallelismFirst: deliberately LEFT at
+    # its default (true). Measured here (r11 bisect): false collapses
+    # compute-dense, small-byte stages (bloom md5 shingles, substring
+    # token filters) to 1 task — a wall-clock loss that the advisory-
+    # size savings don't repay at any SF where compute >> shuffle bytes.
+    # Let AQE re-plan (and coalesce) the exchanges that materialize
+    # cached plans. Off, every evicting_cache build in the engine runs
+    # its aggregation at the static spark.sql.shuffle.partitions count
+    # regardless of data size — measured as walls of near-empty tasks
+    # in the similarity/dedup tier, at any scale. The cost (cache
+    # partitioning may differ from the static layout) is irrelevant
+    # here: no engine op depends on a cached frame's partitioning.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # Arrow for every JVM<->Python crossing (pandas UDFs, toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Deterministic timestamp semantics regardless of host timezone —
@@ -103,6 +116,7 @@ def configure_existing(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.enabled",
         "spark.sql.adaptive.coalescePartitions.enabled",
         "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "spark.sql.execution.arrow.pyspark.enabled",
         "spark.sql.session.timeZone",
         "spark.sql.ansi.enabled",
