@@ -802,7 +802,7 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the gram keys byte-for-byte (the library default is hashed=True,
     # the production path — see substring_dup_spans).
     return substring_dup_spans(
-        read_table(spark, sf_dir, "documents"), hashed=False
+        read_table(spark, sf_dir, "documents", fan=True), hashed=False
     )
 
 
@@ -887,7 +887,7 @@ def q_dedup_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # registered form: exact-string grams for twin replay (library
     # default is hashed=True — see substring_dup_spans).
     return substring_strip(
-        read_table(spark, sf_dir, "documents"), hashed=False
+        read_table(spark, sf_dir, "documents", fan=True), hashed=False
     )
 
 

@@ -1470,7 +1470,7 @@ def q_pipe_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skips the NULL boolean, DuckDB's CASE ELSE counts it) — <=>
     # makes NULL-lang docs plain raw-side docs in both.
     return dsir_select(
-        read_table(spark, sf_dir, "documents"),
+        read_table(spark, sf_dir, "documents", fan=True),
         F.col("lang").eqNullSafe(F.lit("en")),
     )
 
@@ -1480,7 +1480,7 @@ def q_pipe_dsir_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # registered DSIR forms share the weights plan; only the selection
     # rule differs (deterministic top-k vs the paper's Gumbel-top-k).
     return dsir_gumbel_topk_exact(
-        read_table(spark, sf_dir, "documents"),
+        read_table(spark, sf_dir, "documents", fan=True),
         F.col("lang").eqNullSafe(F.lit("en")),
     )
 
@@ -1576,7 +1576,7 @@ def curate_corpus(
 
 
 def q_pipe_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return curate_corpus(read_table(spark, sf_dir, "documents"))
+    return curate_corpus(read_table(spark, sf_dir, "documents", fan=True))
 
 
 #: Deterministic snapshot simulation: OLD drops doc_id % 10 == 9,

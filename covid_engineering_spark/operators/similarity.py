@@ -437,7 +437,7 @@ def kmeans_lloyd(
 
 
 def q_emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return kmeans_lloyd(read_table(spark, sf_dir, "embeddings"))
+    return kmeans_lloyd(read_table(spark, sf_dir, "embeddings", fan=True))
 
 
 #: Fixed unrolled power-iteration count for the registered PCA: three
@@ -660,7 +660,7 @@ def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     grandfathered pairing). The generated twin composes the k-means
     CTE chain with the IVF probe tail, so codebook and index can
     never drift apart in the oracle."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table(spark, sf_dir, "embeddings", fan=True)
     nn = emb.filter(F.col("embedding").isNotNull())
     return ivf_topk(nn, kmeans_centroids(emb))
 
@@ -807,7 +807,7 @@ def knn_graph(
 
 
 def q_emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return knn_graph(read_table(spark, sf_dir, "embeddings"))
+    return knn_graph(read_table(spark, sf_dir, "embeddings", fan=True))
 
 
 #: Fixed iteration count for the registered PageRank: enough to
@@ -1082,7 +1082,7 @@ def q_graph_label_propagation(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """LPA communities of the union-symmetrized blocked kNN graph."""
-    edges = knn_graph(read_table(spark, sf_dir, "embeddings"))
+    edges = knn_graph(read_table(spark, sf_dir, "embeddings", fan=True))
     return label_propagation(edges.select("src_id", "n_id"))
 
 
@@ -1837,7 +1837,7 @@ def rerank_topk(
 
 
 def q_ann_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return rerank_topk(read_table(spark, sf_dir, "embeddings"))
+    return rerank_topk(read_table(spark, sf_dir, "embeddings", fan=True))
 
 
 #: IVF-PQ geometry: the first IVFPQ_COARSE_K entries of the one
@@ -2184,7 +2184,7 @@ def semdedup(
 
 
 def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return semdedup(read_table(spark, sf_dir, "embeddings"))
+    return semdedup(read_table(spark, sf_dir, "embeddings", fan=True))
 
 
 HN_K = 5
@@ -2286,7 +2286,7 @@ def hard_negatives(
 
 
 def q_emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return hard_negatives(read_table(spark, sf_dir, "embeddings"))
+    return hard_negatives(read_table(spark, sf_dir, "embeddings", fan=True))
 
 
 def dim_stats(emb: DataFrame) -> DataFrame:
@@ -2757,7 +2757,7 @@ def rp_recall(emb: DataFrame) -> DataFrame:
 
 
 def q_emb_rp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return rp_recall(read_table(spark, sf_dir, "embeddings"))
+    return rp_recall(read_table(spark, sf_dir, "embeddings", fan=True))
 
 
 QUERIES = {

@@ -134,14 +134,38 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
         return spark.createDataFrame(pdf, schema=schemas.STAR["events"])
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def read_table(
+    spark: SparkSession, sf_dir: str, name: str, *, fan: bool = False
+) -> DataFrame:
     """Read one star-schema table from a scale-factor directory with its
     declared schema (no inference, no footer merging).
+
+    ``fan=True`` wraps the scan in :func:`fan_out` (guarded round-robin
+    repartition to the session's default parallelism, identity when the
+    scan already carries enough splits — functions/partitioning.py):
+    Spark splits parquet by bytes and never below one row group, so a
+    small or single-row-group file scans as ONE task and a compute-dense
+    map stage fed by it (shingling, hashing, dot products) runs on one
+    core while the rest idle. Opt-in per call site, not universal: the
+    exchange only pays for itself where downstream per-row work dwarfs
+    the row-moving cost (A/B-measured per operator — cheap relational
+    scans and broadcast-probe plans get slower, so they stay ``False``).
+    Only for operators whose results are partition-independent (the
+    oracle sweep re-proves each). Catalyst pushes filters and column
+    pruning through Repartition, so PushedFilters/ReadSchema at the
+    scan are unchanged. ``SPARK_GRAFT_FANOUT=0`` disables globally
+    (A/B harness).
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        return _read_events(spark, path)
-    return spark.read.schema(schemas.STAR[name]).parquet(path)
+        df = _read_events(spark, path)
+    else:
+        df = spark.read.schema(schemas.STAR[name]).parquet(path)
+    if fan and os.environ.get("SPARK_GRAFT_FANOUT", "1") != "0":
+        from covid_engineering_spark.functions.partitioning import fan_out
+
+        df = fan_out(df)
+    return df
 
 
 def write_partitioned(df: DataFrame, path: str, *keys: str) -> None:
