@@ -1412,6 +1412,19 @@ def graph_greedy_search(
             .filter(F.col("id") != F.col("q_id"))
         )
         state = _top_beam(_score(cand).unionByName(state), beam)
+        # Truncate lineage at the hop boundary (r11, guide §2.4/§3):
+        # ``state`` feeds the next hop TWICE (the frontier join and
+        # the incumbent union), and Catalyst plans trees, not DAGs —
+        # unchecked, the walk's plan doubled per hop (measured: 264
+        # BroadcastExchange nodes, only 30 runtime-reused; 111
+        # broadcast-materialization jobs per execution). The CC-loop
+        # discipline applies verbatim: the state frame is ≤ |Q|·beam
+        # rows BY CONSTRUCTION at any corpus scale, so an eager
+        # localCheckpoint is a bounded micro-materialization that
+        # makes each hop's plan O(1) instead of O(2^hop) — and it is
+        # paid on EVERY invocation (nothing about the query's answer
+        # is memoized across runs). After: 20 jobs per execution.
+        state = state.localCheckpoint(eager=True)
     # top-1 per query: max over the (cs, -id) struct — lexicographic
     # max ≡ cs DESC then id ASC; reuses the final hop's q_id
     # partitioning, so no exchange and no rank window.
@@ -2709,19 +2722,27 @@ def rp_project(emb: DataFrame, emb_col: str = "embedding") -> DataFrame:
     coarse retrieval at 100 TB (4× fewer bytes per vector here;
     arbitrary ratios by picking RP_DIM).
     """
-    comps = [
-        F.aggregate(
-            F.zip_with(
-                F.col(emb_col),
-                F.array(*[F.lit(x) for x in row]),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    # One SQL expression string for all RP_DIM components (r11): the
+    # Column-API form built 16 × 64 literal Columns plus nested
+    # lambdas — ~7000 py4j round-trips per invocation, the single
+    # largest plan-CONSTRUCTION cost in the bench (measured 1.7s of
+    # emb_rp_recall's build). The SQL tree below is node-for-node the
+    # same physical expression (zip_with → cast-multiply → ordered
+    # fold from 0.0), so the doubles — and the oracle hash — are
+    # unchanged; `repr(x)` is the shortest round-trip form of each
+    # float64, which the SQL parser reads back to the identical bits.
+    comps = ", ".join(
+        "aggregate(zip_with({col}, array({row}), "
+        "(x, y) -> cast(x as double) * y), "
+        "cast(0.0 as double), (acc, x) -> acc + x)".format(
+            col=emb_col,
+            row=", ".join(f"cast({x!r} as double)" for x in row),
         )
         for row in _rp_matrix()
-    ]
-    return emb.select("vec_id", F.array(*comps).alias("embedding"))
+    )
+    return emb.select(
+        "vec_id", F.expr(f"array({comps})").alias("embedding")
+    )
 
 
 def rp_recall(emb: DataFrame) -> DataFrame:

@@ -38,6 +38,17 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # Arrow for every JVM<->Python crossing (pandas UDFs, toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # PySpark 4 wraps EVERY DataFrame/Column API call with a call-site
+    # capture (inspect.stack + conf.get + set/clear of the JVM-side
+    # PySparkCurrentOrigin = 3 py4j round-trips per call) so that error
+    # messages can cite the user's Python line. The engine builds
+    # plans with tens of thousands of API calls per bench pass, and
+    # the capture tripled plan-CONSTRUCTION time on the driver
+    # (measured: q1 build 0.18s -> 0.11s, clean_complete 1.52s ->
+    # 0.60s with it off, interleaved A/B). Queries are oracle-checked,
+    # so the lost error context costs nothing here; any debugging
+    # session can flip it back at runtime.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
     # Deterministic timestamp semantics regardless of host timezone —
     # required for the DuckDB differential oracle to hash-match.
     "spark.sql.session.timeZone": "UTC",
@@ -118,6 +129,7 @@ def configure_existing(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.skewJoin.enabled",
         "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "spark.sql.execution.arrow.pyspark.enabled",
+        "spark.python.sql.dataFrameDebugging.enabled",
         "spark.sql.session.timeZone",
         "spark.sql.ansi.enabled",
         "spark.sql.legacy.parquet.nanosAsLong",
