@@ -359,6 +359,20 @@ def kmeans_centroids(
         # dims), value-identical to the exploded form: per-(cell,dim)
         # decimal sums and counts are order-independent.
         cent = _cell_means(assigned, "c_id")
+        # Truncate lineage at the round boundary (r11, the CC-loop /
+        # beam-hop discipline): the codebook is ≤k rows BY
+        # CONSTRUCTION, but left lazy it nests the previous round's
+        # whole corpus aggregation inside this round's broadcast —
+        # every downstream consumer (the next E-step, ivf_topk's two
+        # probes, kmeans_lloyd's final join) re-materializes the
+        # nested chain as its own sequence of broadcast-build jobs,
+        # and the depth made the trained-index queries the most
+        # unstable in the bench (ann_ivf_kmeans_topk spreads of
+        # 8–27s). An eager localCheckpoint is a bounded ≤k-row
+        # micro-materialization per round, paid on EVERY invocation
+        # (nothing about the answer is memoized across runs); each
+        # round's plan becomes O(1): cached corpus × 16-row scan.
+        cent = cent.localCheckpoint(eager=True)
     return cent
 
 

