@@ -279,6 +279,14 @@ def bloom_decontaminate(
             F.explode(F.array(*pos)).alias("bit")
         ).distinct()
     )
+    # Materialize the set-bit frame ONCE (r11, the bounded-frame
+    # checkpoint discipline): left lazy, each of the k probe joins
+    # broadcast-builds its own copy of this subtree, so the eval-side
+    # scan + explode + distinct shuffle ran k times per execution.
+    # The frame is ≤ m rows BY CONSTRUCTION (fixed filter geometry,
+    # however large the eval suite), so the eager localCheckpoint is a
+    # bounded micro-materialization at any scale.
+    bits = bits.localCheckpoint(eager=True)
     probe = corpus_shingles.select("s").distinct().select(
         "s", *[p.alias(f"p{i}") for i, p in enumerate(pos)]
     )
@@ -1279,6 +1287,7 @@ def _dsir_weights(docs: DataFrame, target) -> DataFrame:
     """The DSIR importance-weight frame (doc_id, source,
     n_feat_tokens, dsir_micros) both selection rules share — see
     :func:`dsir_select` for the arithmetic contract."""
+    from covid_engineering_spark.functions import evicting_cache
     from covid_engineering_spark.operators.dedup import portable_hash64
 
     b = DSIR_BUCKETS
@@ -1295,9 +1304,27 @@ def _dsir_weights(docs: DataFrame, target) -> DataFrame:
             portable_hash64(F.col("tok"), DSIR_HASH_SEED), F.lit(b)
         ).alias("feat"),
     )
-    fs = toks.groupBy("feat").agg(
-        F.sum(F.col("_is_t").cast("long")).alias("ct"),
-        F.sum((~F.col("_is_t")).cast("long")).alias("cr"),
+    # Collapse the token stream ONCE to per-(doc, feature) counts and
+    # cache that (r11, guide §2.3/§2.4): the raw ``toks`` frame fed
+    # TWO aggregations (the bucket models and the per-doc counts) and
+    # the weight frame feeds two consumer branches, so the corpus-wide
+    # explode + md5 per token ran up to four times per execution.
+    # ``tokfeat`` is ≤ |docs| × DSIR_BUCKETS rows at ANY corpus size
+    # (bounded cache, unlike caching ``toks`` itself), carries the
+    # partial-aggregated token shuffle exactly once, and both model
+    # fits below become cheap re-aggregations of the cached frame.
+    # ``_is_t`` is a group key, not a filter, so target- and raw-side
+    # counts stay exact (a doc's _is_t is constant and non-NULL under
+    # the null-safe registered predicate).
+    tokfeat = evicting_cache(
+        toks.groupBy("doc_id", "source", "_is_t", "feat").agg(
+            F.count("*").alias("c")
+        ),
+        "dsir_tokfeat",
+    )
+    fs = tokfeat.groupBy("feat").agg(
+        F.sum(F.when(F.col("_is_t"), F.col("c")).otherwise(F.lit(0))).alias("ct"),
+        F.sum(F.when(~F.col("_is_t"), F.col("c")).otherwise(F.lit(0))).alias("cr"),
     )
     tot = fs.agg(
         F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
@@ -1322,18 +1349,23 @@ def _dsir_weights(docs: DataFrame, target) -> DataFrame:
     lr = fs.join(F.broadcast(tot)).select(
         "feat", lr_micros.alias("lr_micros")
     )
-    docfeat = (
-        toks.filter(~F.col("_is_t"))
-        .groupBy("doc_id", "source", "feat")
-        .agg(F.count("*").alias("c"))
+    docfeat = tokfeat.filter(~F.col("_is_t")).select(
+        "doc_id", "source", "feat", "c"
     )
-    return (
+    # Cache the weight frame too (one row per raw doc): BOTH selection
+    # rules consume it through two branches (the top-k draw and the
+    # output join-back), and Catalyst re-derives uncached subtrees per
+    # consumer — uncached, the model fit + scoring joins ran twice per
+    # execution. The two registered DSIR queries share this plan, so
+    # they also share the warm cache.
+    return evicting_cache(
         docfeat.join(F.broadcast(lr), "feat")
         .groupBy("doc_id", "source")
         .agg(
             F.sum("c").alias("n_feat_tokens"),
             F.sum(F.col("c") * F.col("lr_micros")).alias("dsir_micros"),
-        )
+        ),
+        "dsir_weights",
     )
 
 

@@ -915,7 +915,12 @@ def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape). Covers S1+P3+A2/A5+F1 in one plan; partial aggregation
     makes the shuffle carry 6 rows regardless of input scale.
     """
-    li = read_table(spark, sf_dir, "lineitem").filter(
+    # fan=True (r11, guide §2.5 input skew): the sf parquet is a single
+    # row group, so the 8-aggregate decimal map stage — the whole query
+    # — ran as ONE task. Interleaved min-of-10 A/B after deep JIT warm:
+    # 1.22s -> 1.03s min, 1.44 -> 1.23 med; identity at scale (scan
+    # carries >= defaultParallelism splits).
+    li = read_table(spark, sf_dir, "lineitem", fan=True).filter(
         F.col("l_shipdate") <= "2000-09-02"
     )
     disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))

@@ -1052,6 +1052,13 @@ def label_propagation(
     from covid_engineering_spark.functions import evicting_cache
 
     fwd = edges.select("src_id", "n_id")
+    # (Pre-partitioning the cache on n_id was tried in r11 and does
+    # NOT remove the per-round join exchange: with
+    # canChangeCachedPlanOutputPartitioning=true — load-bearing for
+    # AQE-coalescing every cache build — EnsureRequirements cannot
+    # trust a cached plan's output partitioning and re-shuffles
+    # anyway, so the repartition would only add a cache-build
+    # exchange.)
     und = evicting_cache(
         fwd.union(
             fwd.select(
@@ -1064,24 +1071,45 @@ def label_propagation(
     labels = und.select(F.col("src_id").alias("node")).distinct().select(
         "node", F.col("node").alias("lab")
     )
+    # Winner fold (r11, guide §2.3/§2.4): the r10→batch-1 form counted
+    # votes with groupBy(node, nlab) and picked the winner with a
+    # second groupBy(node) — TWO exchanges per round on different
+    # keys. Votes per node are DEGREE-BOUNDED by construction (the
+    # kNN graph carries ≤2k neighbors after union-symmetrization), so
+    # collect the node's votes in ONE partial-aggregated groupBy(node)
+    # and fold the sorted list: one ascending pass tracks the current
+    # run (cv, cc) against the best committed run (bv, bc); a strictly
+    # longer run commits, ties keep the earlier (= smaller) label —
+    # exactly max(struct(c, -nlab)) ≡ highest count then smallest
+    # label. One exchange per round, and the round's output stays
+    # hash(node)-partitioned, which the NEXT round's join consumes
+    # as-is (node renames to the join key) — no re-shuffle between
+    # rounds.
+    _winner = """
+    aggregate(
+      array_sort(collect_list(nlab)),
+      named_struct(
+        'bv', CAST(NULL AS BIGINT), 'bc', CAST(0 AS BIGINT),
+        'cv', CAST(NULL AS BIGINT), 'cc', CAST(0 AS BIGINT)),
+      (acc, x) -> CASE
+        WHEN acc.cc = 0 THEN named_struct(
+          'bv', acc.bv, 'bc', acc.bc, 'cv', x, 'cc', CAST(1 AS BIGINT))
+        WHEN x = acc.cv THEN named_struct(
+          'bv', acc.bv, 'bc', acc.bc, 'cv', acc.cv, 'cc', acc.cc + 1)
+        WHEN acc.cc > acc.bc THEN named_struct(
+          'bv', acc.cv, 'bc', acc.cc, 'cv', x, 'cc', CAST(1 AS BIGINT))
+        ELSE named_struct(
+          'bv', acc.bv, 'bc', acc.bc, 'cv', x, 'cc', CAST(1 AS BIGINT))
+      END,
+      acc -> CASE WHEN acc.cc > acc.bc THEN acc.cv ELSE acc.bv END
+    )"""
     for _ in range(iters):
         nbr = und.join(
             labels.select(F.col("node").alias("_n"), "lab"),
             F.col("n_id") == F.col("_n"),
         ).select(F.col("src_id").alias("node"), F.col("lab").alias("nlab"))
-        cnt = nbr.groupBy("node", "nlab").agg(F.count("*").alias("c"))
-        # winner per node: max over the (c, -nlab) struct ≡ highest
-        # vote count, ties → smallest label — the rank-1 row of the
-        # r10 form's (c DESC, nlab ASC) window, without the window's
-        # per-partition sort (r11; partial-aggregated max instead).
-        labels = (
-            cnt.groupBy("node")
-            .agg(
-                F.max(
-                    F.struct(F.col("c"), (-F.col("nlab")).alias("nl"))
-                ).alias("b")
-            )
-            .select("node", (-F.col("b.nl")).alias("lab"))
+        labels = nbr.groupBy("node").agg(
+            F.expr(_winner).alias("lab")
         )
     return labels.select(
         "node",
