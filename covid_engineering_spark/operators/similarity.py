@@ -1673,7 +1673,23 @@ PQ_SUB_DIM = DIM // PQ_M
 PQ_K = 16
 
 
-def pq_codes(emb: DataFrame) -> DataFrame:
+def _pq_seeds(emb: DataFrame) -> DataFrame:
+    """The PQ_K md5-ranked seed vectors as ``(s_id, s_emb)`` — the
+    engine-independent sub-codebook draw shared by the encode path
+    (:func:`pq_codes`) and the ADC lookup table (:func:`pq_adc_topk`).
+    ``emb`` must already exclude NULL embeddings."""
+    key = F.md5(F.col("vec_id").cast("string"))
+    seeds0 = (
+        emb.select("vec_id", "embedding").orderBy(key, "vec_id").limit(PQ_K)
+    )
+    w = Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    return seeds0.select(
+        (F.row_number().over(w) - 1).alias("s_id"),
+        F.col("embedding").alias("s_emb"),
+    )
+
+
+def pq_codes(emb: DataFrame, seeds: DataFrame | None = None) -> DataFrame:
     """Product-quantization encoding: each vector's code per subspace
     is the L2-nearest entry of that subspace's sub-codebook. The
     compressed representation behind large-scale ANN (IVF-PQ): search
@@ -1700,15 +1716,8 @@ def pq_codes(emb: DataFrame) -> DataFrame:
     SQL twin.
     """
     emb = emb.filter(F.col("embedding").isNotNull())
-    key = F.md5(F.col("vec_id").cast("string"))
-    seeds0 = (
-        emb.select("vec_id", "embedding").orderBy(key, "vec_id").limit(PQ_K)
-    )
-    w = Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-    seeds = seeds0.select(
-        (F.row_number().over(w) - 1).alias("s_id"),
-        F.col("embedding").alias("s_emb"),
-    )
+    if seeds is None:
+        seeds = _pq_seeds(emb)
     carr = seeds.agg(
         F.collect_list(F.struct("s_id", "s_emb")).alias("cents")
     )
@@ -1773,18 +1782,19 @@ def pq_adc_topk(emb: DataFrame, k: int = TOP_K) -> DataFrame:
     an all-NULL LUT and rank noise.
     """
     emb = emb.filter(F.col("embedding").isNotNull())
-    codes = pq_codes(emb).select("vec_id", "sub", "code")
+    # ONE seed draw for both consumers (r11, the bounded-frame
+    # checkpoint discipline): the encode path and the LUT each built
+    # their own copy of the md5-ranked seed subtree, so the corpus
+    # TakeOrdered ran twice per execution (once under each broadcast
+    # build). The frame is ≤ PQ_K rows BY CONSTRUCTION — an eager
+    # localCheckpoint is a bounded micro-materialization at any scale.
+    seeds = _pq_seeds(emb).localCheckpoint(eager=True)
+    codes = pq_codes(emb, seeds=seeds).select("vec_id", "sub", "code")
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    key = F.md5(F.col("vec_id").cast("string"))
-    seeds0 = (
-        emb.select("vec_id", "embedding").orderBy(key, "vec_id").limit(PQ_K)
-    )
-    w0 = Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-    seeds = seeds0.select(
-        (F.row_number().over(w0) - 1).alias("code"),
-        F.col("embedding").alias("s_emb"),
+    seeds = seeds.select(
+        F.col("s_id").alias("code"), "s_emb"
     )
     d2 = F.expr(f"""
         aggregate(
