@@ -685,6 +685,18 @@ def substring_dup_span_frame(
         F.array().cast("array<bigint>" if hashed else "array<string>")
     )
     g = docs.select("doc_id", F.posexplode(grams_arr).alias("pos", "gram"))
+    # Cache the positional gram frame (r11, the decon/minhash shingle-
+    # cache discipline): it feeds TWO consumers — the duplicated-gram
+    # set's groupBy and the semi-join's position side — and Catalyst
+    # re-derives uncached subtrees per consumer, so the corpus-wide
+    # explode + per-position gram build (the compute-dense stage of
+    # the whole family) ran twice per execution. The cache is the
+    # token stream (disk-backed at scale) and buys back a full corpus
+    # scan + gram build; the analysis and the strip form share the
+    # same spans plan, so they also share the warm cache.
+    from covid_engineering_spark.functions import evicting_cache
+
+    g = evicting_cache(g, "substr_grams")
     dup_grams = (
         g.groupBy("gram")
         .agg(F.count("*").alias("n_occ"))
