@@ -227,6 +227,16 @@ def main() -> None:
     # throughput with single-run jitter squeezed out; min/max spread is
     # reported per query so an unstable timing is visible, not hidden.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # Measurement-bug fix (r12, VERDICT r11 #1): evicting_cache keeps a
+    # sameResult fast path that let every TIMED run reuse the frame the
+    # UNTIMED warmup materialized — so cache-bearing queries were timing
+    # cache reads, not per-execution cost. caching.reset() (unpersist +
+    # forget, blocking) runs before every timed run so each run
+    # re-materializes its own caches from the parquet inputs; the
+    # within-execution sharing (one build, several consumers) is still
+    # measured. The reset itself runs OUTSIDE the timed region.
+    from covid_engineering_spark.functions import caching as _caching
+
     timings: dict[str, float | None] = {}
     spread: dict[str, list[float]] = {}
     failed: list[str] = []
@@ -239,6 +249,7 @@ def main() -> None:
             _materialize(fn(spark, sf_dir))  # warmup
             samples = []
             for _ in range(runs):
+                _caching.reset()
                 t0 = time.perf_counter()
                 _materialize(fn(spark, sf_dir))
                 samples.append(time.perf_counter() - t0)

@@ -281,6 +281,12 @@ def _minhash_signatures(
     at sf0.1). 56-bit halves keep h1 + 15*h2 < 2^61, so the arithmetic
     never overflows int64 in either engine (DuckDB raises on overflow;
     Spark would silently wrap).
+
+    The signature row also carries ``_n_sh`` = the doc's shingle count
+    (r12): the exact-Jaccard verification needs per-doc set sizes, and
+    they ride the SAME groupBy(doc_id) for free — computing them as a
+    separate aggregation re-scanned the whole shingle frame once more
+    per execution.
     """
     if portable:
         md = F.md5(F.col("s"))
@@ -293,12 +299,14 @@ def _minhash_signatures(
             F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"m{i}")
             for i in range(k)
         ]
-        return hashed.groupBy("doc_id").agg(*aggs)
+        return hashed.groupBy("doc_id").agg(
+            *aggs, F.count("*").alias("_n_sh")
+        )
     aggs = [
         F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"m{i}")
         for i in range(k)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return sh.groupBy("doc_id").agg(*aggs, F.count("*").alias("_n_sh"))
 
 
 def _capped_bucket_pairs(
@@ -455,14 +463,22 @@ def minhash_lsh_pairs(
     from covid_engineering_spark.functions import evicting_cache
 
     sh = evicting_cache(shingles_of(docs), "minhash_shingles")
-    bands = _band_frame(
-        _minhash_signatures(sh, MINHASH_K, portable=portable), portable
+    # The signature frame (one constant-width row per doc) now feeds
+    # TWO consumers — the band/bucket path and the verification's size
+    # lookup — so it gets the same evicting-cache discipline; bounded
+    # at one row per document at any corpus size.
+    sig = evicting_cache(
+        _minhash_signatures(sh, MINHASH_K, portable=portable),
+        "minhash_sig",
     )
+    bands = _band_frame(sig, portable)
     cand = _capped_bucket_pairs(
         bands, ["band", "bh"], cache_key="minhash_bands"
     )
-    # exact verification restricted to candidates
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # exact verification restricted to candidates; per-doc set sizes
+    # ride the signature aggregation (_n_sh, r12) instead of a second
+    # full groupBy pass over the shingle frame.
+    sizes = sig.select("doc_id", F.col("_n_sh").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         cand.join(a, F.col("a.doc_id") == F.col("d1"))
@@ -690,13 +706,28 @@ def substring_dup_span_frame(
     # set's groupBy and the semi-join's position side — and Catalyst
     # re-derives uncached subtrees per consumer, so the corpus-wide
     # explode + per-position gram build (the compute-dense stage of
-    # the whole family) ran twice per execution. The cache is the
-    # token stream (disk-backed at scale) and buys back a full corpus
-    # scan + gram build; the analysis and the strip form share the
-    # same spans plan, so they also share the warm cache.
+    # the whole family) ran twice per execution.
+    #
+    # This is the ONE engine cache that is O(corpus tokens), not
+    # bounded-by-construction (VERDICT r11 #4), so it is stored
+    # SERIALIZED with disk spill (MEMORY_AND_DISK, not the default
+    # deserialized cache): at 100 TB the frame is a shuffle-file-sized
+    # disk artifact, never a resident deserialized heap. It buys back
+    # one full corpus scan + gram build per execution; the honest A/B
+    # (cache vs rebuild-twice, caches reset per run) is recorded in
+    # OPTIMIZATION_r12.md. The key carries the variant parameters
+    # (hash family, gram length — ADVICE r11) so the hashed production
+    # form and the exact-string registered form hold separate slots
+    # instead of thrashing one on alternating callers.
+    from pyspark import StorageLevel
+
     from covid_engineering_spark.functions import evicting_cache
 
-    g = evicting_cache(g, "substr_grams")
+    g = evicting_cache(
+        g,
+        f"substr_grams:h{int(hashed)}:k{k}",
+        storage_level=StorageLevel.MEMORY_AND_DISK,
+    )
     dup_grams = (
         g.groupBy("gram")
         .agg(F.count("*").alias("n_occ"))

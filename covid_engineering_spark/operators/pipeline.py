@@ -2334,21 +2334,29 @@ def near_dup_incremental_lsh(
             )
         # two consumers each (band build + verification sizes/join)
         shc = evicting_cache(shingles_of(corpus), "inc_lsh_sh_corpus")
-        bands_c = _band_frame(
+        # Signature frame cached (r12): it feeds the band/bucket build
+        # AND the verification's size lookup (per-doc shingle counts
+        # ride the signature groupBy as ``_n_sh`` instead of a second
+        # full aggregation pass over the shingle frame); one
+        # constant-width row per doc at any corpus size.
+        sig_c = evicting_cache(
             _minhash_signatures(shc, MINHASH_K, portable=portable),
-            portable,
+            "inc_lsh_sig_corpus",
         )
+        bands_c = _band_frame(sig_c, portable)
         wr = Window.partitionBy("band", "bh").orderBy("doc_id")
         bc = (
             bands_c.withColumn("_rn", F.row_number().over(wr))
             .filter(F.col("_rn") <= cap)
             .drop("_rn")
         )
-        nc_sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
+        nc_sizes = sig_c.select("doc_id", F.col("_n_sh").alias("n"))
     shb = evicting_cache(shingles_of(batch), "inc_lsh_sh_batch")
-    bands_b = _band_frame(
-        _minhash_signatures(shb, MINHASH_K, portable=portable), portable
+    sig_b = evicting_cache(
+        _minhash_signatures(shb, MINHASH_K, portable=portable),
+        "inc_lsh_sig_batch",
     )
+    bands_b = _band_frame(sig_b, portable)
     cand = (
         bands_b.alias("b")
         .join(bc.alias("c"), ["band", "bh"])
@@ -2358,7 +2366,7 @@ def near_dup_incremental_lsh(
         )
         .distinct()
     )
-    nb = shb.groupBy("doc_id").agg(F.count("*").alias("n"))
+    nb = sig_b.select("doc_id", F.col("_n_sh").alias("n"))
     nc = nc_sizes
     common = (
         cand.join(shb.alias("sb"), F.col("sb.doc_id") == F.col("d_batch"))

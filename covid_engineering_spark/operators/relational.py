@@ -1722,12 +1722,31 @@ def q_q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_late",
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
     )
-    per_order = joined.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("is_late"), F.col("l_suppkey"))
-        ).alias("n_late"),
-        F.max(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+    # Two-level aggregation (r12, guide §2.3): the countDistinct pair
+    # planned an Expand (3 projections per input row — one per
+    # distinct-aggregate group plus the plain max) feeding TWO
+    # exchanges (keys ⊕ gid, then key). Collapsing to distinct
+    # (order, supplier) pairs first — with the per-pair late flag as a
+    # plain max — computes the same three aggregates from one
+    # partially-aggregated groupBy chain: n_supp = pairs per order,
+    # n_late = pairs whose supplier shipped late, late_supp = max such
+    # supplier. One explicit hash repartition on the order key lets
+    # BOTH groupBys reuse the same exchange (HashPartitioning(order)
+    # satisfies the (order, supp) clustering), so the plan carries one
+    # Exchange where the Expand form carried two, and no 3x row
+    # multiplication. count("l_suppkey")/when-count skip NULL supplier
+    # keys exactly as countDistinct did.
+    pairs = (
+        joined.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("is_late").alias("any_late"))
+    )
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count("l_suppkey").alias("n_supp"),
+        F.count(F.when(F.col("any_late"), F.col("l_suppkey"))).alias(
+            "n_late"
+        ),
+        F.max(F.when(F.col("any_late"), F.col("l_suppkey"))).alias(
             "late_supp"
         ),
     )

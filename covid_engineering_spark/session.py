@@ -23,6 +23,23 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE coalescing floor (r12). With parallelismFirst (default true)
+    # AQE targets max(stage bytes / defaultParallelism,
+    # minPartitionSize); the stock 1 MB floor collapses any post-
+    # shuffle stage under ~2 MB to 1-2 tasks. For relational stages
+    # that is right — but the engine's compute-dense small-byte stages
+    # (shingle self-joins, md5 signature builds, per-token metrics
+    # downstream of an exchange) then run serially while every other
+    # core idles, at ANY scale where a stage's bytes are small but its
+    # CPU is not (measured r12: the whole minhash pipeline ran 1 task
+    # per stage at bench SF). 64 KB keeps bytes-based coalescing for
+    # real data (a stage only fragments once its total bytes are
+    # already tiny) and never raises task counts above
+    # defaultParallelism (the parallelismFirst target). Env-overridable
+    # for A/B and for deployments that prefer the stock floor.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": os.environ.get(
+        "SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"
+    ),
     # NOTE on coalescePartitions.parallelismFirst: deliberately LEFT at
     # its default (true). Measured here (r11 bisect): false collapses
     # compute-dense, small-byte stages (bloom md5 shingles, substring
@@ -127,6 +144,7 @@ def configure_existing(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.enabled",
         "spark.sql.adaptive.coalescePartitions.enabled",
         "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize",
         "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "spark.sql.execution.arrow.pyspark.enabled",
         "spark.python.sql.dataFrameDebugging.enabled",

