@@ -28,10 +28,9 @@ form computes. Golden tests pin the equivalence numerically.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from covid_engineering_spark.functions import missing_count
 from covid_engineering_spark.sources import read_table
 
 # ---------------------------------------------------------------------------
@@ -54,30 +53,44 @@ def with_interpolated(
     four frame-bounded windows over the *same* window spec — Catalyst
     evaluates them in a single sort+window pass per value column, all
     partitions in parallel.
+
+    Expressions ride ONE SQL string per output column (r12): the
+    Column-API chain cost ~15 py4j round-trips per window expression
+    per value column, and the driver's plan-assembly time was a
+    measurable slice of the query (guide §1.2 step 2 — the "task"
+    here is the driver's build). The parsed trees are identical to
+    the former Column chain (same window specs, same coalesce/CASE
+    structure, double literals cast explicitly), pinned by the golden
+    reference tests.
     """
-    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
-    wp = w.rowsBetween(Window.unboundedPreceding, -1)
-    wn = w.rowsBetween(1, Window.unboundedFollowing)
-    df = df.withColumn("_rn", F.row_number().over(w))
+    over = "PARTITION BY {} ORDER BY {}".format(
+        ", ".join(partition_cols), ", ".join(order_cols)
+    )
+    wp = f"{over} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+    wn = f"{over} ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING"
+    df = df.withColumn("_rn", F.expr(f"row_number() OVER ({over})"))
     for c in value_cols:
-        v = F.col(c)
-        prev_val = F.last(v, ignorenulls=True).over(wp)
-        next_val = F.first(v, ignorenulls=True).over(wn)
-        rn_if_valid = F.when(v.isNotNull(), F.col("_rn"))
-        prev_rn = F.last(rn_if_valid, ignorenulls=True).over(wp)
-        next_rn = F.first(rn_if_valid, ignorenulls=True).over(wn)
+        prev_val = f"last({c}, true) OVER ({wp})"
+        next_val = f"first({c}, true) OVER ({wn})"
+        rn_if_valid = f"CASE WHEN {c} IS NOT NULL THEN _rn END"
+        prev_rn = f"last({rn_if_valid}, true) OVER ({wp})"
+        next_rn = f"first({rn_if_valid}, true) OVER ({wn})"
         # A fully-null prefix is anchored by the reference's "first
         # cell becomes 0" rule: virtual neighbor (value 0, row 1).
-        anchor_val = F.coalesce(prev_val, F.lit(0.0))
-        anchor_rn = F.coalesce(prev_rn, F.lit(1))
-        interp = anchor_val + (next_val - anchor_val) * (
-            (F.col("_rn") - anchor_rn) / (next_rn - anchor_rn)
+        anchor_val = f"coalesce({prev_val}, CAST(0 AS DOUBLE))"
+        anchor_rn = f"coalesce({prev_rn}, 1)"
+        interp = (
+            f"({anchor_val}) + (({next_val}) - ({anchor_val})) * "
+            f"((_rn - ({anchor_rn})) / (({next_rn}) - ({anchor_rn})))"
         )
         df = df.withColumn(
             f"{c}{suffix}",
-            F.when(v.isNotNull(), v.cast("double"))
-            .when(next_val.isNull(), anchor_val.cast("double"))  # trailing LOCF
-            .otherwise(interp),
+            F.expr(
+                f"CASE WHEN {c} IS NOT NULL THEN CAST({c} AS DOUBLE) "
+                # trailing LOCF
+                f"WHEN ({next_val}) IS NULL THEN CAST({anchor_val} AS DOUBLE) "
+                f"ELSE {interp} END"
+            ),
         )
     return df.drop("_rn")
 
@@ -111,6 +124,15 @@ def q_w6_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PARTS = ("active", "deaths", "recovered")
 
 
+def _missing_sql(*cols: str) -> str:
+    """SQL form of :func:`missing_count` (row-wise null count) — the
+    same expression tree, assembled as one string so the fill stages
+    below cost one py4j round-trip each instead of dozens (r12)."""
+    return "(0 + " + " + ".join(
+        f"CASE WHEN {c} IS NULL THEN 1 ELSE 0 END" for c in cols
+    ) + ")"
+
+
 def fill_single_missing(df: DataFrame) -> DataFrame:
     """Reference ``fill_single_missing`` (main.py:421-433): when exactly
     one of {confirmed, active, deaths, recovered} is null, solve
@@ -126,19 +148,20 @@ def fill_single_missing(df: DataFrame) -> DataFrame:
     substitute each growing ``when`` tree into the next, blowing up
     codegen size multiplicatively across later window stages.
     """
-    one = missing_count("confirmed", *_PARTS) == 1
-    c, a, d, r = (
-        F.col("confirmed"),
-        F.col("active"),
-        F.col("deaths"),
-        F.col("recovered"),
-    )
+    one = _missing_sql("confirmed", *_PARTS) + " = 1"
+
+    def fill(col: str, formula: str) -> F.Column:
+        return F.expr(
+            f"CASE WHEN ({one}) AND {col} IS NULL THEN {formula} "
+            f"ELSE {col} END"
+        )
+
     return df.withColumns(
         {
-            "active": F.when(one & a.isNull(), c - d - r).otherwise(a),
-            "deaths": F.when(one & d.isNull(), c - a - r).otherwise(d),
-            "recovered": F.when(one & r.isNull(), c - a - d).otherwise(r),
-            "confirmed": F.when(one & c.isNull(), a + d + r).otherwise(c),
+            "active": fill("active", "confirmed - deaths - recovered"),
+            "deaths": fill("deaths", "confirmed - active - recovered"),
+            "recovered": fill("recovered", "confirmed - active - deaths"),
+            "confirmed": fill("confirmed", "active + deaths + recovered"),
         }
     )
 
@@ -189,18 +212,18 @@ def clean_complete(
     )
 
     # 3: per-country first valid date (min date having any non-null).
-    w_c = Window.partitionBy("country_region")
-    any_valid = (
-        F.col("confirmed").isNotNull()
-        | F.col("active").isNotNull()
-        | F.col("deaths").isNotNull()
-        | F.col("recovered").isNotNull()
-    )
+    # (SQL-string expressions since r12 — same trees, one parse each;
+    # see with_interpolated's docstring.)
     df = df.withColumn(
-        "_first_valid", F.min(F.when(any_valid, F.col("date"))).over(w_c)
+        "_first_valid",
+        F.expr(
+            "min(CASE WHEN confirmed IS NOT NULL OR active IS NOT NULL "
+            "OR deaths IS NOT NULL OR recovered IS NOT NULL THEN date END) "
+            "OVER (PARTITION BY country_region)"
+        ),
     )
     df = df.filter(
-        F.col("_first_valid").isNotNull() & (F.col("date") >= F.col("_first_valid"))
+        "_first_valid IS NOT NULL AND date >= _first_valid"
     ).drop("_first_valid")
 
     # 4: special-case zero fill. One withColumns so both rewrites see
@@ -209,14 +232,16 @@ def clean_complete(
     # false) and silently skip the recovered fill — the same
     # lazily-resolved-predicate trap stage 7 guards against.
     special = (
-        (F.col("confirmed") == F.col("active"))
-        & F.col("deaths").isNull()
-        & F.col("recovered").isNull()
+        "confirmed = active AND deaths IS NULL AND recovered IS NULL"
     )
     df = df.withColumns(
         {
-            "deaths": F.when(special, F.lit(0)).otherwise(F.col("deaths")),
-            "recovered": F.when(special, F.lit(0)).otherwise(F.col("recovered")),
+            "deaths": F.expr(
+                f"CASE WHEN {special} THEN 0 ELSE deaths END"
+            ),
+            "recovered": F.expr(
+                f"CASE WHEN {special} THEN 0 ELSE recovered END"
+            ),
         }
     )
 
@@ -233,13 +258,15 @@ def clean_complete(
     # name lazily, so reusing the raw predicate after the first fill
     # would see the already-repaired column and stop matching.
     df = df.withColumn(
-        "_two_plus", missing_count("confirmed", "deaths", "recovered") >= 2
+        "_two_plus",
+        F.expr(_missing_sql("confirmed", "deaths", "recovered") + " >= 2"),
     )
     df = df.withColumns(
         {
-            c: F.when(
-                F.col("_two_plus") & F.col(c).isNull(), F.col(f"{c}_interp")
-            ).otherwise(F.col(c))
+            c: F.expr(
+                f"CASE WHEN _two_plus AND {c} IS NULL THEN {c}_interp "
+                f"ELSE {c} END"
+            )
             for c in ("confirmed", "deaths", "recovered")
         }
     )
@@ -251,10 +278,10 @@ def clean_complete(
     # 8: remaining missing active from the invariant.
     df = df.withColumn(
         "active",
-        F.when(
-            F.col("active").isNull(),
-            F.col("confirmed") - F.col("deaths") - F.col("recovered"),
-        ).otherwise(F.col("active")),
+        F.expr(
+            "CASE WHEN active IS NULL "
+            "THEN confirmed - deaths - recovered ELSE active END"
+        ),
     )
 
     # 9: final completeness filter.
@@ -272,34 +299,33 @@ def _synthetic_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = read_table(spark, sf_dir, "events")
     day = ev.groupBy(
-        (F.col("user_id") % 7).alias("country_id"),
-        F.to_date("ts").alias("date"),
+        F.expr("user_id % 7").alias("country_id"),
+        F.expr("to_date(ts)").alias("date"),
     ).agg(
-        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2).alias(
-            "base"
-        ),
-        F.count("*").alias("n"),
+        F.expr(
+            "round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)"
+        ).alias("base"),
+        F.expr("count(*)").alias("n"),
     )
-    c = F.round(F.col("base"), 0) + F.col("n")
-    d = F.round(F.col("base") / 10.0, 0)
-    r = F.round(F.col("base") / 3.0, 0)
-    df = day.select(
-        F.concat(F.lit("C"), F.col("country_id")).alias("country_region"),
+    df = day.selectExpr(
+        "concat('C', country_id) AS country_region",
         "date",
-        c.alias("confirmed_raw"),
-        d.alias("deaths_raw"),
-        r.alias("recovered_raw"),
+        "round(base, 0) + n AS confirmed_raw",
+        "round(base / CAST(10.0 AS DOUBLE), 0) AS deaths_raw",
+        "round(base / CAST(3.0 AS DOUBLE), 0) AS recovered_raw",
     )
-    dom = F.dayofmonth("date")
-    return df.select(
+    return df.selectExpr(
         "country_region",
         "date",
-        F.when(dom % 11 == 3, None).otherwise(F.col("confirmed_raw")).alias("confirmed"),
-        F.when((dom % 5 == 2) | (dom % 11 == 3), None)
-        .otherwise(F.col("confirmed_raw") - F.col("deaths_raw") - F.col("recovered_raw"))
-        .alias("active"),
-        F.when((dom % 3 == 1) | (dom <= 2), None).otherwise(F.col("deaths_raw")).alias("deaths"),
-        F.when((dom % 4 == 1) | (dom <= 2), None).otherwise(F.col("recovered_raw")).alias("recovered"),
+        "CASE WHEN dayofmonth(date) % 11 = 3 THEN NULL "
+        "ELSE confirmed_raw END AS confirmed",
+        "CASE WHEN dayofmonth(date) % 5 = 2 OR dayofmonth(date) % 11 = 3 "
+        "THEN NULL ELSE confirmed_raw - deaths_raw - recovered_raw "
+        "END AS active",
+        "CASE WHEN dayofmonth(date) % 3 = 1 OR dayofmonth(date) <= 2 "
+        "THEN NULL ELSE deaths_raw END AS deaths",
+        "CASE WHEN dayofmonth(date) % 4 = 1 OR dayofmonth(date) <= 2 "
+        "THEN NULL ELSE recovered_raw END AS recovered",
     )
 
 
