@@ -561,59 +561,88 @@ def connected_components(
     """
     from covid_engineering_spark.functions import evicting_cache
 
+    # SELF-LOOPS ride the cached edge frame (r12): with (v, v) present
+    # for every endpoint, "min label over my neighbors" automatically
+    # includes my OWN label, so each round is one join + one partial
+    # aggregation — the r11 form needed an extra left-join back onto
+    # the labels frame per round just to keep the own-label candidate,
+    # and a prev_lbl carry column just to detect convergence. Duplicate
+    # self-loop rows (a doc in many pairs) are harmless under min().
+    # ONE map-side Generate fans each pair into its 4 edge rows
+    # (forward, mirror, both self-loops). The union form Catalyst would
+    # otherwise need re-derives the ENTIRE pair-generation pipeline once
+    # per branch — Catalyst plans trees, not DAGs — so the edge cache
+    # build paid the shingle self-join 2x before r12 (and 4x with
+    # self-loops as union branches). The explode pays it exactly once.
     edges = pairs.select(
-        F.col("d1").alias("src"), F.col("d2").alias("dst")
-    ).union(pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
+        F.explode(
+            F.array(
+                F.struct(F.col("d1").alias("src"), F.col("d2").alias("dst")),
+                F.struct(F.col("d2").alias("src"), F.col("d1").alias("dst")),
+                F.struct(F.col("d1").alias("src"), F.col("d1").alias("dst")),
+                F.struct(F.col("d2").alias("src"), F.col("d2").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     # evicting_cache, NOT localCheckpoint: the edge frame's lineage is
     # fixed (no loop grows it — only the labels chain needs checkpoint
-    # truncation), and the cache's sameResult reuse means a repeated
-    # invocation of the same clustering query skips the whole
-    # pair-generation pipeline instead of re-running it per call
-    # (measured: steady-state curate invocation 4.4s -> 2.6s at sf0.1).
+    # truncation).
     edges = evicting_cache(edges, "cc_edges")
+    # Round 0 fused into initialization: min(dst) over the self-looped
+    # edges IS "least(v, min neighbor)" — the r11 form spent a distinct
+    # exchange + an eager checkpoint just to seed lbl = v, then paid a
+    # full round to reach this state. localCheckpoint(eager=False)
+    # truncates the plan NOW but materializes inside the convergence
+    # aggregate below — one action per round instead of a checkpoint
+    # job plus a count job (guide §2.4: two ops keyed the same way
+    # share one pass).
     labels = (
-        edges.select(F.col("src").alias("v"))
-        .distinct()
-        .select("v", F.col("v").alias("lbl"))
-        .localCheckpoint(eager=True)
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("lbl"))
+        .select(F.col("src").alias("v"), "lbl")
+        .localCheckpoint(eager=False)
     )
-    changed = -1
+
+    def _label_sum(frame: DataFrame) -> object:
+        # Labels only ever DECREASE (min over a set that includes the
+        # current label via the self-loop), so the exact decimal sum is
+        # strictly monotone: sum unchanged <=> no label changed.
+        # DECIMAL(38,0) keeps the sum exact for any id domain where
+        # count*max_id < 10^38 — far past any real corpus.
+        return frame.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+        ).head()["s"]
+
+    prev_sum = _label_sum(labels)
+    converged = False
     for _ in range(max_rounds):
-        nbr_min = (
-            edges.join(labels, edges.dst == labels.v)
-            .groupBy("src")
-            .agg(F.min("lbl").alias("nbr_lbl"))
-        )
-        stepped = labels.join(
-            nbr_min, labels.v == nbr_min.src, "left"
-        ).select(
-            "v",
-            F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias(
-                "lbl"
-            ),
-            # the round's STARTING label rides along so convergence is
-            # a scan of the checkpointed output, not a join back onto
-            # the previous labels frame (one fewer shuffle per round)
-            F.col("lbl").alias("prev_lbl"),
-        )
-        # pointer jumping (path halving): also adopt the label OF the
-        # label — every label is itself a vertex, so this is an inner
-        # self-join that never drops rows. Neighbor-min alone needs
-        # DIAMETER rounds (a k-node chain takes k); with the jump the
-        # label horizon doubles per round, so rounds ~ log2(diameter)
-        # and max_rounds=20 covers any component a real corpus holds.
-        a, b = stepped.alias("a"), stepped.alias("b")
+        # pointer jumping (path halving): adopt the label OF the label —
+        # every label is itself a vertex, so this inner self-join never
+        # drops rows. Neighbor-min alone needs DIAMETER rounds (a k-node
+        # chain takes k); with the jump the label horizon doubles per
+        # round, so rounds ~ log2(diameter) and max_rounds=20 covers any
+        # component a real corpus holds. ``labels`` is checkpoint-backed,
+        # so the two references share one materialization instead of
+        # duplicating the subtree (Catalyst plans trees, not DAGs).
+        a, b = labels.alias("a"), labels.alias("b")
         jumped = a.join(b, F.col("a.lbl") == F.col("b.v")).select(
             F.col("a.v").alias("v"),
             F.least(F.col("a.lbl"), F.col("b.lbl")).alias("lbl"),
-            F.col("a.prev_lbl").alias("prev_lbl"),
         )
-        new = jumped.localCheckpoint(eager=True)
-        changed = new.filter(F.col("lbl") != F.col("prev_lbl")).count()
-        labels = new.select("v", "lbl")
-        if changed == 0:
+        new = (
+            edges.join(jumped, edges.dst == jumped.v)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("lbl"))
+            .select(F.col("src").alias("v"), "lbl")
+            .localCheckpoint(eager=False)
+        )
+        new_sum = _label_sum(new)
+        labels = new
+        if new_sum == prev_sum:
+            converged = True
             break
-    if changed != 0:
+        prev_sum = new_sum
+    if not converged:
         # Returning partially-propagated labels would silently split
         # clusters; fail loudly instead.
         raise RuntimeError(

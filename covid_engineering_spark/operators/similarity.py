@@ -1396,20 +1396,24 @@ def graph_greedy_search(
 
     def _score(ids):
         """Attach embeddings and the 6dp query cosine to a tiny
-        (q_id, id) frame: corpus equi-join, small side broadcast."""
-        withq = ids.join(F.broadcast(q), "q_id")
+        (q_id, q_emb, id) frame: corpus equi-join, small side
+        broadcast. ``q_emb`` rides the candidate frame (r12) so each
+        hop pays ONE broadcast build instead of two — the r11 form
+        re-joined the query table per hop, and every broadcast build
+        is its own driver-blocking job."""
         return (
-            e.join(F.broadcast(withq), e["vec_id"] == withq["id"])
+            e.join(F.broadcast(ids), e["vec_id"] == ids["id"])
             .select(
                 "q_id",
                 "id",
                 cosine_expr(F.col("q_emb"), F.col("embedding")).alias(
                     "cs"
                 ),
+                "q_emb",
             )
         )
 
-    state = _score(q.select("q_id").join(F.broadcast(entry)))
+    state = _score(q.join(F.broadcast(entry)))
     # Beam selection per hop (r11): ONE groupBy(q_id) that collects
     # the merged candidate+incumbent rows into a set and keeps the
     # top-``beam`` map-side via array_sort — the (cs DESC, id ASC)
@@ -1435,13 +1439,17 @@ def graph_greedy_search(
                     ),
                     1,
                     n,
-                ).alias("top")
+                ).alias("top"),
+                # constant within a q_id group — rides the same agg so
+                # no per-hop re-join against the query table is needed
+                F.first("q_emb").alias("q_emb"),
             )
-            .select("q_id", F.explode("top").alias("t"))
+            .select("q_id", F.explode("top").alias("t"), "q_emb")
             .select(
                 "q_id",
                 (-F.col("t.ns")).alias("id"),
                 F.col("t.cs").alias("cs"),
+                "q_emb",
             )
         )
 
@@ -1450,7 +1458,7 @@ def graph_greedy_search(
             edges.join(
                 F.broadcast(state), edges["src_id"] == state["id"]
             )
-            .select("q_id", F.col("n_id").alias("id"))
+            .select("q_id", F.col("n_id").alias("id"), "q_emb")
             .filter(F.col("id") != F.col("q_id"))
         )
         state = _top_beam(_score(cand).unionByName(state), beam)
@@ -1461,12 +1469,16 @@ def graph_greedy_search(
         # BroadcastExchange nodes, only 30 runtime-reused; 111
         # broadcast-materialization jobs per execution). The CC-loop
         # discipline applies verbatim: the state frame is ≤ |Q|·beam
-        # rows BY CONSTRUCTION at any corpus scale, so an eager
-        # localCheckpoint is a bounded micro-materialization that
-        # makes each hop's plan O(1) instead of O(2^hop) — and it is
-        # paid on EVERY invocation (nothing about the query's answer
-        # is memoized across runs). After: 20 jobs per execution.
-        state = state.localCheckpoint(eager=True)
+        # rows BY CONSTRUCTION at any corpus scale, so the checkpoint
+        # is a bounded micro-materialization that makes each hop's
+        # plan O(1) instead of O(2^hop). eager=False (r12): the plan
+        # is truncated immediately either way, but materialization
+        # folds into the next hop's first broadcast build instead of
+        # running as its own driver-blocking job — and the nested
+        # compute is ONE hop over cached inputs (bounded, so the
+        # broadcast-timeout hazard that keeps kmeans' per-round
+        # codebook checkpoint eager does not apply here).
+        state = state.localCheckpoint(eager=False)
     # top-1 per query: max over the (cs, -id) struct — lexicographic
     # max ≡ cs DESC then id ASC; reuses the final hop's q_id
     # partitioning, so no exchange and no rank window.
