@@ -314,6 +314,7 @@ def _capped_bucket_pairs(
     key_cols: list[str],
     cap: int = SKETCH_BUCKET_CAP,
     cache_key: str | None = None,
+    carry: tuple = (),
 ) -> DataFrame:
     """Candidate (d1, d2) pairs from equal-bucket membership with
     BOUNDED per-bucket work: buckets of <= ``cap`` members take the
@@ -325,12 +326,19 @@ def _capped_bucket_pairs(
     The bucket count/rank windows ride the same (key) shuffle the
     candidate join needs anyway; their output bounds the join instead
     of letting one mega-bucket emit B²/2 rows inside a single task.
+
+    ``carry``: per-doc payload columns of ``buckets`` to ride through
+    the pair join, emitted as ``<col>_1``/``<col>_2`` — a caller that
+    needs per-side metadata on each pair (the MinHash verification's
+    set sizes) gets it from the SAME join instead of re-joining the
+    pair frame against a per-doc table once per side (guide §2.4).
     """
     wc = Window.partitionBy(*key_cols)
     wr = Window.partitionBy(*key_cols).orderBy("doc_id")
     bx = buckets.select(
         "doc_id",
         *key_cols,
+        *carry,
         F.count("*").over(wc).alias("_bn"),
         F.row_number().over(wr).alias("_rn"),
     )
@@ -351,6 +359,8 @@ def _capped_bucket_pairs(
         return joined.select(
             F.col("l.doc_id").alias("d1"),
             F.col("r.doc_id").alias("d2"),
+            *[F.col(f"l.{c}").alias(f"{c}_1") for c in carry],
+            *[F.col(f"r.{c}").alias(f"{c}_2") for c in carry],
         )
 
     def _same(side_keys):
@@ -375,10 +385,15 @@ def _capped_bucket_pairs(
     return all_pairs.unionByName(chain_pairs).distinct()
 
 
-def _band_frame(sig: DataFrame, portable: bool) -> DataFrame:
+def _band_frame(
+    sig: DataFrame, portable: bool, carry: tuple = ()
+) -> DataFrame:
     """(doc_id, band, bh) bucket membership — one row per (doc, band):
     the LSH index frame both the candidate join and the bucket-stats
-    pre-flight consume."""
+    pre-flight consume. ``carry`` propagates per-doc signature columns
+    (e.g. ``_n_sh``) through the band explode for callers that want
+    them riding the bucket index; default output is unchanged (the
+    standing-index writers depend on the 3-column shape)."""
     rows_per_band = MINHASH_K // MINHASH_BANDS
 
     def band_hash(bnd: int):
@@ -391,6 +406,7 @@ def _band_frame(sig: DataFrame, portable: bool) -> DataFrame:
 
     return sig.select(
         "doc_id",
+        *carry,
         F.explode(
             F.array(
                 *[
@@ -402,7 +418,7 @@ def _band_frame(sig: DataFrame, portable: bool) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.bh")
+    ).select("doc_id", *carry, "bk.band", "bk.bh")
 
 
 def lsh_bucket_stats(
@@ -471,14 +487,18 @@ def minhash_lsh_pairs(
         _minhash_signatures(sh, MINHASH_K, portable=portable),
         "minhash_sig",
     )
-    bands = _band_frame(sig, portable)
+    bands = _band_frame(sig, portable, carry=("_n_sh",))
+    # per-doc set sizes ride the signature aggregation (_n_sh, r12)
+    # and then the bucket-pair join itself (carry) — the verification
+    # needs (na, nb) per pair, and getting them from the pair join
+    # replaces two joins of the verified frame against a per-doc size
+    # table (guide §2.4: two ops keyed the same way share one pass).
     cand = _capped_bucket_pairs(
-        bands, ["band", "bh"], cache_key="minhash_bands"
+        bands,
+        ["band", "bh"],
+        cache_key="minhash_bands",
+        carry=("_n_sh",),
     )
-    # exact verification restricted to candidates; per-doc set sizes
-    # ride the signature aggregation (_n_sh, r12) instead of a second
-    # full groupBy pass over the shingle frame.
-    sizes = sig.select("doc_id", F.col("_n_sh").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         cand.join(a, F.col("a.doc_id") == F.col("d1"))
@@ -487,26 +507,22 @@ def minhash_lsh_pairs(
             (F.col("b.doc_id") == F.col("d2")) & (F.col("a.s") == F.col("b.s")),
         )
         .groupBy("d1", "d2")
-        .agg(F.count("*").alias("c"))
+        .agg(
+            F.count("*").alias("c"),
+            # constant within a (d1, d2) group — rides the same agg
+            F.first("_n_sh_1").alias("na"),
+            F.first("_n_sh_2").alias("nb"),
+        )
     )
-    na = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb"))
     jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
-    # NO forced broadcast on the sizes table: it is one row per
-    # document — O(corpus) — and a broadcast hint would OOM the build
-    # side at scale (measured: a 10x probe died here). AQE broadcasts
-    # it automatically while it is actually small.
-    return (
-        common.join(na, "d1")
-        .join(nb, "d2")
-        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return common.select(
+        "d1", "d2", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
-        read_table(spark, sf_dir, "documents"), portable=True
+        read_table(spark, sf_dir, "documents", fan=True), portable=True
     )
 
 
@@ -641,6 +657,7 @@ def embedding_pairs(
     a, b = salted_block_sides(
         emb, "label", "vec_id", "embedding",
         BLOCK_CAP if cap is None else cap,
+        cache_key="embpairs_salted_base",
     )
     cos = cosine_expr(F.col("pay_a"), F.col("pay_b"))
     return (

@@ -273,9 +273,20 @@ def bloom_decontaminate(
     report zeros) — absence must be auditable, not silent. All counters
     are integers; no float reaches the hash check.
     """
+    from covid_engineering_spark.functions import evicting_cache
+
     pos = _bloom_positions(k, m)
+    # The distinct eval shingle set feeds BOTH the filter build and the
+    # exact-verify join; cached (lazily — it materializes inside the
+    # bits checkpoint job below, costing no extra action) so the
+    # eval-side distinct aggregation runs once per execution, not twice.
+    # Bounded by the eval suite's shingle count, which is fixed in
+    # production however large the crawl grows.
+    ev_set = evicting_cache(
+        eval_shingles.select("s").distinct(), "bloom_ev_set"
+    )
     bits = (
-        eval_shingles.select(
+        ev_set.select(
             F.explode(F.array(*pos)).alias("bit")
         ).distinct()
     )
@@ -301,9 +312,7 @@ def bloom_decontaminate(
     passed = passed.filter(
         reduce(lambda a, b: a & b, [F.col(f"ok{i}") for i in range(k)])
     ).select("s")
-    ev = eval_shingles.select("s").distinct().withColumn(
-        "x", F.lit(True)
-    )
+    ev = ev_set.withColumn("x", F.lit(True))
     verdict = passed.join(ev, "s", "left").select(
         "s", F.coalesce(F.col("x"), F.lit(False)).alias("is_exact")
     )
@@ -338,7 +347,7 @@ def q_pipe_bloom_decontaminate(
 ) -> DataFrame:
     from covid_engineering_spark.functions import evicting_cache
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", fan=True)
     sh = evicting_cache(
         shingles_of(docs, DECON_NGRAM), "bloom_shingles"
     )
@@ -2427,7 +2436,7 @@ def near_dup_incremental_lsh(
 def q_pipe_near_dup_incremental_lsh(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", fan=True)
     return near_dup_incremental_lsh(
         docs.filter(F.col("doc_id") % 5 != 0),
         docs.filter(F.col("doc_id") % 5 == 0),

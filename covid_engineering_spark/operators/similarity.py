@@ -780,7 +780,10 @@ def knn_graph(
         salted_block_sides,
     )
 
-    a, b = salted_block_sides(emb, block, "vec_id", "embedding", cap)
+    a, b = salted_block_sides(
+        emb, block, "vec_id", "embedding", cap,
+        cache_key="knn_salted_base",
+    )
     cos = cosine_expr(F.col("pay_a"), F.col("pay_b"))
     # Cosine is symmetric, so score each UNORDERED pair once
     # (id_a < id_b — half the dominant dot-product evaluations) and
@@ -956,11 +959,17 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .distinct(),
         "tri_und_edges",
     )
-    deg = (
+    # THREE consumers read the degree table (both orientation joins and
+    # the final per-vertex join) and Catalyst re-derives uncached
+    # subtrees per consumer — without the cache the union+aggregation
+    # over the edge frame ran three times per execution (r12). Bounded
+    # at one thin row per vertex.
+    deg = evicting_cache(
         und.select(F.col("a").alias("v"))
         .unionAll(und.select(F.col("b").alias("v")))
         .groupBy("v")
-        .agg(F.count("*").alias("deg"))
+        .agg(F.count("*").alias("deg")),
+        "tri_deg",
     )
     # orient a->b when (deg_a, a) < (deg_b, b): attach both degrees,
     # then swap endpoints where the order inverts
@@ -1009,7 +1018,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the blocked kNN graph — per-vertex triangle
     counts and local clustering coefficients."""
-    edges = knn_graph(read_table(spark, sf_dir, "embeddings"))
+    edges = knn_graph(read_table(spark, sf_dir, "embeddings", fan=True))
     return triangle_count(edges.select("src_id", "n_id"))
 
 
@@ -1274,7 +1283,7 @@ GREEDY_HOPS = 4
 GREEDY_BEAM = 4
 
 
-def _navigable_graph(emb: DataFrame, nq: int):
+def _navigable_graph(emb: DataFrame, nq: int, with_payload: bool = False):
     """The navigable graph ``graph_greedy_search`` walks and
     ``write_graph_index`` materializes — factored so the in-query and
     standing-index forms can never drift apart. Returns
@@ -1282,6 +1291,17 @@ def _navigable_graph(emb: DataFrame, nq: int):
     fully connected hub navigation layer (one md5-drawn hub per label
     block, drawn from vec_id ≥ nq so a fixture query never navigates
     to its own identity), and the 1-row md5-minimal entry vertex.
+
+    ``with_payload=True`` co-locates each neighbor's embedding on the
+    edge row — the HNSW trade (adjacency stored with vectors): each
+    beam hop then scores candidates FROM the adjacency scan itself
+    instead of paying a second corpus join + broadcast build per hop.
+    A/B'd in r12 and NOT taken for the registered walk: the payload
+    attach join at index-build time costs what the per-hop joins save
+    (4.81s vs 4.96s at sf0.1), and the cached index grows by one
+    vector per edge — k× the corpus's embedding bytes at any scale.
+    Kept as an option because the trade flips when one index build
+    amortizes over many query waves.
 
     UNDIRECTED kNN edges: x being in y's top-k does not put y in
     x's, and the reverse arcs are routes a navigable-small-world
@@ -1310,7 +1330,7 @@ def _navigable_graph(emb: DataFrame, nq: int):
         F.col("src_id") != F.col("n_id"),
     )
     kedges = knn_graph(emb).select("src_id", "n_id")
-    edges = evicting_cache(
+    adj = (
         kedges.unionByName(
             kedges.select(
                 F.col("n_id").alias("src_id"),
@@ -1318,8 +1338,18 @@ def _navigable_graph(emb: DataFrame, nq: int):
             )
         )
         .unionByName(hub_edges)
-        .distinct(),
-        "greedy_edges",
+        .distinct()
+    )
+    if with_payload:
+        adj = adj.join(
+            _kmeans_vectors(emb).select(
+                F.col("vec_id").alias("n_id"),
+                F.col("embedding").alias("n_emb"),
+            ),
+            "n_id",
+        )
+    edges = evicting_cache(
+        adj, "greedy_edges:emb" if with_payload else "greedy_edges"
     )
     entry = (
         hubs.orderBy(key, "vec_id")
@@ -2245,7 +2275,8 @@ def semdedup(
         "vec_id", F.col(cell_col).alias("cell"), "embedding"
     )
     a, b = salted_block_sides(
-        e, "cell", "vec_id", "embedding", BLOCK_CAP if cap is None else cap
+        e, "cell", "vec_id", "embedding", BLOCK_CAP if cap is None else cap,
+        cache_key="semdedup_salted_base",
     )
     dropped = (
         a.join(b, SALTED_JOIN_KEYS)
@@ -2320,7 +2351,8 @@ def hard_negatives(
     # batch still splits instead of concentrating in one task.
     # ``salt_cap`` exists so tests can force a non-trivial grid.
     a, b = salted_block_sides(
-        batched, "batch", "vec_id", "lp", salt_cap or batch_cap
+        batched, "batch", "vec_id", "lp", salt_cap or batch_cap,
+        cache_key="hardneg_salted_base",
     )
     cos = cosine_expr(F.col("pay_a.embedding"), F.col("pay_b.embedding"))
     half = (

@@ -175,18 +175,29 @@ def patho_dir(tmp_path_factory):
 
 
 def test_oracles_match_on_pathological_data(spark, patho_dir):
+    from tests.conftest import parallel_sweep
+
     reg, orc = registry(), oracles()
     con = duck_con(patho_dir)
     try:
-        mismatches = {}
-        for name in sorted(orc):
-            if name in PRECONDITION_VIOLATED:
-                continue
-            res = compare(reg[name](spark, patho_dir), con, orc[name])
-            if not res["match"]:
-                mismatches[name] = {
-                    k: v for k, v in res.items() if k != "match"
-                }
+        # each worker compares through its own DuckDB cursor (cursors
+        # share the parent connection's view catalog and are the
+        # documented concurrency mechanism); the Spark side overlaps
+        # per §2.6 like the other registry sweeps
+        def check(name):
+            cur = con.cursor()
+            try:
+                res = compare(reg[name](spark, patho_dir), cur, orc[name])
+            finally:
+                cur.close()
+            assert res["match"], {
+                k: v for k, v in res.items() if k != "match"
+            }
+
+        mismatches = parallel_sweep(
+            [n for n in sorted(orc) if n not in PRECONDITION_VIOLATED],
+            check,
+        )
         assert not mismatches, mismatches
     finally:
         con.close()
@@ -229,10 +240,10 @@ def skew_dir(tmp_path_factory):
 
 
 def test_every_query_executes_under_total_key_skew(spark, skew_dir):
-    failures = {}
-    for name, fn in registry().items():
-        try:
-            assert fn(spark, skew_dir).count() >= 0
-        except Exception as ex:  # noqa: BLE001 - collecting all failures
-            failures[name] = repr(ex)[:120]
+    from tests.conftest import parallel_sweep
+
+    reg = registry()
+    failures = parallel_sweep(
+        reg, lambda name: reg[name](spark, skew_dir).count()
+    )
     assert not failures, failures

@@ -139,12 +139,12 @@ def test_every_registered_query_survives_an_empty_star(spark, tmp_path):
         spark.createDataFrame([], schema).write.mode("overwrite").parquet(
             os.path.join(empty, f"{name}.parquet")
         )
-    failures = {}
-    for name, fn in registry().items():
-        try:
-            assert fn(spark, empty).count() >= 0
-        except Exception as ex:  # noqa: BLE001 - collecting all failures
-            failures[name] = repr(ex)[:120]
+    reg = registry()
+    from tests.conftest import parallel_sweep
+
+    failures = parallel_sweep(
+        reg, lambda name: reg[name](spark, empty).count()
+    )
     assert not failures, failures
 
 
@@ -179,12 +179,12 @@ def test_every_registered_query_survives_nulls_and_empty_strings(spark, tmp_path
         spark.createDataFrame([row], schema).write.mode("overwrite").parquet(
             os.path.join(root, f"{name}.parquet")
         )
-    failures = {}
-    for name, fn in registry().items():
-        try:
-            assert fn(spark, root).count() >= 0
-        except Exception as ex:  # noqa: BLE001 - collecting all failures
-            failures[name] = repr(ex)[:120]
+    reg = registry()
+    from tests.conftest import parallel_sweep
+
+    failures = parallel_sweep(
+        reg, lambda name: reg[name](spark, root).count()
+    )
     assert not failures, failures
 
 

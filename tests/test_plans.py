@@ -307,35 +307,54 @@ def test_every_unpartitioned_window_is_on_the_bounded_allowlist(spark):
     """
     from covid_engineering_spark.queries import SIDE_EFFECTING
 
-    def window_nodes(node, out):
-        if node.getClass().getSimpleName() == "Window":
-            out.append(node)
-        children = node.children()
-        for i in range(children.size()):
-            window_nodes(children.apply(i), out)
+    import json
+
+    def window_nodes(obj, out):
+        # one toJSON round trip per query instead of one py4j call per
+        # plan node (the r11 traversal spent ~45s of pure socket
+        # round-trips across the registry); the JSON tree embeds
+        # subquery plans as ordinary fields, so the walk still covers
         # windows inside subquery expressions (none today, but a
         # regression here must not hide)
-        subqueries = node.subqueries()
-        for i in range(subqueries.size()):
-            window_nodes(subqueries.apply(i), out)
+        if isinstance(obj, dict):
+            if str(obj.get("class", "")).endswith(
+                ".catalyst.plans.logical.Window"
+            ):
+                out.append(obj)
+            for v in obj.values():
+                window_nodes(v, out)
+        elif isinstance(obj, list):
+            for v in obj:
+                window_nodes(v, out)
         return out
 
     def count_specs(df):
-        plan = df._jdf.queryExecution().optimizedPlan()
+        plan = json.loads(df._jdf.queryExecution().optimizedPlan().toJSON())
         unpartitioned = total = 0
         for w in window_nodes(plan, []):
-            k = w.windowExpressions().size()
+            k = len(w["windowExpressions"])
             total += k
-            if w.partitionSpec().isEmpty():
+            if not w["partitionSpec"]:
                 unpartitioned += k
         return unpartitioned, total
 
     offenders = {}
+    counts = {}
+
+    # pure plan analysis per query — hundreds of independent py4j
+    # tree walks whose wall time is socket round-trips, overlapped in
+    # a thread pool (§2.6; the GIL releases during py4j IO)
+    def walk(name):
+        counts[name] = count_specs(REG[name](spark, SF_SMOKE))
+
+    from tests.conftest import parallel_sweep
+
+    errors = parallel_sweep(
+        [n for n in REG if n not in SIDE_EFFECTING], walk
+    )
+    assert not errors, errors
     seen_specs = 0
-    for name, fn in REG.items():
-        if name in SIDE_EFFECTING:
-            continue  # construction stages writes; windows covered by kin
-        k, total = count_specs(fn(spark, SF_SMOKE))
+    for name, (k, total) in counts.items():
         seen_specs += total
         if k > BOUNDED_GLOBAL_WINDOWS.get(name, 0):
             offenders[name] = k

@@ -244,9 +244,15 @@ def test_every_registered_query_is_reachable_as_sql_view(spark):
     # ...while the opt-in covers the full registry.
     staged = register_query_views(spark, SF_SMOKE, include_staged=True)
     assert len(staged) == len(registry())
-    for v in views:
-        # analysis (schema resolution) through the view must succeed
+    # analysis (schema resolution) through every view must succeed —
+    # independent driver-side analyses, overlapped per §2.6
+    from tests.conftest import parallel_sweep
+
+    def analyzes(v):
         assert spark.sql(f"SELECT * FROM {v}").columns
+
+    failures = parallel_sweep(views, analyzes)
+    assert not failures, failures
     # spot-execute a cross-section through spark.sql, one per family
     for v in ("q_q1_pricing_summary", "q_dedup_minhash_lsh",
               "q_ann_ivf_topk", "q_ts_anomaly", "q_mm_feature_extract",
