@@ -38,28 +38,26 @@ from verification_ledger import (  # noqa: E402
 #: can't see code changes; this is the one hand-maintained bridge, and
 #: it empties every time the driver re-greens the named entries.)
 CHANGED_SINCE_LAST_GREEN: set[str] = {
-    # r11: standing-bucket-index rework (VERDICT r10 #3) touches the
-    # incremental-LSH code path after its r10 green row.
-    "pipe_near_dup_incremental_lsh",
-    # r11: hashed-gram production default flip (VERDICT r10 #4)
-    # touches the ExactSubstr family after its r10 green rows; the
-    # registered exact-string form is pinned unchanged by tests but
-    # re-verifies anyway.
-    "dedup_substring",
-    "dedup_substring_strip",
-    # r11 optimization batches 1–5: internals restructured after the
-    # last green row (Lloyd checkpoint + fused M-step, DSIR token
-    # collapse + weight cache, LSH max(struct) winner, shared
-    # checkpointed PQ seed draw, one-SQL-expr RP matrix). Outputs
-    # oracle-proven unchanged at sf0.01 + sf0.1; re-verify anyway.
-    # Siblings left out with rationale in queries.PRIORITY's comment.
-    "emb_kmeans_lloyd",
-    "ann_ivf_kmeans_topk",
-    "pipe_dsir_select",
-    "pipe_dsir_gumbel",
+    # r12 optimization batches: internals restructured after the last
+    # green row (connected-components self-loop/lazy-checkpoint loop,
+    # beam-walk q_emb carry, salted-base / degree / eval-set caches,
+    # MinHash size-carry verification, fan-out call sites, q21
+    # two-level distinct aggregation, wrangling SQL-string expression
+    # assembly). Outputs oracle-proven unchanged at sf0.01 + sf0.1;
+    # re-verify anyway. Siblings left out with rationale in
+    # queries.PRIORITY's comment.
+    "pipe_curate_corpus",
+    "dedup_clusters",
+    "ann_graph_greedy",
+    "graph_triangle_count",
     "dedup_minhash_lsh",
-    "ann_pq_adc_topk",
-    "emb_rp_recall",
+    "pipe_bloom_decontaminate",
+    "pipe_near_dup_incremental_lsh",
+    "emb_knn_graph",
+    "emb_semdedup",
+    "q21_suppliers_waiting",
+    "wrangle_clean_complete",
+    "w6_interpolate",
 }
 
 
