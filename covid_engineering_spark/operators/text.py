@@ -583,7 +583,7 @@ def collocations(
 
 
 def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return collocations(read_table(spark, sf_dir, "documents"))
+    return collocations(read_table(spark, sf_dir, "documents", fan=True))
 
 
 def js_divergence(docs: DataFrame) -> DataFrame:
