@@ -190,7 +190,21 @@ def main() -> None:
         except OSError:  # pragma: no cover - non-POSIX fallback
             return []
 
+    def _cpu_ticks() -> dict[str, int]:
+        """user/steal ticks from /proc/stat (r12): this sandbox runs on
+        a host that steals 2-3x in bad windows (VERDICT r11), and
+        loadavg cannot see steal — a run whose steal delta is a large
+        fraction of its user delta measured host weather, not plans.
+        Recorded before/after so contamination is provable IN the
+        artifact."""
+        try:
+            f = open("/proc/stat").readline().split()
+            return {"user": int(f[1]), "steal": int(f[8])}
+        except Exception:  # pragma: no cover - non-Linux fallback
+            return {}
+
     load_before = _loadavg()
+    ticks_before = _cpu_ticks()
 
     spark = get_spark(app_name="bench", master=f"local[{cpus}]")
 
@@ -297,6 +311,8 @@ def main() -> None:
         "sf": sf,
         "loadavg_before": load_before,
         "loadavg_after": _loadavg(),
+        "cpu_ticks_before": ticks_before,
+        "cpu_ticks_after": _cpu_ticks(),
         "n_cpus": os.cpu_count(),
         "suppressed_warnings": {
             "WindowExec_no_partition": (

@@ -35,12 +35,7 @@ SALTED_JOIN_KEYS = ["blk", "salt_a", "salt_b"]
 
 
 def salted_block_sides(
-    df: DataFrame,
-    block: str,
-    id_col: str,
-    payload: str,
-    cap: int = BLOCK_CAP,
-    cache_key: str | None = None,
+    df: DataFrame, block: str, id_col: str, payload: str, cap: int = BLOCK_CAP
 ) -> tuple[DataFrame, DataFrame]:
     """Build the two sides of an exact salted intra-block self-join.
 
@@ -58,26 +53,25 @@ def salted_block_sides(
     """
     if cap is None or cap < 1:
         raise ValueError(f"salted_block_sides cap must be >= 1, got {cap!r}")
-    base0 = df.select(
-        F.col(block).alias("blk"),
-        F.col(id_col).alias("_id"),
-        F.col(payload).alias("_pay"),
-    )
-    if cache_key is not None:
-        # THREE branches consume the projected input (the size
-        # aggregate and both join sides), and Catalyst re-derives
-        # uncached subtrees per consumer — uncached, every salted
-        # self-join paid the source scan three times per execution
-        # (r12). Same O(corpus)-thin-projection boundedness as the
-        # kmeans_vectors cache.
-        from covid_engineering_spark.functions import evicting_cache
-
-        base0 = evicting_cache(base0, cache_key)
-    sizes = base0.groupBy("blk").agg(
+    # NOTE (r12): caching the projected input here (the size aggregate
+    # and both join sides re-derive it) was implemented and A/B'd —
+    # and REJECTED: the three derivations are a thin projection of an
+    # already-fanned scan, while the InMemoryRelation in the middle
+    # breaks whole-stage codegen fusion and runtime exchange reuse and
+    # adds a materialization barrier. Measured at sf0.1 (interleaved,
+    # honest resets): graph_label_propagation 3.0s uncached vs 4.0s
+    # cached (its 4 unrolled rounds share exchanges without the
+    # cache); knn/semdedup/hard-negatives flat-to-worse. Guide §5:
+    # cache only when recompute beats the memory+barrier cost.
+    sizes = df.groupBy(F.col(block).alias("blk")).agg(
         F.ceil(F.count("*") / F.lit(cap)).cast("int").alias("n_sub")
     )
     salts = F.explode(F.sequence(F.lit(0), F.col("n_sub") - 1))
-    base = base0.join(F.broadcast(sizes), "blk")
+    base = df.select(
+        F.col(block).alias("blk"),
+        F.col(id_col).alias("_id"),
+        F.col(payload).alias("_pay"),
+    ).join(F.broadcast(sizes), "blk")
     own_salt = F.pmod(F.xxhash64("_id"), F.col("n_sub")).cast("int")
     a = (
         base.withColumn("salt_a", own_salt)

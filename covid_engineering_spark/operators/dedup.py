@@ -657,7 +657,6 @@ def embedding_pairs(
     a, b = salted_block_sides(
         emb, "label", "vec_id", "embedding",
         BLOCK_CAP if cap is None else cap,
-        cache_key="embpairs_salted_base",
     )
     cos = cosine_expr(F.col("pay_a"), F.col("pay_b"))
     return (

@@ -780,10 +780,7 @@ def knn_graph(
         salted_block_sides,
     )
 
-    a, b = salted_block_sides(
-        emb, block, "vec_id", "embedding", cap,
-        cache_key="knn_salted_base",
-    )
+    a, b = salted_block_sides(emb, block, "vec_id", "embedding", cap)
     cos = cosine_expr(F.col("pay_a"), F.col("pay_b"))
     # Cosine is symmetric, so score each UNORDERED pair once
     # (id_a < id_b — half the dominant dot-product evaluations) and
@@ -2275,8 +2272,7 @@ def semdedup(
         "vec_id", F.col(cell_col).alias("cell"), "embedding"
     )
     a, b = salted_block_sides(
-        e, "cell", "vec_id", "embedding", BLOCK_CAP if cap is None else cap,
-        cache_key="semdedup_salted_base",
+        e, "cell", "vec_id", "embedding", BLOCK_CAP if cap is None else cap
     )
     dropped = (
         a.join(b, SALTED_JOIN_KEYS)
@@ -2351,8 +2347,7 @@ def hard_negatives(
     # batch still splits instead of concentrating in one task.
     # ``salt_cap`` exists so tests can force a non-trivial grid.
     a, b = salted_block_sides(
-        batched, "batch", "vec_id", "lp", salt_cap or batch_cap,
-        cache_key="hardneg_salted_base",
+        batched, "batch", "vec_id", "lp", salt_cap or batch_cap
     )
     cos = cosine_expr(F.col("pay_a.embedding"), F.col("pay_b.embedding"))
     half = (

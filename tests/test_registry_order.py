@@ -40,12 +40,14 @@ from verification_ledger import (  # noqa: E402
 CHANGED_SINCE_LAST_GREEN: set[str] = {
     # r12 optimization batches: internals restructured after the last
     # green row (connected-components self-loop/lazy-checkpoint loop,
-    # beam-walk q_emb carry, salted-base / degree / eval-set caches,
-    # MinHash size-carry verification, fan-out call sites, q21
-    # two-level distinct aggregation, wrangling SQL-string expression
-    # assembly). Outputs oracle-proven unchanged at sf0.01 + sf0.1;
-    # re-verify anyway. Siblings left out with rationale in
-    # queries.PRIORITY's comment.
+    # beam-walk q_emb carry, degree-table / eval-set caches, MinHash
+    # size-carry verification, fan-out call sites, q21 two-level
+    # distinct aggregation, wrangling SQL-string expression assembly).
+    # Outputs oracle-proven unchanged at sf0.01 + sf0.1; re-verify
+    # anyway. Siblings left out with rationale in queries.PRIORITY's
+    # comment; the salted-base cache was A/B'd and REVERTED, so
+    # emb_knn_graph/emb_semdedup ended the round byte-identical to
+    # their r11-greened code and are back out of the window.
     "pipe_curate_corpus",
     "dedup_clusters",
     "ann_graph_greedy",
@@ -53,8 +55,6 @@ CHANGED_SINCE_LAST_GREEN: set[str] = {
     "dedup_minhash_lsh",
     "pipe_bloom_decontaminate",
     "pipe_near_dup_incremental_lsh",
-    "emb_knn_graph",
-    "emb_semdedup",
     "q21_suppliers_waiting",
     "wrangle_clean_complete",
     "w6_interpolate",
